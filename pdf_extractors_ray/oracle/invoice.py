@@ -62,15 +62,17 @@ def extract_fields(text: str, patterns=None) -> dict[str, str]:
     return out
 
 
-def extract_invoice_conv(texts: list[str], turn_idxs: list[int]) -> list[dict]:
-    """Fold one conversation's ordered fragments into order rows."""
+def rows_from_extracted(extracted_list: list[dict], turn_idxs: list[int]) -> list[dict]:
+    """Header broadcast + row assembly + LOCF over per-fragment field dicts.
+
+    Shared by the oracle (fields from Python ``re``) and the Ray pipeline
+    (fields from the vectorized RE2 stage) so the fold semantics exist in
+    exactly one place.
+    """
     invoice_num: str | int = 0
     invoice_date = due_date = customer_number = None
     rows: list[dict] = []
-    for pos, (text, tidx) in enumerate(zip(texts, turn_idxs)):
-        if text.startswith(":"):
-            text = "Order No." + text  # lost-anchor re-prefix (:69-70)
-        extracted = extract_fields(text)
+    for pos, (extracted, tidx) in enumerate(zip(extracted_list, turn_idxs)):
         if not extracted:
             continue
         if pos == 0:
@@ -98,3 +100,13 @@ def extract_invoice_conv(texts: list[str], turn_idxs: list[int]) -> list[dict]:
         else:
             row["Delivery date"] = delivery
     return rows
+
+
+def extract_invoice_conv(texts: list[str], turn_idxs: list[int]) -> list[dict]:
+    """Fold one conversation's ordered fragments into order rows."""
+    extracted_list = []
+    for text in texts:
+        if text.startswith(":"):
+            text = "Order No." + text  # lost-anchor re-prefix (:69-70)
+        extracted_list.append(extract_fields(text))
+    return rows_from_extracted(extracted_list, turn_idxs)

@@ -1,0 +1,240 @@
+"""Unit tests for the reference-semantics oracle (SURVEY.md §5.2 item 2).
+
+Fixture strings follow the observable input grammar of the reference's
+committed golden CSVs (e.g. member strings visible in
+``roman-census/input_csv/persons_input.csv``).
+"""
+
+from pdf_extractors_ray.oracle import catalog, census, grid, invoice, layout, persons, table
+
+
+# ---------------------------------------------------------------------------
+# catalog state machine
+
+
+def test_catalog_basic_record():
+    lines = [
+        catalog.BANNER,
+        "Oil",
+        "ACURA",
+        "2023",
+        "MDX",
+        "V6 3.0L F.I. Turbo",
+        "M1-110A",
+        "M1-103B",
+        "Premium Filter Recommended. x",
+    ]
+    rows = catalog.extract_catalog_conv(lines, list(range(len(lines))))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["manufacturer"] == "ACURA"
+    assert r["year"] == "2023"
+    assert r["model"] == "MDX"
+    assert r["engine"] == "V63.0LF.I.Turbo"  # space-strip (:97)
+    assert r["oils"] == ["M1-103B", "M1-110A"]  # canonical sorted dedup
+
+
+def test_catalog_flush_on_year_transition():
+    lines = [catalog.BANNER, "Oil", "BMW", "2020", "330i", "L4 2.0L", "M1-201A", "2021", "X5", "V8 4.4L", "F12345"]
+    rows = catalog.extract_catalog_conv(lines, list(range(len(lines))))
+    assert len(rows) == 2
+    assert rows[0]["year"] == "2020" and rows[1]["year"] == "2021"
+    assert rows[0]["ref_turn"] == 7  # flushed by the '2021' line
+
+
+def test_catalog_requires_oil_gate_and_banner():
+    lines = ["BMW", "2020", "330i", "L4 2.0L", "M1-201A"]
+    assert catalog.extract_catalog_conv(lines, list(range(5))) == []
+
+
+def test_catalog_electric_gas_merge():
+    lines = [catalog.BANNER, "Oil", "FORD", "2022", "Escape", "L4 2.5L", "(Electric/Gas)", "M1-108A"]
+    rows = catalog.extract_catalog_conv(lines, list(range(len(lines))))
+    assert rows[0]["engine"] == "L42.5L (Electric/Gas)"
+
+
+# ---------------------------------------------------------------------------
+# invoice regex bank + fold
+
+
+def test_invoice_fields_and_ffill():
+    header = "Invoice 3056313\nInvoice Date: 25.03.2022\nDue Date: 08.04.2022\nCustomer Number: 1415"
+    o1 = (
+        "Order No.: 729360\nExt. order no. : KO2100567-2\nLoading date 26.01.2022\n"
+        "Delivery date 04.04.2022\nVessel Name: AL ZUBARA - 0017W Container type: 40HC\n"
+        "Port of loading: CNNBG\nPort of delivery: NOMSS\n"
+        "Total amount without VAT 475,00 NOK\nTour No.: 310613"
+    )
+    o2 = "Order No.: 729361\nLoading date 27.01.2022\nTotal amount without VAT 1 250,50 NOK"
+    rows = invoice.extract_invoice_conv([header, o1, o2], [0, 1, 2])
+    assert len(rows) == 2
+    assert rows[0]["Invoice"] == "3056313"
+    assert rows[0]["Vessel Name"] == "AL ZUBARA - 0017W"
+    assert rows[0]["Total amount without VAT"] == "475,00 NOK"
+    assert rows[1]["Delivery date"] == "04.04.2022"  # LOCF
+    assert rows[1]["Customer Number"] == "1415"  # header broadcast
+    assert rows[1]["Page"] == "2"
+
+
+def test_invoice_lost_anchor_prefix():
+    rows = invoice.extract_invoice_conv(["Invoice 1\nInvoice Date: 01.01.2020", ": 999\nTour No.: 5"], [0, 1])
+    assert rows[0]["Order No."] == "999"
+
+
+# ---------------------------------------------------------------------------
+# census household fold
+
+
+CENSUS_LINES = [
+    "HOUSEHOLD NO.: 117-Ar-6",
+    "Source: P.Mil. I 3 (cf. BL 6.75)",
+    "Prov., Date: Theadelphia (Arsinoite), 22/1/12",
+    "Declarant: Harthotes s. Marres and Esersythis, public farmer, 55",
+    "Family members: (1) Harthotes [declarant] s. Marres and Esersythis, public farmer, 55",
+    "(2) Taorseus d. Harthotes and Taues, daughter of no. 1, 12",
+    "continuation of previous member line",
+    "Free non-kin: None",
+    "Slaves: None",
+    "Verif./photo: original; seen 10/12/1990.",
+    "Discussion: Broken at top.",
+    "Cambridge Books Online https://doi.org/x",
+]
+
+
+def test_household_fold():
+    hh = census.fold_household_lines(CENSUS_LINES)
+    assert len(hh) == 1
+    h = hh[0]
+    assert h["household_number"] == "117-Ar-6"
+    assert len(h["name_of_family_members"]) == 2
+    # continuation line appended to member 2
+    assert h["name_of_family_members"][1].endswith("continuation of previous member line")
+    assert h["slaves"] == []
+
+
+def test_household_enrich_and_summary():
+    h = census.enrich_households(census.fold_household_lines(CENSUS_LINES))[0]
+    assert h["declarant_occupation"] == "public farmer"
+    assert h["declarant_name_parsed"] == ["Harthotes"]
+    assert h["declarant_id"] == ["117-Ar-6-d1"]
+    s = census.summarize_household(h)
+    assert s["household_number_year"] == "117"
+    assert s["household_number_location"] == "Ar"
+    assert s["number_of_family_members"] == 2
+    assert s["discussion_indicates_substantive_record_brokenness"] == "Yes"
+
+
+def test_parsed_declarants_styles():
+    assert census.get_parsed_declarants("Not preserved") == ["Not preserved"]
+    assert census.get_parsed_declarants("Ammonios and Herakles") == ["Ammonios", "Herakles"]
+    assert census.get_parsed_declarants("Harthotes s. Marres and Esersythis, farmer") == ["Harthotes"]
+
+
+# ---------------------------------------------------------------------------
+# persons extractors + kinship
+
+
+def test_person_extractors():
+    data = "(1) Harthotes [declarant] s. Marres and Esersythis, public farmer and priest of Tothoes, 55"
+    assert persons.get_name(data) == "Harthotes"
+    assert persons.get_sex(data, "F") == "male"
+    assert persons.get_age(data) == "55"
+    assert persons.get_father(data) == "Marres"
+    assert persons.get_mother(data) == "Esersythis"
+    assert persons.get_occupation(data) == "public farmer and priest of Tothoes"
+    assert persons.get_relation_to_declarant(data) == "self"
+
+
+def test_person_age_literals():
+    assert persons.get_age("(2) X, age lost") == "age lost"
+    assert persons.get_age("(2) X, age not given") == "age not given"
+
+
+def test_slave_extractors():
+    data = "(1) Felix, slave of Kronion, male, 20"
+    assert persons.get_owner(data) == "Kronion"
+    assert persons.get_sex(data, "S") == "male"
+    data2 = "(2) Heraklous, offspring of Thermouthis, female, 2"
+    assert persons.get_slave_mother(data2) == "Thermouthis"
+
+
+def test_kinship_number_reference():
+    household = {
+        "household_number": "131-Ox-1",
+        "declarant_name": "Kronion s. Pnepheros and Taues, farmer, 40",
+        "declarant_name_parsed": ["Kronion"],
+        "declarant_id": ["131-Ox-1-d1"],
+        "name_of_family_members": [
+            "(1) Kronion [declarant] s. Pnepheros and Taues, farmer, 40",
+            "(2) Taorseus d. Pnepheros and Taues, wife of Kronion [no. 1], 35",
+        ],
+        "name_of_non_family_members": [],
+        "slaves": [],
+    }
+    out = persons.extract_persons_for_household(household)
+    assert len(out) == 2
+    declarant, wife = out[0], out[1]
+    assert declarant["id"] == "131-Ox-1-d1"  # fuzzy declarant id match (J1)
+    assert wife["spouse"] == declarant["id"]  # J2 numeric cross-reference
+    assert declarant["spouse"] == wife["id"]  # bidirectional write
+
+
+def test_ocr_l_for_1_reference():
+    refs = persons.find_number_reference(1, [{"data": "(2) X, wife of Y [no. l]"}])
+    assert refs == [1]
+
+
+# ---------------------------------------------------------------------------
+# layout / table / grid
+
+
+def test_layout_binning():
+    import json
+
+    header = [{"col": "State Code", "x": 10.0}, {"col": "County Code", "x": 50.0}, {"col": "Tract Code", "x": 90.0}]
+    t0 = json.dumps({
+        "header": header,
+        "boxes": [
+            {"text": "06", "x0": 12.0, "font": "Arial"},
+            {"text": "037", "x0": 55.0, "font": "Arial"},
+            {"text": "ignored", "x0": 95.0, "font": "Helvetica"},
+        ],
+    })
+    t1 = json.dumps({"boxes": [{"text": "no-county", "x0": 12.0, "font": "Arial"}]})
+    rows = layout.extract_layout_conv([t0, t1], [0, 1])
+    assert len(rows) == 1  # t1 dropped: County Code missing (:45-46)
+    assert rows[0]["State Code"] == "06"
+    assert rows[0]["County Code"] == "037"
+    assert rows[0]["Tract Code"] is None  # non-Arial filtered (:40-44)
+
+
+def test_table_header_broadcast_and_total_fixup():
+    import json
+
+    turns = [
+        json.dumps(["Date", "Payee / Payer", "Type", "Reference", "Description", "Income", "Expense", "Balance"]),
+        json.dumps(["01.01.2024", "Smith", "Rent", "R1", "desc", "100.00", "0.00", "500.00"]),
+        json.dumps(["Total 100.00 50.00", "", "", "", "", "", "", "450.00"]),
+    ]
+    rows = table.extract_table_conv(turns, [0, 1, 2])
+    assert len(rows) == 2
+    assert rows[0]["Date"] == "01.01.2024"
+    assert rows[1]["Date"] == "Total"
+    assert rows[1]["Income"] == "100.00" and rows[1]["Expense"] == "50.00"
+
+
+def test_grid_cleanup():
+    import json
+
+    turns = [
+        json.dumps(["QTY", "ITEM", "j", "CODE", "SIZE", "j", "PRICE", "j"]),
+        json.dumps(["12|", " 4711 ", "x", ";842", "1.5L", "y", "9.99", "z"]),
+        json.dumps(["1", "Z", "x", "1", "1.5L", "y", "9.99", "z"]),  # len(c1)<2 → dropped
+        json.dumps(["1", "4712", "x", "1", "TOOLONGSIZE", "y", "9.99", "z"]),  # len(c4)>=7 → dropped
+    ]
+    rows = grid.extract_grid_conv(turns, [0, 1, 2, 3])
+    assert len(rows) == 2  # header + one valid row
+    assert rows[1]["c0"] == "12"  # '|' removed then non-digits removed
+    assert rows[1]["c1"] == "4711"
+    assert rows[1]["c3"] == "842"  # ';' removed
+    assert rows[0]["c0"] == "QTY"  # header row exempt from digit-strip
