@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native extraction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself before importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship pipeline on the sf0.001-scale transcript corpus:
+  pruned read → vectorized stages → conv_id shuffle → ordered folds →
+  per-household kinship resolution; returns the persons Dataset.
+- ``queries()`` — one callable per implemented operator (SURVEY.md §2 and
+  the training-data ops); each takes ``sf_dir``.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+  (matching column names); ordered stateful folds are rows-only here and
+  verified by tests/test_engine_vs_oracle.py instead.
 """
 
 from __future__ import annotations
@@ -18,27 +18,19 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from pdf_extractors_ray.pipelines import extract
+from pdf_extractors_ray.pipelines import queries as _q
+from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    path = transcripts_path_for_sf("/root/testdata/sf0.001")
+    return extract.extract_census_persons(path)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

@@ -1,0 +1,86 @@
+"""Event-stream operators: tumbling-window aggregates and gap-based
+sessionization (streaming-shaped semantics over the batch ``events`` table;
+ray_guide "Streaming-shaped workloads").
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from .common import cents, grouped_sums
+
+SESSION_GAP_S = 1800  # 30 minutes
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + value cents."""
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour": batch["ts"].dt.floor("h"),
+                "event_type": batch["event_type"],
+                "n": np.int64(1),
+                "value_cents": cents(batch["value"].to_numpy()),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pandas")
+    return grouped_sums(ds, ["hour", "event_type"], ["n", "value_cents"]).sort(["hour", "event_type"])
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Per-user session stats: a session break is a >30-minute gap.
+
+    ``groupby(user_id)`` co-locates each user's events; the ordered gap scan
+    runs in-group (same session-fold pattern as the transcript folds)."""
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def fold(group: dict) -> pd.DataFrame:
+        ts = np.sort(np.asarray(group["ts"], dtype="datetime64[us]"))
+        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        n_sessions = 1 + int((gaps_us > SESSION_GAP_S * 1_000_000).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [int(group["user_id"][0])],
+                "n_events": [len(ts)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="numpy").sort("user_id")
+
+
+EVENTS_SESSIONIZE_SQL = """
+SELECT user_id, COUNT(*) AS n_events, SUM(new_sess) AS n_sessions
+FROM (
+    SELECT user_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -1,0 +1,225 @@
+"""Relational core over the star schema: grouped aggregates (with partial
+pre-aggregation), broadcast joins, a large-large hash join, filter+sum,
+top-k. Each function takes ``sf_dir`` and returns a Dataset whose column
+names match the paired oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+
+from .common import broadcast, cents, grouped_sums
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None, filter=None):
+    import ray.data as rd
+
+    kwargs = {}
+    if filter is not None:
+        kwargs["filter"] = filter
+    return rd.read_parquet(_pq(sf_dir, name), columns=columns, **kwargs)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary: vectorized derived columns, partial
+    per-batch combine, then a small groupby (SURVEY.md §2.5 mapping)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= pc.scalar(pd.Timestamp("2000-12-01"))),
+    )
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        price = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": batch["l_quantity"].to_numpy().astype(np.int64),
+                "sum_base_cents": cents(price),
+                "sum_disc_cents": cents(price * (1.0 - disc)),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pandas")
+    out = grouped_sums(ds, ["l_returnflag", "l_linestatus"],
+                       ["sum_qty", "sum_base_cents", "sum_disc_cents"], count_alias="count_order")
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_segment_topk(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """Top-k orders by revenue for one market segment.
+
+    Join strategy: customer keys for the segment and the qualifying orders
+    are SMALL sides → broadcast (``ray.put`` once, read per actor), so the
+    only shuffle is the final grouped sum over partials
+    (ray_guide "Joins and lookups": semi-join via broadcast key set)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+                 filter=(pc.field("c_mktsegment") == segment))
+    cust_keys = set(cust.to_pandas()["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    o_small = orders.to_pandas()
+    o_small = o_small[o_small["o_custkey"].isin(cust_keys)][["o_orderkey", "o_orderdate"]]
+    orders_ref = broadcast(o_small.set_index("o_orderkey")["o_orderdate"])
+
+    class JoinRevenue:
+        def __init__(self):
+            self.orders = ray.get(orders_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch["l_orderkey"].isin(self.orders.index)
+            b = batch[mask]
+            rev = cents(b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()))
+            return pd.DataFrame({"o_orderkey": b["l_orderkey"].to_numpy(), "revenue_cents": rev})
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    rev = li.map_batches(JoinRevenue, batch_format="pandas", concurrency=(1, 4))
+    agg = grouped_sums(rev, ["o_orderkey"], ["revenue_cents"])
+    return agg.sort(["revenue_cents", "o_orderkey"], descending=[True, True]).limit(k)
+
+
+Q3_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue_cents DESC, o_orderkey DESC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir: str, region: str = "ASIA"):
+    """Revenue per nation for one region.
+
+    Dimension chain region→nation→customer is broadcast; the orders↔lineitem
+    side goes through ``Dataset.join`` (hash-partitioned) to exercise the
+    large-large join path the broadcast pattern can't cover at scale."""
+    import ray
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    reg_key = reg[reg["r_name"] == region]["r_regionkey"].iloc[0]
+    nation = nation[nation["n_regionkey"] == reg_key]
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.merge(nation[["n_nationkey", "n_name"]], left_on="c_nationkey", right_on="n_nationkey")
+    cust_map_ref = broadcast(cust.set_index("c_custkey")["n_name"])
+
+    class TagOrders:
+        def __init__(self):
+            self.cust_map = ray.get(cust_map_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            names = batch["o_custkey"].map(self.cust_map)
+            out = pd.DataFrame({"o_orderkey": batch["o_orderkey"], "n_name": names})
+            return out[out["n_name"].notna()]
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    tagged = orders.map_batches(TagOrders, batch_format="pandas", concurrency=(1, 4))
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_rev(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_cents": cents(batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy())),
+            }
+        )
+
+    li = li.map_batches(li_rev, batch_format="pandas")
+    joined = li.join(tagged, join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=16)
+    out = grouped_sums(joined, ["n_name"], ["revenue_cents"])
+    return out.sort("n_name")
+
+
+Q5_SQL = """
+SELECT n_name,
+       SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q6_filtered_revenue(sf_dir: str):
+    """Filter + global sum: predicate pushdown at the read, vectorized cents,
+    single-row result."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(pd.Timestamp("1996-01-01")))
+            & (pc.field("l_shipdate") < pc.scalar(pd.Timestamp("1997-01-01")))
+            & (pc.field("l_discount") >= 0.05)
+            & (pc.field("l_discount") <= 0.07)
+            & (pc.field("l_quantity") < 24.0)
+        ),
+    )
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = cents(batch["l_extendedprice"].to_numpy() * batch["l_discount"].to_numpy())
+        return pd.DataFrame({"g": np.zeros(len(batch), dtype=np.int64), "revenue_cents": rev})
+
+    ds = ds.map_batches(derive, batch_format="pandas")
+    return grouped_sums(ds, ["g"], ["revenue_cents"]).select_columns(["revenue_cents"])
+
+
+Q6_SQL = """
+SELECT SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def orders_priority_count(sf_dir: str):
+    """Simple grouped count with partial combine + final sort."""
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+
+    def one(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(n=np.int64(1))
+        return batch
+
+    ds = orders.map_batches(one, batch_format="pandas")
+    out = grouped_sums(ds, ["o_orderpriority", "o_orderstatus"], ["n"])
+    return out.sort(["o_orderpriority", "o_orderstatus"])
+
+
+ORDERS_PRIORITY_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

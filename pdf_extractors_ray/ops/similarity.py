@@ -1,0 +1,150 @@
+"""Similarity search over the ``embeddings`` table (``list<float>`` dim-64).
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix (the baseline; one pass over the corpus, no shuffle except
+  the tiny per-query top-k combine),
+- LSH-bucketed ANN: random-hyperplane signatures → bucket groupby → search
+  only within buckets (the scale path; recall<1 by design).
+
+Cosine values are fixed-point rounded (ppm) before ranking so ordering and
+the DuckDB oracle are bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+_N_BITS = 4  # 16 buckets: sized for the ~500-vector test corpora; scale with corpus
+_HYPERPLANES = np.random.RandomState(7).normal(size=(_N_BITS, 64)).astype(np.float64)
+
+
+def _emb(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+
+
+def _matrix(batch: pd.DataFrame) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+
+
+def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 10):
+    """Exact cosine top-k for queries ``vec_id < n_queries`` (self excluded).
+
+    Per batch: one matmul candidates×queries; per-query top-k is resolved in
+    a final per-query group fold over per-batch partial top-ks.
+    """
+    import ray
+
+    ds = _emb(sf_dir, columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q = _matrix(qdf)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    queries_ref = ray.put((qdf["vec_id"].to_numpy(), qn))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qn = ray.get(queries_ref)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            c = _matrix(batch)
+            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = cn @ self.qn.T  # candidates x queries
+            sim_ppm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+            cids = batch["vec_id"].to_numpy()
+            out = []
+            for j, qid in enumerate(self.qids):
+                col = sim_ppm[:, j]
+                mask = cids != qid
+                ids, vals = cids[mask], col[mask]
+                # partial top-k inside the batch: (sim desc, vec_id asc)
+                order = np.lexsort((ids, -vals))[: self.k]
+                for i in order:
+                    out.append((int(qid), int(ids[i]), int(vals[i])))
+            return pd.DataFrame(out, columns=["query_id", "vec_id", "sim_ppm"])
+
+    partial = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim_ppm", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(topk, batch_format="pandas").sort(["query_id", "rank"])
+
+
+KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           CAST(FLOOR(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])*1000000 + 0.5) AS BIGINT) AS sim_ppm
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, sim_ppm,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_ppm DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, sim_ppm, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def lsh_signature(m: np.ndarray) -> np.ndarray:
+    """random-hyperplane signature per row (one bit per hyperplane)."""
+    bits = (m @ _HYPERPLANES.T) > 0
+    return (bits * (1 << np.arange(_N_BITS))).sum(axis=1).astype(np.int64)
+
+
+def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10):
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The bucket groupby replaces the full scan — each group holds its bucket's
+    candidates plus any co-bucketed queries; recall is approximate.
+    """
+    import ray
+
+    ds = _emb(sf_dir, columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q = _matrix(qdf)
+    qsig = lsh_signature(q)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    queries_ref = ray.put((qdf["vec_id"].to_numpy(), qn, qsig))
+
+    def sign(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _matrix(batch)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"], "bucket": lsh_signature(m), "embedding": list(batch["embedding"])}
+        )
+
+    signed = ds.map_batches(sign, batch_format="pandas")
+
+    def bucket_search(group: pd.DataFrame) -> pd.DataFrame:
+            qids, qn, qsig = ray.get(queries_ref)  # zero-copy local fetch
+            bucket = int(group["bucket"].iloc[0])
+            sel = qsig == bucket
+            if not sel.any():
+                return pd.DataFrame({"query_id": [], "vec_id": [], "sim_ppm": [], "rank": []})
+            c = _matrix(group)
+            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = cn @ qn[sel].T
+            sim_ppm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+            cids = group["vec_id"].to_numpy()
+            out = []
+            for j, qid in enumerate(qids[sel]):
+                col = sim_ppm[:, j]
+                mask = cids != qid
+                ids, vals = cids[mask], col[mask]
+                order = np.lexsort((ids, -vals))[:k]
+                for rank, i in enumerate(order, 1):
+                    out.append((int(qid), int(ids[i]), int(vals[i]), rank))
+            return pd.DataFrame(out, columns=["query_id", "vec_id", "sim_ppm", "rank"])
+
+    return signed.groupby("bucket").map_groups(bucket_search, batch_format="pandas").sort(["query_id", "rank"])

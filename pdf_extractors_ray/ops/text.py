@@ -1,0 +1,164 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, fingerprinting, regex keyword extraction, language-ID.
+
+All per-document work is vectorized or batch-local; the only shuffles are
+tiny grouped rollups over per-batch partials.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+
+from .common import grouped_sums
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+# tiny per-language stopword banks for the n-gram/stopword language-ID
+# heuristic (no external models in this container)
+LANG_MARKERS = {
+    "en": {"the", "and", "of", "a", "to", "value", "fast"},
+    "fr": {"le", "la", "et", "de", "un", "vite"},
+    "es": {"el", "la", "y", "de", "un", "rapido"},
+    "de": {"der", "die", "und", "von", "ein", "schnell"},
+    "zh": {"de5", "he2", "yi1"},
+}
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def docs_token_stats(sf_dir: str):
+    """Per-language totals: docs, tokens (single-space split), chars."""
+    ds = _docs(sf_dir, columns=["lang", "text"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        return pd.DataFrame(
+            {
+                "lang": batch["lang"],
+                "n_docs": np.int64(1),
+                "n_tokens": (text.str.count(" ") + 1).astype(np.int64),
+                "n_chars": text.str.len().astype(np.int64),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pandas")
+    return grouped_sums(ds, ["lang"], ["n_docs", "n_tokens", "n_chars"]).sort("lang")
+
+
+DOCS_TOKEN_STATS_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS n_tokens,
+       SUM(len(text)) AS n_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def docs_quality(sf_dir: str):
+    """Per-document quality signals: token count, char count, stopword
+    count, max token length (integer-exact for the SQL oracle; ratio views
+    derive from these)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        stop = set(STOPWORDS)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": toks.map(len).astype(np.int64),
+                "n_chars": batch["text"].str.len().astype(np.int64),
+                "n_stopwords": toks.map(lambda ws: sum(w in stop for w in ws)).astype(np.int64),
+                "max_token_len": toks.map(lambda ws: max((len(w) for w in ws), default=0)).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pandas").sort("doc_id")
+
+
+DOCS_QUALITY_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(text) AS n_chars,
+       len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to'))) AS n_stopwords,
+       list_max(list_transform(string_split(text, ' '), w -> len(w))) AS max_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def docs_fingerprint(sf_dir: str):
+    """Content fingerprint per document: first 16 hex chars of md5."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        fps = [hashlib.md5(t.encode()).hexdigest()[:16] for t in batch["text"]]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fps})
+
+    return ds.map_batches(derive, batch_format="pandas").sort("doc_id")
+
+
+DOCS_FINGERPRINT_SQL = """
+SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def docs_keyword(sf_dir: str):
+    """First engine keyword per doc via regex (RE2 == Python `re` for this
+    alternation); '' when absent, matching DuckDB regexp_extract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["text"], r"\b(?P<v>spark|vector|stream)\b")
+        kw = pc.coalesce(pc.struct_field(ext, "v"), "")
+        return pa.table({"doc_id": batch["doc_id"], "first_kw": kw})
+
+    return ds.map_batches(derive, batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_KEYWORD_SQL = """
+SELECT doc_id, regexp_extract(text, '\\b(spark|vector|stream)\\b', 1) AS first_kw
+FROM documents
+ORDER BY doc_id
+"""
+
+
+class LangId:
+    """Stopword-overlap language-ID heuristic (actor-pool stage: marker
+    sets prepared once per actor). Deterministic argmax with lexicographic
+    tiebreak; 'und' when nothing matches."""
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for text in batch["text"]:
+            toks = set(text.lower().split())
+            best_lang, best_score = "und", 0
+            for lang in sorted(self.markers):
+                score = len(toks & self.markers[lang])
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            preds.append(best_lang)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang": batch["lang"], "pred_lang": preds})
+
+
+def docs_langid(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4)).sort("doc_id")

@@ -175,9 +175,16 @@ def extract_family(path: str, name: str):
     return EXTRACTORS[name](path)
 
 
-def run_all_families(path: str) -> dict:
-    """All extraction datasets (lazy); callers consume/write them."""
+def run_all_families(path: str, materialize_households: bool = False) -> dict:
+    """All extraction datasets (lazy); callers consume/write them.
+
+    ``materialize_households=True`` pins the (small, reduced) household
+    dataset so its two consumers (summary, persons) don't each re-execute
+    the census fold — the allowed "small reused intermediate" case.
+    """
     households = extract_census_households(path)
+    if materialize_households:
+        households = households.materialize()
     return {
         "catalog": extract_catalog(path),
         "invoice": extract_invoice(path),

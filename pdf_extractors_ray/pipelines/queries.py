@@ -1,0 +1,73 @@
+"""Driver-facing query registry.
+
+``REGISTRY`` maps query name → (callable(sf_dir) → Dataset, oracle SQL or
+None). SQL-checked entries run against the DuckDB views the driver
+registers over the same parquet tables; column names match exactly.
+Transcript-extraction entries have no SQL equivalent (ordered stateful
+folds) → rows-only checks, verified instead by the engine-vs-oracle pytest
+gate (tests/test_engine_vs_oracle.py).
+"""
+
+from __future__ import annotations
+
+from ..ops import dedup, events, relational, similarity
+from ..ops import multimodal as mm
+from ..ops import text as tx
+from ..sources.transcripts import transcripts_path_for_sf
+from . import extract
+
+
+def _transcript_query(family: str):
+    def run(sf_dir: str):
+        path = transcripts_path_for_sf(sf_dir)
+        return extract.EXTRACTORS[family](path)
+
+    run.__name__ = f"extract_{family}"
+    return run
+
+
+# name → (fn, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {
+    # relational core (SQL-checked)
+    "q1_pricing_summary": (relational.q1_pricing_summary, relational.Q1_SQL),
+    "q3_segment_topk": (relational.q3_segment_topk, relational.Q3_SQL),
+    "q5_nation_revenue": (relational.q5_nation_revenue, relational.Q5_SQL),
+    "q6_filtered_revenue": (relational.q6_filtered_revenue, relational.Q6_SQL),
+    "orders_priority_count": (relational.orders_priority_count, relational.ORDERS_PRIORITY_SQL),
+    # event streams (SQL-checked)
+    "events_hourly": (events.events_hourly, events.EVENTS_HOURLY_SQL),
+    "events_sessionize": (events.events_sessionize, events.EVENTS_SESSIONIZE_SQL),
+    # text analysis (SQL-checked where expressible)
+    "docs_token_stats": (tx.docs_token_stats, tx.DOCS_TOKEN_STATS_SQL),
+    "docs_quality": (tx.docs_quality, tx.DOCS_QUALITY_SQL),
+    "docs_fingerprint": (tx.docs_fingerprint, tx.DOCS_FINGERPRINT_SQL),
+    "docs_keyword": (tx.docs_keyword, tx.DOCS_KEYWORD_SQL),
+    "docs_langid": (tx.docs_langid, None),
+    # dedup suite
+    "docs_exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
+    "docs_minhash_lsh": (dedup.minhash_lsh_pairs, None),
+    "docs_simhash": (dedup.simhash_docs, None),
+    "docs_ngram_jaccard": (dedup.ngram_jaccard_groups, None),
+    # similarity search
+    "emb_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_SQL),
+    "emb_ann_lsh": (similarity.ann_lsh, None),
+    # multimodal plumbing (stubbed decode kernel)
+    "media_features": (mm.media_features, None),
+    # transcript extraction families (rows-only; oracle = pytest gate)
+    "extract_catalog": (_transcript_query("catalog"), None),
+    "extract_invoice": (_transcript_query("invoice"), None),
+    "extract_layout": (_transcript_query("layout"), None),
+    "extract_table": (_transcript_query("table"), None),
+    "extract_grid": (_transcript_query("grid"), None),
+    "extract_census_households": (_transcript_query("census_households"), None),
+    "extract_census_summary": (_transcript_query("census_summary"), None),
+    "extract_census_persons": (_transcript_query("census_persons"), None),
+}
+
+
+def queries() -> dict:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
