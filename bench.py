@@ -1,0 +1,141 @@
+"""Benchmark harness.
+
+Headline: full multi-family transcript extraction (all 8 outputs consumed)
+over the sf-matched synthetic transcript corpus — reported as wall seconds
+and turns/sec. Plus representative scale-operator timings over the
+``$GRAFT_SF_DIR`` tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "turns": N, "turns_per_sec": N}
+
+``--scaling``: runs the headline twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+scaling efficiency (the sandbox evidence for the N-vs-4N-node criterion).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+OP_QUERIES = [
+    "q1_pricing_summary",
+    "q6_filtered_revenue",
+    "events_hourly",
+    "events_sessionize",
+    "docs_exact_dedup",
+    "docs_token_stats",
+    "emb_knn_bruteforce",
+]
+
+
+def _warm_cache(paths: list[str]) -> None:
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.pipelines import extract
+    from pdf_extractors_ray.pipelines.queries import REGISTRY
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    path = transcripts_path_for_sf(SF_DIR)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    _warm_cache(files)
+    n_turns = sum(pq.read_metadata(f).num_rows for f in files)
+
+    queries: dict[str, float] = {}
+
+    # headline: full extraction, all families, outputs consumed via count()
+    t0 = time.time()
+    rows = {}
+    for name, ds in extract.run_all_families(path, materialize_households=True).items():
+        t = time.time()
+        rows[name] = ds.count()
+        queries[f"extract_{name}"] = round(time.time() - t, 3)
+    headline = time.time() - t0
+
+    # representative scale operators over the driver tables
+    for name in OP_QUERIES:
+        fn = REGISTRY[name][0]
+        t = time.time()
+        fn(SF_DIR).count()
+        queries[name] = round(time.time() - t, 3)
+
+    out = {
+        "metric": "transcript_extraction_all_families",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+        "output_rows": rows,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, two parallelism levels (8 vs 32 CPUs)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo, tput_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": SF_DIR,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": tput_lo,
+        "turns_per_sec_hi": tput_hi,
+        "turns": r_lo["turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

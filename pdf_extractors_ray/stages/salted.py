@@ -1,0 +1,142 @@
+"""Salted splits for hot conversations (long-transcript skew).
+
+A plain ``groupby(conv_id)`` puts an entire conversation in one task; a
+conversation with 100x the median turns becomes a straggler. For folds
+whose state COMPOSES across windows (the invoice fold: header broadcast +
+LOCF — SURVEY.md §4.2 "salted splits"), hot conversations are split into
+order-preserving windows ``salt = turn_idx // W``, folded per window in
+parallel, then stitched per conversation in a second, much smaller pass:
+
+    turns ──groupby (conv_id, salt)──> window partials ──groupby conv_id──> rows
+
+Hot-conv detection is an explicit pre-pass: per-batch partial conv counts →
+tiny groupby → driver collects the hot set → broadcast into the salting
+stage. Cold conversations keep ``salt = 0`` (single window — identical to
+the unsalted path); only flagged conversations fan out.
+
+The catalog/census folds carry non-composable state (lookahead, anchor
+record under construction) — they stay unsalted by design; this module
+documents that partitioning assumption (SURVEY.md §7.5 #3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..oracle import invoice as _invoice
+from ..pipelines import schemas
+from ..stages.fold import rows_to_table
+from ..stages.invoice_extract import FIELD_PREFIX, InvoiceFieldExtractor
+
+_HEADER_MARK = "\x00header"
+
+
+def hot_conversations(ds, threshold: int) -> set[str]:
+    """conv_ids with more than ``threshold`` turns (partial-count groupby)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("conv_id", as_index=False, sort=False).size().rename(columns={"size": "n"})
+
+    counts = ds.map_batches(partial, batch_format="pandas").groupby("conv_id").aggregate(Sum("n", alias_name="n"))
+    df = counts.to_pandas()
+    return set(df[df["n"] > threshold]["conv_id"])
+
+
+def extract_invoice_salted(path: str, hot_threshold: int = 64, window: int = 32,
+                           concurrency=(1, 8), batch_size: int = 4096):
+    """Invoice extraction with salted splits; output ≡ plain extract_invoice."""
+    import ray
+
+    from ..pipelines.extract import family_dataset
+
+    ds = family_dataset(path, "invoice")
+    hot = hot_conversations(ds, hot_threshold)
+    hot_ref = ray.put(hot)
+
+    ds = ds.map_batches(
+        InvoiceFieldExtractor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def add_salt(batch: pd.DataFrame) -> pd.DataFrame:
+        hotset = ray.get(hot_ref)
+        salt = np.where(
+            batch["conv_id"].isin(hotset),
+            batch["turn_idx"].to_numpy() // window,
+            0,
+        )
+        return batch.assign(salt=salt.astype(np.int64))
+
+    ds = ds.map_batches(add_salt, batch_format="pandas")
+
+    field_names = list(_invoice.PATTERNS)
+
+    def window_fold(group: pd.DataFrame) -> pd.DataFrame:
+        """Fold ONE window: emit partial rows + (window 0) a header marker.
+
+        Partial rows leave the header-broadcast fields and leading-null
+        Delivery dates unresolved; the stitch pass fills them.
+        """
+        g = group.sort_values("turn_idx", kind="mergesort")
+        conv_id = g["conv_id"].iloc[0]
+        salt = int(g["salt"].iloc[0])
+        out = []
+        for pos, (_, row) in enumerate(g.iterrows()):
+            extracted = {f: row[FIELD_PREFIX + f] for f in field_names if row[FIELD_PREFIX + f] is not None}
+            if not extracted:
+                continue
+            if salt == 0 and pos == 0:
+                # conv-level fragment 0 = invoice header (:72-77)
+                has_inv = "Invoice" in extracted
+                out.append(
+                    {
+                        "conv_id": conv_id, "salt": salt, "ord": int(row["turn_idx"]),
+                        "kind": _HEADER_MARK,
+                        "Invoice": extracted.get("Invoice") if has_inv else None,
+                        "Invoice Date": extracted.get("Invoice Date") if has_inv else None,
+                        "Due Date": extracted.get("Due Date") if has_inv else None,
+                        "Customer Number": extracted.get("Customer Number") if has_inv else None,
+                    }
+                )
+                continue
+            r = {k: None for k in _invoice.OUTPUT_COLUMNS}
+            r.update(extracted)
+            r["Page"] = str(int(row["turn_idx"]))
+            r.update({"conv_id": conv_id, "salt": salt, "ord": int(row["turn_idx"]), "kind": "row"})
+            out.append(r)
+        cols = ["conv_id", "salt", "ord", "kind", *_invoice.OUTPUT_COLUMNS]
+        return pd.DataFrame(out, columns=cols) if out else pd.DataFrame({c: [] for c in cols})
+
+    partials = ds.groupby(["conv_id", "salt"]).map_groups(window_fold, batch_format="pandas")
+
+    def stitch(group: pd.DataFrame) -> pa.Table:
+        """Merge a conversation's window partials: header broadcast + LOCF."""
+        g = group.sort_values(["salt", "ord"], kind="mergesort")
+        conv_id = g["conv_id"].iloc[0]
+        header = {"Invoice": 0, "Invoice Date": None, "Due Date": None, "Customer Number": None}
+        rows = []
+        for _, row in g.iterrows():
+            if row["kind"] == _HEADER_MARK:
+                for k in header:
+                    header[k] = row[k]
+                continue
+            r = {k: (None if pd.isna(row[k]) else row[k]) for k in _invoice.OUTPUT_COLUMNS}
+            for k in ("Invoice", "Invoice Date", "Due Date", "Customer Number"):
+                r[k] = header[k]
+            rows.append(r)
+        delivery = None  # LOCF across window boundaries (:94-100)
+        for r in rows:
+            if r["Delivery date"] is not None:
+                delivery = r["Delivery date"]
+            else:
+                r["Delivery date"] = delivery
+            r["conv_id"] = conv_id
+        return rows_to_table(rows, schemas.INVOICE_SCHEMA)
+
+    return partials.groupby("conv_id").map_groups(stitch, batch_format="pandas")

@@ -7,7 +7,7 @@ import pytest
 from pdf_extractors_ray.sources.transcripts import synthesize_transcripts
 
 SMALL_DIR = "/tmp/pdfx_test/sf-small"
-SMALL_CONVS = 60
+SMALL_CONVS = 90  # includes conv-000089, the first hot invoice conversation
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,71 @@
+"""Checkpoint/resume (lineage sidecars) and salted-split skew tests
+(SURVEY.md §5.2 items 5-6)."""
+
+import os
+
+import pandas as pd
+
+from pdf_extractors_ray.oracle import runner
+from pdf_extractors_ray.pipelines import extract, schemas
+from pdf_extractors_ray.state import lineage
+from pdf_extractors_ray.stages.salted import extract_invoice_salted, hot_conversations
+
+from helpers import canonical, oracle_table
+
+
+def test_partitioned_extract_and_resume(ray_session, small_corpus_dir, small_corpus_table, tmp_path):
+    out_dir = str(tmp_path / "catalog_out")
+    n_parts = 8
+
+    # first run: complete
+    m1 = lineage.partitioned_extract(small_corpus_dir, "catalog", out_dir, n_parts=n_parts)
+    assert not m1["resumed"].any()
+    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    assert files, "no partition files written"
+    mtimes = {f: os.path.getmtime(os.path.join(out_dir, f)) for f in files}
+    hashes1 = dict(zip(m1["part_id"], m1["content_hash"]))
+
+    # output equals the oracle
+    got = lineage.read_output(out_dir).to_pandas()
+    golden = runner.run_family(small_corpus_table, "catalog")
+    pd.testing.assert_frame_equal(
+        canonical(oracle_table(golden, schemas.CATALOG_SCHEMA)), canonical(got), check_dtype=False
+    )
+
+    # simulate a partial failure: delete some outputs + sidecars
+    victims = [p for p in m1["part_id"] if p % 3 == 0]
+    for p in victims:
+        os.remove(os.path.join(out_dir, f"part-{p:05d}.parquet"))
+        os.remove(os.path.join(out_dir, "_lineage", f"part-{p}.json"))
+
+    # resume: only the victims are recomputed, survivors untouched
+    m2 = lineage.partitioned_extract(small_corpus_dir, "catalog", out_dir, n_parts=n_parts)
+    redone = set(m2[~m2["resumed"]]["part_id"])
+    assert redone == set(victims)
+    for f, old_mtime in mtimes.items():
+        part = int(f[len("part-") : -len(".parquet")])
+        if part not in victims:
+            assert os.path.getmtime(os.path.join(out_dir, f)) == old_mtime
+
+    # identical content after resume (deterministic recompute)
+    hashes2 = dict(zip(m2["part_id"], m2["content_hash"]))
+    assert hashes1 == hashes2
+    got2 = lineage.read_output(out_dir).to_pandas()
+    pd.testing.assert_frame_equal(canonical(got), canonical(got2), check_dtype=False)
+
+
+def test_hot_conversation_detection(ray_session, small_corpus_dir):
+    from pdf_extractors_ray.pipelines.extract import family_dataset
+    from pdf_extractors_ray.sources.transcripts import is_hot_conv
+
+    ds = family_dataset(small_corpus_dir, "invoice")
+    hot = hot_conversations(ds, threshold=64)
+    assert hot, "fixture should contain at least one hot invoice conv"
+    assert all(is_hot_conv(c) for c in hot)
+
+
+def test_salted_invoice_equals_plain(ray_session, small_corpus_dir):
+    plain = extract.extract_invoice(small_corpus_dir).to_pandas()
+    salted = extract_invoice_salted(small_corpus_dir, hot_threshold=64, window=16).to_pandas()
+    assert len(salted) == len(plain) > 0
+    pd.testing.assert_frame_equal(canonical(plain), canonical(salted), check_dtype=False)

@@ -12,21 +12,7 @@ import pytest
 
 from pdf_extractors_ray.oracle import runner
 from pdf_extractors_ray.pipelines import extract, schemas
-from pdf_extractors_ray.stages.fold import rows_to_table
-
-
-def canonical(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.copy()
-    for c in df.columns:
-        df[c] = df[c].map(lambda v: repr(list(v)) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, str) else v)
-        df[c] = df[c].astype(object).where(pd.notnull(df[c]), None)
-    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
-
-
-def oracle_table(df: pd.DataFrame, schema) -> pd.DataFrame:
-    rows = df.to_dict("records")
-    return rows_to_table(rows, schema).to_pandas()
+from helpers import canonical, oracle_table
 
 
 FAMILY_CASES = [
