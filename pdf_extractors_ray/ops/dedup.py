@@ -33,6 +33,10 @@ _B = _RNG.randint(0, _MERSENNE, size=_N_HASHES, dtype=np.int64).astype(np.uint64
 def _docs(sf_dir: str, columns=None):
     import ray.data as rd
 
+    from ..runtime import tune_data_context
+
+    tune_data_context()
+
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 

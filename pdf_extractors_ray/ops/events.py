@@ -18,6 +18,10 @@ SESSION_GAP_S = 1800  # 30 minutes
 def _events(sf_dir: str, columns=None):
     import ray.data as rd
 
+    from ..runtime import tune_data_context
+
+    tune_data_context()
+
     return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
 

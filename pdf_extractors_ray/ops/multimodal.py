@@ -34,6 +34,10 @@ def media_dataset(sf_dir: str):
     """documents → (doc_id, payload: binary, media_type) dataset."""
     import ray.data as rd
 
+    from ..runtime import tune_data_context
+
+    tune_data_context()
+
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
     def to_binary(batch: pa.Table) -> pa.Table:

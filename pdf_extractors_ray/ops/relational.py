@@ -22,6 +22,10 @@ def _pq(sf_dir: str, name: str) -> str:
 def _read(sf_dir: str, name: str, columns=None, filter=None):
     import ray.data as rd
 
+    from ..runtime import tune_data_context
+
+    tune_data_context()
+
     kwargs = {}
     if filter is not None:
         kwargs["filter"] = filter

@@ -24,6 +24,10 @@ _HYPERPLANES = np.random.RandomState(7).normal(size=(_N_BITS, 64)).astype(np.flo
 def _emb(sf_dir: str, columns=None):
     import ray.data as rd
 
+    from ..runtime import tune_data_context
+
+    tune_data_context()
+
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
 
 

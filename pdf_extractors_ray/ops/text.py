@@ -31,6 +31,10 @@ LANG_MARKERS = {
 def _docs(sf_dir: str, columns=None):
     import ray.data as rd
 
+    from ..runtime import tune_data_context
+
+    tune_data_context()
+
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
@@ -133,6 +137,37 @@ def docs_keyword(sf_dir: str):
 
 DOCS_KEYWORD_SQL = """
 SELECT doc_id, regexp_extract(text, '\\b(spark|vector|stream)\\b', 1) AS first_kw
+FROM documents
+ORDER BY doc_id
+"""
+
+
+BPE_PRETOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def docs_bpe_tokens(sf_dir: str):
+    """BPE-ish pretokenizer counts per doc: runs of letters / digits /
+    punctuation (the GPT-2-style pretokenize shape, ASCII classes so Python
+    `re` and DuckDB RE2 agree)."""
+    import re
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    pat = re.compile(BPE_PRETOKEN)
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": batch["text"].map(lambda t: len(pat.findall(t))).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pandas").sort("doc_id")
+
+
+DOCS_BPE_TOKENS_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
 FROM documents
 ORDER BY doc_id
 """

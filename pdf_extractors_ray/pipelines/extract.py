@@ -37,6 +37,9 @@ def family_dataset(path: str, family: str):
     """Column- and row-pruned read of one family's turns."""
     import ray.data as rd
 
+    from ..runtime import tune_data_context
+
+    tune_data_context()
     return rd.read_parquet(
         path, columns=TURN_COLUMNS, filter=(pc.field("tool") == family)
     )
@@ -68,6 +71,83 @@ def extract_grid(path: str):
     return fold_conversations(
         family_dataset(path, "grid"), _grid.extract_grid_conv, schemas.GRID_SCHEMA
     )
+
+
+def extract_layout_broadcast(path: str, concurrency=(1, 8)):
+    """Shuffle-FREE layout path: driver prepass + broadcast header map.
+
+    The reference discovers header coordinates once on page 0 and stores
+    them in a module global (``us-ffiec-demographic-Info/ffiec-census.py:6,
+    61-77``, ST4). The scalable equivalent: a tiny pruned prepass reads only
+    each conversation's turn 0 (header carrier), the conv→boundary map is
+    put in the object store ONCE, and binning becomes a stateless
+    ``map_batches`` over all turns — header state never re-ships per batch
+    and the ``groupby(conv_id)`` shuffle disappears entirely (binning is
+    per-turn independent once headers are known).
+
+    Produces exactly the same rows as ``extract_layout`` (tested).
+    """
+    import json
+
+    import ray
+    import ray.data as rd
+
+    from ..oracle import layout as _layout_oracle
+    from ..runtime import tune_data_context
+
+    tune_data_context()
+    prepass = rd.read_parquet(
+        path,
+        columns=["conv_id", "text", "tool", "turn_idx"],
+        filter=((pc.field("tool") == "layout") & (pc.field("turn_idx") == 0)),
+    )
+    headers: dict[str, list] = {}
+    for batch in prepass.iter_batches(batch_size=4096, batch_format="pandas"):
+        for conv_id, text in zip(batch["conv_id"], batch["text"]):
+            try:
+                payload = json.loads(text)
+            except json.JSONDecodeError:
+                continue
+            if "header" in payload:
+                headers[conv_id] = _layout_oracle.parse_header(payload)
+    headers_ref = ray.put(headers)
+
+    class BinBoxes:
+        def __init__(self):
+            self.headers = ray.get(headers_ref)  # zero-copy-ish, once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..stages.fold import rows_to_table
+
+            rows = []
+            for conv_id, tidx, text in zip(
+                batch["conv_id"].to_pylist(),
+                batch["turn_idx"].to_pylist(),
+                batch["text"].to_pylist(),
+            ):
+                header = self.headers.get(conv_id)
+                if not header:
+                    continue
+                # inline single-turn binning (no fold state needed)
+                try:
+                    payload = json.loads(text)
+                except json.JSONDecodeError:
+                    continue
+                row = {name: None for _x, name in header}
+                for box in payload.get("boxes", []):
+                    if box.get("font") != "Arial":
+                        continue
+                    col = _layout_oracle.bin_column(float(box["x0"]), header)
+                    if col:
+                        row[col] = box["text"]
+                if row.get("County Code"):
+                    row["ref_turn"] = int(tidx)
+                    row["conv_id"] = conv_id
+                    rows.append(row)
+            return rows_to_table(rows, schemas.LAYOUT_SCHEMA)
+
+    ds = family_dataset(path, "layout")
+    return ds.map_batches(BinBoxes, batch_format="pyarrow", concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------
@@ -147,14 +227,20 @@ class PersonsExtractor:
         return rows_to_table(rows, schemas.PERSONS_SCHEMA)
 
 
-def extract_census_summary(path: str, households=None):
+def extract_census_summary(path: str, households=None, batch_size: int = 512):
+    """Stateless elastic tasks (not a fixed actor pool): the stage holds no
+    loaded state — workers reuse module imports — and a fixed pool size
+    would cap scaling below the cluster width."""
     ds = households if households is not None else extract_census_households(path)
-    return ds.map_batches(CensusSummarizer, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(CensusSummarizer(), batch_format="pyarrow", batch_size=batch_size)
 
 
-def extract_census_persons(path: str, households=None, concurrency=(1, 8)):
+def extract_census_persons(path: str, households=None, batch_size: int = 256):
+    """Stateless elastic tasks; the compiled regex bank is module state,
+    compiled once per worker process (not per batch). Small batch_size so
+    the kinship work fans out across the cluster."""
     ds = households if households is not None else extract_census_households(path)
-    return ds.map_batches(PersonsExtractor, batch_format="pyarrow", concurrency=concurrency)
+    return ds.map_batches(PersonsExtractor(), batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -163,6 +249,7 @@ EXTRACTORS = {
     "catalog": extract_catalog,
     "invoice": extract_invoice,
     "layout": extract_layout,
+    "layout_broadcast": extract_layout_broadcast,
     "table": extract_table,
     "grid": extract_grid,
     "census_households": extract_census_households,

@@ -42,6 +42,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_quality": (tx.docs_quality, tx.DOCS_QUALITY_SQL),
     "docs_fingerprint": (tx.docs_fingerprint, tx.DOCS_FINGERPRINT_SQL),
     "docs_keyword": (tx.docs_keyword, tx.DOCS_KEYWORD_SQL),
+    "docs_bpe_tokens": (tx.docs_bpe_tokens, tx.DOCS_BPE_TOKENS_SQL),
     "docs_langid": (tx.docs_langid, None),
     # dedup suite
     "docs_exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),

@@ -411,22 +411,49 @@ def _conv_batch_table(conv_indices: list[int], seed: int) -> pa.Table:
     )
 
 
+def _write_chunk(out_dir: str, chunk_idx: int, conv_lo: int, conv_hi: int,
+                 seed: int, shuffle: bool, row_group_size: int) -> int:
+    """Generate one contiguous conv range into one parquet file.
+
+    Deterministic regardless of execution order/parallelism: conv content
+    is keyed by conv index, the within-file row permutation by
+    ``seed + chunk_idx``.
+    """
+    table = _conv_batch_table(list(range(conv_lo, conv_hi)), seed)
+    if shuffle:
+        perm = np.random.RandomState(seed + chunk_idx).permutation(table.num_rows)
+        table = table.take(pa.array(perm))
+    pq.write_table(
+        table,
+        os.path.join(out_dir, f"part-{chunk_idx:05d}.parquet"),
+        row_group_size=row_group_size,
+    )
+    return table.num_rows
+
+
 def synthesize_transcripts(
     out_dir: str,
     n_convs: int = 50,
     seed: int = 42,
     shuffle: bool = True,
-    rows_per_file: int = 250_000,
+    convs_per_file: int = 2000,
+    row_group_size: int = 16_384,
 ) -> str:
     """Write the deterministic transcript corpus as Parquet; returns the dir.
 
-    Rows are written in a deterministic *shuffled* order (seeded
+    Rows are written in a deterministic *shuffled* order (seeded per-file
     permutation) so consumers cannot rely on file order for turn order.
-    Idempotent: if the directory already holds a matching manifest, the
-    existing files are reused.
+    Small row groups on purpose: Ray Data splits parquet read tasks at
+    row-group granularity, so single-row-group files would cap read (and
+    downstream) parallelism at the file count.
+
+    Generation is chunked per conv range; when a Ray session is live the
+    chunks run as parallel Ray tasks (pure deterministic functions — output
+    is byte-identical to the serial path). Idempotent via a manifest.
     """
     manifest_path = os.path.join(out_dir, "_manifest.json")
-    spec = {"n_convs": n_convs, "seed": seed, "shuffle": shuffle, "version": 3}
+    spec = {"n_convs": n_convs, "seed": seed, "shuffle": shuffle,
+            "convs_per_file": convs_per_file, "version": 5}
     if os.path.exists(manifest_path):
         try:
             with open(manifest_path) as f:
@@ -438,17 +465,35 @@ def synthesize_transcripts(
     for old in os.listdir(out_dir):
         if old.endswith(".parquet"):
             os.remove(os.path.join(out_dir, old))
-    table = _conv_batch_table(list(range(n_convs)), seed)
-    if shuffle:
-        perm = np.random.RandomState(seed).permutation(table.num_rows)
-        table = table.take(pa.array(perm))
-    n_files = max(1, (table.num_rows + rows_per_file - 1) // rows_per_file)
-    splits = np.array_split(np.arange(table.num_rows), n_files)
-    for i, idx in enumerate(splits):
-        pq.write_table(
-            table.slice(int(idx[0]), len(idx)),
-            os.path.join(out_dir, f"part-{i:05d}.parquet"),
+
+    chunks = [
+        (i, lo, min(lo + convs_per_file, n_convs))
+        for i, lo in enumerate(range(0, n_convs, convs_per_file))
+    ]
+
+    use_ray = False
+    if len(chunks) > 2:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            pass
+
+    if use_ray:
+        import ray
+
+        gen = ray.remote(_write_chunk)
+        ray.get(
+            [
+                gen.remote(out_dir, i, lo, hi, seed, shuffle, row_group_size)
+                for i, lo, hi in chunks
+            ]
         )
+    else:
+        for i, lo, hi in chunks:
+            _write_chunk(out_dir, i, lo, hi, seed, shuffle, row_group_size)
+
     with open(manifest_path, "w") as f:
         json.dump(spec, f)
     return out_dir

@@ -74,6 +74,34 @@ def conv_part_ids(conv_ids, n_parts: int) -> np.ndarray:
     return np.fromiter((lut[c] for c in conv_ids), dtype=np.int64, count=len(conv_ids))
 
 
+def append_part_id(batch: pa.Table, n_parts: int, done: set[int] | None = None) -> pa.Table:
+    """Zero-copy-friendly part_id assignment on an Arrow batch.
+
+    Dictionary-encodes ``conv_id`` so md5 runs once per DISTINCT conv, then
+    maps codes through a numpy LUT — the (large) ``text`` column is never
+    converted to Python objects. ``done`` partitions are filtered out here,
+    before the shuffle.
+    """
+    import pyarrow.compute as pc
+
+    enc = pc.dictionary_encode(batch["conv_id"]).combine_chunks()
+    dictionary = enc.dictionary.to_pylist()
+    lut = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(c.encode()).digest()[:8], "little") % n_parts
+            for c in dictionary
+        ),
+        dtype=np.int64,
+        count=len(dictionary),
+    )
+    part = lut[enc.indices.to_numpy(zero_copy_only=False)]
+    batch = batch.append_column("part_id", pa.array(part, pa.int64()))
+    if done:
+        mask = ~np.isin(part, np.fromiter(done, dtype=np.int64))
+        batch = batch.filter(pa.array(mask))
+    return batch
+
+
 def _lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
@@ -112,27 +140,19 @@ def partitioned_extract(path: str, family: str, out_dir: str, n_parts: int = 32)
     done = completed_parts(out_dir)
 
     ds = family_dataset(path, family)
+    ds = ds.map_batches(
+        lambda b: append_part_id(b, n_parts, done),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
-    def assign_and_prune(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(part_id=conv_part_ids(batch["conv_id"].to_numpy(), n_parts))
-        if done:
-            batch = batch[~batch["part_id"].isin(done)]
-        return batch
-
-    ds = ds.map_batches(assign_and_prune, batch_format="pandas")
-
-    def write_partition(group: pd.DataFrame) -> pd.DataFrame:
-        part_id = int(group["part_id"].iloc[0])
-        g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        rows: list[dict] = []
-        n_convs = 0
-        for conv_id, conv in g.groupby("conv_id", sort=True):
-            n_convs += 1
-            conv_rows = fold_fn(list(conv["text"]), [int(i) for i in conv["turn_idx"]])
-            for r in conv_rows:
-                r["conv_id"] = conv_id
-            rows.extend(conv_rows)
-        table = rows_to_table(rows, schema)
+    def write_partition(group: pa.Table) -> pd.DataFrame:
+        part_id = int(group["part_id"][0].as_py())
+        folded = list(fold_partition(group, families={family: (fold_fn, schema)}))
+        if folded:
+            _fam, table, _n_turns, n_convs = folded[0]
+        else:
+            table, n_convs = schema.empty_table(), 0
         out_file = os.path.join(out_dir, f"part-{part_id:05d}.parquet")
         tmp = out_file + ".tmp"
         pq.write_table(table, tmp)
@@ -142,7 +162,7 @@ def partitioned_extract(path: str, family: str, out_dir: str, n_parts: int = 32)
         sidecar = {
             "part_id": part_id,
             "family": family,
-            "n_turns": int(len(g)),
+            "n_turns": int(group.num_rows),
             "n_convs": n_convs,
             "n_rows": table.num_rows,
             "content_hash": content_hash,
@@ -156,7 +176,7 @@ def partitioned_extract(path: str, family: str, out_dir: str, n_parts: int = 32)
             [
                 {
                     "part_id": part_id,
-                    "n_turns": len(g),
+                    "n_turns": int(group.num_rows),
                     "n_convs": n_convs,
                     "n_rows": table.num_rows,
                     "content_hash": content_hash,
@@ -165,7 +185,7 @@ def partitioned_extract(path: str, family: str, out_dir: str, n_parts: int = 32)
             ]
         )
 
-    metrics = ds.groupby("part_id").map_groups(write_partition, batch_format="pandas")
+    metrics = ds.groupby("part_id").map_groups(write_partition, batch_format="pyarrow")
     fresh = metrics.to_pandas()
 
     skipped = []
@@ -194,3 +214,135 @@ def read_output(out_dir: str):
         if f.startswith("part-") and f.endswith(".parquet")
     ]
     return rd.read_parquet(files)
+
+
+def fold_partition(part: pa.Table, families: dict | None = None):
+    """Fold every conversation in one co-located partition, all families.
+
+    Hot loop of the production path: ONE sort via integer-factorized
+    ``np.lexsort`` and numpy boundary slicing — no per-conversation pandas
+    ``groupby`` (which costs ~0.2 ms per conv, dominating at 10^5+ convs
+    per run). Yields ``(family, arrow_table, n_turns, n_convs)``.
+    """
+    families = families or FOLDS
+    tool = np.asarray(part["tool"].to_pandas(), dtype=object)
+    conv = np.asarray(part["conv_id"].to_pandas(), dtype=object)
+    tidx = part["turn_idx"].to_numpy(zero_copy_only=False)
+    texts = np.asarray(part["text"].to_pandas(), dtype=object)
+    # sort=True: code order must come from the VALUES, not block arrival
+    # order, or recomputed partitions would not be byte-identical
+    conv_codes = pd.factorize(conv, sort=True)[0]
+    tool_codes, tool_uniq = pd.factorize(tool, sort=True)
+    order = np.lexsort((tidx, conv_codes, tool_codes))
+    tc, cc = tool_codes[order], conv_codes[order]
+    ti, tx, cv = tidx[order], texts[order], conv[order]
+    change = np.flatnonzero((np.diff(tc) != 0) | (np.diff(cc) != 0)) + 1
+    bounds = np.concatenate(([0], change, [len(tc)]))
+
+    rows_by_family: dict[str, list] = {}
+    stats: dict[str, list[int]] = {}
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        fam = tool_uniq[tc[lo]]
+        if fam not in families:
+            continue
+        fold_fn = families[fam][0]
+        conv_rows = fold_fn(list(tx[lo:hi]), [int(x) for x in ti[lo:hi]])
+        cid = cv[lo]
+        for r in conv_rows:
+            r["conv_id"] = cid
+        rows_by_family.setdefault(fam, []).extend(conv_rows)
+        st = stats.setdefault(fam, [0, 0])
+        st[0] += hi - lo
+        st[1] += 1
+    for fam in sorted(rows_by_family):
+        schema = families[fam][1]
+        yield fam, rows_to_table(rows_by_family[fam], schema), stats[fam][0], stats[fam][1]
+
+
+def partitioned_extract_all(path: str, out_root: str, n_parts: int = 64):
+    """ALL families, ONE read, ONE shuffle — the production/headline path.
+
+    Every turn gets ``part_id = md5(conv_id) % n_parts``; a single
+    ``groupby(part_id)`` co-locates each partition; the group task splits
+    its rows by family, folds each conversation with the family's oracle
+    core, writes one parquet file per (family, partition) atomically, and
+    records ONE lineage sidecar per partition (per-family row counts +
+    content hashes). Compared to running the per-family pipelines
+    separately this replaces 6 scans + 6 shuffles with 1 + 1, and each task
+    carries enough fold work (≈ turns/n_parts) to amortize scheduling —
+    the shape that scales to a 256-node cluster.
+
+    Resume: partitions with sidecars are pruned before the shuffle.
+    Returns the per-partition metrics DataFrame.
+    """
+    import ray.data as rd
+
+    from ..runtime import tune_data_context
+
+    tune_data_context()
+    os.makedirs(_lineage_dir(out_root), exist_ok=True)
+    done = completed_parts(out_root)
+
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text", "tool"])
+    ds = ds.map_batches(
+        lambda b: append_part_id(b, n_parts, done),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def write_partition(group: pa.Table) -> pd.DataFrame:
+        part_id = int(group["part_id"][0].as_py())
+        sidecar: dict = {"part_id": part_id, "n_turns": int(group.num_rows), "families": {}}
+        for family, table, n_turns, n_convs in fold_partition(group):
+            fam_dir = os.path.join(out_root, family)
+            os.makedirs(fam_dir, exist_ok=True)
+            out_file = os.path.join(fam_dir, f"part-{part_id:05d}.parquet")
+            tmp = out_file + ".tmp"
+            pq.write_table(table, tmp)
+            os.replace(tmp, out_file)
+            with open(out_file, "rb") as fh:
+                content_hash = hashlib.md5(fh.read()).hexdigest()
+            sidecar["families"][family] = {
+                "n_turns": n_turns,
+                "n_convs": n_convs,
+                "n_rows": table.num_rows,
+                "content_hash": content_hash,
+            }
+        stmp = os.path.join(_lineage_dir(out_root), f"part-{part_id}.json.tmp")
+        with open(stmp, "w") as fh:
+            json.dump(sidecar, fh)
+        os.replace(stmp, os.path.join(_lineage_dir(out_root), f"part-{part_id}.json"))
+        n_rows = sum(f["n_rows"] for f in sidecar["families"].values())
+        return pd.DataFrame(
+            [
+                {
+                    "part_id": part_id,
+                    "n_turns": len(group),
+                    "n_convs": sum(f["n_convs"] for f in sidecar["families"].values()),
+                    "n_rows": n_rows,
+                    "content_hash": hashlib.md5(
+                        "".join(f["content_hash"] for f in sidecar["families"].values()).encode()
+                    ).hexdigest(),
+                    "resumed": False,
+                }
+            ]
+        )
+
+    metrics = ds.groupby("part_id").map_groups(write_partition, batch_format="pyarrow")
+    fresh = metrics.to_pandas()
+    skipped = []
+    for entry in read_lineage(out_root):
+        if entry["part_id"] in done and "families" in entry:
+            fams = entry["families"].values()
+            skipped.append(
+                {
+                    "part_id": entry["part_id"],
+                    "n_turns": entry["n_turns"],
+                    "n_convs": sum(f["n_convs"] for f in fams),
+                    "n_rows": sum(f["n_rows"] for f in fams),
+                    "content_hash": hashlib.md5("".join(f["content_hash"] for f in fams).encode()).hexdigest(),
+                    "resumed": True,
+                }
+            )
+    return pd.concat([fresh, pd.DataFrame(skipped)], ignore_index=True) if skipped else fresh

@@ -64,6 +64,13 @@ def test_hot_conversation_detection(ray_session, small_corpus_dir):
     assert all(is_hot_conv(c) for c in hot)
 
 
+def test_layout_broadcast_equals_fold(ray_session, small_corpus_dir):
+    fold = extract.extract_layout(small_corpus_dir).to_pandas()
+    bcast = extract.extract_layout_broadcast(small_corpus_dir).to_pandas()
+    assert len(bcast) == len(fold) > 0
+    pd.testing.assert_frame_equal(canonical(fold), canonical(bcast), check_dtype=False)
+
+
 def test_salted_invoice_equals_plain(ray_session, small_corpus_dir):
     plain = extract.extract_invoice(small_corpus_dir).to_pandas()
     salted = extract_invoice_salted(small_corpus_dir, hot_threshold=64, window=16).to_pandas()
