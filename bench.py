@@ -69,11 +69,10 @@ def run_bench() -> dict:
 
     import pyarrow.parquet as pq
 
-    from pdf_extractors_ray.pipelines import extract
     from pdf_extractors_ray.pipelines.queries import REGISTRY
     from pdf_extractors_ray.runtime import tune_data_context
     from pdf_extractors_ray.sources.transcripts import synthesize_transcripts
-    from pdf_extractors_ray.state.lineage import partitioned_extract_all, read_output
+    from pdf_extractors_ray.state.lineage import partitioned_extract_all
 
     tune_data_context(NUM_CPUS)
 
@@ -90,7 +89,6 @@ def run_bench() -> dict:
     # warm the worker pool + shuffle aggregators (a real cluster is warm;
     # cold-spawning 32 python workers inside the timed window would measure
     # process startup, not the pipeline)
-    import pandas as pd
     import ray.data as rd
 
     w = rd.range(NUM_CPUS * 4).map_batches(lambda b: b, batch_size=1)
@@ -100,22 +98,15 @@ def run_bench() -> dict:
     out_root = f"/tmp/pdfx_bench_out_{NUM_CPUS}"
     shutil.rmtree(out_root, ignore_errors=True)
 
-    # headline: ALL families in one read + one part_id shuffle, fold + write
-    # + lineage per partition, then the census downstream stages (summary +
-    # persons kinship) over the written household partitions
+    # headline: ALL families in one read + one part_id shuffle; each
+    # partition task folds its conversations, runs the census downstream
+    # stages (summary + kinship) on its co-located households, writes all
+    # outputs + a lineage sidecar
     t0 = time.time()
-    metrics = partitioned_extract_all(path, out_root, n_parts=max(64, NUM_CPUS * 4))
-    queries["extract_all_partitioned"] = round(time.time() - t0, 3)
-    rows = {"all_families": int(metrics["n_rows"].sum())}
-    t = time.time()
-    households = read_output(os.path.join(out_root, "census"))
-    rows["census_summary"] = extract.extract_census_summary(None, households).count()
-    queries["extract_census_summary"] = round(time.time() - t, 3)
-    t = time.time()
-    households = read_output(os.path.join(out_root, "census"))
-    rows["census_persons"] = extract.extract_census_persons(None, households).count()
-    queries["extract_census_persons"] = round(time.time() - t, 3)
+    metrics = partitioned_extract_all(path, out_root, n_parts=64)
     headline = time.time() - t0
+    queries["extract_all_partitioned"] = round(headline, 3)
+    rows = {"all_families": int(metrics["n_rows"].sum())}
 
     # representative scale operators over the driver tables
     for name in OP_QUERIES:

@@ -227,3 +227,76 @@ FROM orders
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def orders_topk_per_customer(sf_dir: str, k: int = 3):
+    """Windowed top-k: each customer's k highest-value orders
+    (groupby co-locates a customer's orders; rank resolved in-group)."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "price_cents": cents(batch["o_totalprice"].to_numpy()),
+            }
+        )
+
+    ds = orders.map_batches(derive, batch_format="pandas")
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["price_cents", "o_orderkey"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas").sort(["o_custkey", "rank"])
+
+
+ORDERS_TOPK_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents,
+       rank
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) DESC, o_orderkey
+           ) AS rank
+    FROM orders
+)
+WHERE rank <= 3
+ORDER BY o_custkey, rank
+"""
+
+
+def events_distinct_users(sf_dir: str):
+    """Distinct-count via two-level grouped reduction: distinct
+    (event_type, user_id) pairs first (pre-aggregated per batch), then a
+    tiny count per event_type — the exact-distinct pattern that scales
+    (no driver-side set)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def batch_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(["event_type", "user_id"])
+
+    pairs = ds.map_batches(batch_distinct, batch_format="pandas")
+    distinct = pairs.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+    distinct = distinct.drop_columns(["_c"])
+
+    def one(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(n_users=np.int64(1))[["event_type", "n_users"]]
+
+    counted = distinct.map_batches(one, batch_format="pandas")
+    return grouped_sums(counted, ["event_type"], ["n_users"]).sort("event_type")
+
+
+EVENTS_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -17,6 +17,12 @@ from ..sources.transcripts import transcripts_path_for_sf
 from . import extract
 
 
+def _salted_invoice_query(sf_dir: str):
+    from ..stages.salted import extract_invoice_salted
+
+    return extract_invoice_salted(transcripts_path_for_sf(sf_dir))
+
+
 def _transcript_query(family: str):
     def run(sf_dir: str):
         path = transcripts_path_for_sf(sf_dir)
@@ -34,6 +40,8 @@ REGISTRY: dict[str, tuple] = {
     "q5_nation_revenue": (relational.q5_nation_revenue, relational.Q5_SQL),
     "q6_filtered_revenue": (relational.q6_filtered_revenue, relational.Q6_SQL),
     "orders_priority_count": (relational.orders_priority_count, relational.ORDERS_PRIORITY_SQL),
+    "orders_topk_per_customer": (relational.orders_topk_per_customer, relational.ORDERS_TOPK_SQL),
+    "events_distinct_users": (relational.events_distinct_users, relational.EVENTS_DISTINCT_SQL),
     # event streams (SQL-checked)
     "events_hourly": (events.events_hourly, events.EVENTS_HOURLY_SQL),
     "events_sessionize": (events.events_sessionize, events.EVENTS_SESSIONIZE_SQL),
@@ -56,7 +64,9 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (mm.media_features, None),
     # transcript extraction families (rows-only; oracle = pytest gate)
     "extract_catalog": (_transcript_query("catalog"), None),
+    "extract_layout_broadcast": (_transcript_query("layout_broadcast"), None),
     "extract_invoice": (_transcript_query("invoice"), None),
+    "extract_invoice_salted": (_salted_invoice_query, None),
     "extract_layout": (_transcript_query("layout"), None),
     "extract_table": (_transcript_query("table"), None),
     "extract_grid": (_transcript_query("grid"), None),

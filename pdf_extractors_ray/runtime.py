@@ -20,11 +20,22 @@ def _cluster_cpus(default: int = 8) -> int:
 
 
 def tune_data_context(num_cpus: int | None = None) -> None:
-    from ray.data.context import DataContext, ShuffleStrategy
+    """Measured choice (BASELINE.md): the default pull-based sort shuffle
+    with COARSE map-side blocks (see ``shuffle_num_blocks``) beats hash
+    shuffle here — hash aggregator actors go latency-bound on many small
+    block pushes, and 200-way default parallelism drowns small CPU budgets
+    in actor startup. So the only global knob set is quiet progress bars;
+    block coarsening happens at the reads that feed a shuffle."""
+    from ray.data.context import DataContext
 
-    ncpu = num_cpus or _cluster_cpus()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ctx.default_hash_shuffle_parallelism = max(8, ncpu)
-    ctx.max_hash_shuffle_aggregators = max(4, ncpu // 2)
+
+
+def shuffle_num_blocks(num_cpus: int | None = None) -> int:
+    """Map-side block count feeding a shuffle: ~1 block per CPU (min 16).
+
+    Measured on the bench corpus: 16 blocks at 8 CPUs / 32 at 32 CPUs cut
+    the shuffle wall 2x vs fine-grained blocks (fewer, larger exchange
+    chunks; the shuffle is latency- not bandwidth-bound locally)."""
+    return max(16, num_cpus or _cluster_cpus())

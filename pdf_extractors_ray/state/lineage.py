@@ -148,7 +148,7 @@ def partitioned_extract(path: str, family: str, out_dir: str, n_parts: int = 32)
 
     def write_partition(group: pa.Table) -> pd.DataFrame:
         part_id = int(group["part_id"][0].as_py())
-        folded = list(fold_partition(group, families={family: (fold_fn, schema)}))
+        folded = list(fold_partition(group, families={family: (fold_fn, schema)}, derive_census=False))
         if folded:
             _fam, table, _n_turns, n_convs = folded[0]
         else:
@@ -216,7 +216,7 @@ def read_output(out_dir: str):
     return rd.read_parquet(files)
 
 
-def fold_partition(part: pa.Table, families: dict | None = None):
+def fold_partition(part: pa.Table, families: dict | None = None, derive_census: bool = True):
     """Fold every conversation in one co-located partition, all families.
 
     Hot loop of the production path: ONE sort via integer-factorized
@@ -255,6 +255,29 @@ def fold_partition(part: pa.Table, families: dict | None = None):
         st = stats.setdefault(fam, [0, 0])
         st[0] += hi - lo
         st[1] += 1
+    # census downstream stages run HERE, on the already co-located partition:
+    # summary + per-household kinship need no further shuffle or pass
+    # (roman-census stage B is household-local, SURVEY.md §2.4 J1-J3)
+    if "census" in rows_by_family and "census" in families and derive_census:
+        from ..oracle import persons as _personsmod
+
+        households = rows_by_family["census"]
+        summary_rows, person_rows = [], []
+        for h in households:
+            s = _census.summarize_household(h)
+            s["conv_id"] = h["conv_id"]
+            summary_rows.append(s)
+            for p in _personsmod.extract_persons_for_household(h):
+                p["conv_id"] = h["conv_id"]
+                person_rows.append(p)
+        rows_by_family["census_summary"] = summary_rows
+        rows_by_family["census_persons"] = person_rows
+        families = dict(families)
+        families["census_summary"] = (None, schemas.CENSUS_SUMMARY_SCHEMA)
+        families["census_persons"] = (None, schemas.PERSONS_SCHEMA)
+        stats["census_summary"] = stats["census"]
+        stats["census_persons"] = stats["census"]
+
     for fam in sorted(rows_by_family):
         schema = families[fam][1]
         yield fam, rows_to_table(rows_by_family[fam], schema), stats[fam][0], stats[fam][1]
@@ -284,7 +307,13 @@ def partitioned_extract_all(path: str, out_root: str, n_parts: int = 64):
     os.makedirs(_lineage_dir(out_root), exist_ok=True)
     done = completed_parts(out_root)
 
-    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text", "tool"])
+    from ..runtime import shuffle_num_blocks
+
+    ds = rd.read_parquet(
+        path,
+        columns=["conv_id", "turn_idx", "text", "tool"],
+        override_num_blocks=shuffle_num_blocks(),
+    )
     ds = ds.map_batches(
         lambda b: append_part_id(b, n_parts, done),
         batch_format="pyarrow",
