@@ -26,7 +26,7 @@ from ..oracle import invoice as _invoice
 from ..oracle import layout as _layout
 from ..oracle import persons as _persons
 from ..oracle import table as _table
-from ..stages.fold import fold_conversations, make_group_fold, rows_to_table
+from ..stages.fold import fold_conversations, rows_to_table
 from ..stages.invoice_extract import FIELD_PREFIX, InvoiceFieldExtractor
 from . import schemas
 

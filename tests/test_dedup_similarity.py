@@ -1,0 +1,75 @@
+"""Dedup + similarity operators: determinism and planted-duplicate recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extractors_ray.ops import dedup, similarity
+
+
+def test_minhash_signature_deterministic():
+    s1 = dedup.minhash_signature("the quick brown fox jumps over the lazy dog")
+    s2 = dedup.minhash_signature("the quick brown fox jumps over the lazy dog")
+    assert (s1 == s2).all()
+    assert s1.shape == (64,)
+
+
+def test_minhash_similar_docs_share_bands():
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    b = a + "one extra tail token"
+    sa, sb = dedup.minhash_signature(a), dedup.minhash_signature(b)
+    agree = (sa == sb).mean()
+    assert agree > 0.5  # near-dups agree on most minhashes
+
+
+def test_simhash_hamming_tracks_similarity():
+    base = "data processing engine over arrow batches with ray " * 10
+    near = base + "tiny change"
+    far = "completely different words about cooking pasta recipes " * 10
+    h0, h1, h2 = (dedup.simhash64(t) for t in (base, near, far))
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h0, h1) < ham(h0, h2)
+    assert ham(h0, h1) <= 6
+
+
+def test_minhash_lsh_finds_planted_dup(ray_session, tmp_path, monkeypatch):
+    # plant two near-identical docs among noise
+    rng = np.random.RandomState(0)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+    texts.append("planted duplicate " + " ".join(vocab[:40]))
+    texts.append("planted duplicate " + " ".join(vocab[:40]) + " tail")
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    pairs = dedup.minhash_lsh_pairs(str(tmp_path), jaccard_threshold=0.5).to_pandas()
+    assert ((pairs["a"] == 30) & (pairs["b"] == 31)).any()
+
+
+def test_knn_self_consistency(ray_session):
+    out = similarity.knn_bruteforce("/root/testdata/sf0.001", k=5, n_queries=5).to_pandas()
+    assert set(out["query_id"]) == set(range(5))
+    for q, g in out.groupby("query_id"):
+        assert list(g["rank"]) == [1, 2, 3, 4, 5]
+        assert (g["vec_id"] != q).all()
+        sims = list(g["sim_ppm"])
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_subset_of_exact_candidates(ray_session):
+    ann = similarity.ann_lsh("/root/testdata/sf0.001", k=5, n_queries=10).to_pandas()
+    assert len(ann) > 0
+    assert (ann["rank"] >= 1).all()
+
+
+def test_decode_stub_modes(ray_session):
+    from pdf_extractors_ray.ops.multimodal import DecodeStub, media_dataset
+
+    ds = media_dataset("/root/testdata/sf0.001").limit(4)
+    batch = ds.to_pandas()
+    out = DecodeStub(real=False)(batch)
+    assert set(out.columns) == {"doc_id", "media_type", "n_bytes", "sha_prefix", "width", "height", "duration_ms"}
+    with pytest.raises(NotImplementedError):
+        DecodeStub(real=True)(batch)
