@@ -72,7 +72,7 @@ def run_bench() -> dict:
     from pdf_extractors_ray.pipelines.queries import REGISTRY
     from pdf_extractors_ray.runtime import tune_data_context
     from pdf_extractors_ray.sources.transcripts import synthesize_transcripts
-    from pdf_extractors_ray.state.lineage import partitioned_extract_all
+    from pdf_extractors_ray.state.lineage import partitioned_extract_all_tasks
 
     tune_data_context(NUM_CPUS)
 
@@ -103,7 +103,7 @@ def run_bench() -> dict:
     # stages (summary + kinship) on its co-located households, writes all
     # outputs + a lineage sidecar
     t0 = time.time()
-    metrics = partitioned_extract_all(path, out_root, n_parts=64)
+    metrics = partitioned_extract_all_tasks(path, out_root, n_parts=64)
     headline = time.time() - t0
     queries["extract_all_partitioned"] = round(headline, 3)
     rows = {"all_families": int(metrics["n_rows"].sum())}
@@ -133,13 +133,21 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job, fresh processes, two parallelism levels (8 vs 32 CPUs)."""
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         )
         return json.loads(res.stdout.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best of 2: consecutive fresh Ray sessions interfere (object-store
+        # shm teardown, page cache) and add ±20% noise to a single sample
+        a = run_once(ncpu)
+        time.sleep(5)
+        b = run_once(ncpu)
+        return a if a["value"] <= b["value"] else b
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)

@@ -35,3 +35,24 @@ def test_partitioned_all_matches_pipelines(ray_session, small_corpus_dir, tmp_pa
     assert entries and all("families" in e for e in entries)
     total = sum(f["n_rows"] for e in entries for f in e["families"].values())
     assert total == int(metrics["n_rows"].sum())
+
+
+def test_partitioned_tasks_engine_matches_dataset_engine(ray_session, small_corpus_dir, tmp_path):
+    out_a = str(tmp_path / "via_dataset")
+    out_b = str(tmp_path / "via_tasks")
+    m_a = lineage.partitioned_extract_all(small_corpus_dir, out_a, n_parts=8)
+    m_b = lineage.partitioned_extract_all_tasks(small_corpus_dir, out_b, n_parts=8)
+    ha = dict(zip(m_a["part_id"], m_a["content_hash"]))
+    hb = dict(zip(m_b["part_id"], m_b["content_hash"]))
+    assert ha == hb  # byte-identical partition outputs across engines
+
+
+def test_partitioned_tasks_resume(ray_session, small_corpus_dir, tmp_path):
+    out = str(tmp_path / "tasks_resume")
+    m1 = lineage.partitioned_extract_all_tasks(small_corpus_dir, out, n_parts=8)
+    victims = sorted(set(m1["part_id"]))[:3]
+    for p in victims:
+        os.remove(os.path.join(out, "_lineage", f"part-{p}.json"))
+    m2 = lineage.partitioned_extract_all_tasks(small_corpus_dir, out, n_parts=8)
+    assert set(m2[~m2["resumed"]]["part_id"]) == set(victims)
+    assert dict(zip(m1["part_id"], m1["content_hash"])) == dict(zip(m2["part_id"], m2["content_hash"]))
