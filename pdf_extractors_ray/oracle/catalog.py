@@ -69,81 +69,123 @@ def is_boilerplate_line(line: str) -> bool:
 OUTPUT_COLUMNS = ["ref_turn", "manufacturer", "year", "model", "engine", "oils"]
 
 
-def extract_catalog_conv(texts: list[str], turn_idxs: list[int]) -> list[dict]:
-    """Run the catalog state machine over one conversation, in turn order."""
-    # prefix strip: drop turns before the first page banner (:134-144)
-    start = 0
-    for i, t in enumerate(texts):
-        if t.strip() == BANNER:
-            start = i
-            break
-    lines = [t.strip() for t in texts[start:]]
-    idxs = turn_idxs[start:]
+class CatalogMachine:
+    """The catalog state machine with explicit, resumable state.
 
-    rows: list[dict] = []
-    manufacturer = year = model = engine = None
-    oils: list[str] = []
-    valid = False
+    Carried state: ``started`` (page banner seen — the prefix strip of
+    ``remove_duplicate_lines``, :134-144), ``valid`` (the ``Oil`` gate,
+    :111-112) and the record context ``(manufacturer, year, model, engine,
+    oils)``. ``feed`` consumes an ordered slice of lines (one-line
+    lookahead supplied for the final line), so the same machine drives the
+    whole-conversation fold AND the salted-window head/tail decomposition
+    (stages/salted_catalog.py).
+    """
 
-    def emit(ref_turn: int) -> None:
-        rows.append(
+    def __init__(self, started: bool = False, valid: bool = False):
+        self.started = started
+        self.valid = valid
+        self.manufacturer = self.year = self.model = self.engine = None
+        self.oils: list[str] = []
+        self.rows: list[dict] = []
+
+    def context_complete(self) -> bool:
+        return bool(self.manufacturer and self.model and self.engine and self.oils)
+
+    def emit(self, ref_turn: int) -> None:
+        self.rows.append(
             {
                 "ref_turn": int(ref_turn),
-                "manufacturer": manufacturer,
-                "year": year,
-                "model": model,
-                "engine": engine,
-                "oils": sorted(set(oils)),
+                "manufacturer": self.manufacturer,
+                "year": self.year,
+                "model": self.model,
+                "engine": self.engine,
+                "oils": sorted(set(self.oils)),
             }
         )
 
-    n = len(lines)
-    for i, line in enumerate(lines):
-        if valid and not is_boilerplate_line(line):
-            nxt = lines[i + 1] if i + 1 < n else ""
-            # manufacturer: ALL-CAPS line whose next line is a year (:50-61)
-            if RE_MANUFACTURER.match(line) and RE_YEAR.match(nxt):
-                if manufacturer and model and engine and oils:
-                    emit(idxs[i])
-                manufacturer = line.split(" ")[0]
-                model = engine = None
-                oils = []
-                continue
-            # year (:63-71)
-            if RE_YEAR.match(line):
-                if manufacturer and model and engine and oils:
-                    emit(idxs[i])
-                year = line.split(" ")[0]
-                model = engine = None
-                oils = []
-                continue
-            # model — SAAB admits dots in the model regex (:74-93)
-            model_re = RE_MODEL_SAAB if manufacturer == "SAAB" else RE_MODEL
-            if model_re.match(line) and manufacturer and not RE_OILCODE.match(line):
-                if model and engine and oils:
-                    emit(idxs[i])
-                model = line
-                engine = None
-                oils = []
-                continue
-            # engine / oil-code branch (:96-109); engines are space-stripped
-            if RE_ENGINE.match(line) and model:
-                stripped = line.replace(" ", "")
-                if not RE_OILCODE.match(stripped):
-                    if engine is not None and stripped not in _ELECTRIC_GAS:
-                        emit(idxs[i])
-                        oils = []
-                    if stripped not in _ELECTRIC_GAS:
-                        engine = stripped
-                    else:
-                        engine = engine + " " + stripped
-                else:
-                    oils.extend(RE_OILCODE.findall(stripped))
-                continue
-        if line == "Oil":  # validity gate (:111-112)
-            valid = True
+    def flush_transition(self, ref_turn: int) -> None:
+        """The flush+reset the manufacturer/year rules perform (:52-59)."""
+        if self.context_complete():
+            self.emit(ref_turn)
+        self.model = self.engine = None
+        self.oils = []
 
-    # trailing flush at end of conversation (:118-119)
-    if model and engine and oils:
-        emit(idxs[-1] if idxs else 0)
-    return rows
+    def feed(self, lines: list[str], idxs: list[int], lookahead: str = "") -> None:
+        n = len(lines)
+        for i, raw in enumerate(lines):
+            line = raw.strip()
+            if not self.started:
+                if line == BANNER:
+                    self.started = True
+                else:
+                    continue
+            if self.valid and not is_boilerplate_line(line):
+                nxt = lines[i + 1].strip() if i + 1 < n else lookahead
+                # manufacturer: ALL-CAPS line whose next line is a year (:50-61)
+                if RE_MANUFACTURER.match(line) and RE_YEAR.match(nxt):
+                    self.flush_transition(idxs[i])
+                    self.manufacturer = line.split(" ")[0]
+                    continue
+                # year (:63-71)
+                if RE_YEAR.match(line):
+                    self.flush_transition(idxs[i])
+                    self.year = line.split(" ")[0]
+                    continue
+                # model — SAAB admits dots in the model regex (:74-93)
+                model_re = RE_MODEL_SAAB if self.manufacturer == "SAAB" else RE_MODEL
+                if model_re.match(line) and self.manufacturer and not RE_OILCODE.match(line):
+                    if self.model and self.engine and self.oils:
+                        self.emit(idxs[i])
+                    self.model = line
+                    self.engine = None
+                    self.oils = []
+                    continue
+                # engine / oil-code branch (:96-109); engines space-stripped
+                if RE_ENGINE.match(line) and self.model:
+                    stripped = line.replace(" ", "")
+                    if not RE_OILCODE.match(stripped):
+                        if self.engine is not None and stripped not in _ELECTRIC_GAS:
+                            self.emit(idxs[i])
+                            self.oils = []
+                        if stripped not in _ELECTRIC_GAS:
+                            self.engine = stripped
+                        else:
+                            self.engine = self.engine + " " + stripped
+                    else:
+                        self.oils.extend(RE_OILCODE.findall(stripped))
+                    continue
+            if line == "Oil":  # validity gate (:111-112)
+                self.valid = True
+
+    def finish(self, last_idx: int) -> None:
+        """Trailing flush at end of conversation (:118-119)."""
+        if self.model and self.engine and self.oils:
+            self.emit(last_idx)
+
+    def state(self) -> dict:
+        return {
+            "started": self.started,
+            "valid": self.valid,
+            "manufacturer": self.manufacturer,
+            "year": self.year,
+            "model": self.model,
+            "engine": self.engine,
+            "oils": list(self.oils),
+        }
+
+    def load_state(self, state: dict) -> None:
+        self.started = state["started"]
+        self.valid = state["valid"]
+        self.manufacturer = state["manufacturer"]
+        self.year = state["year"]
+        self.model = state["model"]
+        self.engine = state["engine"]
+        self.oils = list(state["oils"])
+
+
+def extract_catalog_conv(texts: list[str], turn_idxs: list[int]) -> list[dict]:
+    """Run the catalog state machine over one conversation, in turn order."""
+    machine = CatalogMachine()
+    machine.feed(list(texts), list(turn_idxs))
+    machine.finish(turn_idxs[-1] if turn_idxs else 0)
+    return machine.rows

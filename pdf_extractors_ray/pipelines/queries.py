@@ -23,6 +23,12 @@ def _salted_invoice_query(sf_dir: str):
     return extract_invoice_salted(transcripts_path_for_sf(sf_dir))
 
 
+def _salted_catalog_query(sf_dir: str):
+    from ..stages.salted_catalog import extract_catalog_salted
+
+    return extract_catalog_salted(transcripts_path_for_sf(sf_dir))
+
+
 def _transcript_query(family: str):
     def run(sf_dir: str):
         path = transcripts_path_for_sf(sf_dir)
@@ -67,6 +73,7 @@ REGISTRY: dict[str, tuple] = {
     "extract_layout_broadcast": (_transcript_query("layout_broadcast"), None),
     "extract_invoice": (_transcript_query("invoice"), None),
     "extract_invoice_salted": (_salted_invoice_query, None),
+    "extract_catalog_salted": (_salted_catalog_query, None),
     "extract_layout": (_transcript_query("layout"), None),
     "extract_table": (_transcript_query("table"), None),
     "extract_grid": (_transcript_query("grid"), None),

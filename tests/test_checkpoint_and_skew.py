@@ -76,3 +76,22 @@ def test_salted_invoice_equals_plain(ray_session, small_corpus_dir):
     salted = extract_invoice_salted(small_corpus_dir, hot_threshold=64, window=16).to_pandas()
     assert len(salted) == len(plain) > 0
     pd.testing.assert_frame_equal(canonical(plain), canonical(salted), check_dtype=False)
+
+
+def test_salted_catalog_equals_plain(ray_session, small_corpus_dir):
+    from pdf_extractors_ray.stages.salted_catalog import extract_catalog_salted
+
+    plain = extract.extract_catalog(small_corpus_dir).to_pandas()
+    salted = extract_catalog_salted(small_corpus_dir, hot_threshold=256, window=128).to_pandas()
+    assert len(salted) == len(plain) > 0
+    pd.testing.assert_frame_equal(canonical(plain), canonical(salted), check_dtype=False)
+
+
+def test_salted_catalog_small_windows(ray_session, small_corpus_dir):
+    """Aggressive salting (tiny windows) still matches the plain fold —
+    exercises fallback windows (no firing pair) and boundary lookahead."""
+    from pdf_extractors_ray.stages.salted_catalog import extract_catalog_salted
+
+    plain = extract.extract_catalog(small_corpus_dir).to_pandas()
+    salted = extract_catalog_salted(small_corpus_dir, hot_threshold=8, window=7).to_pandas()
+    pd.testing.assert_frame_equal(canonical(plain), canonical(salted), check_dtype=False)
