@@ -75,6 +75,34 @@ def events_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(fold, batch_format="numpy").sort("user_id")
 
 
+def events_props_k(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` string per event (vectorized RE2 — the pattern is regex-safe
+    in both engines), then a grouped sum of k per event_type."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _events(sf_dir, columns=["event_type", "props"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], r'"k":\s*(?P<v>\d+)')
+        k = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "sum_k": k, "n": pa.array([1] * len(k), pa.int64())})
+
+    derived = ds.map_batches(derive, batch_format="pyarrow")
+    return grouped_sums(derived, ["event_type"], ["sum_k", "n"]).sort("event_type")
+
+
+EVENTS_PROPS_K_SQL = """
+SELECT event_type,
+       SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EVENTS_SESSIONIZE_SQL = """
 SELECT user_id, COUNT(*) AS n_events, SUM(new_sess) AS n_sessions
 FROM (

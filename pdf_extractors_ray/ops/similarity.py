@@ -101,6 +101,51 @@ ORDER BY query_id, rank
 """
 
 
+def emb_dup_pairs(sf_dir: str, threshold_ppm: int = 400_000):
+    """Embedding-cosine near-duplicate pairs (similarity join, a < b).
+
+    Baseline exact variant: each batch of candidates is scored against the
+    broadcast full matrix (one matmul per batch); only pairs ≥ threshold
+    survive, so output stays tiny even though scoring is all-pairs. The
+    bucketed scale path for huge corpora is ``ann_lsh`` / MinHash-LSH.
+    """
+    import ray
+
+    ds = _emb(sf_dir, columns=["vec_id", "embedding"])
+    all_df = ds.to_pandas()
+    m = _matrix(all_df)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((all_df["vec_id"].to_numpy(), mn))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_all, mn_all = ray.get(ref)
+        c = _matrix(batch)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        sims = cn @ mn_all.T
+        sim_ppm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        bids = batch["vec_id"].to_numpy()
+        out = []
+        for i, a in enumerate(bids):
+            hits = np.flatnonzero(sim_ppm[i] >= threshold_ppm)
+            for j in hits:
+                b = ids_all[j]
+                if a < b:  # canonical pair orientation, self excluded
+                    out.append((int(a), int(b), int(sim_ppm[i, j])))
+        arr = np.array(out, dtype=np.int64).reshape(-1, 3)
+        return pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1], "sim_ppm": arr[:, 2]})
+
+    return ds.map_batches(score, batch_format="pandas").sort(["a", "b"])
+
+
+EMB_DUP_PAIRS_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])*1000000 + 0.5) AS BIGINT) AS sim_ppm
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])*1000000 + 0.5) AS BIGINT) >= 400000
+ORDER BY a, b
+"""
+
+
 def lsh_signature(m: np.ndarray) -> np.ndarray:
     """random-hyperplane signature per row (one bit per hyperplane)."""
     bits = (m @ _HYPERPLANES.T) > 0

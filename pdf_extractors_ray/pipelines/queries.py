@@ -29,6 +29,18 @@ def _salted_catalog_query(sf_dir: str):
     return extract_catalog_salted(transcripts_path_for_sf(sf_dir))
 
 
+def _partitioned_metrics_query(sf_dir: str):
+    """Headline production path at this sf: single-pass all-family
+    checkpointed extraction; returns the per-partition lineage metrics."""
+    import os
+
+    from ..state.lineage import partitioned_extract_all_tasks
+
+    path = transcripts_path_for_sf(sf_dir)
+    out_root = path.rstrip("/") + "_extracted"
+    return partitioned_extract_all_tasks(path, out_root, n_parts=32)
+
+
 def _transcript_query(family: str):
     def run(sf_dir: str):
         path = transcripts_path_for_sf(sf_dir)
@@ -51,6 +63,7 @@ REGISTRY: dict[str, tuple] = {
     # event streams (SQL-checked)
     "events_hourly": (events.events_hourly, events.EVENTS_HOURLY_SQL),
     "events_sessionize": (events.events_sessionize, events.EVENTS_SESSIONIZE_SQL),
+    "events_props_k": (events.events_props_k, events.EVENTS_PROPS_K_SQL),
     # text analysis (SQL-checked where expressible)
     "docs_token_stats": (tx.docs_token_stats, tx.DOCS_TOKEN_STATS_SQL),
     "docs_quality": (tx.docs_quality, tx.DOCS_QUALITY_SQL),
@@ -66,6 +79,7 @@ REGISTRY: dict[str, tuple] = {
     # similarity search
     "emb_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_SQL),
     "emb_ann_lsh": (similarity.ann_lsh, None),
+    "emb_dup_pairs": (similarity.emb_dup_pairs, similarity.EMB_DUP_PAIRS_SQL),
     # multimodal plumbing (stubbed decode kernel)
     "media_features": (mm.media_features, None),
     # transcript extraction families (rows-only; oracle = pytest gate)
@@ -80,6 +94,7 @@ REGISTRY: dict[str, tuple] = {
     "extract_census_households": (_transcript_query("census_households"), None),
     "extract_census_summary": (_transcript_query("census_summary"), None),
     "extract_census_persons": (_transcript_query("census_persons"), None),
+    "extract_all_partitioned_metrics": (_partitioned_metrics_query, None),
 }
 
 

@@ -306,7 +306,8 @@ def _fold_and_write(out_root: str, part_id: int, *slices) -> dict:
     # slices arrive as varargs so Ray resolves every ObjectRef BEFORE
     # scheduling this task — a task that ray.get()s inside would be
     # scheduled early, block holding a worker, and starve the map stage
-    group = pa.concat_tables([t for t in slices if t.num_rows]) if slices else None
+    nonempty = [t for t in slices if t.num_rows]
+    group = pa.concat_tables(nonempty) if nonempty else None
     if group is None or group.num_rows == 0:
         return {"part_id": part_id, "n_turns": 0, "n_convs": 0, "n_rows": 0,
                 "content_hash": "", "resumed": False}
