@@ -149,7 +149,7 @@ def run_scaling() -> dict:
         b = run_once(ncpu)
         return a if a["value"] <= b["value"] else b
 
-    lo, hi = 8, 32
+    lo, hi = (2, 8) if "--scaling-low" in sys.argv else (8, 32)
     r_lo, r_hi = run(lo), run(hi)
     tput_lo, tput_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
