@@ -81,6 +81,71 @@ class DecodeStub:
         return pd.DataFrame(rows)
 
 
+class ResizeStub:
+    """Actor-pool resize stage for image payloads.
+
+    Real kernel stubbed (no image libs in this container): target geometry
+    handling, aspect-ratio math and the output schema are real; the pixel
+    work is a deterministic fake (payload digest re-hash standing in for
+    the resized bytes).
+    """
+
+    def __init__(self, max_side: int = 128, real: bool = False):
+        self.max_side = max_side
+        self.real = real
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.real:
+            raise NotImplementedError("image codecs are not available in this environment")
+        rows = []
+        for _, r in batch.iterrows():
+            if r["media_type"] != "image":
+                continue
+            scale = min(1.0, self.max_side / max(r["width"], r["height"]))
+            rows.append(
+                {
+                    "doc_id": int(r["doc_id"]),
+                    "out_w": int(round(r["width"] * scale)),
+                    "out_h": int(round(r["height"] * scale)),
+                    "thumb_sha": hashlib.md5(bytes.fromhex(r["sha_prefix"])).hexdigest()[:16],
+                }
+            )
+        return pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "thumb_sha"])
+
+
+class FrameSampleStub:
+    """Actor-pool frame/segment sampler for audio/video payloads.
+
+    Deterministic fake: sample timestamps are derived from the declared
+    duration at a fixed rate — the real decoder would seek; the Ray-side
+    fan-out (one row per sampled frame, ``flat_map``-shaped output) is real.
+    """
+
+    def __init__(self, every_ms: int = 100, max_frames: int = 8, real: bool = False):
+        self.every_ms = every_ms
+        self.max_frames = max_frames
+        self.real = real
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.real:
+            raise NotImplementedError("media codecs are not available in this environment")
+        rows = []
+        for _, r in batch.iterrows():
+            if r["media_type"] != "audio":
+                continue
+            n = min(self.max_frames, max(1, int(r["duration_ms"]) // self.every_ms))
+            for k in range(n):
+                rows.append(
+                    {
+                        "doc_id": int(r["doc_id"]),
+                        "frame_idx": k,
+                        "ts_ms": k * self.every_ms,
+                        "frame_sha": hashlib.md5(f"{r['sha_prefix']}:{k}".encode()).hexdigest()[:16],
+                    }
+                )
+        return pd.DataFrame(rows, columns=["doc_id", "frame_idx", "ts_ms", "frame_sha"])
+
+
 def media_features(sf_dir: str):
     """decode(stub) → per-item typed metadata. Small batches on purpose:
     payload bytes x batch_size x concurrency must fit the worker heap."""
@@ -88,3 +153,23 @@ def media_features(sf_dir: str):
     return ds.map_batches(
         DecodeStub, batch_format="pandas", batch_size=256, concurrency=(1, 4)
     ).sort("doc_id")
+
+
+def media_thumbnails(sf_dir: str, max_side: int = 128):
+    """decode(stub) → resize(stub) over image payloads."""
+    ds = media_dataset(sf_dir)
+    decoded = ds.map_batches(DecodeStub, batch_format="pandas", batch_size=256, concurrency=(1, 4))
+    return decoded.map_batches(
+        ResizeStub, fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pandas", batch_size=256, concurrency=(1, 4),
+    ).sort("doc_id")
+
+
+def media_frames(sf_dir: str, every_ms: int = 100):
+    """decode(stub) → frame-sample(stub) fan-out over audio payloads."""
+    ds = media_dataset(sf_dir)
+    decoded = ds.map_batches(DecodeStub, batch_format="pandas", batch_size=256, concurrency=(1, 4))
+    return decoded.map_batches(
+        FrameSampleStub, fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pandas", batch_size=256, concurrency=(1, 4),
+    ).sort(["doc_id", "frame_idx"])

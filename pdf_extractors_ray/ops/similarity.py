@@ -197,3 +197,84 @@ def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10):
             return pd.DataFrame(out, columns=["query_id", "vec_id", "sim_ppm", "rank"])
 
     return signed.groupby("bucket").map_groups(bucket_search, batch_format="pandas").sort(["query_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + probe-list search
+
+
+def _kmeans(m: np.ndarray, k: int, iters: int = 5, seed: int = 11) -> np.ndarray:
+    """Tiny deterministic k-means on normalized vectors (coarse quantizer).
+    At 100 TB the fit runs on a driver-side sample; assignment stays
+    distributed — the standard IVF recipe."""
+    rng = np.random.RandomState(seed)
+    centroids = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    return centroids
+
+
+def ivf_knn(sf_dir: str, k: int = 5, n_queries: int = 10, n_lists: int = 8, nprobe: int = 2):
+    """IVF ANN: vectors bucketed by nearest centroid; each query searches
+    only its ``nprobe`` closest lists (groupby co-locates each list)."""
+    import ray
+
+    ds = _emb(sf_dir, columns=["vec_id", "embedding"])
+    sample = _matrix(ds.to_pandas())  # sample == full corpus at test scale
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    centroids = _kmeans(sample, n_lists)
+
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q = _matrix(qdf)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    ref = ray.put((qdf["vec_id"].to_numpy(), qn, probes, centroids))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        _ids, _qn, _probes, cents = ray.get(ref)
+        c = _matrix(batch)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        lists = np.argmax(cn @ cents.T, axis=1)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"], "ivf_list": lists, "embedding": list(batch["embedding"])}
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def list_search(group: pd.DataFrame) -> pd.DataFrame:
+        qids, qn_, probes_, _cents = ray.get(ref)
+        lst = int(group["ivf_list"].iloc[0])
+        sel = np.flatnonzero((probes_ == lst).any(axis=1))
+        cols = ["query_id", "vec_id", "sim_ppm"]
+        if not len(sel):
+            return pd.DataFrame({c: np.array([], dtype=np.int64) for c in cols})
+        c = _matrix(group)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        sims = cn @ qn_[sel].T
+        sim_ppm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        cids = group["vec_id"].to_numpy()
+        out = []
+        for j, qi in enumerate(sel):
+            qid = qids[qi]
+            mask = cids != qid
+            ids, vals = cids[mask], sim_ppm[:, j][mask]
+            order = np.lexsort((ids, -vals))[:k]
+            for i in order:
+                out.append((int(qid), int(ids[i]), int(vals[i])))
+        arr = np.array(out, dtype=np.int64).reshape(-1, 3)
+        return pd.DataFrame({c: arr[:, i] for i, c in enumerate(cols)})
+
+    partial = assigned.groupby("ivf_list").map_groups(list_search, batch_format="pandas")
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim_ppm", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(topk, batch_format="pandas").sort(["query_id", "rank"])

@@ -79,9 +79,12 @@ REGISTRY: dict[str, tuple] = {
     # similarity search
     "emb_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_SQL),
     "emb_ann_lsh": (similarity.ann_lsh, None),
+    "emb_ivf_knn": (similarity.ivf_knn, None),
     "emb_dup_pairs": (similarity.emb_dup_pairs, similarity.EMB_DUP_PAIRS_SQL),
     # multimodal plumbing (stubbed decode kernel)
     "media_features": (mm.media_features, None),
+    "media_thumbnails": (mm.media_thumbnails, None),
+    "media_frames": (mm.media_frames, None),
     # transcript extraction families (rows-only; oracle = pytest gate)
     "extract_catalog": (_transcript_query("catalog"), None),
     "extract_layout_broadcast": (_transcript_query("layout_broadcast"), None),

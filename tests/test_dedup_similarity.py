@@ -73,3 +73,49 @@ def test_decode_stub_modes(ray_session):
     assert set(out.columns) == {"doc_id", "media_type", "n_bytes", "sha_prefix", "width", "height", "duration_ms"}
     with pytest.raises(NotImplementedError):
         DecodeStub(real=True)(batch)
+
+
+def _recall_vs_exact(approx: pd.DataFrame, exact: pd.DataFrame) -> float:
+    hits = total = 0
+    for q, g in exact.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(truth & got)
+        total += len(truth)
+    return hits / max(total, 1)
+
+
+def test_ivf_recall(ray_session):
+    from pdf_extractors_ray.ops.similarity import ivf_knn, knn_bruteforce
+
+    exact = knn_bruteforce("/root/testdata/sf0.001", k=5, n_queries=10).to_pandas()
+    approx = ivf_knn("/root/testdata/sf0.001", k=5, n_queries=10, n_lists=8, nprobe=3).to_pandas()
+    assert _recall_vs_exact(approx, exact) >= 0.5  # approximate by design
+
+
+def test_parsed_declarants_never_raises():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractors_ray.oracle.census import get_parsed_declarants
+
+    token = st.sampled_from(["Harthotes", "s.", "d.", "and", ",", ";", "alias",
+                             "sons of", "his sister,", "[", "]tion", "(nios?)", "Aur."])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=12))
+    def check(tokens):
+        line = " ".join(tokens)
+        try:
+            out = get_parsed_declarants(line)
+        except IndexError:
+            # the reference's hard-coded 'alias … sons of' splitter
+            # (household.py:352-360) IndexErrors on shapes its real data
+            # never produces; we keep that behavior bug-for-bug
+            # (SURVEY.md §7.5 #4) rather than diverge with a guard
+            assert "alias" in line and "sons of" in line
+            return
+        assert isinstance(out, list)
+        assert out == get_parsed_declarants(line)  # deterministic
+
+    check()
