@@ -75,6 +75,34 @@ def events_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(fold, batch_format="numpy").sort("user_id")
 
 
+def events_running_total(sf_dir: str):
+    """Per-user running cumulative value over event time (ordered in-group
+    scan — the window-function pattern; cents for cross-engine exactness).
+    Ties on ts are broken by event_id in both engines."""
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype(np.int64),
+                "event_id": g["event_id"].astype(np.int64),
+                "running_cents": cents(g["value"].to_numpy()).cumsum(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="pandas").sort(["user_id", "event_id"])
+
+
+EVENTS_RUNNING_SQL = """
+SELECT user_id, event_id,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_cents
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
 def events_props_k(sf_dir: str):
     """Semi-structured extraction: pull the integer ``k`` out of the JSON
     ``props`` string per event (vectorized RE2 — the pattern is regex-safe

@@ -85,6 +85,11 @@ def docs_quality(sf_dir: str):
                 "n_stopwords": toks.map(lambda ws: sum(w in stop for w in ws)).astype(np.int64),
                 "max_token_len": toks.map(lambda ws: max((len(w) for w in ws), default=0)).astype(np.int64),
             }
+        ).assign(
+            # fixed-point quality ratio: same IEEE divide + floor both engines
+            stop_ratio_ppm=lambda d: np.floor(
+                d["n_stopwords"].to_numpy() / np.maximum(d["n_tokens"].to_numpy(), 1) * 1e6 + 0.5
+            ).astype(np.int64)
         )
 
     return ds.map_batches(derive, batch_format="pandas").sort("doc_id")
@@ -95,7 +100,10 @@ SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
        len(text) AS n_chars,
        len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to'))) AS n_stopwords,
-       list_max(list_transform(string_split(text, ' '), w -> len(w))) AS max_token_len
+       list_max(list_transform(string_split(text, ' '), w -> len(w))) AS max_token_len,
+       CAST(FLOOR(
+           len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to')))::DOUBLE
+           / GREATEST(len(string_split(text, ' ')), 1) * 1000000 + 0.5) AS BIGINT) AS stop_ratio_ppm
 FROM documents
 ORDER BY doc_id
 """
