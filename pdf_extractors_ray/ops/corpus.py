@@ -78,6 +78,28 @@ def merge_single_file(ds, out_dir: str) -> str:
     return out_dir
 
 
+def dedup_turns(ds):
+    """Exact first-wins dedup on ``(conv_id, turn_idx)`` — the idempotent
+    re-ingestion guard (SURVEY.md §2.7 / §7.4: resume-idempotence dedup).
+    Batch-local drop first (cheap), then a grouped first-wins reduce."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df = df.drop_duplicates(["conv_id", "turn_idx"], keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    deduped = ds.map_batches(local, batch_format="pyarrow")
+
+    def first_wins(group) -> "pa.Table":
+        import pandas as pd
+
+        return group.head(1)
+
+    return deduped.groupby(["conv_id", "turn_idx"]).map_groups(first_wins, batch_format="pandas")
+
+
 def form_fields(ds):
     """Widget JSON payloads → (conv_id, turn_idx, field_name, field_value,
     field_type) rows; unknown codes → 'Unknown Type' (playground/pdf.py:17-25)."""

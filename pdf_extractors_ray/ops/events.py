@@ -75,6 +75,42 @@ def events_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(fold, batch_format="numpy").sort("user_id")
 
 
+def events_sliding(sf_dir: str, size_min: int = 30, slide_min: int = 10):
+    """Sliding windows (30 min every 10 min): each event fans out to the
+    size/slide windows containing it (vectorized flat emit), then partial
+    combine + tiny groupby — no per-window scans."""
+    ds = _events(sf_dir, columns=["ts", "value"])
+    size_us = size_min * 60_000_000
+    slide_us = slide_min * 60_000_000
+    k = size_min // slide_min
+
+    def fan_out(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        vals = cents(batch["value"].to_numpy())
+        last_start = (ts_us // slide_us) * slide_us
+        frames = []
+        for j in range(k):
+            start = last_start - j * slide_us
+            keep = ts_us < start + size_us  # always true; kept for clarity
+            frames.append(pd.DataFrame({"window_start": start[keep], "n": np.int64(1), "value_cents": vals[keep]}))
+        out = pd.concat(frames, ignore_index=True)
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        return out
+
+    fanned = ds.map_batches(fan_out, batch_format="pandas")
+    return grouped_sums(fanned, ["window_start"], ["n", "value_cents"]).sort("window_start")
+
+
+EVENTS_SLIDING_SQL = """
+SELECT to_timestamp((epoch_us(ts) // 600000000 - j) * 600000000 / 1000000)::TIMESTAMP AS window_start,
+       COUNT(*) AS n,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS value_cents
+FROM events, generate_series(0, 2) AS t(j)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def events_running_total(sf_dir: str):
     """Per-user running cumulative value over event time (ordered in-group
     scan — the window-function pattern; cents for cross-engine exactness).

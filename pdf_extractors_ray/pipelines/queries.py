@@ -65,6 +65,7 @@ REGISTRY: dict[str, tuple] = {
     "events_sessionize": (events.events_sessionize, events.EVENTS_SESSIONIZE_SQL),
     "events_props_k": (events.events_props_k, events.EVENTS_PROPS_K_SQL),
     "events_running_total": (events.events_running_total, events.EVENTS_RUNNING_SQL),
+    "events_sliding": (events.events_sliding, events.EVENTS_SLIDING_SQL),
     # text analysis (SQL-checked where expressible)
     "docs_token_stats": (tx.docs_token_stats, tx.DOCS_TOKEN_STATS_SQL),
     "docs_quality": (tx.docs_quality, tx.DOCS_QUALITY_SQL),
