@@ -41,8 +41,9 @@ def hot_conversations(ds, threshold: int) -> set[str]:
         return batch.groupby("conv_id", as_index=False, sort=False).size().rename(columns={"size": "n"})
 
     counts = ds.map_batches(partial, batch_format="pandas").groupby("conv_id").aggregate(Sum("n", alias_name="n"))
-    df = counts.to_pandas()
-    return set(df[df["n"] > threshold]["conv_id"])
+    # filter BEFORE collecting: only the (rare) hot convs reach the driver
+    hot = counts.filter(expr=f"n > {int(threshold)}").to_pandas()
+    return set(hot["conv_id"])
 
 
 def extract_invoice_salted(path: str, hot_threshold: int = 64, window: int = 32,
