@@ -52,28 +52,6 @@ FOLDS = {
     "census": (_census.extract_census_conv, schemas.HOUSEHOLD_SCHEMA),
 }
 
-METRICS_SCHEMA = pa.schema(
-    [
-        pa.field("part_id", pa.int64()),
-        pa.field("n_turns", pa.int64()),
-        pa.field("n_convs", pa.int64()),
-        pa.field("n_rows", pa.int64()),
-        pa.field("content_hash", pa.string()),
-        pa.field("resumed", pa.bool_()),
-    ]
-)
-
-
-def conv_part_ids(conv_ids, n_parts: int) -> np.ndarray:
-    """Stable partition id per conv_id (md5-based; never Python hash)."""
-    uniq = pd.unique(np.asarray(conv_ids, dtype=object))
-    lut = {
-        c: int.from_bytes(hashlib.md5(str(c).encode()).digest()[:8], "little") % n_parts
-        for c in uniq
-    }
-    return np.fromiter((lut[c] for c in conv_ids), dtype=np.int64, count=len(conv_ids))
-
-
 def append_part_id(batch: pa.Table, n_parts: int, done: set[int] | None = None) -> pa.Table:
     """Zero-copy-friendly part_id assignment on an Arrow batch.
 
