@@ -52,6 +52,7 @@ FOLDS = {
     "census": (_census.extract_census_conv, schemas.HOUSEHOLD_SCHEMA),
 }
 
+
 def append_part_id(batch: pa.Table, n_parts: int, done: set[int] | None = None) -> pa.Table:
     """Zero-copy-friendly part_id assignment on an Arrow batch.
 
