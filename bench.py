@@ -142,12 +142,15 @@ def run_scaling() -> dict:
         return json.loads(res.stdout.strip().splitlines()[-1])
 
     def run(ncpu: int) -> dict:
-        # best of 2: consecutive fresh Ray sessions interfere (object-store
+        # best of 3: consecutive fresh Ray sessions interfere (object-store
         # shm teardown, page cache) and add ±20% noise to a single sample
-        a = run_once(ncpu)
-        time.sleep(5)
-        b = run_once(ncpu)
-        return a if a["value"] <= b["value"] else b
+        best = None
+        for _ in range(3):
+            r = run_once(ncpu)
+            if best is None or r["value"] < best["value"]:
+                best = r
+            time.sleep(5)
+        return best
 
     lo, hi = (2, 8) if "--scaling-low" in sys.argv else (8, 32)
     r_lo, r_hi = run(lo), run(hi)
