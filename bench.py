@@ -141,22 +141,23 @@ def run_scaling() -> dict:
         )
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # best of 3: consecutive fresh Ray sessions interfere (object-store
-        # shm teardown, page cache) and add ±20% noise to a single sample
-        best = None
-        for _ in range(3):
-            r = run_once(ncpu)
-            if best is None or r["value"] < best["value"]:
-                best = r
+    def run(ncpu: int, reps: int = 3) -> dict:
+        # median of 3: consecutive fresh Ray sessions interfere (object-store
+        # shm teardown, page cache) with ±20% noise; the median is robust in
+        # both directions (a best-of estimator would just chase each side's
+        # lucky tail)
+        rs = []
+        for _ in range(reps):
+            rs.append(run_once(ncpu))
             time.sleep(5)
-        return best
+        rs.sort(key=lambda r: r["value"])
+        return rs[len(rs) // 2]
 
     lo, hi = (2, 8) if "--scaling-low" in sys.argv else (8, 32)
     r_lo, r_hi = run(lo), run(hi)
     tput_lo, tput_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -169,6 +170,16 @@ def run_scaling() -> dict:
         "turns_per_sec_hi": tput_hi,
         "turns": r_lo["turns"],
     }
+    if "--scaling-low" not in sys.argv:
+        # corroborating pair away from the host's DRAM-saturation region
+        # (single-box 8->32 shares one memory bus; real N->4N nodes do not)
+        c_lo, c_hi = run(2, reps=1), run(8, reps=1)
+        out["corroboration_2v8"] = round(
+            (c_hi["turns_per_sec"] / c_lo["turns_per_sec"]) / 4, 3
+        )
+        out["corroboration_sec_2"] = c_lo["value"]
+        out["corroboration_sec_8"] = c_hi["value"]
+    return out
 
 
 if __name__ == "__main__":
