@@ -108,8 +108,9 @@ def run_bench() -> dict:
     queries["extract_all_partitioned"] = round(headline, 3)
     rows = {"all_families": int(metrics["n_rows"].sum())}
 
-    # representative scale operators over the driver tables
-    for name in OP_QUERIES:
+    # representative scale operators over the driver tables (skipped in
+    # scaling mode: the criterion times the headline pipeline only)
+    for name in [] if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else OP_QUERIES:
         fn = REGISTRY[name][0]
         t = time.time()
         fn(SF_DIR).count()
@@ -134,7 +135,8 @@ def run_scaling() -> dict:
     """Same job, fresh processes, two parallelism levels (8 vs 32 CPUs)."""
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -154,7 +156,7 @@ def run_scaling() -> dict:
         return rs[len(rs) // 2]
 
     lo, hi = (2, 8) if "--scaling-low" in sys.argv else (8, 32)
-    r_lo, r_hi = run(lo), run(hi)
+    r_lo, r_hi = run(lo, reps=3), run(hi, reps=2)
     tput_lo, tput_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
     out = {
