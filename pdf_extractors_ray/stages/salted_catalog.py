@@ -61,14 +61,21 @@ WINDOW_SCHEMA = pa.schema(
 )
 
 
-def _gate_prepass(ds) -> dict[str, tuple[int, int]]:
+def _gate_prepass(ds, hot: set[str]) -> dict[str, tuple[int, int]]:
     """conv_id → (first banner turn, first Oil turn); 2^31-1 when absent.
+
+    Restricted to HOT conversations: cold conversations are a single
+    window whose entry gates are trivially (False, False), so the
+    broadcast map stays tiny at any corpus scale (DESIGN_SCALE.md).
     Shuffle-free per-batch partial mins + one tiny grouped Min."""
     from ray.data.aggregate import Min
 
+    if not hot:
+        return {}
     INF = np.int64(2**31 - 1)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["conv_id"].isin(hot)]
         text = batch["text"].str.strip()
         t = batch["turn_idx"].astype(np.int64)
         banner = t.where(text == _catalog.BANNER, INF)
@@ -112,7 +119,7 @@ def extract_catalog_salted(path: str, hot_threshold: int = 256, window: int = 12
     ds = family_dataset(path, "catalog")
     hot = hot_conversations(ds, hot_threshold)
     hot_ref = ray.put(hot)
-    gates_ref = ray.put(_gate_prepass(family_dataset(path, "catalog")))
+    gates_ref = ray.put(_gate_prepass(family_dataset(path, "catalog"), hot))
 
     def add_salt(batch: pa.Table) -> pa.Table:
         hotset = ray.get(hot_ref)
