@@ -154,29 +154,46 @@ def extract_layout_broadcast(path: str, concurrency=(1, 8)):
 # invoice: vectorized RE2 bank (actor pool) → light header/LOCF fold
 
 
-def _fold_invoice_group(group: dict) -> pa.Table:
-    """Group fold over pre-extracted field columns (no regex work here)."""
+def _fold_invoice_partition(group: pa.Table) -> pa.Table:
+    """Partition fold over pre-extracted field columns (no regex work here):
+    conversations split out by factorize + lexsort boundaries."""
     import numpy as np
+    import pandas as pd
 
-    order = np.argsort(group["turn_idx"], kind="stable")
-    idxs = [int(i) for i in np.asarray(group["turn_idx"])[order]]
+    from ..stages.fold import conv_boundaries
+
+    conv = np.asarray(group["conv_id"].to_pandas(), dtype=object)
+    tidx = group["turn_idx"].to_numpy(zero_copy_only=False)
     field_cols = {
-        name: np.asarray(group[FIELD_PREFIX + name], dtype=object)[order]
+        name: np.asarray(group[FIELD_PREFIX + name].to_pandas(), dtype=object)
         for name in _invoice.PATTERNS
     }
-    extracted_list = []
-    for i in range(len(idxs)):
-        extracted_list.append(
-            {name: vals[i] for name, vals in field_cols.items() if vals[i] is not None}
-        )
-    rows = _invoice.rows_from_extracted(extracted_list, idxs)
-    conv_id = str(group["conv_id"][0])
-    for r in rows:
-        r["conv_id"] = conv_id
+    order, bounds = conv_boundaries(conv, tidx)
+    cv, ti = conv[order], tidx[order]
+    field_cols = {k: v[order] for k, v in field_cols.items()}
+    rows: list[dict] = []
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        extracted_list = [
+            {
+                name: vals[j]
+                for name, vals in field_cols.items()
+                if vals[j] is not None and not (isinstance(vals[j], float) and pd.isna(vals[j]))
+            }
+            for j in range(lo, hi)
+        ]
+        conv_rows = _invoice.rows_from_extracted(extracted_list, [int(x) for x in ti[lo:hi]])
+        cid = cv[lo]
+        for r in conv_rows:
+            r["conv_id"] = cid
+        rows.extend(conv_rows)
     return rows_to_table(rows, schemas.INVOICE_SCHEMA)
 
 
-def extract_invoice(path: str, concurrency=(1, 8), batch_size: int = 4096):
+def extract_invoice(path: str, concurrency=(1, 8), batch_size: int = 4096, n_parts: int | None = None):
+    from ..stages.fold import _default_n_parts
+    from ..state.lineage import append_part_id
+
     ds = family_dataset(path, "invoice")
     ds = ds.map_batches(
         InvoiceFieldExtractor,
@@ -185,7 +202,11 @@ def extract_invoice(path: str, concurrency=(1, 8), batch_size: int = 4096):
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    return ds.groupby("conv_id").map_groups(_fold_invoice_group, batch_format="numpy")
+    n_parts = n_parts or _default_n_parts()
+    ds = ds.map_batches(
+        lambda b: append_part_id(b, n_parts), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("part_id").map_groups(_fold_invoice_partition, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -1,15 +1,19 @@
 """Ordered per-conversation session folds.
 
 The reference's in-document parsing is a forward-only ordered scan with
-carried state (SURVEY.md §2.9, ST1-ST3). In Ray Data that becomes::
+carried state (SURVEY.md §2.9, ST1-ST3). In Ray Data that becomes: assign
+a coarse ``part_id = md5(conv_id) % n_parts`` (vectorized, Arrow-native),
+ONE ``groupby(part_id)`` to co-locate conversations (the single shuffle the
+engine needs, SURVEY.md §7.4), then fold every conversation inside the
+partition with numpy boundary slicing — per-conversation ordering is
+restored deterministically no matter how the input blocks arrived (the
+synthesizer writes rows shuffled on purpose).
 
-    ds.groupby("conv_id").map_groups(fold)
-
-with an explicit in-group sort on ``turn_idx`` inside the UDF — the
-``groupby`` co-locates each conversation (the ONE shuffle the engine needs,
-SURVEY.md §7.4), and group-local ordering is restored deterministically no
-matter how the input blocks arrived (the synthesizer writes rows shuffled
-on purpose).
+Grouping by coarse partitions instead of by ``conv_id`` directly matters at
+scale: ``map_groups`` per conversation costs a Python call + batch build
+per group (~10^5-10^12 of them); per partition it is a few hundred calls
+total, with conversations split out by a factorize + ``np.lexsort`` scan
+(same hot-loop shape as ``state/lineage.py fold_partition``).
 
 Each fold returns a ``pyarrow.Table`` built against the family's fixed
 schema so empty groups unify cleanly and list columns stay native Arrow.
@@ -20,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 FoldFn = Callable[[list[str], list[int]], list[dict]]
@@ -41,18 +46,78 @@ def rows_to_table(rows: list[dict], schema: pa.Schema) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=schema)
 
 
-def make_group_fold(fold_fn: FoldFn, schema: pa.Schema):
-    """Wrap a per-conversation oracle fold as a ``map_groups`` UDF.
+def conv_boundaries(conv: np.ndarray, tidx: np.ndarray):
+    """Value-ordered sort by (conv, turn_idx) + conversation boundaries.
 
-    The UDF receives one conversation as a dict of numpy arrays (Ray's
-    default group batch format — zero pandas conversion), sorts it by
-    ``turn_idx``, folds, and emits schema-stable Arrow.
+    Returns ``(order, bounds)``: apply ``order`` to any row-aligned array;
+    ``bounds[i]:bounds[i+1]`` is one conversation's ordered slice.
+    ``sort=True`` factorize so results are independent of arrival order.
     """
+    conv_codes = pd.factorize(conv, sort=True)[0]
+    order = np.lexsort((tidx, conv_codes))
+    cc = conv_codes[order]
+    change = np.flatnonzero(np.diff(cc) != 0) + 1
+    bounds = np.concatenate(([0], change, [len(cc)]))
+    return order, bounds
+
+
+def fold_group_table(group: pa.Table, fold_fn: FoldFn, schema: pa.Schema) -> pa.Table:
+    """Fold every conversation inside one co-located partition."""
+    conv = np.asarray(group["conv_id"].to_pandas(), dtype=object)
+    tidx = group["turn_idx"].to_numpy(zero_copy_only=False)
+    texts = np.asarray(group["text"].to_pandas(), dtype=object)
+    if pd.isna(texts).any():
+        texts = np.where(pd.isna(texts), "", texts)  # null text ≡ empty line
+    order, bounds = conv_boundaries(conv, tidx)
+    cv, ti, tx = conv[order], tidx[order], texts[order]
+    rows: list[dict] = []
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        conv_rows = fold_fn(list(tx[lo:hi]), [int(x) for x in ti[lo:hi]])
+        cid = cv[lo]
+        for r in conv_rows:
+            r["conv_id"] = cid
+        rows.extend(conv_rows)
+    return rows_to_table(rows, schema)
+
+
+def _default_n_parts() -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(16, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    except ImportError:
+        pass
+    return 32
+
+
+def fold_conversations(ds, fold_fn: FoldFn, schema: pa.Schema, n_parts: int | None = None):
+    """part_id co-location + ordered per-conversation folds → Dataset."""
+    from ..state.lineage import append_part_id
+
+    n_parts = n_parts or _default_n_parts()
+    ds = ds.map_batches(
+        lambda b: append_part_id(b, n_parts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.groupby("part_id").map_groups(
+        lambda g: fold_group_table(g, fold_fn, schema), batch_format="pyarrow"
+    )
+
+
+def make_group_fold(fold_fn: FoldFn, schema: pa.Schema):
+    """Per-conversation ``map_groups`` UDF (legacy fine-grained variant;
+    kept for direct single-conversation use)."""
 
     def _fold_group(group: dict) -> pa.Table:
         turn_idx = group["turn_idx"]
         order = np.argsort(turn_idx, kind="stable")
-        texts = [str(t) for t in np.asarray(group["text"], dtype=object)[order]]
+        texts = [
+            "" if t is None else str(t)
+            for t in np.asarray(group["text"], dtype=object)[order]
+        ]
         idxs = [int(i) for i in np.asarray(turn_idx)[order]]
         conv_id = str(group["conv_id"][0])
         rows = fold_fn(texts, idxs)
@@ -61,10 +126,3 @@ def make_group_fold(fold_fn: FoldFn, schema: pa.Schema):
         return rows_to_table(rows, schema)
 
     return _fold_group
-
-
-def fold_conversations(ds, fold_fn: FoldFn, schema: pa.Schema):
-    """``groupby(conv_id)`` + ordered in-group fold → schema-stable Dataset."""
-    return ds.groupby("conv_id").map_groups(
-        make_group_fold(fold_fn, schema), batch_format="numpy"
-    )

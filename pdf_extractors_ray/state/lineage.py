@@ -208,6 +208,8 @@ def fold_partition(part: pa.Table, families: dict | None = None, derive_census: 
     conv = np.asarray(part["conv_id"].to_pandas(), dtype=object)
     tidx = part["turn_idx"].to_numpy(zero_copy_only=False)
     texts = np.asarray(part["text"].to_pandas(), dtype=object)
+    if pd.isna(texts).any():
+        texts = np.where(pd.isna(texts), "", texts)  # null text ≡ empty line
     # sort=True: code order must come from the VALUES, not block arrival
     # order, or recomputed partitions would not be byte-identical
     conv_codes = pd.factorize(conv, sort=True)[0]

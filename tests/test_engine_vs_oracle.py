@@ -50,3 +50,25 @@ def test_census_engine_matches_oracle(ray_session, small_corpus_dir, small_corpu
     pd.testing.assert_frame_equal(
         canonical(oracle_table(g_pers, schemas.PERSONS_SCHEMA)), canonical(e_pers), check_dtype=False
     )
+
+
+def test_null_text_treated_as_empty_line(ray_session):
+    """Null text payloads fold as empty lines instead of crashing."""
+    import ray.data as rd
+
+    from pdf_extractors_ray.oracle import catalog as oc
+    from pdf_extractors_ray.stages.fold import fold_conversations
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "text": oc.BANNER, "tool": "catalog"},
+        {"conv_id": "c1", "turn_idx": 1, "text": "Oil", "tool": "catalog"},
+        {"conv_id": "c1", "turn_idx": 2, "text": None, "tool": "catalog"},
+        {"conv_id": "c1", "turn_idx": 3, "text": "BMW", "tool": "catalog"},
+        {"conv_id": "c1", "turn_idx": 4, "text": "2020", "tool": "catalog"},
+        {"conv_id": "c1", "turn_idx": 5, "text": "330i", "tool": "catalog"},
+        {"conv_id": "c1", "turn_idx": 6, "text": "L4 2.0L", "tool": "catalog"},
+        {"conv_id": "c1", "turn_idx": 7, "text": "M1-201A", "tool": "catalog"},
+    ]
+    ds = rd.from_items(rows)
+    out = fold_conversations(ds, oc.extract_catalog_conv, schemas.CATALOG_SCHEMA).to_pandas()
+    assert len(out) == 1 and out["manufacturer"].iloc[0] == "BMW"
