@@ -73,7 +73,7 @@ def extract_grid(path: str):
     )
 
 
-def extract_layout_broadcast(path: str, concurrency=(1, 8)):
+def extract_layout_broadcast(path: str):
     """Shuffle-FREE layout path: driver prepass + broadcast header map.
 
     The reference discovers header coordinates once on page 0 and stores
@@ -112,20 +112,17 @@ def extract_layout_broadcast(path: str, concurrency=(1, 8)):
                 headers[conv_id] = _layout_oracle.parse_header(payload)
     headers_ref = ray.put(headers)
 
-    class BinBoxes:
-        def __init__(self):
-            self.headers = ray.get(headers_ref)  # zero-copy-ish, once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def bin_boxes(batch: pa.Table) -> pa.Table:
             from ..stages.fold import rows_to_table
 
+            headers = ray.get(headers_ref)  # local object-store fetch per call
             rows = []
             for conv_id, tidx, text in zip(
                 batch["conv_id"].to_pylist(),
                 batch["turn_idx"].to_pylist(),
                 batch["text"].to_pylist(),
             ):
-                header = self.headers.get(conv_id)
+                header = headers.get(conv_id)
                 if not header:
                     continue
                 # inline single-turn binning (no fold state needed)
@@ -147,7 +144,7 @@ def extract_layout_broadcast(path: str, concurrency=(1, 8)):
             return rows_to_table(rows, schemas.LAYOUT_SCHEMA)
 
     ds = family_dataset(path, "layout")
-    return ds.map_batches(BinBoxes, batch_format="pyarrow", concurrency=concurrency)
+    return ds.map_batches(bin_boxes, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
