@@ -16,6 +16,13 @@ Divergences (documented, deliberate):
   (SURVEY.md §7.5 #2);
 - the reference emits the fitz page number; our input unit is the transcript
   turn, so rows carry ``ref_turn`` = the ``turn_idx`` of the emitting line.
+
+NBSP semantics: the reference's PDF text extraction yields non-breaking
+spaces (U+00A0), and its string handling keys on them — manufacturer/year
+``split("\xa0")`` (:56,:67), engine ``replace("\xa0","")`` (:97), NBSP
+bytes inside two boilerplate literals (:15-16). Reproduced byte-for-byte;
+verified by the differential tests against the reference's own code
+(tests/test_reference_differential.py).
 """
 
 from __future__ import annotations
@@ -36,6 +43,11 @@ _SKIP_LITERALS = frozenset(
         "VEHICULES UTILITAIRES LEGERS/ FILTROS PARA AUTOMOVILES Y CAMIONES LIGEROS",
         "Voir las page 2 pour une explication des renvois en bas de la page.",
         "Consulte la página 2 para obtener una explicación de las nota en la parte inferior de la página",
+        # NBSP (\xa0) bytes verbatim from the reference source (:15-16) —
+        # the PDF extractor emits non-breaking spaces, and the reference's
+        # string handling keys on them (see also the splits/strip below)
+        "equipped with a Hengst filter housing cap, using AC-Delco # PF2257G. Synthetic Oil Application. Premium filter recommended.\xa0\xa0\xa0 568 Supplied aftermarket version GM O-ring #12577653",
+        "only fits 2004 and later Cadillac, Chevrolet, GMC V6 engines. Synthetic Oil Application. Premium Filter Recommended.\xa0\xa0\xa0",
     }
 )
 _SKIP_PREFIXES = (
@@ -57,7 +69,7 @@ RE_MODEL = re.compile(r"^[A-Z0-9a-z\-\s\(\)]+$")
 RE_MODEL_SAAB = re.compile(r"^[A-Z0-9a-z\-\s\(\)\.]+$")
 RE_ENGINE = re.compile(r"^[A-Za-z0-9\s\.\(\)\/\-\:\,]+$")
 RE_OILCODE = re.compile(r"M1C*-\d+\w|F\d{5}|Pri\.\sF\d{5}|Sec\.\sL\/F|w\/\sOil\sCooler\sM1C*-\d+\w")
-_ELECTRIC_GAS = ("(Electric/Gas)", "(Electric/Gas)(Mexico)", "(Electric/Gas)(Canada)")
+_ELECTRIC_GAS = ("(Electric/Gas)", "(Electric/Gas) (Mexico)", "(Electric/Gas) (Canada)")
 
 
 def is_boilerplate_line(line: str) -> bool:
@@ -121,15 +133,17 @@ class CatalogMachine:
                     continue
             if self.valid and not is_boilerplate_line(line):
                 nxt = lines[i + 1].strip() if i + 1 < n else lookahead
-                # manufacturer: ALL-CAPS line whose next line is a year (:50-61)
+                # manufacturer: ALL-CAPS line whose next line is a year
+                # (:50-61); the reference splits on NBSP ("\xa0" — the PDF
+                # extractor's space), NOT on ASCII space
                 if RE_MANUFACTURER.match(line) and RE_YEAR.match(nxt):
                     self.flush_transition(idxs[i])
-                    self.manufacturer = line.split(" ")[0]
+                    self.manufacturer = line.split("\xa0")[0]
                     continue
                 # year (:63-71)
                 if RE_YEAR.match(line):
                     self.flush_transition(idxs[i])
-                    self.year = line.split(" ")[0]
+                    self.year = line.split("\xa0")[0]
                     continue
                 # model — SAAB admits dots in the model regex (:74-93)
                 model_re = RE_MODEL_SAAB if self.manufacturer == "SAAB" else RE_MODEL
@@ -142,7 +156,8 @@ class CatalogMachine:
                     continue
                 # engine / oil-code branch (:96-109); engines space-stripped
                 if RE_ENGINE.match(line) and self.model:
-                    stripped = line.replace(" ", "")
+                    # NBSP-strip, not space-strip (reference :97)
+                    stripped = line.replace("\xa0", "")
                     if not RE_OILCODE.match(stripped):
                         if self.engine is not None and stripped not in _ELECTRIC_GAS:
                             self.emit(idxs[i])

@@ -30,7 +30,7 @@ def test_catalog_basic_record():
     assert r["manufacturer"] == "ACURA"
     assert r["year"] == "2023"
     assert r["model"] == "MDX"
-    assert r["engine"] == "V63.0LF.I.Turbo"  # space-strip (:97)
+    assert r["engine"] == "V6 3.0L F.I. Turbo"  # NBSP-strip only (:97)
     assert r["oils"] == ["M1-103B", "M1-110A"]  # canonical sorted dedup
 
 
@@ -50,7 +50,7 @@ def test_catalog_requires_oil_gate_and_banner():
 def test_catalog_electric_gas_merge():
     lines = [catalog.BANNER, "Oil", "FORD", "2022", "Escape", "L4 2.5L", "(Electric/Gas)", "M1-108A"]
     rows = catalog.extract_catalog_conv(lines, list(range(len(lines))))
-    assert rows[0]["engine"] == "L42.5L (Electric/Gas)"
+    assert rows[0]["engine"] == "L4 2.5L (Electric/Gas)"
 
 
 # ---------------------------------------------------------------------------
