@@ -272,3 +272,31 @@ def test_mancini_postprocessing_matches_reference():
     for m, (_, r) in zip(my_rows, ref_df.iterrows()):
         for i in (0, 1, 3, 4, 6):
             assert m[f"c{i}"] == r[i], (m, dict(r))
+
+
+def test_household_summary_matches_reference():
+    """prepare_first_csv (household.py:234-286) vs summarize_household on
+    enriched fixture households."""
+    for seed in range(20):
+        lines = gen._gen_census(np.random.RandomState(7000 + seed), 1.0)
+        households = my_census.extract_census_conv(lines, list(range(len(lines))))
+        ref_rows = ref_household.prepare_first_csv(households)
+        assert len(ref_rows) == len(households)
+        for h, r in zip(households, ref_rows):
+            mine = my_census.summarize_household(h)
+            for key, val in r.items():
+                k = key.replace("declarant_name_", "declarant_name_")
+                assert mine.get(k if k in mine else key) == val, (key, h["household_number"])
+
+
+def test_household_declarant_ids_match_reference():
+    for hn, decs in [("117-Ar-6", ["A", "B"]), ("9-Ox-1", []), (None, ["A"])]:
+        assert my_census.generate_declarant_ids(hn, decs) == ref_household.generate_unique_id(hn, decs)
+
+
+def test_catalog_banner_strip_matches_reference():
+    for seed in range(10):
+        lines = [t.strip() for t in gen._gen_catalog(np.random.RandomState(8000 + seed), 1.0)]
+        ref_kept = ref_mobil.remove_duplicate_lines(lines)
+        start = next((i for i, t in enumerate(lines) if t == my_catalog.BANNER), len(lines))
+        assert ref_kept == lines[start:]
