@@ -271,9 +271,18 @@ def _gen_catalog(rng: np.random.RandomState, size_mult: float) -> list[str]:
     n_mfr = max(1, int(round(rng.randint(1, 4) * size_mult)))
     for _m in range(n_mfr):
         mfr = _MANUFACTURERS[rng.randint(len(_MANUFACTURERS))]
-        lines.append(mfr)
+        if rng.randint(0, 5) == 0:
+            # continuation header with NBSP separator, as the reference's
+            # PDF text carries it (mobil-oil-extractor.py:50-51,56)
+            lines.append(f"{mfr}\xa0(cont'd)")
+        else:
+            lines.append(mfr)
         for _y in range(int(rng.randint(1, 3))):
-            lines.append(str(2015 + int(rng.randint(0, 10))))
+            year = str(2015 + int(rng.randint(0, 10)))
+            if rng.randint(0, 6) == 0:
+                lines.append(f"{year}\xa0(cont'd)")
+            else:
+                lines.append(year)
             for _mo in range(int(rng.randint(1, 4))):
                 lines.append(_MODELS[rng.randint(len(_MODELS))])
                 for _e in range(int(rng.randint(1, 3))):
@@ -453,7 +462,7 @@ def synthesize_transcripts(
     """
     manifest_path = os.path.join(out_dir, "_manifest.json")
     spec = {"n_convs": n_convs, "seed": seed, "shuffle": shuffle,
-            "convs_per_file": convs_per_file, "version": 5}
+            "convs_per_file": convs_per_file, "version": 6}
     if os.path.exists(manifest_path):
         try:
             with open(manifest_path) as f:
