@@ -503,12 +503,22 @@ def _set_specific_relation(person, by_person, relation, ref_index, question_mark
         update_ids(person, [by_person], relation, question_mark)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=512)
+def _rel_pattern(tmpl: str, fill: str):
+    """Formatted+compiled cascade pattern, memoized per (template, index) —
+    avoids re-formatting and re-cache lookups in the hot kinship loop."""
+    return re.compile(tmpl.format(fill), re.IGNORECASE)
+
+
 def set_relations(person, by_person, ref_index, question_mark=False):
     """9-pattern relation cascade (persons.py:542-633)."""
     fill = "1|l" if ref_index == 1 else str(ref_index)
     data = by_person["data"]
     for tmpl in _REL_TEMPLATES:
-        m = re.search(tmpl.format(fill), data, re.IGNORECASE)
+        m = _rel_pattern(tmpl, fill).search(data)
         if m:
             relation = m.group(1)
             if relation:
@@ -517,12 +527,12 @@ def set_relations(person, by_person, ref_index, question_mark=False):
                 _set_specific_relation(person, by_person, relation, ref_index, question_mark)
             return
     for tmpl in (_REL_NOS, _REL_NOS_AND):
-        m = re.search(tmpl.format(fill), data, re.IGNORECASE)
+        m = _rel_pattern(tmpl, fill).search(data)
         if m:
             _set_specific_relation(person, by_person, m.group(1).lower(), ref_index, question_mark)
             return
     for tmpl in (_REL_FM1, _REL_FM2):
-        m = re.search(tmpl.format(fill), data, re.IGNORECASE)
+        m = _rel_pattern(tmpl, fill).search(data)
         if m:
             relation = m.group(1).lower()
             if relation.startswith("s"):
@@ -556,12 +566,18 @@ def _remove_reference_num_entry(by_person, ref_index, key):
                     by_person[key].remove(item)
 
 
+@lru_cache(maxsize=64)
+def _number_ref_pattern(fill: str):
+    return re.compile(
+        r"\[*\s*nos*\.\s*({0})\s*\]\?*|\(*\s*nos*\.\s*({0})\s*\)\?*|no\.({0}\?*)".format(fill),
+        re.IGNORECASE,
+    )
+
+
 def find_number_reference(ref_no: int, persons: list[dict]):
     """Members whose text references 'no. N' — OCR 'l'≈'1' (persons.py:691-728)."""
     fill = f"{ref_no}|l" if ref_no == 1 else str(ref_no)
-    pat = re.compile(
-        r"\[*\s*nos*\.\s*({0})\s*\]\?*|\(*\s*nos*\.\s*({0})\s*\)\?*|no\.({0}\?*)".format(fill), re.IGNORECASE
-    )
+    pat = _number_ref_pattern(fill)
     indexes: list = []
     for index, person in enumerate(persons):
         m = _NUM_AND.search(person["data"])
