@@ -20,6 +20,12 @@ Reimplements the semantics of ``roman-census/household.py``:
 One conversation = one stretch of the catalogue; households never span
 conversations (the synthesizer guarantees this, mirroring how the reference
 never splits a household across its two source PDFs).
+
+Documented divergence: the reference skips the first two lines of every
+PDF page (``household.py:38`` ``lines[2:]`` — running page headers).
+Transcript turns carry no page headers, so every line is consumed; the
+anchor grammar is otherwise identical (verified function-by-function by
+tests/test_reference_differential.py).
 """
 
 from __future__ import annotations
