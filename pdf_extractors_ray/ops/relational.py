@@ -300,3 +300,80 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def orders_by_month(sf_dir: str):
+    """Monthly order counts + value (calendar bucketing on timestamps)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "month": batch["o_orderdate"].dt.to_period("M").dt.to_timestamp(),
+                "n": np.int64(1),
+                "total_cents": cents(batch["o_totalprice"].to_numpy()),
+            }
+        )
+
+    ds = orders.map_batches(derive, batch_format="pandas")
+    return grouped_sums(ds, ["month"], ["n", "total_cents"]).sort("month")
+
+
+ORDERS_BY_MONTH_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       COUNT(*) AS n,
+       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS total_cents
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def customer_topk_balance(sf_dir: str, k: int = 20):
+    """Global top-k by account balance (sort + limit)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_name": batch["c_name"],
+                "acctbal_cents": cents(batch["c_acctbal"].to_numpy()),
+            }
+        )
+
+    ds = cust.map_batches(derive, batch_format="pandas")
+    return ds.sort(["acctbal_cents", "c_custkey"], descending=[True, False]).limit(k)
+
+
+CUSTOMER_TOPK_SQL = """
+SELECT c_custkey, c_name,
+       CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents
+FROM customer
+ORDER BY acctbal_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+def supplier_per_nation(sf_dir: str):
+    """Broadcast dimension join: suppliers per nation name."""
+    import ray
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nation_ref = broadcast(nation.set_index("n_nationkey")["n_name"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        names = batch["s_nationkey"].map(ray.get(nation_ref))
+        return pd.DataFrame({"n_name": names, "n_suppliers": np.int64(1)})
+
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey"])
+    ds = sup.map_batches(tag, batch_format="pandas")
+    return grouped_sums(ds, ["n_name"], ["n_suppliers"]).sort("n_name")
+
+
+SUPPLIER_PER_NATION_SQL = """
+SELECT n_name, COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""

@@ -60,6 +60,9 @@ REGISTRY: dict[str, tuple] = {
     "orders_priority_count": (relational.orders_priority_count, relational.ORDERS_PRIORITY_SQL),
     "orders_topk_per_customer": (relational.orders_topk_per_customer, relational.ORDERS_TOPK_SQL),
     "events_distinct_users": (relational.events_distinct_users, relational.EVENTS_DISTINCT_SQL),
+    "orders_by_month": (relational.orders_by_month, relational.ORDERS_BY_MONTH_SQL),
+    "customer_topk_balance": (relational.customer_topk_balance, relational.CUSTOMER_TOPK_SQL),
+    "supplier_per_nation": (relational.supplier_per_nation, relational.SUPPLIER_PER_NATION_SQL),
     # event streams (SQL-checked)
     "events_hourly": (events.events_hourly, events.EVENTS_HOURLY_SQL),
     "events_sessionize": (events.events_sessionize, events.EVENTS_SESSIONIZE_SQL),
