@@ -38,7 +38,14 @@ def _install_stubs() -> None:
 
 
 def _has_call(node: ast.AST) -> bool:
-    return any(isinstance(n, ast.Call) for n in ast.walk(node))
+    """True for side-effecting calls; pure builtins like len() are allowed
+    (e.g. household.py's ``slaves_token_len = len(slaves_token)``)."""
+    for n in ast.walk(node):
+        if isinstance(n, ast.Call):
+            if isinstance(n.func, ast.Name) and n.func.id in ("len", "str", "int"):
+                continue
+            return True
+    return False
 
 
 def load_reference_module(rel_path: str, mod_name: str) -> types.ModuleType:

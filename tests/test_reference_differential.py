@@ -300,3 +300,217 @@ def test_catalog_banner_strip_matches_reference():
         ref_kept = ref_mobil.remove_duplicate_lines(lines)
         start = next((i for i, t in enumerate(lines) if t == my_catalog.BANNER), len(lines))
         assert ref_kept == lines[start:]
+
+
+# ---------------------------------------------------------------------------
+# FULL-PIPELINE differentials: drive the reference's own page loops with
+# faked PDF objects built from our transcript payloads
+
+
+def test_invoice_full_pipeline_matches_reference(capsys):
+    """Reference page loop (nordic-invoice.py:65-100) emulated with its own
+    helpers over the joined conversation text vs my conversation fold."""
+    for seed in range(25):
+        turns = gen._gen_invoice(np.random.RandomState(9000 + seed), 1.0)
+
+        # --- reference side: one OCR "page" = the joined conversation ---
+        page_text = "\n".join(turns)
+        splitted = page_text.split("Order No.")
+        invoice_num = 0
+        invoice_date = due_date = customer_number = None
+        complete = []
+        for index, frag in enumerate(splitted):
+            if frag.startswith(":"):
+                frag = "Order No." + frag
+            extracted = ref_invoice.extract_information(frag)
+            if len(extracted) > 0:
+                if index == 0:
+                    invoice_num = ref_invoice.get(extracted, "Invoice")
+                    invoice_date = ref_invoice.get(extracted, "Invoice Date")
+                    due_date = ref_invoice.get(extracted, "Due Date")
+                    customer_number = ref_invoice.get(extracted, "Customer Number")
+                else:
+                    row = ref_invoice.initialize_dict("1", invoice_num, invoice_date, due_date, customer_number)
+                    row.update(extracted)
+                    complete.append(row)
+        ref_invoice.post_processing(complete)
+
+        # --- my side: turns are the fragments ---
+        mine = my_invoice.extract_invoice_conv(turns, list(range(len(turns))))
+
+        assert len(mine) == len(complete), seed
+        for m, r in zip(mine, complete):
+            for key in r:
+                if key == "Page":
+                    continue  # reference: page ordinal; engine: turn_idx
+                assert m.get(key) == r.get(key), (key, seed)
+    capsys.readouterr()
+
+
+class _FakeTable:
+    def __init__(self, header):
+        # fitz table shape: cells[x][0] = column x-coordinate;
+        # extract()[0] = header names row (ffiec-census.py:61-77)
+        self.col_count = len(header)
+        self.cells = [[h["x"]] for h in header]
+        self._names = [h["col"] for h in header]
+
+    def extract(self):
+        return [self._names]
+
+
+class _FakeTables(list):
+    @property
+    def tables(self):
+        return self
+
+
+class _FakePage:
+    def __init__(self, payloads):
+        self._payloads = payloads  # list of box-lists; one block per payload
+        self._header = None
+
+    def get_text(self, kind):
+        if kind == "text":
+            return ""
+        blocks = []
+        for boxes in self._payloads:
+            spans = [
+                {
+                    "font": b.get("font"),
+                    "text": b.get("text"),
+                    "bbox": (b.get("x0"), b.get("y0", 0.0), b.get("x1", 0.0), b.get("y1", 0.0)),
+                }
+                for b in boxes
+            ]
+            blocks.append({"lines": [{"spans": spans}]})
+        return {"blocks": blocks}
+
+    def find_tables(self):
+        return _FakeTables([_FakeTable(self._header)])
+
+
+class _FakeDoc:
+    def __init__(self, pages):
+        self.pages = pages
+        self.page_count = len(pages)
+
+    def load_page(self, i):
+        return self.pages[i]
+
+
+def test_ffiec_full_pipeline_matches_reference(capsys):
+    """Reference extract_info_from_pdf (ffiec-census.py:15-48) driven by a
+    faked fitz document built from our layout payloads vs my fold."""
+    import json
+    from collections import OrderedDict
+
+    for seed in range(10):
+        turns = gen._gen_layout(np.random.RandomState(9500 + seed), 1.0)
+        payloads = [json.loads(t) for t in turns]
+        page = _FakePage([p["boxes"] for p in payloads])
+        page._header = payloads[0]["header"]
+
+        ref_ffiec.columns_names_with_coord = OrderedDict()
+        ref_ffiec.fitz.open.return_value = _FakeDoc([page])
+        ref_rows = ref_ffiec.extract_info_from_pdf("fake.pdf")
+
+        mine = my_layout.extract_layout_conv(turns, list(range(len(turns))))
+        assert len(mine) == len(ref_rows), seed
+        for m, r in zip(mine, ref_rows):
+            for key, val in r.items():
+                assert m.get(key) == val, (key, seed)
+    capsys.readouterr()
+
+
+class _FakeKnrTable:
+    def __init__(self, rows):
+        self.row_count = len(rows)
+        self.col_count = len(rows[0]) if rows else 0
+        self._rows = [list(r) for r in rows]
+
+    def extract(self):
+        return self._rows
+
+
+class _FakeKnrPage:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def find_tables(self):
+        return _FakeTables([_FakeKnrTable(self._rows)])
+
+    def get_text(self, kind):
+        return ""
+
+
+def test_knr_full_pipeline_matches_reference(capsys):
+    """Reference page loop (knr_property.py:15-47) with a faked table vs my
+    conversation fold (header + data rows = the conversation's turns)."""
+    import json
+
+    for seed in range(10):
+        turns = gen._gen_table(np.random.RandomState(9800 + seed), 1.0)
+        rows = [json.loads(t) for t in turns]
+
+        ref_knr.column_names = {}
+        ref_knr.final_data = []
+        ref_knr.fitz.open.return_value = _FakeDoc([_FakeKnrPage(rows)])
+        ref_rows = ref_knr.extract_info_from_pdf("fake.pdf")
+
+        mine = my_table.extract_table_conv(turns, list(range(len(turns))))
+        assert len(mine) == len(ref_rows), seed
+        for m, r in zip(mine, ref_rows):
+            for key, val in r.items():
+                assert m.get(key) == val, (key, seed)
+    capsys.readouterr()
+
+
+class _FakeTextPage:
+    def __init__(self, text):
+        self._text = text
+
+    def get_text(self, kind):
+        return self._text
+
+
+def test_census_full_pipeline_matches_reference(capsys):
+    """Reference extract_info_from_pdf (household.py:22-143) with a faked
+    fitz document vs my household fold. The reference skips the first two
+    lines of every page (:38, running page headers), so the fake page text
+    carries two dummy header lines before the transcript lines."""
+    for seed in range(15):
+        lines = gen._gen_census(np.random.RandomState(9900 + seed), 1.0)
+        page_text = "PAGE-HEADER-1\nPAGE-HEADER-2\n" + "\n".join(lines)
+        ref_household.fitz.open.return_value = _FakeDoc([_FakeTextPage(page_text)])
+        ref_raw = ref_household.extract_info_from_pdf("fake.pdf")
+
+        mine = my_census.fold_household_lines(lines)
+        assert len(mine) == len(ref_raw), seed
+        for m, r in zip(mine, ref_raw):
+            assert m == r, (seed, r.get("household_number"))
+
+        # enrichment loop (household.py:408-435) on the reference's records
+        for entry in ref_raw:
+            entry.update({"declarant_occupation": ref_household.get_occupation(entry.get("declarant_name"))})
+            entry.update({"declarant_name_parsed": ref_household.get_parsed_declarants(entry.get("declarant_name"))})
+            entry.update({"declarant_id": ref_household.generate_unique_id(
+                entry.get("household_number"), entry.get("declarant_name_parsed"))})
+            if len(entry.get("name_of_family_members")) == 0 and len(entry.get("slaves")) > 0:
+                parts = ref_household.split_on_key(entry.get("slaves"), "(1)")
+                if len(parts) >= 3:
+                    entry.update({"name_of_family_members": parts[0],
+                                  "name_of_non_family_members": parts[1], "slaves": parts[2]})
+                elif len(parts) >= 2:
+                    entry.update({"name_of_family_members": parts[0], "slaves": parts[1]})
+            if "187-Ar-4" in str(entry.get("household_number")):
+                parts = ref_household.split_on_key(entry.get("name_of_family_members"), "(1)")
+                entry.update({"name_of_family_members": parts[0]})
+                entry.update({"name_of_non_family_members": parts[1] if len(parts) > 1 else []})
+            if "131-He-2" in str(entry.get("household_number")):
+                entry["provenance"] = "Ankyronpolis (Herakleopolite), 133"
+
+        mine_enriched = my_census.extract_census_conv(lines, list(range(len(lines))))
+        for m, r in zip(mine_enriched, ref_raw):
+            assert m == r, (seed, r.get("household_number"))
+    capsys.readouterr()
