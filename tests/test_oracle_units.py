@@ -248,3 +248,44 @@ def test_heading_grouping_by_x_delta():
         {"text": " cont", "x0": 35.0},
     ]
     assert layout.group_headings(boxes) == ["FFIEC Census Report", "Section 1 cont"]
+
+
+def test_household_anchor_variants():
+    """Less-common anchor spellings (household.py:53,61,66)."""
+    hh = census.fold_household_lines([
+        "HOUSEHOLD NO.: 145-Ar-9",
+        "*Source: P.Oxy. II 255",
+        "Declarants: Thaisarion and Taos",
+        "Family members, free non-kin, slaves: (1) A s. B and C, 30",
+        "Free non-kin, slaves: (1) D, slave of E, male, 20",
+        "Slaves: No names survive",
+    ])
+    h = hh[0]
+    assert h["source"] == "P.Oxy. II 255"
+    assert h["declarant_name"] == "Thaisarion and Taos"
+    assert h["name_of_family_members"] == ["(1) A s. B and C, 30"]
+    assert h["name_of_non_family_members"] == ["(1) D, slave of E, male, 20"]
+    # 'No names survive' is filtered for Free non-kin (:74) but KEPT for
+    # Slaves (:85 filters only 'None') — reference asymmetry, bug-for-bug
+    assert h["slaves"] == ["No names survive"]
+
+
+def test_household_source_second_char_variant():
+    hh = census.fold_household_lines(["HOUSEHOLD NO.: 1-Ar-1", "xSource: P.Mil. 3"])
+    assert hh[0]["source"] == "P.Mil. 3"
+
+
+def test_household_free_nonkin_prose_value():
+    hh = census.fold_household_lines([
+        "HOUSEHOLD NO.: 1-Ar-1",
+        "Free non-kin: two lodgers, names illegible",
+    ])
+    assert hh[0]["name_of_non_family_members"] == ["two lodgers, names illegible"]
+
+
+def test_household_slaves_prose_value():
+    hh = census.fold_household_lines([
+        "HOUSEHOLD NO.: 1-Ar-1",
+        "Slaves: three slaves, names lost",
+    ])
+    assert hh[0]["slaves"] == ["three slaves, names lost"]
