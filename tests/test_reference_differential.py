@@ -20,7 +20,12 @@ from pdf_extractors_ray.oracle import persons as my_persons
 from pdf_extractors_ray.oracle import table as my_table
 from pdf_extractors_ray.sources import transcripts as gen
 
-from reference_loader import load_reference_module
+import os
+
+from reference_loader import REFERENCE_ROOT, load_reference_module
+
+if not os.path.isdir(REFERENCE_ROOT):  # reference absent → skip, don't fail
+    pytest.skip("reference repo not available", allow_module_level=True)
 
 ref_persons = load_reference_module("roman-census/persons.py", "ref_persons")
 ref_household = load_reference_module("roman-census/household.py", "ref_household")
