@@ -185,6 +185,43 @@ def simhash_docs(sf_dir: str):
     return ds.map_batches(derive, batch_format="pandas").sort("doc_id")
 
 
+def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup pairs: 4x16-bit band buckets → candidate pairs →
+    exact Hamming verification (near-dups must share ≥1 band when
+    distance ≤ 3 by pigeonhole over 4 bands)."""
+    ds = simhash_docs(sf_dir)
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for b in range(4):
+            frames.append(pd.DataFrame({
+                "band": np.int64(b),
+                "band_val": batch[f"band{b}"].astype(np.int64),
+                "doc_id": batch["doc_id"],
+                "simhash": batch["simhash"],
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    banded = ds.map_batches(band_rows, batch_format="pandas")
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        hashes = [int(h, 16) for h in g["simhash"]]
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(hashes[i] ^ hashes[j]).count("1")
+                if d <= max_hamming:
+                    out.append((int(ids[i]), int(ids[j]), d))
+        arr = np.array(out, dtype=np.int64).reshape(-1, 3)
+        return pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1], "hamming": arr[:, 2]})
+
+    pairs = banded.groupby(["band", "band_val"]).map_groups(emit_pairs, batch_format="pandas")
+    # a pair can surface from several bands → exact dedup on the pair key
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming")).sort(["a", "b"])
+
+
 def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
     """Group-bounded all-pairs n-gram Jaccard: pairs within each ``source``
     group (groupby co-locates; quadratic work stays inside small groups)."""

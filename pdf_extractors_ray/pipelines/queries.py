@@ -80,6 +80,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "docs_minhash_lsh": (dedup.minhash_lsh_pairs, None),
     "docs_simhash": (dedup.simhash_docs, None),
+    "docs_simhash_pairs": (dedup.simhash_pairs, None),
     "docs_ngram_jaccard": (dedup.ngram_jaccard_groups, None),
     # similarity search
     "emb_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_SQL),

@@ -122,3 +122,21 @@ def test_parsed_declarants_never_raises():
         assert out == get_parsed_declarants(line)  # deterministic
 
     check()
+
+
+def test_simhash_pairs_find_planted_near_dup(ray_session, tmp_path):
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, 60)) for _ in range(25)]
+    base = " ".join(vocab[:60])
+    texts.append(base)
+    texts.append(base + " tinychange")
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    from pdf_extractors_ray.ops.dedup import simhash_pairs
+
+    pairs = simhash_pairs(str(tmp_path), max_hamming=6).to_pandas()
+    assert ((pairs["a"] == 25) & (pairs["b"] == 26)).any()
