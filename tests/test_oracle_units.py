@@ -289,3 +289,23 @@ def test_household_slaves_prose_value():
         "Slaves: three slaves, names lost",
     ])
     assert hh[0]["slaves"] == ["three slaves, names lost"]
+
+
+def test_catalog_saab_dot_models():
+    """SAAB admits dots in the model regex (mobil-oil-extractor.py:84-93):
+    an engine-looking line becomes the MODEL under SAAB."""
+    lines = [catalog.BANNER, "Oil", "SAAB", "2006", "9-3", "L4 2.0L F.I.", "M1-101A",
+             "9.3 Aero", "V6 2.8L F.I.", "M1-102B", "DODGE", "2020"]
+    rows = catalog.extract_catalog_conv(lines, list(range(len(lines))))
+    assert [r["model"] for r in rows] == ["9-3", "9.3 Aero"]
+
+
+def test_invoice_header_without_invoice_key():
+    """Fragment 0 lacking the Invoice field leaves header defaults
+    (invoice_num=0, rest None) — the reference's get() guard (:89-91)."""
+    rows = invoice.extract_invoice_conv(
+        ["Loading date 01.01.2020", "Order No.: 7\nTour No.: 9"], [0, 1]
+    )
+    assert rows[0]["Invoice"] == 0
+    assert rows[0]["Invoice Date"] is None
+    assert rows[0]["Order No."] == "7"
