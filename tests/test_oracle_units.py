@@ -292,20 +292,26 @@ def test_household_slaves_prose_value():
 
 
 def test_catalog_saab_dot_models():
-    """SAAB admits dots in the model regex (mobil-oil-extractor.py:84-93):
-    an engine-looking line becomes the MODEL under SAAB."""
-    lines = [catalog.BANNER, "Oil", "SAAB", "2006", "9-3", "L4 2.0L F.I.", "M1-101A",
-             "9.3 Aero", "V6 2.8L F.I.", "M1-102B", "DODGE", "2020"]
-    rows = catalog.extract_catalog_conv(lines, list(range(len(lines))))
-    assert [r["model"] for r in rows] == ["9-3", "9.3 Aero"]
+    """SAAB admits dots in the model regex (mobil-oil-extractor.py:84-93),
+    so dotted ENGINE lines become models under SAAB and the record never
+    completes — zero rows, bug-for-bug with the reference (confirmed by the
+    differential harness). An engine line with a char outside the SAAB
+    model class (':') still lands in the engine branch."""
+    starved = [catalog.BANNER, "Oil", "SAAB", "2006", "9-3", "L4 2.0L F.I.", "M1-101A",
+               "9.3 Aero", "V6 2.8L F.I.", "M1-102B", "DODGE", "2020"]
+    assert catalog.extract_catalog_conv(starved, list(range(len(starved)))) == []
+
+    ok = [catalog.BANNER, "Oil", "SAAB", "2006", "9-3", "L4: 2.0L F.I.", "M1-101A"]
+    rows = catalog.extract_catalog_conv(ok, list(range(len(ok))))
+    assert [(r["model"], r["engine"]) for r in rows] == [("9-3", "L4: 2.0L F.I.")]
 
 
 def test_invoice_header_without_invoice_key():
-    """Fragment 0 lacking the Invoice field leaves header defaults
-    (invoice_num=0, rest None) — the reference's get() guard (:89-91)."""
+    """Fragment 0 lacking the Invoice field leaves ALL header fields None —
+    the reference's get() guard keys on 'Invoice' presence (:89-91)."""
     rows = invoice.extract_invoice_conv(
         ["Loading date 01.01.2020", "Order No.: 7\nTour No.: 9"], [0, 1]
     )
-    assert rows[0]["Invoice"] == 0
+    assert rows[0]["Invoice"] is None
     assert rows[0]["Invoice Date"] is None
     assert rows[0]["Order No."] == "7"
