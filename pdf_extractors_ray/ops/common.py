@@ -41,6 +41,22 @@ def grouped_sums(ds, keys: list[str], sum_cols: list[str], count_alias: str | No
     return partial.groupby(keys).aggregate(*aggs)
 
 
+def cast_us(ds, cols: list[str]):
+    """Cast timestamp columns to microsecond unit after an aggregation.
+
+    Ray's pandas-block groupby reduce coerces datetime64[us] keys back to
+    ns; DuckDB TIMESTAMP is us, and the driver's value hash is
+    dtype-sensitive, so time-bucket outputs re-cast here post-aggregate.
+    """
+
+    def _cast(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            batch[c] = batch[c].astype("datetime64[us]")
+        return batch
+
+    return ds.map_batches(_cast, batch_format="pandas")
+
+
 def broadcast(obj):
     """Put a small lookup object in the object store once; stages fetch it
     in ``__init__``/first use instead of re-shipping per batch."""

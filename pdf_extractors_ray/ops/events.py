@@ -10,7 +10,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from .common import cents, grouped_sums
+from .common import cast_us, cents, grouped_sums
 
 SESSION_GAP_S = 1800  # 30 minutes
 
@@ -32,7 +32,9 @@ def events_hourly(sf_dir: str):
     def derive(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "hour": batch["ts"].dt.floor("h"),
+                # us units: match DuckDB TIMESTAMP microseconds for the
+                # driver's dtype-sensitive value hash.
+                "hour": batch["ts"].dt.floor("h").astype("datetime64[us]"),
                 "event_type": batch["event_type"],
                 "n": np.int64(1),
                 "value_cents": cents(batch["value"].to_numpy()),
@@ -40,13 +42,14 @@ def events_hourly(sf_dir: str):
         )
 
     ds = ds.map_batches(derive, batch_format="pandas")
-    return grouped_sums(ds, ["hour", "event_type"], ["n", "value_cents"]).sort(["hour", "event_type"])
+    out = cast_us(grouped_sums(ds, ["hour", "event_type"], ["n", "value_cents"]), ["hour"])
+    return out.sort(["hour", "event_type"])
 
 
 EVENTS_HOURLY_SQL = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
        COUNT(*) AS n,
-       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -98,13 +101,14 @@ def events_sliding(sf_dir: str, size_min: int = 30, slide_min: int = 10):
         return out
 
     fanned = ds.map_batches(fan_out, batch_format="pandas")
-    return grouped_sums(fanned, ["window_start"], ["n", "value_cents"]).sort("window_start")
+    out = cast_us(grouped_sums(fanned, ["window_start"], ["n", "value_cents"]), ["window_start"])
+    return out.sort("window_start")
 
 
 EVENTS_SLIDING_SQL = """
 SELECT to_timestamp((epoch_us(ts) // 600000000 - j) * 600000000 / 1000000)::TIMESTAMP AS window_start,
        COUNT(*) AS n,
-       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events, generate_series(0, 2) AS t(j)
 GROUP BY 1
 ORDER BY 1
@@ -132,8 +136,8 @@ def events_running_total(sf_dir: str):
 
 EVENTS_RUNNING_SQL = """
 SELECT user_id, event_id,
-       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
-           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_cents
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS running_cents
 FROM events
 ORDER BY user_id, event_id
 """
@@ -159,7 +163,7 @@ def events_props_k(sf_dir: str):
 
 EVENTS_PROPS_K_SQL = """
 SELECT event_type,
-       SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type
@@ -168,7 +172,7 @@ ORDER BY event_type
 
 
 EVENTS_SESSIONIZE_SQL = """
-SELECT user_id, COUNT(*) AS n_events, SUM(new_sess) AS n_sessions
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
 FROM (
     SELECT user_id,
            CASE WHEN LAG(ts) OVER w IS NULL

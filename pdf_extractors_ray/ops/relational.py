@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow.compute as pc
 
-from .common import broadcast, cents, grouped_sums
+from .common import broadcast, cast_us, cents, grouped_sums
 
 
 def _pq(sf_dir: str, name: str) -> str:
@@ -62,9 +62,9 @@ def q1_pricing_summary(sf_dir: str):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -108,7 +108,7 @@ def q3_segment_topk(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 
 Q3_SQL = """
 SELECT l_orderkey AS o_orderkey,
-       SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -165,7 +165,7 @@ def q5_nation_revenue(sf_dir: str, region: str = "ASIA"):
 
 Q5_SQL = """
 SELECT n_name,
-       SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -201,7 +201,7 @@ def q6_filtered_revenue(sf_dir: str):
 
 
 Q6_SQL = """
-SELECT SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5) AS BIGINT)) AS revenue_cents
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -309,20 +309,23 @@ def orders_by_month(sf_dir: str):
     def derive(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "month": batch["o_orderdate"].dt.to_period("M").dt.to_timestamp(),
+                # us units: DuckDB TIMESTAMP is microseconds; matching the unit
+                # makes the driver's dtype-sensitive value hash agree.
+                "month": batch["o_orderdate"].dt.to_period("M").dt.to_timestamp().astype("datetime64[us]"),
                 "n": np.int64(1),
                 "total_cents": cents(batch["o_totalprice"].to_numpy()),
             }
         )
 
     ds = orders.map_batches(derive, batch_format="pandas")
-    return grouped_sums(ds, ["month"], ["n", "total_cents"]).sort("month")
+    out = cast_us(grouped_sums(ds, ["month"], ["n", "total_cents"]), ["month"])
+    return out.sort("month")
 
 
 ORDERS_BY_MONTH_SQL = """
-SELECT date_trunc('month', o_orderdate) AS month,
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
        COUNT(*) AS n,
-       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY 1
 ORDER BY 1

@@ -60,8 +60,8 @@ def docs_token_stats(sf_dir: str):
 DOCS_TOKEN_STATS_SQL = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS n_tokens,
-       SUM(len(text)) AS n_chars
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(text)) AS BIGINT) AS n_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang

@@ -89,10 +89,16 @@ def main() -> int:
             failures += 1
             continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            # dtype-strict: the driver's value hash is dtype-sensitive (a
+            # float64 HUGEINT-sum or a ns-vs-us timestamp fails it even when
+            # the values are equal), so the local gate must be strict too.
+            pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
             print(f"ok   {name}: rows={len(g)} SQL-checked ({dt:.1f}s)")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch: {str(e)[:400]}")
+            for col in g.columns:
+                if str(g[col].dtype) != str(w[col].dtype):
+                    print(f"     dtype {col}: engine={g[col].dtype} oracle={w[col].dtype}")
             failures += 1
     print("failures:", failures)
     return 1 if failures else 0
