@@ -229,9 +229,13 @@ def _gen_census(rng: np.random.RandomState, size_mult: float) -> list[str]:
 
 def _gen_invoice(rng: np.random.RandomState, size_mult: float) -> list[str]:
     inv = int(rng.randint(3_000_000, 3_999_999))
+    # NBSP after the colon sometimes: real OCR text carries U+00A0 where
+    # the layout had a hard space; Python re's \s matches it, so the
+    # vectorized RE2 bank must too (stage equivalence coverage).
+    date_sep = "\xa0" if rng.randint(0, 4) == 0 else " "
     header = (
         f"Invoice {inv}\n"
-        f"Invoice Date: {_date_str(rng)}\n"
+        f"Invoice Date:{date_sep}{_date_str(rng)}\n"
         f"Due Date: {_date_str(rng)}\n"
         f"Customer Number: {int(rng.randint(1000, 9999))}"
     )
@@ -254,6 +258,12 @@ def _gen_invoice(rng: np.random.RandomState, size_mult: float) -> list[str]:
         block.append(f"Port of delivery: {_PORTS[rng.randint(len(_PORTS))]}")
         block.append(f"Total amount without VAT {amount}")
         block.append(f"Tour No.: {int(rng.randint(300000, 399999))}")
+        if rng.randint(0, 6) == 0:
+            # fragment-level header-pattern text inside an order block: the
+            # reference's row.update(extracted) lets this WIN over the
+            # conversation-header broadcast (nordic-invoice.py:93) — pins
+            # the salted stitch's null-only header fill.
+            block.append(f"Invoice {int(rng.randint(3_000_000, 3_999_999))} (credit ref)")
         turns.append("\n".join(block))
     return turns
 
@@ -462,7 +472,7 @@ def synthesize_transcripts(
     """
     manifest_path = os.path.join(out_dir, "_manifest.json")
     spec = {"n_convs": n_convs, "seed": seed, "shuffle": shuffle,
-            "convs_per_file": convs_per_file, "version": 6}
+            "convs_per_file": convs_per_file, "version": 7}
     if os.path.exists(manifest_path):
         try:
             with open(manifest_path) as f:

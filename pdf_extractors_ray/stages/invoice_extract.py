@@ -8,10 +8,11 @@ per batch, zero Python-per-row work. The stage is a callable class so the
 pattern bank is prepared once per actor (``__init__``), not per batch
 (SURVEY.md §2.3 ST6).
 
-RE2 here is proven-equivalent to the reference's Python ``re`` for this
-bank (no lookbehind/backtracking in these patterns); the unit tests compare
-this stage against the pure-Python oracle on every fixture
-(SURVEY.md §2.8 equivalence rule).
+RE2 is equivalent to the reference's Python ``re`` for this bank (no
+lookbehind/backtracking in these patterns) once ``\s`` is widened to cover
+NBSP (RE2's ``\s`` is ASCII-only; Python's matches U+00A0); the unit tests
+compare this stage against the pure-Python oracle on every fixture,
+including an NBSP one (SURVEY.md §2.8 equivalence rule).
 """
 
 from __future__ import annotations
@@ -44,7 +45,14 @@ def _re2_named(pattern: str) -> str:
     return "".join(out)
 
 
-RE2_PATTERNS = {name: _re2_named(p) for name, p in PATTERNS.items()}
+# RE2's \s is ASCII-only while Python re's \s also matches Unicode
+# whitespace — NBSP (U+00A0) in particular, which this corpus's PDF text
+# carries (the catalog family splits on NBSP bytes). Widen \s so the
+# vectorized bank matches the Python oracle on NBSP-separated fields.
+RE2_PATTERNS = {
+    name: _re2_named(p).replace(r"\s", r"[\s\x{00A0}]")
+    for name, p in PATTERNS.items()
+}
 
 
 class InvoiceFieldExtractor:

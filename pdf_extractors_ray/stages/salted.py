@@ -87,9 +87,11 @@ def extract_invoice_salted(path: str, hot_threshold: int = 64, window: int = 32,
         g = group.sort_values("turn_idx", kind="mergesort")
         conv_id = g["conv_id"].iloc[0]
         salt = int(g["salt"].iloc[0])
+        fcols = {f: g[FIELD_PREFIX + f].to_numpy() for f in field_names}
+        tidx = g["turn_idx"].to_numpy()
         out = []
-        for pos, (_, row) in enumerate(g.iterrows()):
-            extracted = {f: row[FIELD_PREFIX + f] for f in field_names if row[FIELD_PREFIX + f] is not None}
+        for pos in range(len(g)):
+            extracted = {f: col[pos] for f, col in fcols.items() if col[pos] is not None}
             if not extracted:
                 continue
             if salt == 0 and pos == 0:
@@ -97,7 +99,7 @@ def extract_invoice_salted(path: str, hot_threshold: int = 64, window: int = 32,
                 has_inv = "Invoice" in extracted
                 out.append(
                     {
-                        "conv_id": conv_id, "salt": salt, "ord": int(row["turn_idx"]),
+                        "conv_id": conv_id, "salt": salt, "ord": int(tidx[pos]),
                         "kind": _HEADER_MARK,
                         "Invoice": extracted.get("Invoice") if has_inv else None,
                         "Invoice Date": extracted.get("Invoice Date") if has_inv else None,
@@ -108,8 +110,8 @@ def extract_invoice_salted(path: str, hot_threshold: int = 64, window: int = 32,
                 continue
             r = {k: None for k in _invoice.OUTPUT_COLUMNS}
             r.update(extracted)
-            r["Page"] = str(int(row["turn_idx"]))
-            r.update({"conv_id": conv_id, "salt": salt, "ord": int(row["turn_idx"]), "kind": "row"})
+            r["Page"] = str(int(tidx[pos]))
+            r.update({"conv_id": conv_id, "salt": salt, "ord": int(tidx[pos]), "kind": "row"})
             out.append(r)
         cols = ["conv_id", "salt", "ord", "kind", *_invoice.OUTPUT_COLUMNS]
         return pd.DataFrame(out, columns=cols) if out else pd.DataFrame({c: [] for c in cols})
@@ -121,15 +123,23 @@ def extract_invoice_salted(path: str, hot_threshold: int = 64, window: int = 32,
         g = group.sort_values(["salt", "ord"], kind="mergesort")
         conv_id = g["conv_id"].iloc[0]
         header = {"Invoice": 0, "Invoice Date": None, "Due Date": None, "Customer Number": None}
+        kinds = g["kind"].to_numpy()
+        cols = {k: g[k].to_numpy() for k in _invoice.OUTPUT_COLUMNS}
         rows = []
-        for _, row in g.iterrows():
-            if row["kind"] == _HEADER_MARK:
+        for i in range(len(g)):
+            if kinds[i] == _HEADER_MARK:
                 for k in header:
-                    header[k] = row[k]
+                    header[k] = cols[k][i] if not pd.isna(cols[k][i]) else None
                 continue
-            r = {k: (None if pd.isna(row[k]) else row[k]) for k in _invoice.OUTPUT_COLUMNS}
+            r = {k: (None if pd.isna(cols[k][i]) else cols[k][i]) for k in _invoice.OUTPUT_COLUMNS}
             for k in ("Invoice", "Invoice Date", "Due Date", "Customer Number"):
-                r[k] = header[k]
+                # fragment-level extraction wins over the header broadcast:
+                # the plain path applies row.update(extracted) AFTER seeding
+                # the header fields (oracle/invoice.py rows_from_extracted),
+                # so e.g. an order fragment containing 'Invoice 999' keeps
+                # 999. Only null fields fall back to the conversation header.
+                if r[k] is None:
+                    r[k] = header[k]
             rows.append(r)
         delivery = None  # LOCF across window boundaries (:94-100)
         for r in rows:

@@ -52,6 +52,71 @@ def test_census_engine_matches_oracle(ray_session, small_corpus_dir, small_corpu
     )
 
 
+def test_invoice_stage_matches_oracle_on_nbsp(ray_session):
+    """RE2's \\s is ASCII-only; the widened bank must match Python re on
+    NBSP-separated fields (U+00A0 — the separator this corpus's PDF text
+    actually carries)."""
+    import pyarrow as pa
+
+    from pdf_extractors_ray.oracle.invoice import PATTERNS, extract_fields
+    from pdf_extractors_ray.stages.invoice_extract import FIELD_PREFIX, InvoiceFieldExtractor
+
+    texts = [
+        "Invoice\xa03123456\nInvoice Date:\xa012.03.2021\nDue Date: 01.04.2021",
+        "Order No.: 700123\nDelivery date\xa0\xa002.03.2021\nVessel Name: MS\xa0Nord Container type: 40HC",
+        "Loading date\xa005.06.2022\nTotal amount without VAT 12\xa0345,67 NOK",
+    ]
+    stage_out = InvoiceFieldExtractor()(pa.table({"text": pa.array(texts)}))
+    for i, text in enumerate(texts):
+        want = extract_fields(text)
+        got = {
+            f: stage_out[FIELD_PREFIX + f][i].as_py()
+            for f in PATTERNS
+            if stage_out[FIELD_PREFIX + f][i].as_py() is not None
+        }
+        assert got == want, (i, got, want)
+
+
+def test_salted_stitch_fragment_header_wins(ray_session, tmp_path):
+    """A non-header fragment containing 'Invoice 999' must win over the
+    conversation-header broadcast in BOTH the plain and salted paths (the
+    reference applies row.update(extracted) after the header seed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.pipelines.extract import extract_invoice
+    from pdf_extractors_ray.stages.salted import extract_invoice_salted
+
+    turns = [
+        "Invoice 111\nInvoice Date: 01.01.2020\nDue Date: 02.01.2020\nCustomer Number: 4242",
+        "Order No.: 700001\nTour No.: 300001",
+        "Order No.: 700002\nInvoice 999 (credit ref)\nTour No.: 300002",
+        "Order No.: 700003\nTour No.: 300003",
+        "Order No.: 700004\nTour No.: 300004",
+        "Order No.: 700005\nTour No.: 300005",
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * len(turns)),
+            "turn_idx": pa.array(range(len(turns)), pa.int32()),
+            "role": pa.array(["user"] * len(turns)),
+            "text": pa.array(turns),
+            "tool": pa.array(["invoice"] * len(turns)),
+            "ts": pa.array([0] * len(turns), pa.timestamp("us")),
+        }
+    )
+    corpus = tmp_path / "mini"
+    corpus.mkdir()
+    pq.write_table(tbl, str(corpus / "part-00000.parquet"))
+
+    plain = extract_invoice(str(corpus)).to_pandas()
+    # window=2 puts the Invoice-999 fragment in a non-zero window of a
+    # "hot" conversation, so the stitch pass must preserve it
+    salted = extract_invoice_salted(str(corpus), hot_threshold=3, window=2).to_pandas()
+    assert sorted(plain["Invoice"]) == ["111", "111", "111", "111", "999"]
+    pd.testing.assert_frame_equal(canonical(plain), canonical(salted), check_dtype=False)
+
+
 def test_null_text_treated_as_empty_line(ray_session):
     """Null text payloads fold as empty lines instead of crashing."""
     import ray.data as rd
