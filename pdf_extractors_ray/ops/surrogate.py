@@ -1,0 +1,501 @@
+"""Driver-checkable surrogate oracles for the extraction kernels.
+
+The transcript-extraction families are ordered stateful folds with no SQL
+equivalent, so the driver's hard correctness signal (Ray vs DuckDB at
+sf0.01) never touches the per-turn extraction kernels. These queries close
+that gap: each renders a deterministic extraction-shaped input from the
+driver's own ``documents`` table — with the SAME construction expressed in
+pandas on the engine side and in SQL on the oracle side — then runs the
+ACTUAL production kernel (the vectorized invoice RE2 bank, the catalog
+boilerplate predicate and oil-code regex, the census key splitters and
+brokenness flag, the persons sex/age extractors) against a DuckDB
+``regexp_extract`` / ``string_split`` / ``CASE WHEN`` equivalent.
+
+The SQL is *generated from the same literal banks the kernels use*
+(``oracle/catalog._SKIP_LITERALS``, ``oracle/invoice.PATTERNS``, ...).
+Division of labor: these queries pin the kernels' EXECUTION semantics
+(pyarrow-RE2 vs DuckDB-RE2 vs Python-re behavior, the named-group / NBSP
+pattern derivation, predicate logic, splitter edge cases) — an edit to a
+shared literal bank moves both sides together and is instead pinned by the
+reference differentials (tests/test_reference_differential.py), which
+import the reference's own banks.
+
+Reference parity targets:
+- invoice bank     nordic-logistics-invoice/nordic-invoice.py:8-23
+- boilerplate      mobil-oil/mobil-oil-extractor.py:6-29
+- oil codes        mobil-oil/mobil-oil-extractor.py:99 (RE_OILCODE)
+- key splitters    roman-census/household.py:221-232
+- brokenness flag  roman-census/household.py:203-207
+- sex/age coders   roman-census/persons.py:50-128
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..oracle import catalog as _cat
+from ..oracle import census as _cen
+from ..oracle import invoice as _inv
+from ..oracle import persons as _per
+
+# ---------------------------------------------------------------------------
+# shared deterministic renderers (Python side) + their SQL twins
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    from ..runtime import tune_data_context
+
+    tune_data_context()
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_case_options(options: list[str], n_col: str = "doc_id") -> str:
+    """``CASE doc_id % N WHEN i THEN '<opt_i>' ... END`` over a literal list."""
+    n = len(options)
+    whens = " ".join(
+        f"WHEN {i} THEN {_sql_quote(opt)}" for i, opt in enumerate(options)
+    )
+    return f"(CASE {n_col} % {n} {whens} END)"
+
+
+# --- invoice regex bank -----------------------------------------------------
+
+# the widened-\s (NBSP-matching) twin of the bank, shared with the
+# vectorized stage; group 1 is the single capturing group in every pattern
+_SQL_INV_PATTERNS = {
+    name: p.replace(r"\s", r"[\s\x{00A0}]") for name, p in _inv.PATTERNS.items()
+}
+
+# driver-safe output column per bank field
+_INV_COLS = {
+    "Invoice": "inv_no",
+    "Invoice Date": "inv_date",
+    "Order No.": "order_no",
+    "Ext. order no.": "ext_order_no",
+    "Customer Number": "customer_no",
+    "Loading date": "loading_date",
+    "Delivery date": "delivery_date",
+    "Vessel Name": "vessel",
+    "Port of loading": "port_loading",
+    "Port of delivery": "port_delivery",
+    "Total amount without VAT": "total_amount",
+    "Due Date": "due_date",
+    "Tour No.": "tour_no",
+}
+
+
+def _py_date(d: int, m: int, y: int) -> str:
+    return f"{d:02d}.{m:02d}.{y}"
+
+
+def _render_invoice_py(doc_id: int, text: str) -> str:
+    sep = "\xa0" if doc_id % 4 == 0 else " "
+    d1 = _py_date(doc_id % 28 + 1, doc_id % 12 + 1, 2020 + doc_id % 6)
+    d2 = _py_date(doc_id % 27 + 1, doc_id % 11 + 1, 2021 + doc_id % 5)
+    return (
+        f"Invoice {3000000 + doc_id}\n"
+        f"Invoice Date:{sep}{d1}\n"
+        f"Due Date: {d2}\n"
+        f"Customer Number: {1000 + doc_id % 9000}\n"
+        f"Order No.: {700000 + doc_id % 100000}\n"
+        f"Ext. order no. : KO{2100000 + doc_id % 100000}-{1 + doc_id % 8}\n"
+        f"Loading date {d1}\n"
+        f"Delivery date {d2}\n"
+        f"Vessel Name: {text[:12]} Container type: 40HC\n"
+        f"Port of loading: {text[:20]}\n"
+        f"Port of delivery: {text[:20]}\n"
+        f"Total amount without VAT {10 + doc_id % 90} {doc_id % 1000:03d},{doc_id % 100:02d} NOK\n"
+        f"Tour No.: {300000 + doc_id % 100000}"
+    )
+
+
+def _sql_pad(expr: str, width: int) -> str:
+    return f"lpad(CAST({expr} AS VARCHAR), {width}, '0')"
+
+
+def _sql_date(dexpr: str, mexpr: str, yexpr: str) -> str:
+    return (
+        f"{_sql_pad(dexpr, 2)} || '.' || {_sql_pad(mexpr, 2)} || '.' || "
+        f"CAST({yexpr} AS VARCHAR)"
+    )
+
+
+def _sql_render_invoice() -> str:
+    d1 = _sql_date("doc_id % 28 + 1", "doc_id % 12 + 1", "2020 + doc_id % 6")
+    d2 = _sql_date("doc_id % 27 + 1", "doc_id % 11 + 1", "2021 + doc_id % 5")
+    nl = "chr(10)"
+    sep = "(CASE WHEN doc_id % 4 = 0 THEN chr(160) ELSE ' ' END)"
+    parts = [
+        f"'Invoice ' || CAST(3000000 + doc_id AS VARCHAR)",
+        f"'Invoice Date:' || {sep} || {d1}",
+        f"'Due Date: ' || {d2}",
+        "'Customer Number: ' || CAST(1000 + doc_id % 9000 AS VARCHAR)",
+        "'Order No.: ' || CAST(700000 + doc_id % 100000 AS VARCHAR)",
+        "'Ext. order no. : KO' || CAST(2100000 + doc_id % 100000 AS VARCHAR)"
+        " || '-' || CAST(1 + doc_id % 8 AS VARCHAR)",
+        f"'Loading date ' || {d1}",
+        f"'Delivery date ' || {d2}",
+        "'Vessel Name: ' || substr(text, 1, 12) || ' Container type: 40HC'",
+        "'Port of loading: ' || substr(text, 1, 20)",
+        "'Port of delivery: ' || substr(text, 1, 20)",
+        "'Total amount without VAT ' || CAST(10 + doc_id % 90 AS VARCHAR)"
+        f" || ' ' || {_sql_pad('doc_id % 1000', 3)} || ',' || {_sql_pad('doc_id % 100', 2)} || ' NOK'",
+        "'Tour No.: ' || CAST(300000 + doc_id % 100000 AS VARCHAR)",
+    ]
+    return f" || {nl} || ".join(f"({p})" for p in parts)
+
+
+def extract_kernel_invoice_bank(sf_dir: str):
+    """All 13 invoice bank fields via the PRODUCTION vectorized stage
+    (``stages.invoice_extract.InvoiceFieldExtractor`` — the same RE2 bank
+    the extract_invoice pipeline runs), over deterministically rendered
+    invoice text; the DuckDB oracle re-renders the identical text in SQL
+    and extracts with ``regexp_extract``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.invoice_extract import FIELD_PREFIX, InvoiceFieldExtractor
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        rendered = [
+            _render_invoice_py(int(i), t)
+            for i, t in zip(batch["doc_id"], batch["text"])
+        ]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "text": rendered})
+
+    extractor = InvoiceFieldExtractor
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": batch["doc_id"]}
+        for field, out_name in _INV_COLS.items():
+            # DuckDB regexp_extract yields '' on no-match; align nulls
+            cols[out_name] = pc.coalesce(batch[FIELD_PREFIX + field], "")
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(render, batch_format="pandas")
+        .map_batches(extractor, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(project, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def _invoice_bank_sql() -> str:
+    rendered = _sql_render_invoice()
+    fields = ",\n       ".join(
+        f"regexp_extract(rendered, {_sql_quote(pat)}, 1) AS {_INV_COLS[name]}"
+        for name, pat in _SQL_INV_PATTERNS.items()
+    )
+    return f"""
+SELECT doc_id,
+       {fields}
+FROM (SELECT doc_id, {rendered} AS rendered FROM documents)
+ORDER BY doc_id
+"""
+
+
+EXTRACT_KERNEL_INVOICE_SQL = _invoice_bank_sql()
+
+
+# --- catalog boilerplate predicate -----------------------------------------
+
+_BOILER_OPTIONS = (
+    sorted(_cat._SKIP_LITERALS)
+    + [p + " trailing explanatory words" for p in _cat._SKIP_PREFIXES]
+    + ["BMW", "2020", "L4 2.0L F.I.", "M1-103A", "ACURA\xa0(cont'd)", "Charger"]
+)
+
+
+def extract_kernel_boilerplate(sf_dir: str):
+    """The catalog skip predicate (``oracle.catalog.is_boilerplate_line`` —
+    literals + startswith prefixes, NBSP literals byte-for-byte) vs a
+    generated IN + LIKE oracle over the same literal banks."""
+    ds = _docs(sf_dir, columns=["doc_id"])
+    options = list(_BOILER_OPTIONS)
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        lines = [options[int(i) % len(options)] for i in batch["doc_id"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "line": lines,
+                "is_boiler": np.array(
+                    [int(_cat.is_boilerplate_line(ln)) for ln in lines], dtype=np.int64
+                ),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pandas").sort("doc_id")
+
+
+def _boilerplate_sql() -> str:
+    line = _sql_case_options(_BOILER_OPTIONS)
+    literals = ", ".join(_sql_quote(s) for s in sorted(_cat._SKIP_LITERALS))
+    # LIKE needs %/_ escaping; none of the prefixes contain them
+    prefixes = " OR ".join(
+        f"line LIKE {_sql_quote(p + '%')}" for p in _cat._SKIP_PREFIXES
+    )
+    return f"""
+SELECT doc_id, line,
+       CAST(CASE WHEN line IN ({literals}) OR {prefixes} THEN 1 ELSE 0 END AS BIGINT) AS is_boiler
+FROM (SELECT doc_id, {line} AS line FROM documents)
+ORDER BY doc_id
+"""
+
+
+EXTRACT_KERNEL_BOILERPLATE_SQL = _boilerplate_sql()
+
+
+# --- catalog oil-code regex -------------------------------------------------
+
+
+def _render_oilline_py(doc_id: int) -> str:
+    styles = [
+        "M1-{a}A",
+        "F{b} extra words",
+        "Pri. F{b} Sec. L/F",
+        "w/ Oil Cooler M1C-{a}B",
+        "M1-{a}A F{b} junk tail",
+        "no codes in this line",
+        "M1C-{a}B",
+    ]
+    s = styles[doc_id % len(styles)]
+    return s.format(a=100 + doc_id % 900, b=10000 + doc_id % 90000)
+
+
+def extract_kernel_oilcodes(sf_dir: str):
+    """``RE_OILCODE.findall`` (the catalog machine's oil-code bank) vs
+    DuckDB ``regexp_extract_all`` with the identical RE2 pattern."""
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        lines = [_render_oilline_py(int(i)) for i in batch["doc_id"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "line": lines,
+                "codes": ["|".join(_cat.RE_OILCODE.findall(ln)) for ln in lines],
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pandas").sort("doc_id")
+
+
+def _oilcodes_sql() -> str:
+    opts = [_render_oilline_py(i) for i in range(7)]
+    # regenerate the doc_id-dependent numbers in SQL instead of literals:
+    # simpler and exact — CASE selects the same template per doc_id % 7
+    a = "CAST(100 + doc_id % 900 AS VARCHAR)"
+    b = "CAST(10000 + doc_id % 90000 AS VARCHAR)"
+    templates = [
+        f"'M1-' || {a} || 'A'",
+        f"'F' || {b} || ' extra words'",
+        f"'Pri. F' || {b} || ' Sec. L/F'",
+        f"'w/ Oil Cooler M1C-' || {a} || 'B'",
+        f"'M1-' || {a} || 'A F' || {b} || ' junk tail'",
+        "'no codes in this line'",
+        f"'M1C-' || {a} || 'B'",
+    ]
+    whens = " ".join(f"WHEN {i} THEN ({t})" for i, t in enumerate(templates))
+    line = f"(CASE doc_id % {len(templates)} {whens} END)"
+    pat = _sql_quote(_cat.RE_OILCODE.pattern)
+    del opts
+    return f"""
+SELECT doc_id, line,
+       COALESCE(array_to_string(regexp_extract_all(line, {pat}), '|'), '') AS codes
+FROM (SELECT doc_id, {line} AS line FROM documents)
+ORDER BY doc_id
+"""
+
+
+EXTRACT_KERNEL_OILCODES_SQL = _oilcodes_sql()
+
+
+# --- census key splitters + brokenness flag ---------------------------------
+
+_LOC_OPTS = ["Ar", "Ox", "He", "Me"]
+
+
+def _render_hn_py(doc_id: int) -> str:
+    y, loc, n = 103 + doc_id % 150, _LOC_OPTS[doc_id % 4], 1 + doc_id % 29
+    style = doc_id % 3
+    if style == 0:
+        return f"{y}-{loc}-{n}"
+    if style == 1:
+        return f"{y}-{loc}"  # 2-part → padded with ''
+    return f" {y} {loc} {n} "  # space-separated + outer whitespace
+
+
+def extract_kernel_household_key(sf_dir: str):
+    """``oracle.census.split_household_number`` (strip → space→dash →
+    split('-') → pad to 3) vs DuckDB string_split."""
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        hns = [_render_hn_py(int(i)) for i in batch["doc_id"]]
+        parts = [_cen.split_household_number(hn) for hn in hns]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "hn": hns,
+                "hn_year": [p[0] for p in parts],
+                "hn_location": [p[1] for p in parts],
+                "hn_order": [p[2] for p in parts],
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pandas").sort("doc_id")
+
+
+def _household_key_sql() -> str:
+    y = "CAST(103 + doc_id % 150 AS VARCHAR)"
+    loc = _sql_case_options(_LOC_OPTS)
+    n = "CAST(1 + doc_id % 29 AS VARCHAR)"
+    hn = (
+        f"(CASE doc_id % 3 "
+        f"WHEN 0 THEN {y} || '-' || {loc} || '-' || {n} "
+        f"WHEN 1 THEN {y} || '-' || {loc} "
+        f"ELSE ' ' || {y} || ' ' || {loc} || ' ' || {n} || ' ' END)"
+    )
+    parts = "string_split(replace(trim(hn), ' ', '-'), '-')"
+    return f"""
+SELECT doc_id, hn,
+       list_extract({parts}, 1) AS hn_year,
+       list_extract({parts}, 2) AS hn_location,
+       COALESCE(list_extract({parts}, 3), '') AS hn_order
+FROM (SELECT doc_id, {hn} AS hn FROM documents)
+ORDER BY doc_id
+"""
+
+
+EXTRACT_KERNEL_HOUSEHOLD_KEY_SQL = _household_key_sql()
+
+
+_DISCUSSION_OPTS = [
+    "Broken at the top. Cf. above, p. 4.",
+    "Complete. See BL 8.275.",
+    "Edges slightly broken; text otherwise legible.",
+    "Intact record, no damage noted.",
+    "See discussion above.",
+]
+
+
+def extract_kernel_broken_flag(sf_dir: str):
+    """``oracle.census.broken_flag`` ('Broken'/'broken' substring → Yes/No)
+    vs a CASE WHEN LIKE oracle."""
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        discs = [_DISCUSSION_OPTS[int(i) % len(_DISCUSSION_OPTS)] for i in batch["doc_id"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "discussion": discs,
+                "broken": [_cen.broken_flag(d) for d in discs],
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pandas").sort("doc_id")
+
+
+def _broken_flag_sql() -> str:
+    disc = _sql_case_options(_DISCUSSION_OPTS)
+    return f"""
+SELECT doc_id, discussion,
+       CASE WHEN discussion LIKE '%Broken%' OR discussion LIKE '%broken%'
+            THEN 'Yes' ELSE 'No' END AS broken
+FROM (SELECT doc_id, {disc} AS discussion FROM documents)
+ORDER BY doc_id
+"""
+
+
+EXTRACT_KERNEL_BROKEN_FLAG_SQL = _broken_flag_sql()
+
+
+# --- persons member-line coders ---------------------------------------------
+
+_RELTOK_OPTS = ["s.", "d.", "?s.", "?d.", "s./d."]
+# get_sex outcomes for each reltok under mtype='F' (persons.py:50-101)
+_SEX_FOR_RELTOK = {
+    "s.": "male",
+    "d.": "female",
+    "?s.": "possible male",
+    "?d.": "possible female",
+    "s./d.": "male or female",
+}
+
+
+def _render_member_py(doc_id: int) -> str:
+    tok = _RELTOK_OPTS[doc_id % len(_RELTOK_OPTS)]
+    if doc_id % 7 == 0:
+        age_part = ", age lost"
+    elif doc_id % 7 == 1:
+        age_part = ", age not given"
+    else:
+        age_part = f", {18 + doc_id % 60}"
+    return f"({1 + doc_id % 9}) Alpha{doc_id} {tok} Beta and Gamma{age_part}"
+
+
+def extract_kernel_member_coders(sf_dir: str):
+    """The persons member-line coders — ``strip_member_number`` (M7),
+    ``get_sex`` (M8) and ``get_age`` (M9) — vs regexp_replace /
+    CASE / regexp_extract oracles on identically rendered member lines."""
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        lines = [_render_member_py(int(i)) for i in batch["doc_id"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "member_line": lines,
+                "stripped": [_per.strip_member_number(ln) for ln in lines],
+                "sex": [_per.get_sex(ln, "F") for ln in lines],
+                "age": [_per.get_age(ln) for ln in lines],
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pandas").sort("doc_id")
+
+
+def _member_coders_sql() -> str:
+    tok = _sql_case_options(_RELTOK_OPTS)
+    sex = _sql_case_options([_SEX_FOR_RELTOK[t] for t in _RELTOK_OPTS])
+    age_part = (
+        "(CASE doc_id % 7 WHEN 0 THEN ', age lost' WHEN 1 THEN ', age not given' "
+        "ELSE ', ' || CAST(18 + doc_id % 60 AS VARCHAR) END)"
+    )
+    line = (
+        f"('(' || CAST(1 + doc_id % 9 AS VARCHAR) || ') Alpha' || CAST(doc_id AS VARCHAR)"
+        f" || ' ' || {tok} || ' Beta and Gamma' || {age_part})"
+    )
+    # get_age: literal branches first, then the (?<=;\s|,\s) regex — RE2 has
+    # no lookbehind, so the SQL twin includes the separator in the match and
+    # captures group 1 (equivalent for these single-match lines)
+    age = (
+        "CASE WHEN member_line LIKE '%age lost%' THEN 'age lost' "
+        "WHEN member_line LIKE '%age not given%' THEN 'age not given' "
+        r"ELSE regexp_extract(member_line, '[;,] ([\[\.\]]*[0-9].*)', 1) END"
+    )
+    return f"""
+SELECT doc_id, member_line,
+       regexp_replace(member_line, '^\\s*\\(\\d+\\)\\s*', '') AS stripped,
+       {sex} AS sex,
+       {age} AS age
+FROM (SELECT doc_id, {line} AS member_line FROM documents)
+ORDER BY doc_id
+"""
+
+
+EXTRACT_KERNEL_MEMBER_CODERS_SQL = _member_coders_sql()

@@ -10,7 +10,7 @@ gate (tests/test_engine_vs_oracle.py).
 
 from __future__ import annotations
 
-from ..ops import dedup, events, relational, similarity
+from ..ops import dedup, events, relational, similarity, surrogate
 from ..ops import multimodal as mm
 from ..ops import text as tx
 from ..sources.transcripts import transcripts_path_for_sf
@@ -91,6 +91,14 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (mm.media_features, None),
     "media_thumbnails": (mm.media_thumbnails, None),
     "media_frames": (mm.media_frames, None),
+    # extraction-kernel surrogates (SQL-checked): the per-turn extraction
+    # kernels pinned to DuckDB over rendered inputs (ops/surrogate.py)
+    "extract_kernel_invoice_bank": (surrogate.extract_kernel_invoice_bank, surrogate.EXTRACT_KERNEL_INVOICE_SQL),
+    "extract_kernel_boilerplate": (surrogate.extract_kernel_boilerplate, surrogate.EXTRACT_KERNEL_BOILERPLATE_SQL),
+    "extract_kernel_oilcodes": (surrogate.extract_kernel_oilcodes, surrogate.EXTRACT_KERNEL_OILCODES_SQL),
+    "extract_kernel_household_key": (surrogate.extract_kernel_household_key, surrogate.EXTRACT_KERNEL_HOUSEHOLD_KEY_SQL),
+    "extract_kernel_broken_flag": (surrogate.extract_kernel_broken_flag, surrogate.EXTRACT_KERNEL_BROKEN_FLAG_SQL),
+    "extract_kernel_member_coders": (surrogate.extract_kernel_member_coders, surrogate.EXTRACT_KERNEL_MEMBER_CODERS_SQL),
     # transcript extraction families (rows-only; oracle = pytest gate)
     "extract_catalog": (_transcript_query("catalog"), None),
     "extract_layout_broadcast": (_transcript_query("layout_broadcast"), None),
