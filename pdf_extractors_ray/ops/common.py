@@ -63,3 +63,70 @@ def broadcast(obj):
     import ray
 
     return ray.put(obj)
+
+
+def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
+                 left_cols: list[str], right_cols: list[str]):
+    """Sparse-safe inner join via union + groupby cogroup.
+
+    ``Dataset.join`` (Ray 2.49 hash-shuffle) crashes with ArrowInvalid when
+    a hash partition receives zero rows on either side — the empty
+    partition builder loses its schema — which makes it unusable for
+    sparse sides (e.g. a handful of candidate pairs joined to a keyed
+    table). This helper expresses the join as: tag each side, align
+    schemas (missing columns as Arrow nulls, which concat-promote against
+    any type), union, ``groupby`` the key, and pandas-merge inside each
+    group. Empty groups and empty partitions are handled by the sort-based
+    groupby machinery. Right side may carry multiple rows per key
+    (one-to-many expands, as an inner join should).
+
+    Numeric columns come back as float64 when nulls were interleaved —
+    callers cast their known-int columns back to int64.
+    """
+    import pyarrow as pa
+
+    def tag(side: int, key: str, own: list[str], other: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {"__key": batch[key], "__side": pa.array(np.full(n, side, dtype=np.int64))}
+            for c in own:
+                cols[f"__{'l' if side == 0 else 'r'}_{c}"] = batch[c]
+            for c in other:
+                cols[f"__{'r' if side == 0 else 'l'}_{c}"] = pa.nulls(n)
+            return pa.table(cols)
+
+        return fn
+
+    lt = left_ds.map_batches(tag(0, left_on, left_cols, right_cols), batch_format="pyarrow")
+    rt = right_ds.map_batches(tag(1, right_on, right_cols, left_cols), batch_format="pyarrow")
+    unioned = lt.union(rt)
+
+    lsel = [f"__l_{c}" for c in left_cols]
+    rsel = [f"__r_{c}" for c in right_cols]
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        lf = group[group["__side"] == 0]
+        rf = group[group["__side"] == 1]
+        if lf.empty or rf.empty:
+            return pd.DataFrame({c: [] for c in left_cols + right_cols})
+        out = lf[["__key", *lsel]].merge(rf[["__key", *rsel]], on="__key")
+        out = out.drop(columns=["__key"])
+        return out.rename(columns=dict(zip(lsel + rsel, left_cols + right_cols)))
+
+    return unioned.groupby("__key").map_groups(merge, batch_format="pandas")
+
+
+def join_partitions(requested: int | None = None, per_cpu: float = 0.5, cap: int = 64) -> int:
+    """Shuffle partition count for ``Dataset.join`` derived from cluster
+    width. The hash-shuffle join reserves aggregator resources per
+    partition; asking for more partitions than the cluster can host
+    DEADLOCKS a multi-join DAG on small CPU counts (observed at
+    num_partitions=8 on a 4-CPU session), so the default scales with
+    ``cluster_resources`` instead of being a constant.
+    """
+    if requested is not None:
+        return requested
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(cap, int(cpus * per_cpu)))

@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow.compute as pc
 
-from .common import broadcast, cast_us, cents, grouped_sums
+from .common import broadcast, cast_us, cents, grouped_sums, join_partitions
 
 
 def _pq(sf_dir: str, name: str) -> str:
@@ -76,33 +76,39 @@ ORDER BY l_returnflag, l_linestatus
 def q3_segment_topk(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     """Top-k orders by revenue for one market segment.
 
-    Join strategy: customer keys for the segment and the qualifying orders
-    are SMALL sides → broadcast (``ray.put`` once, read per actor), so the
-    only shuffle is the final grouped sum over partials
-    (ray_guide "Joins and lookups": semi-join via broadcast key set)."""
+    Join strategy: only the segment's *customer key set* is broadcast
+    (small by selectivity); orders are filtered DISTRIBUTED against it, and
+    the orders↔lineitem side goes through ``Dataset.join`` — no driver-side
+    materialization of orders or lineitem (ray_guide "Joins and lookups")."""
     import ray
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
                  filter=(pc.field("c_mktsegment") == segment))
-    cust_keys = set(cust.to_pandas()["c_custkey"])
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    o_small = orders.to_pandas()
-    o_small = o_small[o_small["o_custkey"].isin(cust_keys)][["o_orderkey", "o_orderdate"]]
-    orders_ref = broadcast(o_small.set_index("o_orderkey")["o_orderdate"])
+    cust_keys_ref = broadcast(set(cust.to_pandas()["c_custkey"]))
 
-    class JoinRevenue:
+    class FilterOrders:
         def __init__(self):
-            self.orders = ray.get(orders_ref)
+            self.keys = ray.get(cust_keys_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            mask = batch["l_orderkey"].isin(self.orders.index)
-            b = batch[mask]
-            rev = cents(b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()))
-            return pd.DataFrame({"o_orderkey": b["l_orderkey"].to_numpy(), "revenue_cents": rev})
+            return batch[batch["o_custkey"].isin(self.keys)][["o_orderkey"]]
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    o_keys = orders.map_batches(FilterOrders, batch_format="pandas", concurrency=(1, 4))
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    rev = li.map_batches(JoinRevenue, batch_format="pandas", concurrency=(1, 4))
-    agg = grouped_sums(rev, ["o_orderkey"], ["revenue_cents"])
+
+    def li_rev(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = cents(batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy()))
+        return pd.DataFrame({"l_orderkey": batch["l_orderkey"], "revenue_cents": rev})
+
+    rev = li.map_batches(li_rev, batch_format="pandas")
+    joined = rev.join(o_keys, join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=join_partitions())
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderkey": batch["l_orderkey"], "revenue_cents": batch["revenue_cents"]})
+
+    agg = grouped_sums(joined.map_batches(project, batch_format="pandas"), ["o_orderkey"], ["revenue_cents"])
     return agg.sort(["revenue_cents", "o_orderkey"], descending=[True, True]).limit(k)
 
 
@@ -127,25 +133,31 @@ def q5_nation_revenue(sf_dir: str, region: str = "ASIA"):
     large-large join path the broadcast pattern can't cover at scale."""
     import ray
 
+    # region→nation is a true dimension chain (≤25 rows) → driver-side +
+    # broadcast; customer is NOT broadcast-small at scale, so it is tagged
+    # distributed and joined to orders via Dataset.join.
     nation = _read(sf_dir, "nation").to_pandas()
     reg = _read(sf_dir, "region").to_pandas()
     reg_key = reg[reg["r_name"] == region]["r_regionkey"].iloc[0]
     nation = nation[nation["n_regionkey"] == reg_key]
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust.merge(nation[["n_nationkey", "n_name"]], left_on="c_nationkey", right_on="n_nationkey")
-    cust_map_ref = broadcast(cust.set_index("c_custkey")["n_name"])
+    nation_map_ref = broadcast(nation.set_index("n_nationkey")["n_name"])
 
-    class TagOrders:
+    class TagCustomers:
         def __init__(self):
-            self.cust_map = ray.get(cust_map_ref)
+            self.nation_map = ray.get(nation_map_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            names = batch["o_custkey"].map(self.cust_map)
-            out = pd.DataFrame({"o_orderkey": batch["o_orderkey"], "n_name": names})
+            names = batch["c_nationkey"].map(self.nation_map)
+            out = pd.DataFrame({"c_custkey": batch["c_custkey"], "n_name": names})
             return out[out["n_name"].notna()]
 
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_tagged = cust.map_batches(TagCustomers, batch_format="pandas", concurrency=(1, 4))
+
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    tagged = orders.map_batches(TagOrders, batch_format="pandas", concurrency=(1, 4))
+    tagged = orders.join(
+        cust_tagged, join_type="inner", on=("o_custkey",), right_on=("c_custkey",), num_partitions=join_partitions()
+    ).select_columns(["o_orderkey", "n_name"])
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -158,7 +170,7 @@ def q5_nation_revenue(sf_dir: str, region: str = "ASIA"):
         )
 
     li = li.map_batches(li_rev, batch_format="pandas")
-    joined = li.join(tagged, join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=16)
+    joined = li.join(tagged, join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=join_partitions())
     out = grouped_sums(joined, ["n_name"], ["revenue_cents"])
     return out.sort("n_name")
 

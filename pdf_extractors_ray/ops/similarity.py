@@ -17,8 +17,27 @@ import os
 import numpy as np
 import pandas as pd
 
-_N_BITS = 4  # 16 buckets: sized for the ~500-vector test corpora; scale with corpus
-_HYPERPLANES = np.random.RandomState(7).normal(size=(_N_BITS, 64)).astype(np.float64)
+_N_BITS = 4  # floor; ann_lsh derives the actual width from corpus size
+_TARGET_BUCKET = 128  # aim for ~this many vectors per LSH bucket
+
+
+def _hyperplanes(n_bits: int) -> np.ndarray:
+    """Deterministic random hyperplanes for an n_bits-wide signature."""
+    return np.random.RandomState(7).normal(size=(n_bits, 64)).astype(np.float64)
+
+
+def _derive_n_bits(n_vectors: int) -> int:
+    """Bucket-count scaling: 2^bits ≈ n / _TARGET_BUCKET (min _N_BITS).
+    A fixed bit width is a test-scale constant that stops bucketing at
+    corpus scale; this keeps expected bucket size roughly constant."""
+    import math
+
+    if n_vectors <= _TARGET_BUCKET:
+        return _N_BITS
+    return max(_N_BITS, math.ceil(math.log2(n_vectors / _TARGET_BUCKET)))
+
+
+_HYPERPLANES = _hyperplanes(_N_BITS)
 
 
 def _emb(sf_dir: str, columns=None):
@@ -102,39 +121,67 @@ ORDER BY query_id, rank
 
 
 def emb_dup_pairs(sf_dir: str, threshold_ppm: int = 400_000):
-    """Embedding-cosine near-duplicate pairs (similarity join, a < b).
+    """Embedding-cosine near-duplicate pairs (exact similarity join, a < b).
 
-    Baseline exact variant: each batch of candidates is scored against the
-    broadcast full matrix (one matmul per batch); only pairs ≥ threshold
-    survive, so output stays tiny even though scoring is all-pairs. The
-    bucketed scale path for huge corpora is ``ann_lsh`` / MinHash-LSH.
+    Block-pair decomposition — the scalable shape for an exact all-pairs
+    join: the corpus is normalized into B blocks held as object-store refs
+    (``to_arrow_refs`` — blocks never pass through the driver), and one Ray
+    task per block pair (i ≤ j) does a single matmul and emits only the
+    thresholded pairs. O(N²) work spreads over B(B+1)/2 independent tasks,
+    each holding two blocks; no full-matrix broadcast, no driver
+    materialization of the corpus. Only the (tiny) surviving pairs are
+    gathered. The sub-quadratic approximate path is ``ann_lsh``/MinHash.
     """
     import ray
+    import ray.data as rd
 
     ds = _emb(sf_dir, columns=["vec_id", "embedding"])
-    all_df = ds.to_pandas()
-    m = _matrix(all_df)
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    ref = ray.put((all_df["vec_id"].to_numpy(), mn))
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        ids_all, mn_all = ray.get(ref)
-        c = _matrix(batch)
-        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
-        sims = cn @ mn_all.T
-        sim_ppm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
-        bids = batch["vec_id"].to_numpy()
-        out = []
-        for i, a in enumerate(bids):
-            hits = np.flatnonzero(sim_ppm[i] >= threshold_ppm)
-            for j in hits:
-                b = ids_all[j]
-                if a < b:  # canonical pair orientation, self excluded
-                    out.append((int(a), int(b), int(sim_ppm[i, j])))
-        arr = np.array(out, dtype=np.int64).reshape(-1, 3)
-        return pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1], "sim_ppm": arr[:, 2]})
+    def normalize(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _matrix(batch)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.DataFrame({"vec_id": batch["vec_id"], "embedding": list(mn)})
 
-    return ds.map_batches(score, batch_format="pandas").sort(["a", "b"])
+    # bounded block count: B(B+1)/2 tasks must stay schedulable (B=32 →
+    # 528 tasks); block size grows with N instead, which is inherent to an
+    # exact quadratic join
+    blocks = ds.map_batches(normalize, batch_format="pandas").repartition(32).to_arrow_refs()
+
+    @ray.remote
+    def score_block_pair(left, right, diagonal: bool):
+        import pyarrow as pa
+
+        li = np.asarray(left["vec_id"], dtype=np.int64)
+        ri = np.asarray(right["vec_id"], dtype=np.int64)
+        lm = np.stack([np.asarray(v, dtype=np.float64) for v in left["embedding"].to_pylist()])
+        rm = np.stack([np.asarray(v, dtype=np.float64) for v in right["embedding"].to_pylist()])
+        sim_ppm = np.floor(lm @ rm.T * 1e6 + 0.5).astype(np.int64)
+        ii, jj = np.nonzero(sim_ppm >= threshold_ppm)
+        a, b, v = li[ii], ri[jj], sim_ppm[ii, jj]
+        keep = a < b  # canonical orientation; drops self and mirrors
+        if not diagonal:
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            a, b = lo, hi
+            keep = lo < hi
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "sim_ppm": pa.array(v[keep], pa.int64()),
+            }
+        )
+
+    tasks = []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            tasks.append(score_block_pair.remote(blocks[i], blocks[j], i == j))
+    results = [t for t in ray.get(tasks) if t.num_rows]
+    if not results:
+        import pyarrow as pa
+
+        results = [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "sim_ppm": pa.array([], pa.int64())})]
+    return rd.from_arrow(results).sort(["a", "b"])
 
 
 EMB_DUP_PAIRS_SQL = """
@@ -146,31 +193,43 @@ ORDER BY a, b
 """
 
 
-def lsh_signature(m: np.ndarray) -> np.ndarray:
+def lsh_signature(m: np.ndarray, planes: np.ndarray | None = None) -> np.ndarray:
     """random-hyperplane signature per row (one bit per hyperplane)."""
-    bits = (m @ _HYPERPLANES.T) > 0
-    return (bits * (1 << np.arange(_N_BITS))).sum(axis=1).astype(np.int64)
+    if planes is None:
+        planes = _HYPERPLANES
+    bits = (m @ planes.T) > 0
+    return (bits * (1 << np.arange(len(planes)))).sum(axis=1).astype(np.int64)
 
 
-def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10):
+def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int | None = None):
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     The bucket groupby replaces the full scan — each group holds its bucket's
-    candidates plus any co-bucketed queries; recall is approximate.
+    candidates plus any co-bucketed queries; recall is approximate. Signature
+    width scales with corpus size (``_derive_n_bits``) so buckets stay
+    ~``_TARGET_BUCKET`` vectors at any scale.
     """
     import ray
 
     ds = _emb(sf_dir, columns=["vec_id", "embedding"])
+    if n_bits is None:
+        n_bits = _derive_n_bits(ds.count())
+    planes = _hyperplanes(n_bits)
     qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
     q = _matrix(qdf)
-    qsig = lsh_signature(q)
+    qsig = lsh_signature(q, planes)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     queries_ref = ray.put((qdf["vec_id"].to_numpy(), qn, qsig))
+    planes_ref = ray.put(planes)
 
     def sign(batch: pd.DataFrame) -> pd.DataFrame:
         m = _matrix(batch)
         return pd.DataFrame(
-            {"vec_id": batch["vec_id"], "bucket": lsh_signature(m), "embedding": list(batch["embedding"])}
+            {
+                "vec_id": batch["vec_id"],
+                "bucket": lsh_signature(m, ray.get(planes_ref)),
+                "embedding": list(batch["embedding"]),
+            }
         )
 
     signed = ds.map_batches(sign, batch_format="pandas")
@@ -225,7 +284,16 @@ def ivf_knn(sf_dir: str, k: int = 5, n_queries: int = 10, n_lists: int = 8, npro
     import ray
 
     ds = _emb(sf_dir, columns=["vec_id", "embedding"])
-    sample = _matrix(ds.to_pandas())  # sample == full corpus at test scale
+    # deterministic bounded sample for the quantizer fit: every step-th
+    # vec_id, ≤ ~n_fit rows collected — never the whole corpus
+    n_fit = 4096
+    n = ds.count()
+    step = max(1, n // n_fit)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["vec_id"] % step == 0]
+
+    sample = _matrix(ds.map_batches(pick, batch_format="pandas").to_pandas())
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     centroids = _kmeans(sample, n_lists)
 

@@ -73,43 +73,75 @@ def extract_grid(path: str):
     )
 
 
-def extract_layout_broadcast(path: str):
-    """Shuffle-FREE layout path: driver prepass + broadcast header map.
+def extract_layout_broadcast(path: str, max_broadcast_headers: int = 1_000_000):
+    """Shuffle-light layout path: distributed header prepass + broadcast map.
 
     The reference discovers header coordinates once on page 0 and stores
     them in a module global (``us-ffiec-demographic-Info/ffiec-census.py:6,
-    61-77``, ST4). The scalable equivalent: a tiny pruned prepass reads only
-    each conversation's turn 0 (header carrier), the conv→boundary map is
-    put in the object store ONCE, and binning becomes a stateless
-    ``map_batches`` over all turns — header state never re-ships per batch
-    and the ``groupby(conv_id)`` shuffle disappears entirely (binning is
-    per-turn independent once headers are known).
+    61-77``, ST4). The scalable equivalent: a vectorized prepass finds each
+    conversation's FIRST header-carrying turn (any turn index — matching
+    ``extract_layout_conv``'s fold semantics, not a turn-0 assumption), the
+    conv→(header_turn, boundaries) map is put in the object store ONCE, and
+    binning becomes a stateless ``map_batches`` over all turns.
 
-    Produces exactly the same rows as ``extract_layout`` (tested).
+    Scale contract: unlike the reference's ONE global header, this map is
+    O(n_convs). The collection is bounded by ``limit(max_broadcast_headers
+    + 1)`` and raises past the guard — beyond that the grouped
+    ``extract_layout`` fold is the scale path (only the header subset
+    shuffles here, so the guard binds the *broadcast*, not the prepass).
+
+    Produces exactly the same rows as ``extract_layout`` (tested, including
+    a late-header conversation).
     """
     import json
 
+    import pandas as pd
     import ray
-    import ray.data as rd
 
     from ..oracle import layout as _layout_oracle
-    from ..runtime import tune_data_context
 
-    tune_data_context()
-    prepass = rd.read_parquet(
-        path,
-        columns=["conv_id", "text", "tool", "turn_idx"],
-        filter=((pc.field("tool") == "layout") & (pc.field("turn_idx") == 0)),
-    )
-    headers: dict[str, list] = {}
-    for batch in prepass.iter_batches(batch_size=4096, batch_format="pandas"):
-        for conv_id, text in zip(batch["conv_id"], batch["text"]):
+    ds = family_dataset(path, "layout")
+
+    def header_candidates(batch: pa.Table) -> pa.Table:
+        # cheap vectorized prefilter; JSON-verified below
+        mask = pc.match_substring(batch["text"], '"header"')
+        return batch.filter(mask).select(["conv_id", "turn_idx", "text"])
+
+    def first_header(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("turn_idx", kind="mergesort")
+        for _, row in g.iterrows():
             try:
-                payload = json.loads(text)
+                payload = json.loads(row["text"])
             except json.JSONDecodeError:
                 continue
             if "header" in payload:
-                headers[conv_id] = _layout_oracle.parse_header(payload)
+                return pd.DataFrame(
+                    {
+                        "conv_id": [row["conv_id"]],
+                        "header_turn": [int(row["turn_idx"])],
+                        "header_text": [row["text"]],
+                    }
+                )
+        return pd.DataFrame({"conv_id": [], "header_turn": [], "header_text": []})
+
+    header_ds = (
+        ds.map_batches(header_candidates, batch_format="pyarrow")
+        .groupby("conv_id")
+        .map_groups(first_header, batch_format="pandas")
+    )
+    hdr_df = header_ds.limit(max_broadcast_headers + 1).to_pandas()
+    if len(hdr_df) > max_broadcast_headers:
+        raise ValueError(
+            f"extract_layout_broadcast: >{max_broadcast_headers} conversation "
+            "headers — the broadcast map no longer fits; use extract_layout "
+            "(grouped fold) at this scale"
+        )
+    headers = {
+        conv_id: (int(tidx), _layout_oracle.parse_header(json.loads(text)))
+        for conv_id, tidx, text in zip(
+            hdr_df["conv_id"], hdr_df["header_turn"], hdr_df["header_text"]
+        )
+    }
     headers_ref = ray.put(headers)
 
     def bin_boxes(batch: pa.Table) -> pa.Table:
@@ -122,8 +154,12 @@ def extract_layout_broadcast(path: str):
                 batch["turn_idx"].to_pylist(),
                 batch["text"].to_pylist(),
             ):
-                header = headers.get(conv_id)
-                if not header:
+                entry = headers.get(conv_id)
+                if not entry:
+                    continue
+                header_turn, header = entry
+                if int(tidx) < header_turn:
+                    # the fold skips turns before header discovery
                     continue
                 # inline single-turn binning (no fold state needed)
                 try:
@@ -143,7 +179,6 @@ def extract_layout_broadcast(path: str):
                     rows.append(row)
             return rows_to_table(rows, schemas.LAYOUT_SCHEMA)
 
-    ds = family_dataset(path, "layout")
     return ds.map_batches(bin_boxes, batch_format="pyarrow")
 
 

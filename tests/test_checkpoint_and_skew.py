@@ -71,6 +71,54 @@ def test_layout_broadcast_equals_fold(ray_session, small_corpus_dir):
     pd.testing.assert_frame_equal(canonical(fold), canonical(bcast), check_dtype=False)
 
 
+def test_layout_broadcast_late_header(ray_session, tmp_path):
+    """A conversation whose header arrives after turn 0 must yield the same
+    rows from the broadcast path as from the fold (header discovered on the
+    FIRST carrying turn, turns before it skipped)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    header = [{"col": c, "x": 20.0 + 50.0 * i} for i, c in enumerate(["State Code", "County Code", "Tract Code"])]
+
+    def boxes_payload(vals, with_header=False):
+        boxes = [
+            {"text": v, "x0": 21.0 + 50.0 * i, "y0": 100.0, "x1": 30.0, "y1": 108.0,
+             "font": "Arial", "size": 8.0}
+            for i, v in enumerate(vals)
+        ]
+        payload = {"boxes": boxes}
+        if with_header:
+            payload["header"] = header
+        return json.dumps(payload, sort_keys=True)
+
+    turns = [
+        boxes_payload(["0", "0", "0"]),                 # before header → dropped
+        boxes_payload(["1", "1", "1"]),                 # before header → dropped
+        boxes_payload(["2", "22", "222"], with_header=True),
+        boxes_payload(["3", "33", "333"]),
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * len(turns)),
+            "turn_idx": pa.array(range(len(turns)), pa.int32()),
+            "role": pa.array(["user"] * len(turns)),
+            "text": pa.array(turns),
+            "tool": pa.array(["layout"] * len(turns)),
+            "ts": pa.array([0] * len(turns), pa.timestamp("us")),
+        }
+    )
+    corpus = tmp_path / "late_header"
+    corpus.mkdir()
+    pq.write_table(tbl, str(corpus / "part-00000.parquet"))
+
+    fold = extract.extract_layout(str(corpus)).to_pandas()
+    bcast = extract.extract_layout_broadcast(str(corpus)).to_pandas()
+    assert sorted(fold["ref_turn"]) == [2, 3]
+    pd.testing.assert_frame_equal(canonical(fold), canonical(bcast), check_dtype=False)
+
+
 def test_salted_invoice_equals_plain(ray_session, small_corpus_dir):
     plain = extract.extract_invoice(small_corpus_dir).to_pandas()
     salted = extract_invoice_salted(small_corpus_dir, hot_threshold=64, window=16).to_pandas()

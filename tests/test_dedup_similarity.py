@@ -48,6 +48,33 @@ def test_minhash_lsh_finds_planted_dup(ray_session, tmp_path, monkeypatch):
     assert ((pairs["a"] == 30) & (pairs["b"] == 31)).any()
 
 
+def test_minhash_lsh_viral_dup_cluster(ray_session, tmp_path):
+    """Web-crawl skew case: a large cluster of byte-identical docs must
+    collapse to ONE LSH participant (no quadratic band bucket), with the
+    full pair set reconstructed by expansion: all within-cluster pairs at
+    jaccard 1.0 plus cross pairs to a near-duplicate doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_dup = 1000
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    rng = np.random.RandomState(1)
+    vocab = [f"z{i}" for i in range(500)]
+    texts = [base] * n_dup + [near] + [" ".join(rng.choice(vocab, 40)) for _ in range(5)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    pairs = dedup.minhash_lsh_pairs(str(tmp_path), jaccard_threshold=0.5).to_pandas()
+    within = pairs[pairs["jaccard_ppm"] == 1_000_000]
+    assert len(within) == n_dup * (n_dup - 1) // 2
+    cross = pairs[pairs["b"] == n_dup]  # near-dup doc paired with every cluster member
+    assert len(cross) == n_dup
+    assert (cross["jaccard_ppm"] < 1_000_000).all() and (cross["jaccard_ppm"] >= 500_000).all()
+    # nothing pairs with the random far docs
+    assert pairs["b"].max() == n_dup
+
+
 def test_knn_self_consistency(ray_session):
     out = similarity.knn_bruteforce("/root/testdata/sf0.001", k=5, n_queries=5).to_pandas()
     assert set(out["query_id"]) == set(range(5))
