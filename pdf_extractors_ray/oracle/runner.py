@@ -12,7 +12,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from . import catalog, census, grid, invoice, layout, persons, table
+from . import catalog, census, grid, invoice, layout, persons, regions, table
 
 # family tag → (fold fn, stable output column list or None for dynamic)
 CONV_FOLDS = {
@@ -36,6 +36,24 @@ def run_family(tbl: pa.Table, family: str) -> pd.DataFrame:
     fold = CONV_FOLDS[family]
     rows = []
     for conv_id, texts, idxs in _ordered_convs(tbl, family):
+        for row in fold(texts, idxs):
+            rows.append({"conv_id": conv_id, **row})
+    return pd.DataFrame(rows)
+
+
+# detector-path folds over the raw-box corpus: name → (tool tag, fold)
+BOX_FOLDS = {
+    "layout_detected": ("layout_boxes", regions.extract_layout_detected_conv),
+    "grid_detected": ("grid_boxes", regions.extract_grid_detected_conv),
+    "grid_crops": ("grid_boxes", regions.extract_grid_crops_conv),
+}
+
+
+def run_box_family(tbl: pa.Table, name: str) -> pd.DataFrame:
+    """Golden output for one detector-path family (raw-box corpus)."""
+    tool, fold = BOX_FOLDS[name]
+    rows = []
+    for conv_id, texts, idxs in _ordered_convs(tbl, tool):
         for row in fold(texts, idxs):
             rows.append({"conv_id": conv_id, **row})
     return pd.DataFrame(rows)

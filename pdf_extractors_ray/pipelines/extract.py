@@ -73,6 +73,41 @@ def extract_grid(path: str):
     )
 
 
+def extract_layout_detected(path: str):
+    """FFIEC layout with OUR OWN table-region detector (S8): header cells
+    recovered from the raw word boxes, no pre-detected 'header' payload."""
+    from ..oracle import regions as _regions
+
+    return fold_conversations(
+        family_dataset(path, "layout_boxes"),
+        _regions.extract_layout_detected_conv,
+        schemas.LAYOUT_DETECTED_SCHEMA,
+    )
+
+
+def extract_grid_detected(path: str):
+    """Mancini grid synthesized from raw boxes (M40: PRICE-anchored
+    explicit line grid) + the reference's post-processing bank (M42)."""
+    from ..oracle import regions as _regions
+
+    return fold_conversations(
+        family_dataset(path, "grid_boxes"),
+        _regions.extract_grid_detected_conv,
+        schemas.GRID_DETECTED_SCHEMA,
+    )
+
+
+def extract_grid_crops(path: str):
+    """Mancini page-1 po-box / sold-to fixed-bbox crops (M41)."""
+    from ..oracle import regions as _regions
+
+    return fold_conversations(
+        family_dataset(path, "grid_boxes"),
+        _regions.extract_grid_crops_conv,
+        schemas.GRID_CROPS_SCHEMA,
+    )
+
+
 def extract_layout_broadcast(path: str, max_broadcast_headers: int = 1_000_000):
     """Shuffle-light layout path: distributed header prepass + broadcast map.
 
@@ -308,6 +343,10 @@ EXTRACTORS = {
     "census_households": extract_census_households,
     "census_summary": extract_census_summary,
     "census_persons": extract_census_persons,
+    # detector paths over the raw-box corpus (S8/M40/M41)
+    "layout_detected": extract_layout_detected,
+    "grid_detected": extract_grid_detected,
+    "grid_crops": extract_grid_crops,
 }
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from ..ops import dedup, events, relational, similarity, surrogate
 from ..ops import multimodal as mm
 from ..ops import text as tx
-from ..sources.transcripts import transcripts_path_for_sf
+from ..sources.transcripts import boxes_path_for_sf, transcripts_path_for_sf
 from . import extract
 
 
@@ -39,6 +39,17 @@ def _partitioned_metrics_query(sf_dir: str):
     path = transcripts_path_for_sf(sf_dir)
     out_root = path.rstrip("/") + "_extracted"
     return partitioned_extract_all_tasks(path, out_root, n_parts=32)
+
+
+def _box_query(family: str):
+    """Detector-path query over the raw-box fixture corpus (S8/M40/M41)."""
+
+    def run(sf_dir: str):
+        path = boxes_path_for_sf(sf_dir)
+        return extract.EXTRACTORS[family](path)
+
+    run.__name__ = f"extract_{family}"
+    return run
 
 
 def _transcript_query(family: str):
@@ -111,6 +122,11 @@ REGISTRY: dict[str, tuple] = {
     "extract_census_households": (_transcript_query("census_households"), None),
     "extract_census_summary": (_transcript_query("census_summary"), None),
     "extract_census_persons": (_transcript_query("census_persons"), None),
+    # detector paths from RAW word boxes (S8/M40/M41; rows-only — the
+    # oracle is the pytest engine-vs-oracle + reference differentials)
+    "extract_layout_detected": (_box_query("layout_detected"), None),
+    "extract_grid_detected": (_box_query("grid_detected"), None),
+    "extract_grid_crops": (_box_query("grid_crops"), None),
     "extract_all_partitioned_metrics": (_partitioned_metrics_query, None),
 }
 

@@ -97,6 +97,18 @@ for c in _persons.PERSON_COLUMNS:
         _PERSON_FIELDS.append(pa.field(c, _S))
 PERSONS_SCHEMA = _with_conv(_PERSON_FIELDS)
 
+from ..oracle import regions as _regions  # noqa: E402
+
+# detector-path outputs (S8/M40/M41 — oracle/regions.py)
+LAYOUT_DETECTED_SCHEMA = LAYOUT_SCHEMA  # same columns, header self-detected
+GRID_DETECTED_SCHEMA = _with_conv(
+    [pa.field("ref_turn", pa.int32())]
+    + [pa.field(c, _S) for c in _regions.OUTPUT_COLUMNS[1:]]
+)
+GRID_CROPS_SCHEMA = _with_conv(
+    [pa.field("ref_turn", pa.int32()), pa.field("po_box", _S), pa.field("sold_to", _S)]
+)
+
 FAMILY_SCHEMAS = {
     "catalog": CATALOG_SCHEMA,
     "invoice": INVOICE_SCHEMA,

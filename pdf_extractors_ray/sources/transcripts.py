@@ -383,6 +383,111 @@ def _gen_grid(rng: np.random.RandomState, size_mult: float) -> list[str]:
     return turns
 
 
+def _gen_layout_boxes(rng: np.random.RandomState, size_mult: float) -> list[str]:
+    """Raw-box FFIEC pages for the S8 header DETECTOR: no 'header' payload
+    field — turn 0 carries the header as its topmost row band (bold, so the
+    Arial data predicate never bins it) plus one data row; later turns are
+    data-only pages."""
+    xs = np.sort(rng.uniform(20.0, 700.0, size=len(FFIEC_COLUMNS)))
+    header_boxes = [
+        {
+            "text": c,
+            "x0": round(float(x), 2),
+            "y0": 80.0,
+            "x1": round(float(x) + 28.0, 2),
+            "y1": 88.0,
+            "font": "Arial-Bold",
+            "size": 8.0,
+        }
+        for c, x in zip(FFIEC_COLUMNS, xs)
+    ]
+    header = [{"col": c, "x": round(float(x), 2)} for c, x in zip(FFIEC_COLUMNS, xs)]
+    turns = []
+    n_rows = max(2, int(round(rng.randint(4, 20) * size_mult)))
+    for i in range(n_rows):
+        boxes = []
+        for j, h in enumerate(header):
+            if rng.randint(0, 12) == 0 and j != 1:
+                continue  # missing cell
+            width = (header[j + 1]["x"] - h["x"]) if j + 1 < len(header) else 40.0
+            x0 = h["x"] + float(rng.uniform(0.0, max(0.5, width - 1.0)))
+            font = "Arial" if rng.randint(0, 10) < 8 else "Helvetica"
+            boxes.append(
+                {
+                    "text": str(int(rng.randint(0, 99999))),
+                    "x0": round(x0, 2),
+                    "y0": 100.0,
+                    "x1": round(x0 + 10.0, 2),
+                    "y1": 108.0,
+                    "font": font,
+                    "size": 8.0,
+                }
+            )
+        if i == 0:
+            boxes = header_boxes + boxes
+        turns.append(json.dumps({"boxes": boxes}, sort_keys=True))
+    return turns
+
+
+_GRID_SIZES = ["1.5L", "750ML", "12OZ", "X", "TOOLONGSIZE99"]
+
+
+def _gen_grid_boxes(rng: np.random.RandomState, size_mult: float) -> list[str]:
+    """Raw-box mancini invoice pages for M40/M41: a PRICE anchor box per
+    page, line items placed on the exact explicit grid (6 pt rows, 3.5 pt
+    gaps, the 14 fixed vertical lines), po-box / sold-to text inside the
+    page-1 crop bboxes."""
+    from ..oracle.regions import MANCINI_VERTICAL_LINES, mancini_horizontal_lines
+
+    v = MANCINI_VERTICAL_LINES
+    turns = []
+    n_pages = max(1, int(round(rng.randint(1, 4) * size_mult)))
+    for p in range(n_pages):
+        boxes = []
+        pb = round(float(rng.uniform(170.0, 185.0)), 1)
+        boxes.append({"text": "PRICE", "x0": 612.0, "y0": pb - 6.0, "x1": 650.0,
+                      "y1": pb, "font": "Courier", "size": 6.0})
+        if p == 0:
+            boxes.append({"text": f"P.O. BOX {int(rng.randint(100, 999))}", "x0": 40.0,
+                          "y0": 62.0, "x1": 180.0, "y1": 72.0, "font": "Courier", "size": 8.0})
+            boxes.append({"text": "SOLD TO:", "x0": 25.0, "y0": 90.0, "x1": 80.0,
+                          "y1": 100.0, "font": "Courier", "size": 8.0})
+            boxes.append({"text": f"CUSTOMER {int(rng.randint(1000, 9999))}", "x0": 25.0,
+                          "y0": 104.0, "x1": 160.0, "y1": 114.0, "font": "Courier", "size": 8.0})
+        # rows live between line pairs (2k, 2k+1) of the recurrence
+        lines = mancini_horizontal_lines(pb)
+        n_items = int(rng.randint(2, 16))
+        for k in range(n_items):
+            top, bot = lines[2 * k], lines[2 * k + 1]
+            cells = {
+                0: f"{int(rng.randint(1, 99))}|" if rng.randint(0, 3) == 0 else str(int(rng.randint(1, 99))),
+                1: "Z" if rng.randint(0, 8) == 0 else f" {int(rng.randint(1000, 9999))} ",
+                2: "x",
+                3: f";{int(rng.randint(100, 999))}" if rng.randint(0, 4) == 0 else str(int(rng.randint(100, 999))),
+                4: _GRID_SIZES[rng.randint(len(_GRID_SIZES))],
+                5: "y",
+                6: f"{int(rng.randint(1, 99))}.{int(rng.randint(0, 100)):02d}",
+                7: "z",
+            }
+            if rng.randint(0, 3) == 0:
+                cells[8] = f"D{int(rng.randint(0, 99))}"
+            for j, textval in cells.items():
+                cx = (v[j] + v[j + 1]) / 2.0
+                boxes.append(
+                    {
+                        "text": textval,
+                        "x0": round(cx - 2.0, 2),
+                        "y0": round(top + 1.0, 2),
+                        "x1": round(cx + 2.0, 2),
+                        "y1": round(bot - 1.0, 2),
+                        "font": "Courier",
+                        "size": 6.0,
+                    }
+                )
+        turns.append(json.dumps({"boxes": boxes}, sort_keys=True))
+    return turns
+
+
 _GEN = {
     "census": _gen_census,
     "invoice": _gen_invoice,
@@ -392,25 +497,33 @@ _GEN = {
     "grid": _gen_grid,
 }
 
+# raw-box corpus (separate fixture set for the S8/M40/M41 detector paths)
+_GEN_BOXES = {
+    "layout_boxes": _gen_layout_boxes,
+    "grid_boxes": _gen_grid_boxes,
+}
+_BOXES_CYCLE = ("layout_boxes", "grid_boxes")
 
-def conv_turns(conv_index: int, seed: int = 42) -> tuple[str, str, list[str]]:
+
+def conv_turns(conv_index: int, seed: int = 42, cycle=_FAMILY_CYCLE, gens=None) -> tuple[str, str, list[str]]:
     """Deterministically generate one conversation.
 
     Returns ``(conv_id, family, [turn texts])``. Keyed RNG per conv so any
     subset of convs can be generated independently (and in parallel).
     """
+    gens = gens or _GEN
     conv_id = f"conv-{conv_index:06d}"
-    family = _FAMILY_CYCLE[conv_index % len(_FAMILY_CYCLE)]
+    family = cycle[conv_index % len(cycle)]
     rng = np.random.RandomState((seed * 1_000_003 + conv_index) % (2**31 - 1))
     size_mult = 20.0 if is_hot_conv(conv_id) else 1.0
-    texts = _GEN[family](rng, size_mult)
+    texts = gens[family](rng, size_mult)
     return conv_id, family, texts
 
 
-def _conv_batch_table(conv_indices: list[int], seed: int) -> pa.Table:
+def _conv_batch_table(conv_indices: list[int], seed: int, cycle=_FAMILY_CYCLE, gens=None) -> pa.Table:
     conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
     for ci in conv_indices:
-        conv_id, family, turns = conv_turns(ci, seed)
+        conv_id, family, turns = conv_turns(ci, seed, cycle, gens)
         for ti, text in enumerate(turns):
             conv_ids.append(conv_id)
             turn_idxs.append(ti)
@@ -431,14 +544,15 @@ def _conv_batch_table(conv_indices: list[int], seed: int) -> pa.Table:
 
 
 def _write_chunk(out_dir: str, chunk_idx: int, conv_lo: int, conv_hi: int,
-                 seed: int, shuffle: bool, row_group_size: int) -> int:
+                 seed: int, shuffle: bool, row_group_size: int,
+                 cycle=_FAMILY_CYCLE, gens=None) -> int:
     """Generate one contiguous conv range into one parquet file.
 
     Deterministic regardless of execution order/parallelism: conv content
     is keyed by conv index, the within-file row permutation by
     ``seed + chunk_idx``.
     """
-    table = _conv_batch_table(list(range(conv_lo, conv_hi)), seed)
+    table = _conv_batch_table(list(range(conv_lo, conv_hi)), seed, cycle, gens)
     if shuffle:
         perm = np.random.RandomState(seed + chunk_idx).permutation(table.num_rows)
         table = table.take(pa.array(perm))
@@ -457,6 +571,9 @@ def synthesize_transcripts(
     shuffle: bool = True,
     convs_per_file: int = 2000,
     row_group_size: int = 16_384,
+    cycle=_FAMILY_CYCLE,
+    gens=None,
+    version: int = 7,
 ) -> str:
     """Write the deterministic transcript corpus as Parquet; returns the dir.
 
@@ -472,7 +589,8 @@ def synthesize_transcripts(
     """
     manifest_path = os.path.join(out_dir, "_manifest.json")
     spec = {"n_convs": n_convs, "seed": seed, "shuffle": shuffle,
-            "convs_per_file": convs_per_file, "version": 7}
+            "convs_per_file": convs_per_file, "version": version,
+            "families": list(cycle)}
     if os.path.exists(manifest_path):
         try:
             with open(manifest_path) as f:
@@ -505,13 +623,13 @@ def synthesize_transcripts(
         gen = ray.remote(_write_chunk)
         ray.get(
             [
-                gen.remote(out_dir, i, lo, hi, seed, shuffle, row_group_size)
+                gen.remote(out_dir, i, lo, hi, seed, shuffle, row_group_size, cycle, gens)
                 for i, lo, hi in chunks
             ]
         )
     else:
         for i, lo, hi in chunks:
-            _write_chunk(out_dir, i, lo, hi, seed, shuffle, row_group_size)
+            _write_chunk(out_dir, i, lo, hi, seed, shuffle, row_group_size, cycle, gens)
 
     with open(manifest_path, "w") as f:
         json.dump(spec, f)
@@ -532,6 +650,28 @@ def transcripts_path_for_sf(sf_dir: str, cache_root: str = "/tmp/pdfx_transcript
     n_convs = _SF_CONVS.get(sf_name, 1200)
     out = os.path.join(cache_root, sf_name)
     return synthesize_transcripts(out, n_convs=n_convs)
+
+
+def synthesize_box_transcripts(out_dir: str, n_convs: int = 50, seed: int = 42) -> str:
+    """Deterministic RAW-BOX corpus for the detector paths (S8/M40/M41):
+    families ``layout_boxes`` (header detected from the topmost band) and
+    ``grid_boxes`` (mancini explicit grid + crops)."""
+    return synthesize_transcripts(
+        out_dir, n_convs=n_convs, seed=seed,
+        cycle=_BOXES_CYCLE, gens=_GEN_BOXES, version=1,
+    )
+
+
+# conv counts for the raw-box corpus per driver scale-factor directory
+_SF_BOX_CONVS = {"sf0.001": 40, "sf0.01": 400, "sf0.1": 4000}
+
+
+def boxes_path_for_sf(sf_dir: str, cache_root: str = "/tmp/pdfx_boxes") -> str:
+    """Raw-box corpus matched to a testdata scale factor (cached)."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n_convs = _SF_BOX_CONVS.get(sf_name, 400)
+    out = os.path.join(cache_root, sf_name)
+    return synthesize_box_transcripts(out, n_convs=n_convs)
 
 
 def read_transcripts(path: str, columns: list[str] | None = None):
