@@ -97,20 +97,23 @@ class ResizeStub:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if self.real:
             raise NotImplementedError("image codecs are not available in this environment")
-        rows = []
-        for _, r in batch.iterrows():
-            if r["media_type"] != "image":
-                continue
-            scale = min(1.0, self.max_side / max(r["width"], r["height"]))
-            rows.append(
-                {
-                    "doc_id": int(r["doc_id"]),
-                    "out_w": int(round(r["width"] * scale)),
-                    "out_h": int(round(r["height"] * scale)),
-                    "thumb_sha": hashlib.md5(bytes.fromhex(r["sha_prefix"])).hexdigest()[:16],
-                }
-            )
-        return pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "thumb_sha"])
+        import numpy as np
+
+        g = batch[batch["media_type"] == "image"]
+        w = g["width"].to_numpy(dtype=np.float64)
+        h = g["height"].to_numpy(dtype=np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "out_w": np.round(w * scale).astype(np.int64),
+                "out_h": np.round(h * scale).astype(np.int64),
+                "thumb_sha": [
+                    hashlib.md5(bytes.fromhex(s)).hexdigest()[:16] for s in g["sha_prefix"]
+                ],
+            },
+            columns=["doc_id", "out_w", "out_h", "thumb_sha"],
+        )
 
 
 class FrameSampleStub:
@@ -129,21 +132,29 @@ class FrameSampleStub:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if self.real:
             raise NotImplementedError("media codecs are not available in this environment")
-        rows = []
-        for _, r in batch.iterrows():
-            if r["media_type"] != "audio":
-                continue
-            n = min(self.max_frames, max(1, int(r["duration_ms"]) // self.every_ms))
-            for k in range(n):
-                rows.append(
-                    {
-                        "doc_id": int(r["doc_id"]),
-                        "frame_idx": k,
-                        "ts_ms": k * self.every_ms,
-                        "frame_sha": hashlib.md5(f"{r['sha_prefix']}:{k}".encode()).hexdigest()[:16],
-                    }
-                )
-        return pd.DataFrame(rows, columns=["doc_id", "frame_idx", "ts_ms", "frame_sha"])
+        import numpy as np
+
+        g = batch[batch["media_type"] == "audio"]
+        n = np.minimum(
+            self.max_frames,
+            np.maximum(1, g["duration_ms"].to_numpy(dtype=np.int64) // self.every_ms),
+        )
+        doc_ids = np.repeat(g["doc_id"].to_numpy(dtype=np.int64), n)
+        frame_idx = np.concatenate([np.arange(k, dtype=np.int64) for k in n]) if len(n) else np.array([], dtype=np.int64)
+        shas = [
+            hashlib.md5(f"{s}:{k}".encode()).hexdigest()[:16]
+            for s, kk in zip(g["sha_prefix"], n)
+            for k in range(kk)
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "frame_idx": frame_idx,
+                "ts_ms": frame_idx * self.every_ms,
+                "frame_sha": shas,
+            },
+            columns=["doc_id", "frame_idx", "ts_ms", "frame_sha"],
+        )
 
 
 def media_features(sf_dir: str):

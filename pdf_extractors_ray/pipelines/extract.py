@@ -257,9 +257,17 @@ def _fold_invoice_partition(group: pa.Table) -> pa.Table:
     return rows_to_table(rows, schemas.INVOICE_SCHEMA)
 
 
-def extract_invoice(path: str, concurrency=(1, 8), batch_size: int = 4096, n_parts: int | None = None):
+def extract_invoice(path: str, concurrency=None, batch_size: int = 4096, n_parts: int | None = None):
     from ..stages.fold import _default_n_parts
     from ..state.lineage import append_part_id
+
+    if concurrency is None:
+        # width-derived actor pool: a fixed (1, 8) cap starves a wider
+        # cluster (round-1 lesson: "fixed pools cap scaling")
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(8, cpus))
 
     ds = family_dataset(path, "invoice")
     ds = ds.map_batches(

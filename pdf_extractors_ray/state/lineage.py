@@ -100,22 +100,71 @@ def read_lineage(out_dir: str) -> list[dict]:
     ldir = _lineage_dir(out_dir)
     out = []
     for f in sorted(os.listdir(ldir)) if os.path.isdir(ldir) else []:
-        if f.endswith(".json"):
+        if f.startswith("part-") and f.endswith(".json"):
             with open(os.path.join(ldir, f)) as fh:
                 out.append(json.load(fh))
     return out
 
 
-def partitioned_extract(path: str, family: str, out_dir: str, n_parts: int = 32):
+_TARGET_PART_BYTES = 256 << 20  # compressed input bytes per partition fold
+
+
+def derive_n_parts(files: list[str], target_part_bytes: int = _TARGET_PART_BYTES,
+                   min_parts: int | None = None) -> int:
+    """Byte-size-driven partition count: ``ceil(input_bytes / target)``
+    with a cluster-width floor. A constant n_parts is a test-scale value —
+    at 100 TB a 64-way split would make each fold hold >1 TB; deriving
+    from bytes keeps every partition fold's working set bounded at
+    ~``target_part_bytes`` (compressed) no matter the corpus size."""
+    total = sum(os.path.getsize(f) for f in files)
+    by_bytes = max(1, -(-total // target_part_bytes))
+    if min_parts is None:
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:  # noqa: BLE001
+            cpus = 8
+        min_parts = 2 * cpus
+    return max(min_parts, int(by_bytes))
+
+
+def _resolve_n_parts(out_root: str, files: list[str], requested: int | None) -> int:
+    """Resume-stable n_parts: ``part_id = md5(conv_id) % n_parts``, so a
+    resumed run MUST reuse the original count or every completed sidecar
+    becomes invalid. The first run records its choice in the lineage dir;
+    later runs always honor the recorded value."""
+    ldir = _lineage_dir(out_root)
+    os.makedirs(ldir, exist_ok=True)
+    meta_path = os.path.join(ldir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            recorded = json.load(fh).get("n_parts")
+        if recorded:
+            return int(recorded)
+    n = int(requested) if requested else derive_n_parts(files)
+    with open(meta_path, "w") as fh:
+        json.dump({"n_parts": n}, fh)
+    return n
+
+
+def _list_parquet(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+
+
+def partitioned_extract(path: str, family: str, out_dir: str, n_parts: int | None = 32):
     """Checkpointed extraction run; returns the per-partition metrics table.
 
     Resume-safe: rerunning after a partial failure folds and writes only the
-    partitions without sidecars.
+    partitions without sidecars. ``n_parts=None`` derives the count from
+    input bytes (and a resumed run always reuses the recorded count).
     """
     from ..pipelines.extract import family_dataset
 
     fold_fn, schema = FOLDS[family]
-    os.makedirs(_lineage_dir(out_dir), exist_ok=True)
+    n_parts = _resolve_n_parts(out_dir, _list_parquet(path), n_parts)
     done = completed_parts(out_dir)
 
     ds = family_dataset(path, family)
@@ -321,7 +370,7 @@ def _fold_and_write(out_root: str, part_id: int, *slices) -> dict:
     }
 
 
-def partitioned_extract_all_tasks(path: str, out_root: str, n_parts: int = 64):
+def partitioned_extract_all_tasks(path: str, out_root: str, n_parts: int | None = None):
     """Task-based two-stage exchange variant of ``partitioned_extract_all``.
 
     Why not ``groupby(part_id)``: Ray Data's sort-based groupby is a full
@@ -342,14 +391,12 @@ def partitioned_extract_all_tasks(path: str, out_root: str, n_parts: int = 64):
     """
     import ray
 
-    os.makedirs(_lineage_dir(out_root), exist_ok=True)
-    done = completed_parts(out_root)
-
     from ..runtime import shuffle_num_blocks
 
-    files = sorted(
-        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
-    )
+    files = _list_parquet(path)
+    n_parts = _resolve_n_parts(out_root, files, n_parts)
+    done = completed_parts(out_root)
+
     n_shards = min(len(files), shuffle_num_blocks())
     shards = [list(files[i::n_shards]) for i in range(n_shards)]
 
@@ -385,7 +432,7 @@ def partitioned_extract_all_tasks(path: str, out_root: str, n_parts: int = 64):
     return pd.concat([fresh, pd.DataFrame(skipped)], ignore_index=True) if skipped else fresh
 
 
-def partitioned_extract_all(path: str, out_root: str, n_parts: int = 64):
+def partitioned_extract_all(path: str, out_root: str, n_parts: int | None = None):
     """ALL families, ONE read, ONE shuffle — the production/headline path.
 
     Every turn gets ``part_id = md5(conv_id) % n_parts``; a single
@@ -406,7 +453,7 @@ def partitioned_extract_all(path: str, out_root: str, n_parts: int = 64):
     from ..runtime import tune_data_context
 
     tune_data_context()
-    os.makedirs(_lineage_dir(out_root), exist_ok=True)
+    n_parts = _resolve_n_parts(out_root, _list_parquet(path), n_parts)
     done = completed_parts(out_root)
 
     from ..runtime import shuffle_num_blocks

@@ -10,6 +10,31 @@ from pdf_extractors_ray.state import lineage
 from helpers import canonical
 
 
+def test_derive_n_parts_scales_with_bytes(tmp_path):
+    files = []
+    for i in range(4):
+        f = tmp_path / f"f{i}.parquet"
+        f.write_bytes(b"x" * 1_000_000)
+        files.append(str(f))
+    assert lineage.derive_n_parts(files, target_part_bytes=1_000_000, min_parts=2) == 4
+    assert lineage.derive_n_parts(files, target_part_bytes=500_000, min_parts=2) == 8
+    # small corpus hits the cluster-width floor, not 1 giant partition
+    assert lineage.derive_n_parts(files, target_part_bytes=1 << 30, min_parts=6) == 6
+
+
+def test_n_parts_resume_stability(tmp_path):
+    """A resumed run must reuse the recorded n_parts even when the caller
+    asks for a different value — part_id = md5(conv) % n_parts, so a
+    changed count would invalidate every completed sidecar."""
+    f = tmp_path / "in.parquet"
+    f.write_bytes(b"x" * 10)
+    out = str(tmp_path / "out")
+    n1 = lineage._resolve_n_parts(out, [str(f)], None)
+    assert n1 >= 2
+    assert lineage._resolve_n_parts(out, [str(f)], 999) == n1
+    assert lineage._resolve_n_parts(out, [str(f)], None) == n1
+
+
 def test_partitioned_all_matches_pipelines(ray_session, small_corpus_dir, tmp_path):
     out_root = str(tmp_path / "all_out")
     metrics = lineage.partitioned_extract_all(small_corpus_dir, out_root, n_parts=8)
