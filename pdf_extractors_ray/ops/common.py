@@ -18,27 +18,59 @@ def cents(x) -> np.ndarray:
     return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
 
 
-def grouped_sums(ds, keys: list[str], sum_cols: list[str], count_alias: str | None = None):
-    """Grouped sum with per-batch partial pre-aggregation.
+def _default_buckets() -> int:
+    import ray
 
-    A bare ``groupby().aggregate()`` shuffles every row; this combines
-    inside ``map_batches`` first (one partial row per key per batch), then
-    shuffles only the partials (ray_guide: "Aggregation at scale").
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(4, 2 * cpus)
+
+
+def bucketed_group_agg(ds, keys: list[str], agg: dict[str, str],
+                       n_buckets: int | None = None):
+    """Many-distinct-key aggregation that scales: partial per-batch pandas
+    combine → hash-BUCKET the keys (``n_buckets`` ≈ 2×CPUs) → one
+    vectorized pandas combine per bucket.
+
+    Why not ``groupby(keys).aggregate(...)``: Ray 2.49's hash aggregate
+    pays ~0.27 ms of per-GROUP overhead (measured: 54 s for 200k distinct
+    keys on 8 CPUs, vs 0.3 s for a full sort of the same rows). With
+    bucketing the per-group cost is paid per BUCKET, and the in-bucket
+    combine is a vectorized pandas groupby. ``agg`` maps column → pandas
+    agg name ('sum'/'min'/'max'); partials must already be combine-safe
+    (sums of partial sums, min of partial mins).
     """
-    from ray.data.aggregate import Sum
+    n_buckets = n_buckets or _default_buckets()
+    cols = list(agg)
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        agg = batch.groupby(keys, as_index=False, sort=False)[sum_cols].sum()
-        if count_alias:
-            sizes = batch.groupby(keys, sort=False).size().reset_index(name=count_alias)
-            agg = agg.merge(sizes, on=keys)
-        return agg
+        out = batch.groupby(keys, as_index=False, sort=False)[cols].agg(agg)
+        # deterministic per-row bucket over the key columns (stable across
+        # processes: pandas' hash is keyed by a fixed default, not salted)
+        out["__b"] = (
+            pd.util.hash_pandas_object(out[keys], index=False).to_numpy() % n_buckets
+        ).astype(np.int64)
+        return out
+
+    def _combine(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(keys, as_index=False, sort=False)[cols].agg(agg)
 
     partial = ds.map_batches(_partial, batch_format="pandas")
-    aggs = [Sum(c, alias_name=c) for c in sum_cols]
-    if count_alias:
-        aggs.append(Sum(count_alias, alias_name=count_alias))
-    return partial.groupby(keys).aggregate(*aggs)
+    return partial.groupby("__b").map_groups(_combine, batch_format="pandas")
+
+
+def grouped_sums(ds, keys: list[str], sum_cols: list[str], count_alias: str | None = None):
+    """Grouped sum with per-batch partial pre-aggregation + hash-bucketed
+    final combine (see ``bucketed_group_agg`` for why not a bare
+    ``groupby().aggregate()``)."""
+
+    def _with_count(batch: pd.DataFrame) -> pd.DataFrame:
+        if count_alias:
+            batch = batch.assign(**{count_alias: np.int64(1)})
+        return batch
+
+    ds = ds.map_batches(_with_count, batch_format="pandas") if count_alias else ds
+    cols = sum_cols + ([count_alias] if count_alias else [])
+    return bucketed_group_agg(ds, keys, {c: "sum" for c in cols})
 
 
 def cast_us(ds, cols: list[str]):

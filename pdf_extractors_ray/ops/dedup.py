@@ -104,20 +104,26 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
 
 
 def exact_dedup(sf_dir: str):
-    """Exact dedup: md5(text) → min doc_id per hash (+ group size)."""
+    """Exact dedup: md5(text) → min doc_id per hash (+ group size).
+
+    Hash-bucketed combine (``ops.common.bucketed_group_agg``): every
+    distinct text is its own group, so Ray's per-group hash-aggregate
+    overhead would scale with corpus size; bucketing pays it per bucket."""
+    from .common import bucketed_group_agg
+
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "h": [hashlib.md5(t.encode()).hexdigest() for t in batch["text"]],
-                "doc_id": batch["doc_id"],
+                "keep_id": batch["doc_id"],
+                "n": np.int64(1),
             }
         )
 
     hashed = ds.map_batches(hash_batch, batch_format="pandas")
-    out = hashed.groupby("h").aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n"))
-    return out.sort("h")
+    return bucketed_group_agg(hashed, ["h"], {"keep_id": "min", "n": "sum"}).sort("h")
 
 
 EXACT_DEDUP_SQL = """

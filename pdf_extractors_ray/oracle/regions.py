@@ -192,6 +192,53 @@ def extract_layout_detected_conv(texts: list[str], turn_idxs: list[int]) -> list
     return rows
 
 
+def extract_table_detected_conv(texts: list[str], turn_idxs: list[int]) -> list[dict]:
+    """KNR detected-table fold from raw boxes (S8 for the find_tables
+    consumer in ``knr-property-mgmt/knr_property.py:28-47``): the first
+    turn's topmost band provides the column names + x boundaries
+    (``initialize_column_names``, page-0 only); every band detected as the
+    header row again on later pages is data-skipped (``:39-40`` skips row
+    0 per page); data bands are binned into cells per header column,
+    merged-total fix-up applied (``:50-55``), rows zipped with the column
+    names (``:41-47``)."""
+    from .layout import bin_column
+    from .table import fix_merged_total
+
+    rows: list[dict] = []
+    header: list[tuple[float, str]] | None = None
+    columns: list[str] = []
+    for pos, (text, tidx) in enumerate(zip(texts, turn_idxs)):
+        try:
+            payload = json.loads(text)
+        except json.JSONDecodeError:
+            continue
+        boxes = payload.get("boxes", [])
+        bands = cluster_rows(boxes)
+        if not bands:
+            continue
+        if header is None:
+            header = [(float(b.get("x0", 0.0)), str(b.get("text", ""))) for b in bands[0]]
+            columns = [name for _x, name in header]
+            data_bands = bands[1:]
+        else:
+            # each page's own header row is skipped (the reference skips
+            # row 0 of every page's table)
+            data_bands = bands[1:] if pos > 0 and len(bands) > 1 else bands
+        for band in data_bands:
+            cells = ["" for _ in columns]
+            for box in band:
+                col = bin_column(float(box.get("x0", 0.0)), header)
+                if not col:
+                    continue
+                i = columns.index(col)
+                cells[i] = f"{cells[i]} {box.get('text', '')}".strip() if cells[i] else str(box.get("text", ""))
+            cells = fix_merged_total(cells)
+            row = {c: cells[i] for i, c in enumerate(columns)}
+            row["ref_turn"] = int(tidx)
+            rows.append(row)
+    return rows
+
+
 def extract_grid_detected_conv(texts: list[str], turn_idxs: list[int]) -> list[dict]:
     """Mancini grid synthesized from raw boxes (M40 + M42): per turn, find
     the PRICE anchor, build the explicit line grid, bin boxes to 13-column

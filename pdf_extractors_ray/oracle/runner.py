@@ -44,6 +44,7 @@ def run_family(tbl: pa.Table, family: str) -> pd.DataFrame:
 # detector-path folds over the raw-box corpus: name → (tool tag, fold)
 BOX_FOLDS = {
     "layout_detected": ("layout_boxes", regions.extract_layout_detected_conv),
+    "table_detected": ("table_boxes", regions.extract_table_detected_conv),
     "grid_detected": ("grid_boxes", regions.extract_grid_detected_conv),
     "grid_crops": ("grid_boxes", regions.extract_grid_crops_conv),
 }

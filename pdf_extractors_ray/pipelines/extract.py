@@ -85,6 +85,19 @@ def extract_layout_detected(path: str):
     )
 
 
+def extract_table_detected(path: str):
+    """KNR detected-table fold with OUR OWN header detection (S8): column
+    names + x boundaries from the topmost band of page 0; per-page header
+    bands data-skipped; merged-total fix-up preserved."""
+    from ..oracle import regions as _regions
+
+    return fold_conversations(
+        family_dataset(path, "table_boxes"),
+        _regions.extract_table_detected_conv,
+        schemas.TABLE_SCHEMA,
+    )
+
+
 def extract_grid_detected(path: str):
     """Mancini grid synthesized from raw boxes (M40: PRICE-anchored
     explicit line grid) + the reference's post-processing bank (M42)."""
@@ -353,6 +366,7 @@ EXTRACTORS = {
     "census_persons": extract_census_persons,
     # detector paths over the raw-box corpus (S8/M40/M41)
     "layout_detected": extract_layout_detected,
+    "table_detected": extract_table_detected,
     "grid_detected": extract_grid_detected,
     "grid_crops": extract_grid_crops,
 }

@@ -125,6 +125,7 @@ REGISTRY: dict[str, tuple] = {
     # detector paths from RAW word boxes (S8/M40/M41; rows-only — the
     # oracle is the pytest engine-vs-oracle + reference differentials)
     "extract_layout_detected": (_box_query("layout_detected"), None),
+    "extract_table_detected": (_box_query("table_detected"), None),
     "extract_grid_detected": (_box_query("grid_detected"), None),
     "extract_grid_crops": (_box_query("grid_crops"), None),
     "extract_all_partitioned_metrics": (_partitioned_metrics_query, None),

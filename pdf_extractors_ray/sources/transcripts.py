@@ -497,12 +497,63 @@ _GEN = {
     "grid": _gen_grid,
 }
 
+def _gen_table_boxes(rng: np.random.RandomState, size_mult: float) -> list[str]:
+    """Raw-box KNR statement pages: every page carries its header row as
+    the topmost band (the reference's per-page find_tables row 0, skipped
+    as data on pages > 0), data rows below, with occasional merged
+    'Total <income> <expense>' first cells."""
+    xs = np.sort(rng.uniform(20.0, 700.0, size=len(_KNR_COLUMNS)))
+    header_boxes = [
+        {"text": c, "x0": round(float(x), 2), "y0": 80.0,
+         "x1": round(float(x) + 24.0, 2), "y1": 88.0, "font": "Helv-Bold", "size": 8.0}
+        for c, x in zip(_KNR_COLUMNS, xs)
+    ]
+
+    def cell_box(j: int, textval: str, y0: float) -> dict:
+        width = (xs[j + 1] - xs[j]) if j + 1 < len(xs) else 40.0
+        x0 = float(xs[j]) + float(rng.uniform(0.0, max(0.5, width - 1.0)))
+        return {"text": textval, "x0": round(x0, 2), "y0": round(y0, 1),
+                "x1": round(x0 + 10.0, 2), "y1": round(y0 + 8.0, 1),
+                "font": "Helv", "size": 8.0}
+
+    turns = []
+    n_pages = max(1, int(round(rng.randint(1, 4) * size_mult)))
+    for _p in range(n_pages):
+        boxes = list(header_boxes)
+        n_rows = int(rng.randint(2, 9))
+        for i in range(n_rows):
+            y0 = 100.0 + 12.0 * i
+            if rng.randint(0, 6) == 0:
+                total = (f"Total {int(rng.randint(0, 9999))}.{int(rng.randint(0, 100)):02d}"
+                         f" {int(rng.randint(0, 9999))}.{int(rng.randint(0, 100)):02d}")
+                boxes.append(cell_box(0, total, y0))
+                boxes.append(cell_box(7, f"{int(rng.randint(0, 99999))}.{int(rng.randint(0, 100)):02d}", y0))
+            else:
+                vals = [
+                    _date_str(rng),
+                    _NAMES[rng.randint(len(_NAMES))],
+                    ["Rent", "Fee", "Repair", "Deposit"][rng.randint(4)],
+                    f"R{int(rng.randint(1000, 9999))}",
+                    "Monthly statement line",
+                    f"{int(rng.randint(0, 2000))}.{int(rng.randint(0, 100)):02d}",
+                    f"{int(rng.randint(0, 2000))}.{int(rng.randint(0, 100)):02d}",
+                    f"{int(rng.randint(0, 99999))}.{int(rng.randint(0, 100)):02d}",
+                ]
+                for j, v in enumerate(vals):
+                    if rng.randint(0, 12) == 0 and j != 0:
+                        continue  # missing cell
+                    boxes.append(cell_box(j, v, y0))
+        turns.append(json.dumps({"boxes": boxes}, sort_keys=True))
+    return turns
+
+
 # raw-box corpus (separate fixture set for the S8/M40/M41 detector paths)
 _GEN_BOXES = {
     "layout_boxes": _gen_layout_boxes,
     "grid_boxes": _gen_grid_boxes,
+    "table_boxes": _gen_table_boxes,
 }
-_BOXES_CYCLE = ("layout_boxes", "grid_boxes")
+_BOXES_CYCLE = ("layout_boxes", "grid_boxes", "table_boxes")
 
 
 def conv_turns(conv_index: int, seed: int = 42, cycle=_FAMILY_CYCLE, gens=None) -> tuple[str, str, list[str]]:
@@ -658,7 +709,7 @@ def synthesize_box_transcripts(out_dir: str, n_convs: int = 50, seed: int = 42) 
     ``grid_boxes`` (mancini explicit grid + crops)."""
     return synthesize_transcripts(
         out_dir, n_convs=n_convs, seed=seed,
-        cycle=_BOXES_CYCLE, gens=_GEN_BOXES, version=1,
+        cycle=_BOXES_CYCLE, gens=_GEN_BOXES, version=2,
     )
 
 

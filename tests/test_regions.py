@@ -77,11 +77,43 @@ def test_crop_text_reading_order():
     assert regions.crop_text(boxes, regions.SOLD_TO_BBOX) == "SOLD TO:\nACME"
 
 
+def test_table_detected_merged_total_and_page_headers():
+    """KNR detector fold: header from page-0 topmost band, page-1's own
+    header band data-skipped, merged 'Total X Y' first cell re-split into
+    columns 0/5/6."""
+    cols = ["Date", "Payee / Payer", "Type", "Reference", "Description",
+            "Income", "Expense", "Balance"]
+    xs = [20.0 + 90.0 * i for i in range(8)]
+
+    def band(y, vals):
+        return [
+            {"text": v, "x0": xs[j] + 1.0, "y0": y, "x1": xs[j] + 11.0, "y1": y + 8.0}
+            for j, v in vals
+        ]
+
+    header = band(80.0, list(enumerate(cols)))
+    page0 = {"boxes": header + band(100.0, [(0, "01.02.2021"), (1, "Marres"), (7, "99.10")])}
+    page1 = {
+        "boxes": header
+        + band(100.0, [(0, "Total 12.34 56.78"), (7, "42.00")])
+        + band(112.0, [(0, "02.02.2021"), (2, "Rent"), (7, "10.00")])
+    }
+    rows = regions.extract_table_detected_conv(
+        [json.dumps(page0), json.dumps(page1)], [0, 1]
+    )
+    assert len(rows) == 3  # page-1 header band skipped
+    assert rows[0]["Date"] == "01.02.2021" and rows[0]["Balance"] == "99.10"
+    total = rows[1]
+    assert total["Date"] == "Total" and total["Income"] == "12.34" and total["Expense"] == "56.78"
+    assert rows[2]["Type"] == "Rent" and rows[2]["ref_turn"] == 1
+
+
 # ---------------------------------------------------------------------------
 # engine ≡ oracle over the raw-box corpus
 
 DETECTED_CASES = [
     ("layout_detected", extract.extract_layout_detected, schemas.LAYOUT_DETECTED_SCHEMA),
+    ("table_detected", extract.extract_table_detected, schemas.TABLE_SCHEMA),
     ("grid_detected", extract.extract_grid_detected, schemas.GRID_DETECTED_SCHEMA),
     ("grid_crops", extract.extract_grid_crops, schemas.GRID_CROPS_SCHEMA),
 ]
