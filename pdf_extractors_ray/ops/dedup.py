@@ -470,3 +470,102 @@ def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
         return pd.DataFrame(out, columns=cols) if out else pd.DataFrame({c: [] for c in cols})
 
     return ds.groupby("source").map_groups(pairs, batch_format="pandas").sort(["source", "a", "b"])
+
+
+def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 12):
+    """Near-duplicate CLUSTERS: distributed connected components over the
+    SimHash near-dup edge set — the "cluster → keep one representative"
+    primitive a dedup pipeline actually consumes (pair lists are an
+    intermediate; cluster labels are the deliverable).
+
+    Min-label propagation, fully distributed (no driver union-find over an
+    edge list that is corpus-sized in a duplicate-heavy crawl), shaped to
+    keep the iterative part SMALL:
+
+    - the loop runs only over edge ENDPOINTS (~2E rows) — singleton docs
+      (the overwhelming majority) never change label and are merged back
+      in ONE final bucketed-min pass, no broadcast of the endpoint set;
+    - edges are materialized bidirectionally once, so each round is a
+      single cogroup join (neighbor labels offered downstream) + a
+      bucketed min — labels are monotonically non-increasing, and
+      ``sum(label)`` is the convergence certificate;
+    - rounds needed = cluster diameter; the banded emitter's star cap
+      keeps near-dup components shallow, so this converges in a handful
+      of rounds (``max_rounds`` is a safety bound).
+
+    Output: ``(doc_id, cluster, cluster_size)`` — cluster = min doc_id of
+    the component; singletons keep themselves. Verified against a
+    union-find reference over the same edges (tests).
+    """
+    from .common import bucketed_group_agg, cogroup_join
+
+    edges = simhash_pairs(sf_dir, max_hamming=max_hamming).drop_columns(["hamming"])
+
+    def bidir(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+        )
+
+    bi = edges.map_batches(bidir, batch_format="pandas").materialize()
+
+    # round 0 folded into initialization: every endpoint starts from
+    # min(itself, its direct neighbors)
+    def seed(batch: pd.DataFrame) -> pd.DataFrame:
+        src = batch["src"].to_numpy(dtype=np.int64)
+        dst = batch["dst"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"node": np.concatenate([src, dst]), "label": np.concatenate([src, src])}
+        )
+
+    labels = bucketed_group_agg(
+        bi.map_batches(seed, batch_format="pandas"), ["node"], {"label": "min"}
+    ).materialize()
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        offers = cogroup_join(bi, labels, "src", "node", ["dst"], ["label"]).map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["dst"].astype(np.int64), "label": b["label"].astype(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+        labels = bucketed_group_agg(labels.union(offers), ["node"], {"label": "min"}).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    # merge singletons back: every doc contributes (doc_id, doc_id); the
+    # bucketed min keeps the propagated label for endpoint nodes
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def init_all(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"node": ids, "label": ids})
+
+    full = bucketed_group_agg(
+        docs.map_batches(init_all, batch_format="pandas").union(labels),
+        ["node"], {"label": "min"},
+    ).materialize()
+
+    # cluster sizes joined back onto members
+    def one(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"label": batch["label"].astype(np.int64), "n": np.int64(1)})
+
+    sizes = bucketed_group_agg(full.map_batches(one, batch_format="pandas"), ["label"], {"n": "sum"})
+    sizes = sizes.map_batches(
+        lambda b: b.rename(columns={"label": "s_label", "n": "cluster_size"}), batch_format="pandas"
+    )
+    out = cogroup_join(full, sizes, "label", "s_label", ["node", "label"], ["cluster_size"])
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["node"].astype(np.int64),
+                "cluster": batch["label"].astype(np.int64),
+                "cluster_size": batch["cluster_size"].astype(np.int64),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas").sort("doc_id")

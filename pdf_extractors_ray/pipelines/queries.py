@@ -93,6 +93,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_simhash": (dedup.simhash_docs, None),
     "docs_simhash_pairs": (dedup.simhash_pairs, None),
     "docs_ngram_jaccard": (dedup.ngram_jaccard_groups, None),
+    "docs_dup_clusters": (dedup.dup_clusters, None),
     # similarity search
     "emb_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_SQL),
     "emb_ann_lsh": (similarity.ann_lsh, None),

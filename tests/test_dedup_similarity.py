@@ -75,6 +75,49 @@ def test_minhash_lsh_viral_dup_cluster(ray_session, tmp_path):
     assert pairs["b"].max() == n_dup
 
 
+def test_dup_clusters_connected_components(ray_session, tmp_path):
+    """Min-label propagation must reproduce exact union-find components
+    over the simhash near-dup edges: identical docs one cluster, a
+    transitive near-dup chain one cluster, noise docs singletons."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # many distinct tokens so a one-token change flips few simhash bits
+    base = " ".join(f"w{i}" for i in range(60))
+    texts = [base] * 4                      # 0-3: identical
+    texts.append(base.replace("w30", "x30", 1))   # 4: near 0-3 (hamming 3)
+    rng = np.random.RandomState(7)
+    vocab = [f"q{i}" for i in range(400)]
+    texts += [" ".join(rng.choice(vocab, 40)) for _ in range(6)]  # 5-10 noise
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    out = dedup.dup_clusters(str(tmp_path), max_hamming=6).to_pandas()
+    assert len(out) == len(texts)
+
+    # reference: driver union-find over the same edge list
+    edges = dedup.simhash_pairs(str(tmp_path), max_hamming=6).to_pandas()
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["a"], edges["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(len(texts))}
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    assert got == want
+    # the identical block plus its near-dup form one cluster rooted at 0
+    assert {got[i] for i in range(5)} == {0}
+    sizes = dict(zip(out["doc_id"], out["cluster_size"]))
+    assert sizes[0] == 5
+
+
 def test_knn_self_consistency(ray_session):
     out = similarity.knn_bruteforce("/root/testdata/sf0.001", k=5, n_queries=5).to_pandas()
     assert set(out["query_id"]) == set(range(5))
