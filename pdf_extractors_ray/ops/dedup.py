@@ -19,7 +19,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 _MERSENNE = (1 << 61) - 1
 _N_HASHES = 64
@@ -192,9 +192,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
     (members share their representative's signature); tested by
     ``tests/test_dedup_similarity.py`` including a planted viral cluster.
     """
-    from ray.data.aggregate import Count
-
-    from .common import cogroup_join
+    from .common import bucketed_group_agg, cogroup_join
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
@@ -254,8 +252,13 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
     # Each reduced intermediate is pinned: a 30-operator lazy plan with ten
     # chained shuffle barriers schedules pathologically (observed 265 s for
     # sub-second stages); pinned, the same work runs in seconds.
+    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_nb=np.int64(1))
+
     cand = (
-        pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_nb")).drop_columns(["_nb"]).materialize()
+        bucketed_group_agg(pairs.map_batches(mark, batch_format="pandas"), ["a", "b"], {"_nb": "sum"})
+        .drop_columns(["_nb"])
+        .materialize()
     )
 
     # candidate texts via cogroup joins (rename to avoid collisions)
