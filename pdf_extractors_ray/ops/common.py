@@ -98,7 +98,8 @@ def broadcast(obj):
 
 
 def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
-                 left_cols: list[str], right_cols: list[str]):
+                 left_cols: list[str], right_cols: list[str],
+                 dedup_left: list[str] | None = None):
     """Sparse-safe inner join via union + groupby cogroup.
 
     ``Dataset.join`` (Ray 2.49 hash-shuffle) crashes with ArrowInvalid when
@@ -114,6 +115,12 @@ def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
 
     Numeric columns come back as float64 when nulls were interleaved —
     callers cast their known-int columns back to int64.
+
+    ``dedup_left``: drop duplicate left rows on these columns inside each
+    key group before merging. When the columns include the join key this is
+    an exact global dedup fused into the join's shuffle (all rows with one
+    key co-locate), saving the separate aggregation barrier a caller would
+    otherwise need.
     """
     import pyarrow as pa
 
@@ -141,6 +148,8 @@ def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
         rf = group[group["__side"] == 1]
         if lf.empty or rf.empty:
             return pd.DataFrame({c: [] for c in left_cols + right_cols})
+        if dedup_left:
+            lf = lf.drop_duplicates([f"__l_{c}" for c in dedup_left])
         out = lf[["__key", *lsel]].merge(rf[["__key", *rsel]], on="__key")
         out = out.drop(columns=["__key"])
         return out.rename(columns=dict(zip(lsel + rsel, left_cols + right_cols)))

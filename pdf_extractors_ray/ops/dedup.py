@@ -19,8 +19,6 @@ import os
 import numpy as np
 import pandas as pd
 
-from ray.data.aggregate import Min
-
 _MERSENNE = (1 << 61) - 1
 _N_HASHES = 64
 _BANDS = 16  # 16 bands x 4 rows
@@ -61,19 +59,19 @@ def _mulmod_p(a: np.ndarray, h: np.ndarray) -> np.ndarray:
     return _fold_p(t1 + t2 + t3)
 # oversized-bucket policy: past this many distinct-text docs in one band
 # bucket, emit star edges to the bucket minimum instead of all pairs
-# (bounds one viral near-dup cluster to O(m) instead of O(m^2); cluster
-# connectivity is preserved, some direct pairs become transitive)
+# (bounds one viral near-dup cluster to O(m) instead of O(m^2)). Star
+# candidates still pass exact verification against the bucket minimum
+# ONLY, so connectivity survives just for members directly similar to
+# that minimum — members similar to each other but not to the minimum
+# lose their edges (documented approximation; never reached below 32k
+# distinct texts in one 1-in-16-band bucket).
 _MAX_BUCKET = 1 << 15
 
 
 def _docs(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ..runtime import read_parquet_sized
 
-    from ..runtime import tune_data_context
-
-    tune_data_context()
-
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return read_parquet_sized(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 def _md5_64(s: str) -> int:
@@ -91,16 +89,37 @@ def word_shingles(text: str, n: int = 3) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
-def minhash_signature(text: str, n: int = 3) -> np.ndarray:
+def minhash_signature(text: str, n: int = 3, _cache: dict | None = None) -> np.ndarray:
     """64 minhashes over word 3-gram shingles (exact universal-hash family
-    mod 2^61-1 — see ``_mulmod_p``)."""
+    mod 2^61-1 — see ``_mulmod_p``). ``_cache`` memoizes shingle→md5
+    across calls (shingles repeat heavily in near-dup corpora)."""
     shingles = word_shingles(text, n)
     if not shingles:
         return np.zeros(_N_HASHES, dtype=np.uint64)
-    base = np.array(sorted(_md5_64(s) for s in shingles), dtype=np.uint64) & _P61
+    if _cache is None:
+        hs = sorted(_md5_64(s) for s in shingles)
+    else:
+        hs = sorted(_cache.setdefault(s, _md5_64(s)) for s in shingles)
+    base = np.array(hs, dtype=np.uint64) & _P61
     # (a*h + b) mod p for each of the 64 permutations, min over shingles
     hashed = _fold_p(_mulmod_p(_A[None, :], base[:, None]) + _B[None, :])
     return hashed.min(axis=0)
+
+
+# polynomial band-key mixer: 4 row minhashes -> one int64 bucket key,
+# vectorized over (docs x bands) with the same exact Mersenne arithmetic
+# (no per-band md5 calls). A key collision between unequal chunks only
+# creates a false CANDIDATE, which exact-Jaccard verification removes.
+_BAND_R = np.uint64(0x9E3779B97F4A7C15 & ((1 << 61) - 1))
+
+
+def band_keys(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, 64) signature matrix -> (n_docs, 16) int64 band keys."""
+    chunks = sigs.reshape(sigs.shape[0], _BANDS, _ROWS)
+    k = np.zeros((sigs.shape[0], _BANDS), dtype=np.uint64)
+    for j in range(_ROWS):
+        k = _fold_p(_mulmod_p(k, np.broadcast_to(_BAND_R, k.shape)) + chunks[:, :, j])
+    return (k & np.uint64((1 << 62) - 1)).astype(np.int64)
 
 
 def exact_dedup(sf_dir: str):
@@ -135,18 +154,26 @@ ORDER BY 1
 
 
 class MinHasher:
-    """Actor stage: signature per doc → (band, band_hash, doc_id) rows."""
+    """Actor stage: signature per doc → (band, band_key, doc_id) rows.
+    Per-actor shingle-hash cache (init once per actor, reused across
+    batches); band keys are one vectorized mix over the whole batch."""
+
+    def __init__(self) -> None:
+        self.cache: dict[str, int] = {}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        bands, band_hashes, doc_ids = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = minhash_signature(text)
-            for b in range(_BANDS):
-                chunk = sig[b * _ROWS : (b + 1) * _ROWS]
-                bands.append(b)
-                band_hashes.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
-                doc_ids.append(doc_id)
-        return pd.DataFrame({"band": bands, "band_hash": band_hashes, "doc_id": doc_ids})
+        n = len(batch)
+        sigs = np.empty((n, _N_HASHES), dtype=np.uint64)
+        for i, text in enumerate(batch["text"]):
+            sigs[i] = minhash_signature(text, _cache=self.cache)
+        keys = band_keys(sigs) if n else np.empty((0, _BANDS), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(_BANDS, dtype=np.int64), n),
+                "band_key": keys.reshape(-1),
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), _BANDS),
+            }
+        )
 
 
 def _pair_table(a, b, **extra):
@@ -169,30 +196,41 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
                       max_bucket: int = _MAX_BUCKET, num_partitions: int | None = None):
     """Near-dup pairs via MinHash-LSH, verified by exact shingle Jaccard.
 
-    100 TB shape (nothing corpus-sized ever reaches the driver):
+    100 TB shape (nothing corpus-sized ever reaches the driver), with the
+    barrier count held to the minimum — one text-bearing shuffle, one band
+    shuffle, two text joins, and (only when exact duplicates exist) the
+    member-expansion joins:
 
     1. EXACT-COLLAPSE first: one groupby(md5(text)) elects a representative
        (min doc_id) per distinct text and records every doc's rep. The
        common web-crawl viral cluster - thousands of byte-identical docs -
        collapses to ONE LSH participant, which is what defuses the
-       quadratic band bucket.
-    2. Band the representatives only; candidate rep pairs per (band,
-       band_hash) bucket, emitted vectorized (triu indices). Buckets larger
-       than ``max_bucket`` emit star edges to the bucket min instead of all
-       pairs (O(m), cluster connectivity preserved, documented
-       approximation - never reached at test scale).
-    3. Verify candidates by exact Jaccard with texts obtained via a
-       cogroup join back to the representative table - not a broadcast
+       quadratic band bucket. The same reduce task ALSO emits the
+       within-cluster pairs (identical text, jaccard exactly 1.0) — the
+       whole hash group is local to it, so no later rep_id regroup.
+    2. Band the representatives only (actor pool, cached shingle hashes,
+       vectorized band keys); candidate rep pairs per (band, band_key)
+       bucket, emitted vectorized (triu indices). Buckets larger than
+       ``max_bucket`` emit star edges to the bucket min (O(m); see the
+       ``_MAX_BUCKET`` note for what that approximates).
+    3. Verify candidates by exact Jaccard with texts obtained via two
+       cogroup joins back to the representative table - not a broadcast
        text dict (and not ``Dataset.join``, whose hash aggregator cannot
        handle the empty partitions a sparse candidate set produces).
+       Cross-band duplicate candidates are deduped INSIDE the first join's
+       shuffle (rows sharing ``a`` co-locate), not in a separate barrier.
     4. EXPAND verified rep pairs across exact-duplicate members with two
-       cogroup joins, plus within-cluster pairs (jaccard = 1.0) per rep.
+       cogroup joins. When the corpus has no exact duplicates (count from
+       the collapse output, a cheap metadata check on the pinned
+       intermediate), the expansion is the identity and is skipped.
 
     Output is identical to direct banding+verification over all docs
     (members share their representative's signature); tested by
     ``tests/test_dedup_similarity.py`` including a planted viral cluster.
     """
-    from .common import bucketed_group_agg, cogroup_join
+    import pyarrow as pa
+
+    from .common import cogroup_join
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
@@ -207,34 +245,62 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
             }
         )
 
-    def collapse(group: pd.DataFrame) -> pd.DataFrame:
-        """One hash group -> member rows tagged with their representative;
-        the representative row keeps its text, members carry None."""
+    def collapse(group: pd.DataFrame) -> pa.Table:
+        """One hash group -> kind=0 member rows (rep keeps its text) plus
+        kind=1 within-cluster pair rows (explicit Arrow schema: empty
+        pandas blocks lose schema entering the next shuffle)."""
         g = group.sort_values("doc_id", kind="mergesort")
-        rep = int(g["doc_id"].iloc[0])
-        out = pd.DataFrame(
+        ids = g["doc_id"].to_numpy(np.int64)
+        rep = int(ids[0])
+        n = len(ids)
+        kind = [0] * n
+        doc_id = list(ids)
+        texts: list = [g["text"].iloc[0]] + [None] * (n - 1)
+        a: list = [None] * n
+        b: list = [None] * n
+        if n > 1 and bool(g["has_tok"].iloc[0]):
+            iu = np.triu_indices(n, 1)
+            m = len(iu[0])
+            kind += [1] * m
+            doc_id += [rep] * m
+            texts += [None] * m
+            a += list(ids[iu[0]])
+            b += list(ids[iu[1]])
+        return pa.table(
             {
-                "doc_id": g["doc_id"].to_numpy(np.int64),
-                "rep_id": np.full(len(g), rep, dtype=np.int64),
-                "has_tok": g["has_tok"].to_numpy(),
+                "kind": pa.array(kind, pa.int64()),
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "rep_id": pa.array([rep] * len(kind), pa.int64()),
+                "has_tok": pa.array([bool(g["has_tok"].iloc[0])] * len(kind), pa.bool_()),
+                "text": pa.array(texts, pa.string()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
             }
         )
-        out["text"] = [g["text"].iloc[0] if int(d) == rep else None for d in out["doc_id"]]
-        return out
 
-    # ONE text-bearing shuffle; both the rep table and the membership table
-    # derive from it with stateless filters. materialize() pins the (small,
-    # reduced) result so its consumers don't re-run the groupby.
+    # ONE text-bearing shuffle; the rep-text, membership and within-pair
+    # tables all derive from it with stateless filters. materialize() pins
+    # the (reduced) result so consumers don't re-run the groupby.
     combined = (
         ds.map_batches(hash_batch, batch_format="pandas")
         .groupby("h")
         .map_groups(collapse, batch_format="pandas")
         .materialize()
     )
-    rep_texts = combined.map_batches(
-        lambda b: b[b["text"].notna()][["doc_id", "text"]], batch_format="pandas"
-    ).materialize()
-    members = combined.select_columns(["doc_id", "rep_id", "has_tok"]).materialize()
+    import pyarrow.compute as pc
+
+    def _rep_text_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.equal(t["kind"], 0), pc.is_valid(t["text"]))).select(
+            ["doc_id", "text"]
+        )
+
+    def _dup_member_rows(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(pc.equal(t["kind"], 0), pc.not_equal(t["doc_id"], t["rep_id"]))
+        ).select(["doc_id", "rep_id"])
+
+    rep_texts = combined.map_batches(_rep_text_rows, batch_format="pyarrow")
+    n_dup_members = combined.map_batches(_dup_member_rows, batch_format="pyarrow").count()
 
     banded = rep_texts.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 4))
 
@@ -247,28 +313,18 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         iu = np.triu_indices(len(ids), 1)
         return _pair_table(ids[iu[0]], ids[iu[1]])
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(emit_pairs, batch_format="pandas")
-    # a pair can surface from several bands -> dedup BEFORE the text joins.
-    # Each reduced intermediate is pinned: a 30-operator lazy plan with ten
-    # chained shuffle barriers schedules pathologically (observed 265 s for
-    # sub-second stages); pinned, the same work runs in seconds.
-    def mark(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_nb=np.int64(1))
+    pairs = banded.groupby(["band", "band_key"]).map_groups(emit_pairs, batch_format="pandas")
 
-    cand = (
-        bucketed_group_agg(pairs.map_batches(mark, batch_format="pandas"), ["a", "b"], {"_nb": "sum"})
-        .drop_columns(["_nb"])
-        .materialize()
-    )
-
-    # candidate texts via cogroup joins (rename to avoid collisions)
+    # candidate texts via cogroup joins; cross-band duplicate (a, b) rows
+    # are dropped inside the first join's key groups (exact: same "a" ->
+    # same group), so no separate dedup barrier
     ta = rep_texts.map_batches(
-        lambda b: b.rename(columns={"text": "text_a"}), batch_format="pandas"
+        lambda t: t.rename_columns(["doc_id", "text_a"]), batch_format="pyarrow"
     )
     tb = rep_texts.map_batches(
-        lambda b: b.rename(columns={"text": "text_b"}), batch_format="pandas"
+        lambda t: t.rename_columns(["doc_id", "text_b"]), batch_format="pyarrow"
     )
-    cand = cogroup_join(cand, ta, "a", "doc_id", ["a", "b"], ["text_a"])
+    cand = cogroup_join(pairs, ta, "a", "doc_id", ["a", "b"], ["text_a"], dedup_left=["a", "b"])
     cand = cogroup_join(cand, tb, "b", "doc_id", ["a", "b", "text_a"], ["text_b"])
 
     def verify(batch: pd.DataFrame):
@@ -282,11 +338,21 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         arr = np.array(out, dtype=np.int64).reshape(-1, 3)
         return _pair_table(arr[:, 0], arr[:, 1], jaccard_ppm=arr[:, 2])
 
-    verified_reps = cand.map_batches(verify, batch_format="pandas").materialize()
+    verified_reps = cand.map_batches(verify, batch_format="pandas")
 
-    # expansion 1: verified rep pair -> all member cross pairs
-    ma = members.map_batches(lambda b: b[["doc_id", "rep_id"]].rename(columns={"doc_id": "x"}), batch_format="pandas")
-    mb = members.map_batches(lambda b: b[["doc_id", "rep_id"]].rename(columns={"doc_id": "y"}), batch_format="pandas")
+    if n_dup_members == 0:
+        # no exact duplicates anywhere: every doc is its own representative,
+        # expansion and within-cluster pairs are empty by construction
+        return verified_reps.sort(["a", "b"])
+
+    members = combined.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["doc_id", "rep_id"]),
+        batch_format="pyarrow",
+    )
+
+    # expansion: verified rep pair -> all member cross pairs
+    ma = members.map_batches(lambda t: t.rename_columns(["x", "rep_id"]), batch_format="pyarrow")
+    mb = members.map_batches(lambda t: t.rename_columns(["y", "rep_id"]), batch_format="pyarrow")
     cross = cogroup_join(verified_reps, ma, "a", "rep_id", ["b", "jaccard_ppm"], ["x"])
     cross = cogroup_join(cross, mb, "b", "rep_id", ["jaccard_ppm", "x"], ["y"])
 
@@ -300,32 +366,24 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
 
     cross_pairs = cross.map_batches(canonize, batch_format="pandas")
 
-    # expansion 2: within-cluster pairs (identical text -> jaccard exactly 1)
-    def within(batch: pd.DataFrame):
-        g = batch[batch["has_tok"]]
-        frames = []
-        for _rep, grp in g.groupby("rep_id", sort=False):
-            ids = np.sort(grp["doc_id"].to_numpy(np.int64))
-            if len(ids) < 2:
-                continue
-            iu = np.triu_indices(len(ids), 1)
-            frames.append((ids[iu[0]], ids[iu[1]]))
-        if not frames:
-            return _pair_table([], [], jaccard_ppm=[])
-        a = np.concatenate([f[0] for f in frames])
-        b = np.concatenate([f[1] for f in frames])
-        return _pair_table(a, b, jaccard_ppm=np.full(len(a), 1_000_000, dtype=np.int64))
+    # within-cluster pairs were emitted by collapse (kind=1) — identical
+    # text, jaccard exactly 1.  No pair-level dedup needed: cross pairs
+    # (distinct reps) and within pairs (same rep) are disjoint, and each
+    # unordered doc pair maps to exactly one rep pair.
+    def _within_rows(t: pa.Table) -> pa.Table:
+        w = t.filter(pc.equal(t["kind"], 1))
+        return pa.table(
+            {
+                "a": w["a"].cast(pa.int64()),
+                "b": w["b"].cast(pa.int64()),
+                "jaccard_ppm": pa.array(
+                    np.full(len(w), 1_000_000, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
 
-    # collapse() emits each hash group contiguously inside one block, but a
-    # giant group can span blocks -> regroup by rep_id to be safe
-    within_pairs = members.groupby("rep_id").map_groups(within, batch_format="pandas")
+    within_pairs = combined.map_batches(_within_rows, batch_format="pyarrow")
 
-    # No pair-level dedup needed: band-level duplicates were already
-    # collapsed at the (small) rep-candidate stage; cross pairs (distinct
-    # reps) and within pairs (same rep) are disjoint, and each unordered
-    # doc pair maps to exactly one rep pair. A groupby here would also be a
-    # scale bug: Ray's hash aggregate pays per-group overhead, and pair
-    # keys are ~all distinct (measured 250+ s for 500k groups on 4 CPUs).
     return cross_pairs.union(within_pairs).sort(["a", "b"])
 
 
@@ -449,8 +507,14 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = _MAX_BUCK
         return _hamming_pairs_chunked(ids, hashes, max_hamming)
 
     pairs = banded.groupby(["band", "band_val"]).map_groups(emit_pairs, batch_format="pandas")
-    # a pair can surface from several bands → exact dedup on the pair key
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming")).sort(["a", "b"])
+    # a pair can surface from several bands → exact dedup on the pair key.
+    # Bucketed (not groupby().aggregate()): pair keys are ~all distinct, and
+    # Ray's hash aggregate pays per-GROUP overhead (measured 250+ s for
+    # 500k groups) — the same pathology ops/common.bucketed_group_agg fixes
+    # for exact dedup.
+    from .common import bucketed_group_agg
+
+    return bucketed_group_agg(pairs, ["a", "b"], {"hamming": "min"}).sort(["a", "b"])
 
 
 def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
@@ -475,7 +539,7 @@ def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
     return ds.groupby("source").map_groups(pairs, batch_format="pandas").sort(["source", "a", "b"])
 
 
-def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 12):
+def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32):
     """Near-duplicate CLUSTERS: distributed connected components over the
     SimHash near-dup edge set — the "cluster → keep one representative"
     primitive a dedup pipeline actually consumes (pair lists are an
@@ -526,6 +590,7 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 12):
         bi.map_batches(seed, batch_format="pandas"), ["node"], {"label": "min"}
     ).materialize()
     prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_rounds):
         offers = cogroup_join(bi, labels, "src", "node", ["dst"], ["label"]).map_batches(
             lambda b: pd.DataFrame(
@@ -536,8 +601,20 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 12):
         labels = bucketed_group_agg(labels.union(offers), ["node"], {"label": "min"}).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # min-label propagation needs ~component-diameter rounds; the star
+        # cap bounds bucket size, NOT chain depth, so a deep chain of
+        # near-dups can exceed max_rounds.  Partially-propagated labels are
+        # silently WRONG (two docs of one component with different
+        # clusters) — fail loudly instead of returning them.
+        raise RuntimeError(
+            f"dup_clusters: label propagation did not converge within "
+            f"{max_rounds} rounds (component diameter exceeds the bound); "
+            f"re-run with a larger max_rounds"
+        )
 
     # merge singletons back: every doc contributes (doc_id, doc_id); the
     # bucketed min keeps the propagated label for endpoint nodes

@@ -16,13 +16,9 @@ SESSION_GAP_S = 1800  # 30 minutes
 
 
 def _events(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ..runtime import read_parquet_sized
 
-    from ..runtime import tune_data_context
-
-    tune_data_context()
-
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+    return read_parquet_sized(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
 
 def events_hourly(sf_dir: str):

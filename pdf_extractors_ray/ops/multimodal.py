@@ -38,7 +38,9 @@ def media_dataset(sf_dir: str):
 
     tune_data_context()
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    from ..runtime import read_parquet_sized
+
+    ds = read_parquet_sized(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
     def to_binary(batch: pa.Table) -> pa.Table:
         payload = pa.array([t.encode() for t in batch["text"].to_pylist()], pa.binary())

@@ -26,10 +26,12 @@ def _read(sf_dir: str, name: str, columns=None, filter=None):
 
     tune_data_context()
 
+    from ..runtime import read_parquet_sized
+
     kwargs = {}
     if filter is not None:
         kwargs["filter"] = filter
-    return rd.read_parquet(_pq(sf_dir, name), columns=columns, **kwargs)
+    return read_parquet_sized(_pq(sf_dir, name), columns=columns, **kwargs)
 
 
 def q1_pricing_summary(sf_dir: str):
@@ -76,25 +78,20 @@ ORDER BY l_returnflag, l_linestatus
 def q3_segment_topk(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     """Top-k orders by revenue for one market segment.
 
-    Join strategy: only the segment's *customer key set* is broadcast
-    (small by selectivity); orders are filtered DISTRIBUTED against it, and
-    the orders↔lineitem side goes through ``Dataset.join`` — no driver-side
-    materialization of orders or lineitem (ray_guide "Joins and lookups")."""
-    import ray
-
+    Join strategy: fully distributed. A market segment is ~20% of
+    ``customer`` — NOT broadcast-small at 100 TB (a driver-side key set
+    would be tens of GB of Python ints) — so the orders semi-join runs as a
+    hash-partitioned ``Dataset.join`` against the pushdown-filtered
+    customer keys, and orders↔lineitem likewise; nothing corpus-sized
+    touches the driver (ray_guide "Joins and lookups")."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
-                 filter=(pc.field("c_mktsegment") == segment))
-    cust_keys_ref = broadcast(set(cust.to_pandas()["c_custkey"]))
-
-    class FilterOrders:
-        def __init__(self):
-            self.keys = ray.get(cust_keys_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["o_custkey"].isin(self.keys)][["o_orderkey"]]
+                 filter=(pc.field("c_mktsegment") == segment)).select_columns(["c_custkey"])
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    o_keys = orders.map_batches(FilterOrders, batch_format="pandas", concurrency=(1, 4))
+    o_keys = orders.join(
+        cust, join_type="inner", on=("o_custkey",), right_on=("c_custkey",),
+        num_partitions=join_partitions(),
+    ).select_columns(["o_orderkey"])
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 

@@ -41,13 +41,13 @@ _HYPERPLANES = _hyperplanes(_N_BITS)
 
 
 def _emb(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ..runtime import read_parquet_sized
 
-    from ..runtime import tune_data_context
-
-    tune_data_context()
-
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+    # embeddings decompress ~8x from disk (list<float>) and the per-batch
+    # kernel is a matmul — keep blocks smaller so compute parallelizes
+    return read_parquet_sized(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=columns, floor_bytes=256 << 10
+    )
 
 
 def _matrix(batch: pd.DataFrame) -> np.ndarray:
@@ -142,15 +142,23 @@ def emb_dup_pairs(sf_dir: str, threshold_ppm: int = 400_000):
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         return pd.DataFrame({"vec_id": batch["vec_id"], "embedding": list(mn)})
 
-    # bounded block count: B(B+1)/2 tasks must stay schedulable (B=32 →
-    # 528 tasks); block size grows with N instead, which is inherent to an
-    # exact quadratic join
-    blocks = ds.map_batches(normalize, batch_format="pandas").repartition(32).to_arrow_refs()
+    # block count from BYTES, not a constant: ~64 MB of decompressed
+    # vectors per block (disk parquet ≈ 4x smaller), so block size is
+    # bounded at any corpus size and the task count grows as B(B+1)/2 —
+    # quadratic, which is inherent to an exact all-pairs join (the
+    # sub-quadratic approximate path is ann_lsh/MinHash)
+    nbytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet")) * 4
+    n_blocks = max(1, -(-nbytes // (64 << 20)))
+    blocks = ds.map_batches(normalize, batch_format="pandas").repartition(n_blocks).to_arrow_refs()
 
     @ray.remote
     def score_block_pair(left, right, diagonal: bool):
         import pyarrow as pa
 
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "sim_ppm": pa.array([], pa.int64())})
+        if len(left) == 0 or len(right) == 0:
+            return empty
         li = np.asarray(left["vec_id"], dtype=np.int64)
         ri = np.asarray(right["vec_id"], dtype=np.int64)
         lm = np.stack([np.asarray(v, dtype=np.float64) for v in left["embedding"].to_pylist()])
@@ -171,17 +179,13 @@ def emb_dup_pairs(sf_dir: str, threshold_ppm: int = 400_000):
             }
         )
 
-    tasks = []
+    # surviving pairs land in a Dataset straight from the object store
+    # (from_arrow_refs) — the driver never gathers the pair tables
+    refs = []
     for i in range(len(blocks)):
         for j in range(i, len(blocks)):
-            tasks.append(score_block_pair.remote(blocks[i], blocks[j], i == j))
-    results = [t for t in ray.get(tasks) if t.num_rows]
-    if not results:
-        import pyarrow as pa
-
-        results = [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                             "sim_ppm": pa.array([], pa.int64())})]
-    return rd.from_arrow(results).sort(["a", "b"])
+            refs.append(score_block_pair.remote(blocks[i], blocks[j], i == j))
+    return rd.from_arrow_refs(refs).sort(["a", "b"])
 
 
 EMB_DUP_PAIRS_SQL = """

@@ -46,13 +46,9 @@ from ..oracle import persons as _per
 
 
 def _docs(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ..runtime import read_parquet_sized
 
-    from ..runtime import tune_data_context
-
-    tune_data_context()
-
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return read_parquet_sized(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 def _sql_quote(s: str) -> str:

@@ -29,13 +29,9 @@ LANG_MARKERS = {
 
 
 def _docs(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ..runtime import read_parquet_sized
 
-    from ..runtime import tune_data_context
-
-    tune_data_context()
-
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return read_parquet_sized(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 def docs_token_stats(sf_dir: str):
@@ -75,15 +71,18 @@ def docs_quality(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        # one explode + two index-grouped folds — no per-row Python lambdas
         toks = batch["text"].str.split(" ")
-        stop = set(STOPWORDS)
+        flat = toks.explode()
+        tok_len = flat.str.len().astype(np.int64)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": toks.map(len).astype(np.int64),
+                "n_tokens": toks.str.len().astype(np.int64),
                 "n_chars": batch["text"].str.len().astype(np.int64),
-                "n_stopwords": toks.map(lambda ws: sum(w in stop for w in ws)).astype(np.int64),
-                "max_token_len": toks.map(lambda ws: max((len(w) for w in ws), default=0)).astype(np.int64),
+                "n_stopwords": flat.isin(STOPWORDS).groupby(level=0).sum().astype(np.int64),
+                "max_token_len": tok_len.groupby(level=0).max().astype(np.int64),
             }
         ).assign(
             # fixed-point quality ratio: same IEEE divide + floor both engines

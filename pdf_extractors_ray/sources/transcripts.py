@@ -726,7 +726,9 @@ def boxes_path_for_sf(sf_dir: str, cache_root: str = "/tmp/pdfx_boxes") -> str:
 
 
 def read_transcripts(path: str, columns: list[str] | None = None):
-    """Ray Dataset over a transcript Parquet directory (column-pruned read)."""
-    import ray.data as rd
+    """Ray Dataset over a transcript Parquet directory (column-pruned read,
+    byte-derived block count; small floor — the consumers are regex-heavy
+    per-turn kernels that want compute parallelism even on small corpora)."""
+    from ..runtime import read_parquet_sized
 
-    return rd.read_parquet(path, columns=columns)
+    return read_parquet_sized(path, columns=columns, floor_bytes=512 << 10)
