@@ -102,33 +102,47 @@ def run_bench() -> dict:
     w = rd.range(NUM_CPUS * 4).map_batches(lambda b: b, batch_size=1)
     w.groupby("id").map_groups(lambda g: g, batch_format="pandas").count()
 
-    queries: dict[str, float] = {}
-    out_root = f"/tmp/pdfx_bench_out_{NUM_CPUS}{os.environ.get('GRAFT_BENCH_OUT_SUFFIX', '')}"
-    shutil.rmtree(out_root, ignore_errors=True)
+    # Interleaved min-of-N sampling: the box carries external neighbor load
+    # that swings over minutes (r2's driver bench ran uniformly ~1 s/query
+    # slower than same-day local runs), so each round replays headline +
+    # every op query in sequence and the report carries the per-query MIN
+    # plus all raw samples — the variance is visible in the JSON itself.
+    # Scaling mode keeps one sample (its protocol repeats whole phases).
+    headline_only = bool(os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"))
+    n_samples = int(os.environ.get("GRAFT_BENCH_SAMPLES", "1" if headline_only else "3"))
+    op_queries = [] if headline_only else OP_QUERIES
+    samples: dict[str, list[float]] = {"extract_all_partitioned": [], **{q: [] for q in op_queries}}
+    out_base = f"/tmp/pdfx_bench_out_{NUM_CPUS}{os.environ.get('GRAFT_BENCH_OUT_SUFFIX', '')}"
+    rows = {}
 
-    # headline: ALL families in one read + one part_id shuffle; each
-    # partition task folds its conversations, runs the census downstream
-    # stages (summary + kinship) on its co-located households, writes all
-    # outputs + a lineage sidecar
-    t0 = time.time()
-    metrics = partitioned_extract_all_tasks(path, out_root, n_parts=64)
-    headline = time.time() - t0
-    queries["extract_all_partitioned"] = round(headline, 3)
-    rows = {"all_families": int(metrics["n_rows"].sum())}
+    for r in range(n_samples):
+        # headline: ALL families in one read + one part_id shuffle; each
+        # partition task folds its conversations, runs the census downstream
+        # stages (summary + kinship) on its co-located households, writes
+        # all outputs + a lineage sidecar. Fresh out_root per round —
+        # resume-skip would otherwise no-op the repeat.
+        out_root = f"{out_base}_r{r}"
+        shutil.rmtree(out_root, ignore_errors=True)
+        t0 = time.time()
+        metrics = partitioned_extract_all_tasks(path, out_root, n_parts=64)
+        samples["extract_all_partitioned"].append(round(time.time() - t0, 3))
+        rows = {"all_families": int(metrics["n_rows"].sum())}
 
-    # representative scale operators over the driver tables (skipped in
-    # scaling mode: the criterion times the headline pipeline only)
-    for name in [] if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else OP_QUERIES:
-        fn = REGISTRY[name][0]
-        t = time.time()
-        fn(SF_DIR).count()
-        queries[name] = round(time.time() - t, 3)
+        for name in op_queries:
+            fn = REGISTRY[name][0]
+            t = time.time()
+            fn(SF_DIR).count()
+            samples[name].append(round(time.time() - t, 3))
+
+    queries = {name: min(vals) for name, vals in samples.items()}
+    headline = queries["extract_all_partitioned"]
 
     out = {
         "metric": "transcript_extraction_all_families",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": queries,
+        "samples": samples,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "turns": n_turns,
@@ -161,8 +175,12 @@ def run_scaling() -> dict:
     d = run_scaling_decompose()
     turns = d["turns"]
     return {
-        "metric": "scaling_efficiency",
+        # metric NAME carries the adjustment so a consumer reading "value"
+        # knows it is the hardware-contention-adjusted engine efficiency;
+        # the raw measured 8→32 ratio is value_raw / raw_eff_8_to_32
+        "metric": "scaling_efficiency_hw_adjusted",
         "value": d["engine_eff_8_to_32"],
+        "value_raw": d["raw_eff_8_to_32"],
         "unit": "ratio",
         "sf": SF_DIR,
         "cpus_lo": 8,

@@ -53,33 +53,52 @@ def media_dataset(sf_dir: str):
 class DecodeStub:
     """Actor-pool decode stage.
 
-    ``real=True`` is the production signature (would hold the codec handle
-    loaded once per actor); here it raises ``NotImplementedError`` because
-    media codecs are not installed. ``real=False`` emits a deterministic
-    fake decode so the downstream plumbing is exercised end-to-end.
+    ``real=True`` is the production path: a ``codec_factory`` (injected via
+    ``map_batches(..., fn_constructor_kwargs={"real": True,
+    "codec_factory": ...})``) is called ONCE per actor in ``__init__`` to
+    produce the codec handle — the factory is what ships to the actor, not
+    the (unpicklable, possibly GPU-pinned) handle itself. The handle's
+    ``decode(payload, media_type) -> dict`` supplies ``width`` / ``height``
+    / ``duration_ms`` (extra keys pass through to the output row, which is
+    how the injection test observes per-actor reuse). With no factory,
+    ``real=True`` raises ``NotImplementedError`` — media codecs are not
+    installed in this container. ``real=False`` emits a deterministic fake
+    decode so the downstream plumbing is exercised end-to-end.
     """
 
-    def __init__(self, real: bool = False):
+    def __init__(self, real: bool = False, codec_factory=None):
         self.real = real
+        self.codec = None
+        if real:
+            if codec_factory is None:
+                raise NotImplementedError(
+                    "media codecs are not available in this environment; "
+                    "inject one via fn_constructor_kwargs={'codec_factory': ...}"
+                )
+            self.codec = codec_factory()  # once per ACTOR, not per batch
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if self.real:
-            raise NotImplementedError("media codecs are not available in this environment")
         rows = []
         for doc_id, payload, kind in zip(batch["doc_id"], batch["payload"], batch["media_type"]):
             digest = hashlib.md5(payload).digest()
-            rows.append(
-                {
-                    "doc_id": int(doc_id),
-                    "media_type": kind,
-                    "n_bytes": len(payload),
-                    "sha_prefix": digest[:8].hex(),
-                    # fake decoded dimensions / duration, digest-derived
-                    "width": 64 + digest[0] % 192,
-                    "height": 64 + digest[1] % 192,
-                    "duration_ms": int.from_bytes(digest[2:4], "little") if kind == "audio" else 0,
-                }
-            )
+            row = {
+                "doc_id": int(doc_id),
+                "media_type": kind,
+                "n_bytes": len(payload),
+                "sha_prefix": digest[:8].hex(),
+            }
+            if self.codec is not None:
+                row.update(self.codec.decode(payload, kind))
+            else:
+                # fake decoded dimensions / duration, digest-derived
+                row.update(
+                    {
+                        "width": 64 + digest[0] % 192,
+                        "height": 64 + digest[1] % 192,
+                        "duration_ms": int.from_bytes(digest[2:4], "little") if kind == "audio" else 0,
+                    }
+                )
+            rows.append(row)
         return pd.DataFrame(rows)
 
 
@@ -186,3 +205,63 @@ def media_frames(sf_dir: str, every_ms: int = 100):
         FrameSampleStub, fn_constructor_kwargs={"every_ms": every_ms},
         batch_format="pandas", batch_size=256, concurrency=(1, 4),
     ).sort(["doc_id", "frame_idx"])
+
+
+class MediaUnion:
+    """Second actor-pool stage of ``media_pipeline``: holds the resize and
+    frame-sample kernels (constructed once per actor) and emits their
+    outputs plus the per-item features as ONE union-schema table, so the
+    whole decode→features/resize/frame-sample pipeline runs in a single
+    streaming pass — no materialized intermediate, no triple re-decode."""
+
+    def __init__(self, max_side: int = 128, every_ms: int = 100):
+        self.resize = ResizeStub(max_side=max_side)
+        self.frames = FrameSampleStub(every_ms=every_ms)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "kind": "item",
+                "idx": np.int64(0),
+                "a": batch["width"].to_numpy(dtype=np.int64),
+                "b": batch["height"].to_numpy(dtype=np.int64),
+                "sha": batch["sha_prefix"],
+            }
+        )
+        t = self.resize(batch)
+        thumbs = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(dtype=np.int64),
+                "kind": "thumb",
+                "idx": np.int64(0),
+                "a": t["out_w"].to_numpy(dtype=np.int64),
+                "b": t["out_h"].to_numpy(dtype=np.int64),
+                "sha": t["thumb_sha"],
+            }
+        )
+        f = self.frames(batch)
+        frames = pd.DataFrame(
+            {
+                "doc_id": f["doc_id"].to_numpy(dtype=np.int64),
+                "kind": "frame",
+                "idx": f["frame_idx"].to_numpy(dtype=np.int64),
+                "a": f["ts_ms"].to_numpy(dtype=np.int64),
+                "b": np.int64(0),
+                "sha": f["frame_sha"],
+            }
+        )
+        return pd.concat([feats, thumbs, frames], ignore_index=True)
+
+
+def media_pipeline(sf_dir: str, max_side: int = 128, every_ms: int = 100):
+    """Chained multimodal pipeline in one streaming pass: binary payloads →
+    decode (actor pool) → features + thumbnail-resize + frame-sample
+    (second actor pool) → union rows (doc_id, kind∈{item,thumb,frame},
+    idx, a, b, sha)."""
+    ds = media_dataset(sf_dir)
+    decoded = ds.map_batches(DecodeStub, batch_format="pandas", batch_size=256, concurrency=(1, 4))
+    return decoded.map_batches(
+        MediaUnion, fn_constructor_kwargs={"max_side": max_side, "every_ms": every_ms},
+        batch_format="pandas", batch_size=256, concurrency=(1, 4),
+    ).sort(["doc_id", "kind", "idx"])

@@ -495,3 +495,148 @@ ORDER BY doc_id
 
 
 EXTRACT_KERNEL_MEMBER_CODERS_SQL = _member_coders_sql()
+
+
+# --- invoice FOLD: header broadcast + LOCF at pipeline level ----------------
+#
+# extract_kernel_invoice_bank pins the per-fragment regex bank; this query
+# pins the FOLD that consumes it (M26 fragmenter ':'-quirk, M27 header
+# broadcast incl. the has-Invoice guard, M28 delivery-date LOCF) by running
+# the PRODUCTION pipeline stages (InvoiceFieldExtractor -> part_id ->
+# groupby(part_id) -> _fold_invoice_partition — the same objects
+# extract_invoice composes) over deterministically rendered fragment
+# conversations, against a DuckDB window-SQL twin
+# (LAST_VALUE ... IGNORE NULLS per conversation ordered by fragment).
+# Reference semantics: nordic-logistics-invoice/nordic-invoice.py:65-100.
+
+_FOLD_MAX_ORDERS = 4
+
+
+def _render_fold_frags_py(doc_id: int) -> list[tuple[int, str]]:
+    """Fragments (turn_idx, text) for one rendered invoice conversation."""
+    d1 = _py_date(doc_id % 28 + 1, doc_id % 12 + 1, 2020 + doc_id % 6)
+    d2 = _py_date(doc_id % 27 + 1, doc_id % 11 + 1, 2021 + doc_id % 5)
+    if doc_id % 5 == 1:
+        # header WITHOUT the 'Invoice' line: the fold's has-Invoice guard
+        # must null ALL FOUR broadcast fields even though the others match
+        header = f"Invoice Date: {d1}\nDue Date: {d2}\nCustomer Number: {1000 + doc_id % 9000}"
+    else:
+        header = (
+            f"Invoice {3000000 + doc_id}\nInvoice Date: {d1}\n"
+            f"Due Date: {d2}\nCustomer Number: {1000 + doc_id % 9000}"
+        )
+    frags = [(0, header)]
+    n_orders = 2 + doc_id % 3
+    for pos in range(1, n_orders + 1):
+        ono = 700000 + (doc_id * 10 + pos) % 100000
+        if (doc_id + pos) % 5 == 0:
+            # fragment with no extractable fields -> fold skips the row
+            frags.append((pos, "freight manifest continues"))
+            continue
+        if (doc_id + pos) % 4 == 0:
+            # lost-anchor quirk: split ate the 'Order No.' prefix
+            text = f": {ono}"
+        else:
+            text = f"Order No.: {ono}"
+        if (doc_id + pos) % 3 == 0:
+            dd = _py_date((doc_id + pos) % 28 + 1, (doc_id + pos) % 12 + 1,
+                          2022 + (doc_id + pos) % 4)
+            text += f"\nDelivery date {dd}"
+        frags.append((pos, text))
+    return frags
+
+
+def extract_kernel_invoice_fold(sf_dir: str):
+    import pyarrow as pa
+
+    from ..pipelines.extract import _fold_invoice_partition
+    from ..stages.fold import _default_n_parts
+    from ..stages.invoice_extract import InvoiceFieldExtractor
+    from ..state.lineage import append_part_id
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        conv, tidx, text = [], [], []
+        for i in batch["doc_id"]:
+            for pos, frag in _render_fold_frags_py(int(i)):
+                conv.append(str(int(i)))  # part_id hashing keys on string conv_ids
+                tidx.append(pos)
+                text.append(frag)
+        return pd.DataFrame(
+            {"conv_id": conv,
+             "turn_idx": np.asarray(tidx, dtype=np.int32),
+             "text": text}
+        )
+
+    n_parts = _default_n_parts()
+    folded = (
+        ds.map_batches(render, batch_format="pandas")
+        .map_batches(InvoiceFieldExtractor, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(lambda b: append_part_id(b, n_parts), batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(_fold_invoice_partition, batch_format="pyarrow")
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def s(col):
+            return pc.coalesce(batch[col], "")
+
+        return pa.table(
+            {
+                "doc_id": batch["conv_id"].cast(pa.int64()),
+                "page": s("Page"),
+                "inv_no": s("Invoice"),
+                "inv_date": s("Invoice Date"),
+                "due_date": s("Due Date"),
+                "customer_no": s("Customer Number"),
+                "order_no": s("Order No."),
+                "delivery_date": s("Delivery date"),
+            }
+        )
+
+    return folded.map_batches(project, batch_format="pyarrow").sort(["doc_id", "page"])
+
+
+def _invoice_fold_sql() -> str:
+    d1 = _sql_date("doc_id % 28 + 1", "doc_id % 12 + 1", "2020 + doc_id % 6")
+    d2 = _sql_date("doc_id % 27 + 1", "doc_id % 11 + 1", "2021 + doc_id % 5")
+    d3 = _sql_date("(doc_id + pos) % 28 + 1", "(doc_id + pos) % 12 + 1",
+                   "2022 + (doc_id + pos) % 4")
+    positions = ", ".join(f"({p})" for p in range(1, _FOLD_MAX_ORDERS + 1))
+    return f"""
+WITH frags AS (
+    SELECT doc_id, pos
+    FROM documents CROSS JOIN (VALUES {positions}) p(pos)
+    WHERE pos <= 2 + doc_id % 3 AND (doc_id + pos) % 5 <> 0
+),
+rows_ AS (
+    SELECT doc_id, pos,
+        CASE WHEN doc_id % 5 = 1 THEN NULL
+             ELSE CAST(3000000 + doc_id AS VARCHAR) END AS inv_no,
+        CASE WHEN doc_id % 5 = 1 THEN NULL ELSE {d1} END AS inv_date,
+        CASE WHEN doc_id % 5 = 1 THEN NULL ELSE {d2} END AS due_date,
+        CASE WHEN doc_id % 5 = 1 THEN NULL
+             ELSE CAST(1000 + doc_id % 9000 AS VARCHAR) END AS customer_no,
+        CAST(700000 + (doc_id*10 + pos) % 100000 AS VARCHAR) AS order_no,
+        CASE WHEN (doc_id + pos) % 3 = 0 THEN {d3} END AS delivery_frag
+    FROM frags
+)
+SELECT doc_id,
+       CAST(pos AS VARCHAR) AS page,
+       COALESCE(inv_no, '') AS inv_no,
+       COALESCE(inv_date, '') AS inv_date,
+       COALESCE(due_date, '') AS due_date,
+       COALESCE(customer_no, '') AS customer_no,
+       COALESCE(order_no, '') AS order_no,
+       COALESCE(LAST_VALUE(delivery_frag IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), '') AS delivery_date
+FROM rows_
+ORDER BY doc_id, page
+"""
+
+
+EXTRACT_KERNEL_INVOICE_FOLD_SQL = _invoice_fold_sql()

@@ -210,3 +210,55 @@ def test_simhash_pairs_find_planted_near_dup(ray_session, tmp_path):
 
     pairs = simhash_pairs(str(tmp_path), max_hamming=6).to_pandas()
     assert ((pairs["a"] == 25) & (pairs["b"] == 26)).any()
+
+
+def test_decode_codec_injection_once_per_actor(ray_session):
+    """real=True with an injected codec factory: the factory runs ONCE per
+    actor (not per batch) and its handle's outputs flow into the rows."""
+    from pdf_extractors_ray.ops.multimodal import DecodeStub, media_dataset
+
+    class FakeCodec:
+        def __init__(self):
+            import os as _os
+            import uuid as _uuid
+
+            self.codec_id = f"{_os.getpid()}:{_uuid.uuid4().hex[:8]}"
+
+        def decode(self, payload, kind):
+            return {"width": 10, "height": 20, "duration_ms": 30, "codec_id": self.codec_id}
+
+    ds = media_dataset("/root/testdata/sf0.001")
+    out = ds.map_batches(
+        DecodeStub,
+        fn_constructor_kwargs={"real": True, "codec_factory": FakeCodec},
+        batch_format="pandas", batch_size=8, concurrency=2,
+    ).to_pandas()
+    n_rows = len(out)
+    assert n_rows >= 32  # several batches at batch_size=8
+    # one handle per actor, shared across that actor's batches
+    assert out["codec_id"].nunique() <= 2
+    assert (out["width"] == 10).all() and (out["duration_ms"] == 30).all()
+
+
+def test_decode_real_without_factory_raises(ray_session):
+    from pdf_extractors_ray.ops.multimodal import DecodeStub
+
+    with pytest.raises(NotImplementedError):
+        DecodeStub(real=True)
+
+
+def test_media_pipeline_matches_individual_stages(ray_session):
+    """media_pipeline's single-pass union == the three standalone queries."""
+    from pdf_extractors_ray.ops import multimodal as mm
+
+    sf = "/root/testdata/sf0.001"
+    uni = mm.media_pipeline(sf).to_pandas()
+    feats = mm.media_features(sf).to_pandas()
+    thumbs = mm.media_thumbnails(sf).to_pandas()
+    frames = mm.media_frames(sf).to_pandas()
+    assert len(uni) == len(feats) + len(thumbs) + len(frames)
+    u_thumb = uni[uni["kind"] == "thumb"].sort_values("doc_id")
+    assert list(u_thumb["a"]) == list(thumbs.sort_values("doc_id")["out_w"])
+    assert list(u_thumb["sha"]) == list(thumbs.sort_values("doc_id")["thumb_sha"])
+    u_frame = uni[uni["kind"] == "frame"].sort_values(["doc_id", "idx"])
+    assert list(u_frame["sha"]) == list(frames.sort_values(["doc_id", "frame_idx"])["frame_sha"])

@@ -315,3 +315,50 @@ def test_invoice_header_without_invoice_key():
     assert rows[0]["Invoice"] is None
     assert rows[0]["Invoice Date"] is None
     assert rows[0]["Order No."] == "7"
+
+
+def test_invoice_fold_surrogate_matches_oracle_fold():
+    """The rendered fold-surrogate fragments, pushed through the ORACLE
+    fold (oracle.invoice.extract_invoice_conv), reproduce the surrogate
+    SQL's analytic expectations — quirk re-prefix, has-Invoice broadcast
+    guard, skipped empty fragments, delivery-date LOCF."""
+    from pdf_extractors_ray.oracle import invoice as inv
+    from pdf_extractors_ray.ops.surrogate import _render_fold_frags_py
+
+    for doc_id in range(0, 40):
+        frags = _render_fold_frags_py(doc_id)
+        rows = inv.extract_invoice_conv([t for _, t in frags], [p for p, _ in frags])
+        n_orders = 2 + doc_id % 3
+        kept = [p for p in range(1, n_orders + 1) if (doc_id + p) % 5 != 0]
+        assert [r["Page"] for r in rows] == [str(p) for p in kept]
+        if doc_id % 5 == 1:
+            assert all(r["Invoice"] is None for r in rows)
+            assert all(r["Invoice Date"] is None for r in rows)
+        else:
+            assert all(r["Invoice"] == str(3000000 + doc_id) for r in rows)
+        # LOCF: delivery date fills forward from the last carrying fragment
+        last = None
+        for r, p in zip(rows, kept):
+            if (doc_id + p) % 3 == 0:
+                last = r["Delivery date"]
+                assert last is not None
+            assert r["Delivery date"] == last
+
+
+def test_variant_equality_gate_raises_on_mismatch():
+    import pandas as pd
+    import pytest as _pytest
+
+    from pdf_extractors_ray.pipelines.queries import _assert_variants_equal
+
+    class Fake:
+        def __init__(self, df):
+            self._df = df
+
+        def to_pandas(self):
+            return self._df
+
+    a = pd.DataFrame({"x": [1, 2], "y": ["a", "b"]})
+    _assert_variants_equal("a", Fake(a), "a2", Fake(a.iloc[::-1]))  # order-free
+    with _pytest.raises(RuntimeError):
+        _assert_variants_equal("a", Fake(a), "b", Fake(a.assign(y=["a", "c"])))
