@@ -34,14 +34,13 @@ TURN_COLUMNS = ["conv_id", "turn_idx", "text", "tool"]
 
 
 def family_dataset(path: str, family: str):
-    """Column- and row-pruned read of one family's turns."""
-    import ray.data as rd
+    """Column- and row-pruned read of one family's turns (byte-derived
+    block count; small floor — regex-heavy per-turn kernels downstream)."""
+    from ..runtime import read_parquet_sized
 
-    from ..runtime import tune_data_context
-
-    tune_data_context()
-    return rd.read_parquet(
-        path, columns=TURN_COLUMNS, filter=(pc.field("tool") == family)
+    return read_parquet_sized(
+        path, columns=TURN_COLUMNS, floor_bytes=512 << 10,
+        filter=(pc.field("tool") == family),
     )
 
 

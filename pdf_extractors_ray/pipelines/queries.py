@@ -28,7 +28,8 @@ from . import extract
 
 
 def _assert_variants_equal(name_a: str, ds_a, name_b: str, ds_b) -> None:
-    """Byte-equality gate between two pipeline variants (row order free).
+    """Byte-equality gate between two pipeline variants (row order free);
+    returns the first variant's DataFrame for the caller to hand back.
 
     Drives both datasets to pandas (the variant queries run at correctness
     scale — sf0.01 — where both results are small), canonicalizes via
@@ -46,6 +47,7 @@ def _assert_variants_equal(name_a: str, ds_a, name_b: str, ds_b) -> None:
     if not ca.equals(cb):
         n = int((ca != cb).any(axis=1).sum()) if len(ca) == len(cb) else abs(len(ca) - len(cb))
         raise RuntimeError(f"{name_a} vs {name_b}: {n} differing rows (of {len(ca)}/{len(cb)})")
+    return a
 
 
 def _invoice_query(sf_dir: str):
@@ -57,8 +59,9 @@ def _invoice_query(sf_dir: str):
     path = transcripts_path_for_sf(sf_dir)
     plain = extract.extract_invoice(path)
     salted = extract_invoice_salted(path)
-    _assert_variants_equal("extract_invoice", plain, "extract_invoice_salted", salted)
-    return plain
+    # return the compared frame — the caller would otherwise execute the
+    # lazy plain pipeline a second time
+    return _assert_variants_equal("extract_invoice", plain, "extract_invoice_salted", salted)
 
 
 def _catalog_query(sf_dir: str):
@@ -68,8 +71,7 @@ def _catalog_query(sf_dir: str):
     path = transcripts_path_for_sf(sf_dir)
     plain = extract.extract_catalog(path)
     salted = extract_catalog_salted(path)
-    _assert_variants_equal("extract_catalog", plain, "extract_catalog_salted", salted)
-    return plain
+    return _assert_variants_equal("extract_catalog", plain, "extract_catalog_salted", salted)
 
 
 def _layout_query(sf_dir: str):
@@ -78,8 +80,7 @@ def _layout_query(sf_dir: str):
     path = transcripts_path_for_sf(sf_dir)
     grouped = extract.extract_layout(path)
     broadcast = extract.extract_layout_broadcast(path)
-    _assert_variants_equal("extract_layout", grouped, "extract_layout_broadcast", broadcast)
-    return grouped
+    return _assert_variants_equal("extract_layout", grouped, "extract_layout_broadcast", broadcast)
 
 
 def _partitioned_metrics_query(sf_dir: str):

