@@ -258,7 +258,13 @@ def run_scaling_decompose() -> dict:
         wait_idle()
         quads = [run_cmd(8, f"{8 * i}-{8 * i + 7}", f"_q{i}") for i in range(4)]
         conc = [wait_json(p) for p in quads]
-        t32_run = wait_json(run_cmd(32, None, "_full"))
+        # T32 leg is min-of-2: external neighbor bursts only ever INFLATE a
+        # sample (the four concurrent 8-CPU jobs are already median-robust
+        # across their ~30 s window; a 10 s T32 run can land entirely
+        # inside one burst)
+        t32_a = wait_json(run_cmd(32, None, "_full"))
+        t32_b = wait_json(run_cmd(32, None, "_full"))
+        t32_run = min((t32_a, t32_b), key=lambda r: r["value"])
         conc_secs = sorted(r["value"] for r in conc)
         pair_data.append((conc_secs[len(conc_secs) // 2], t32_run, conc))
         time.sleep(10)

@@ -153,10 +153,36 @@ ORDER BY 1
 """
 
 
+# per-worker-process shingle-hash cache for the banding stage: elastic
+# tasks reuse worker processes, so module state gives the same cross-batch
+# reuse an actor pool would WITHOUT paying actor startup per query; capped
+# so a long-lived worker cannot grow it unboundedly
+_SHINGLE_CACHE: dict[str, int] = {}
+_SHINGLE_CACHE_CAP = 1 << 22
+
+
+def minhash_band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    """Signature per doc → (band, band_key, doc_id) rows; band keys are one
+    vectorized mix over the whole batch (see ``band_keys``)."""
+    if len(_SHINGLE_CACHE) > _SHINGLE_CACHE_CAP:
+        _SHINGLE_CACHE.clear()
+    n = len(batch)
+    sigs = np.empty((n, _N_HASHES), dtype=np.uint64)
+    for i, text in enumerate(batch["text"]):
+        sigs[i] = minhash_signature(text, _cache=_SHINGLE_CACHE)
+    keys = band_keys(sigs) if n else np.empty((0, _BANDS), dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "band": np.tile(np.arange(_BANDS, dtype=np.int64), n),
+            "band_key": keys.reshape(-1),
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), _BANDS),
+        }
+    )
+
+
 class MinHasher:
-    """Actor stage: signature per doc → (band, band_key, doc_id) rows.
-    Per-actor shingle-hash cache (init once per actor, reused across
-    batches); band keys are one vectorized mix over the whole batch."""
+    """Actor-pool wrapper around ``minhash_band_rows`` with a per-actor
+    cache (kept for callers that want pool-scoped cache lifetime)."""
 
     def __init__(self) -> None:
         self.cache: dict[str, int] = {}
@@ -302,7 +328,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
     rep_texts = combined.map_batches(_rep_text_rows, batch_format="pyarrow")
     n_dup_members = combined.map_batches(_dup_member_rows, batch_format="pyarrow").count()
 
-    banded = rep_texts.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 4))
+    banded = rep_texts.map_batches(minhash_band_rows, batch_format="pandas")
 
     def emit_pairs(group: pd.DataFrame):
         ids = np.unique(group["doc_id"].to_numpy().astype(np.int64))
@@ -416,6 +442,20 @@ def simhash64(text: str) -> int:
     return simhash64_batch([text])[0]
 
 
+def simhash_rows(batch: pd.DataFrame, cache: dict) -> pd.DataFrame:
+    hs = simhash64_batch(list(batch["text"]), cache)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": [f"{h:016x}" for h in hs],
+            "band0": [(h >> 0) & 0xFFFF for h in hs],
+            "band1": [(h >> 16) & 0xFFFF for h in hs],
+            "band2": [(h >> 32) & 0xFFFF for h in hs],
+            "band3": [(h >> 48) & 0xFFFF for h in hs],
+        }
+    )
+
+
 class SimHasher:
     """Actor stage: per-batch simhash with a per-actor token-hash cache."""
 
@@ -423,24 +463,24 @@ class SimHasher:
         self.cache: dict[str, int] = {}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        hs = simhash64_batch(list(batch["text"]), self.cache)
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "simhash": [f"{h:016x}" for h in hs],
-                "band0": [(h >> 0) & 0xFFFF for h in hs],
-                "band1": [(h >> 16) & 0xFFFF for h in hs],
-                "band2": [(h >> 32) & 0xFFFF for h in hs],
-                "band3": [(h >> 48) & 0xFFFF for h in hs],
-            }
-        )
+        return simhash_rows(batch, self.cache)
+
+
+_TOKEN_CACHE: dict[str, int] = {}
+
+
+def _simhash_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    if len(_TOKEN_CACHE) > _SHINGLE_CACHE_CAP:
+        _TOKEN_CACHE.clear()
+    return simhash_rows(batch, _TOKEN_CACHE)
 
 
 def simhash_docs(sf_dir: str):
-    """Per-document 64-bit simhash (hex) + its 4 16-bit band keys
-    (actor-pool stage so the token-hash cache persists across batches)."""
+    """Per-document 64-bit simhash (hex) + its 4 16-bit band keys.
+    Elastic tasks with a per-worker-process token-hash cache (same
+    cross-batch reuse as an actor pool, no pool startup per query)."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4)).sort("doc_id")
+    return ds.map_batches(_simhash_rows, batch_format="pandas").sort("doc_id")
 
 
 def _hamming_pairs_chunked(ids: np.ndarray, hashes: np.ndarray, max_hamming: int,
