@@ -285,15 +285,18 @@ def events_distinct_users(sf_dir: str):
     (event_type, user_id) pairs first (pre-aggregated per batch), then a
     tiny count per event_type — the exact-distinct pattern that scales
     (no driver-side set)."""
-    from ray.data.aggregate import Count
+    from .common import bucketed_group_agg
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
     def batch_distinct(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates(["event_type", "user_id"])
+        # per-batch dedup + the bucketed combine below = distinct pairs
+        # without Ray's per-group hash-aggregate overhead (pair keys are
+        # ~all distinct — the pathological case for groupby().aggregate())
+        return batch.drop_duplicates(["event_type", "user_id"]).assign(_c=np.int64(1))
 
     pairs = ds.map_batches(batch_distinct, batch_format="pandas")
-    distinct = pairs.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+    distinct = bucketed_group_agg(pairs, ["event_type", "user_id"], {"_c": "min"})
     distinct = distinct.drop_columns(["_c"])
 
     def one(batch: pd.DataFrame) -> pd.DataFrame:
