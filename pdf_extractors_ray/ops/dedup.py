@@ -579,7 +579,8 @@ def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
     return ds.groupby("source").map_groups(pairs, batch_format="pandas").sort(["source", "a", "b"])
 
 
-def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32):
+def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
+                 edges=None):
     """Near-duplicate CLUSTERS: distributed connected components over the
     SimHash near-dup edge set — the "cluster → keep one representative"
     primitive a dedup pipeline actually consumes (pair lists are an
@@ -606,7 +607,12 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32):
     """
     from .common import bucketed_group_agg, cogroup_join
 
-    edges = simhash_pairs(sf_dir, max_hamming=max_hamming).drop_columns(["hamming"])
+    # ``edges`` lets a caller that already computed the pair set (e.g. the
+    # chained pairs+clusters driver query) reuse it instead of re-running
+    # the banding + verification stages
+    if edges is None:
+        edges = simhash_pairs(sf_dir, max_hamming=max_hamming)
+    edges = edges.drop_columns(["hamming"])
 
     def bidir(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch["a"].to_numpy(dtype=np.int64)

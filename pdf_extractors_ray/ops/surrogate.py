@@ -640,3 +640,257 @@ ORDER BY doc_id, page
 
 
 EXTRACT_KERNEL_INVOICE_FOLD_SQL = _invoice_fold_sql()
+
+
+# ---------------------------------------------------------------------------
+# layout fold surrogate: pins the word-box → column-binned-row FOLD
+# (S7 header discovery incl. the wait-for-header path, M29 "last bin below"
+# x-binning with boundary-exact and left-of-first-bin boxes, M30 turn-0/late
+# header capture, M31 font predicate, and the County-Code completeness
+# gate) by running the PRODUCTION path — fold_conversations over
+# oracle.layout.extract_layout_conv, exactly what pipelines.extract_layout
+# composes — on deterministically rendered box-JSON conversations, against a
+# closed-form DuckDB twin. Reference semantics:
+# us-ffiec-demographic-Info/ffiec-census.py:40-77.
+
+_LAYOUT_HEADER = [
+    ("State Code", 50.0),
+    ("County Code", 150.0),
+    ("Tract Code", 250.0),
+    ("Tract Population", 350.0),
+]
+_LAYOUT_MAX_ROWS = 4
+
+
+def _render_layout_turns_py(doc_id: int) -> list[tuple[int, str]]:
+    """(turn_idx, box-JSON) turns for one rendered layout conversation."""
+    import json
+
+    header = [{"col": c, "x": x} for c, x in _LAYOUT_HEADER]
+    turns: list[tuple[int, str]] = []
+    if doc_id % 7 == 0:
+        # late header: turn 0 carries boxes but NO header — the fold must
+        # skip it (header not yet discovered), then pick the header off
+        # turn 1 and keep binning from there
+        turns.append((0, json.dumps({"boxes": [{"text": "orphan", "x0": 160.0, "font": "Arial"}]})))
+        turns.append((1, json.dumps({"header": header})))
+        off = 2
+    else:
+        turns.append((0, json.dumps({"header": header})))
+        off = 1
+    for pos in range(1, 2 + doc_id % 3 + 1):
+        # left of the first header x → bins to '' → dropped
+        boxes = [{"text": "LX", "x0": 10.0, "font": "Arial"}]
+        boxes.append({"text": str(doc_id % 50), "x0": 50.0 + doc_id % 5, "font": "Arial"})
+        if (doc_id + pos) % 4 != 0:
+            # County omitted every 4th row → completeness predicate drops it
+            boxes.append({"text": f"C{(doc_id * 10 + pos) % 997}", "x0": 150.0, "font": "Arial"})
+        # non-Arial box in the Tract bin: font predicate must ignore it
+        boxes.append({"text": "JUNK", "x0": 250.0, "font": "Times"})
+        if (doc_id + pos) % 3 == 0:
+            # two Arial boxes in the same bin: last one wins
+            boxes.append({"text": "overwritten", "x0": 251.0, "font": "Arial"})
+            boxes.append({"text": f"T{(doc_id + pos) % 89}", "x0": 260.0, "font": "Arial"})
+        # boundary-exact x0 == last header x → last column
+        boxes.append({"text": str((doc_id * 7 + pos) % 10000), "x0": 350.0, "font": "Arial"})
+        turns.append((off + pos - 1, json.dumps({"boxes": boxes})))
+    return turns
+
+
+def extract_kernel_layout_fold(sf_dir: str):
+    import pyarrow as pa
+
+    from ..oracle import layout as _lay
+    from ..pipelines import schemas
+    from ..stages.fold import fold_conversations
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        conv, tidx, text = [], [], []
+        for i in batch["doc_id"]:
+            for pos, payload in _render_layout_turns_py(int(i)):
+                conv.append(str(int(i)))
+                tidx.append(pos)
+                text.append(payload)
+        return pd.DataFrame(
+            {"conv_id": conv, "turn_idx": np.asarray(tidx, dtype=np.int32), "text": text}
+        )
+
+    folded = fold_conversations(
+        ds.map_batches(render, batch_format="pandas"),
+        _lay.extract_layout_conv,
+        schemas.LAYOUT_SCHEMA,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def s(col):
+            return pc.coalesce(batch[col], "")
+
+        return pa.table(
+            {
+                "doc_id": batch["conv_id"].cast(pa.int64()),
+                "ref_turn": batch["ref_turn"].cast(pa.int64()),
+                "state_code": s("State Code"),
+                "county_code": s("County Code"),
+                "tract_code": s("Tract Code"),
+                "tract_population": s("Tract Population"),
+            }
+        )
+
+    return folded.map_batches(project, batch_format="pyarrow").sort(["doc_id", "ref_turn"])
+
+
+EXTRACT_KERNEL_LAYOUT_FOLD_SQL = """
+WITH rows_ AS (
+    SELECT doc_id, pos
+    FROM documents CROSS JOIN (VALUES (1), (2), (3), (4)) p(pos)
+    WHERE pos <= 2 + doc_id % 3 AND (doc_id + pos) % 4 <> 0
+)
+SELECT doc_id,
+       CAST(pos + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS ref_turn,
+       CAST(doc_id % 50 AS VARCHAR) AS state_code,
+       'C' || CAST((doc_id * 10 + pos) % 997 AS VARCHAR) AS county_code,
+       CASE WHEN (doc_id + pos) % 3 = 0
+            THEN 'T' || CAST((doc_id + pos) % 89 AS VARCHAR) ELSE '' END AS tract_code,
+       CAST((doc_id * 7 + pos) % 10000 AS VARCHAR) AS tract_population
+FROM rows_
+ORDER BY doc_id, ref_turn
+"""
+
+
+# ---------------------------------------------------------------------------
+# catalog fold surrogate: pins the catalog STATE MACHINE fold (M36) at
+# pipeline level — banner gating, the 'Oil' validity gate, the
+# manufacturer-needs-year LOOKAHEAD, the NBSP (cont'd) manufacturer/year
+# splits, SAAB's dotted-model regime, the (Electric/Gas) engine
+# continuation, flush-on-year-transition, oil-code dedup-on-emit (M37) and
+# the trailing end-of-conversation flush — by running the PRODUCTION path
+# (fold_conversations over oracle.catalog.extract_catalog_conv, exactly
+# what pipelines.extract_catalog composes) on deterministically rendered
+# one-line-per-turn conversations, against a closed-form DuckDB twin.
+# Reference semantics: mobil-oil/mobil-oil-extractor.py:31-121.
+
+_CATALOG_MAX_BLOCKS = 4
+
+
+def _render_catalog_lines_py(doc_id: int) -> list[str]:
+    from ..oracle.catalog import BANNER
+
+    lines: list[str] = []
+    if doc_id % 3 == 0:
+        lines.append("Not yet started noise")  # pre-banner → ignored
+    lines.append(BANNER)
+    if doc_id % 4 == 1:
+        lines.append("Ignored Pre Oil Model")  # post-banner, pre-'Oil' → ignored
+    lines.append("Oil")
+    mfr = ["ACME MOTORS", "ZEPHYR\xa0(cont'd)", "SAAB"][doc_id % 3]
+    lines.append(mfr)
+    y1 = 1990 + doc_id % 30
+    lines.append(f"{y1}\xa0(cont'd)" if doc_id % 5 == 3 else str(y1))
+    for b in range(1 + doc_id % 4):
+        if doc_id % 3 == 2:
+            lines.append(f"9.3 Aero {b}")  # SAAB: dot admitted by RE_MODEL_SAAB
+        else:
+            lines.append(f"Model {chr(65 + (doc_id + b) % 26)}{b}")
+        # the comma keeps the engine line out of RE_MODEL_SAAB too
+        lines.append(f"2.{b}L, V{4 + (doc_id + b) % 5} engine")
+        if doc_id % 6 == 2:
+            lines.append("(Electric/Gas)")  # engine continuation, not a new engine
+        m_oil = f"M1C-{100 + (doc_id * 3 + b) % 900}A"
+        lines.append(m_oil)
+        if doc_id % 4 == 0:
+            lines.append(m_oil)  # duplicate oil → deduped on emit (M37)
+        lines.append(f"F{10000 + (doc_id + b) % 90000}")
+        if doc_id % 8 == 5 and b == 0:
+            # mid-conversation year line: flushes block 0 at THIS line
+            lines.append(str(y1 + 1))
+    return lines
+
+
+def extract_kernel_catalog_fold(sf_dir: str):
+    import pyarrow as pa
+
+    from ..oracle import catalog as _catmod
+    from ..pipelines import schemas
+    from ..stages.fold import fold_conversations
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        conv, tidx, text = [], [], []
+        for i in batch["doc_id"]:
+            for t, line in enumerate(_render_catalog_lines_py(int(i))):
+                conv.append(str(int(i)))
+                tidx.append(t)
+                text.append(line)
+        return pd.DataFrame(
+            {"conv_id": conv, "turn_idx": np.asarray(tidx, dtype=np.int32), "text": text}
+        )
+
+    folded = fold_conversations(
+        ds.map_batches(render, batch_format="pandas"),
+        _catmod.extract_catalog_conv,
+        schemas.CATALOG_SCHEMA,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        oils = pc.binary_join(batch["oils"].cast(pa.list_(pa.string())), ";")
+        return pa.table(
+            {
+                "doc_id": batch["conv_id"].cast(pa.int64()),
+                "ref_turn": batch["ref_turn"].cast(pa.int64()),
+                "manufacturer": pc.coalesce(batch["manufacturer"], ""),
+                "year": pc.coalesce(batch["year"], ""),
+                "model": pc.coalesce(batch["model"], ""),
+                "engine": pc.coalesce(batch["engine"], ""),
+                "oils": pc.coalesce(oils, ""),
+            }
+        )
+
+    return folded.map_batches(project, batch_format="pyarrow").sort(["doc_id", "ref_turn"])
+
+
+# ref_turn closed form: `base` = line index of the first model line
+# (pre-banner noise + spur line + banner/Oil/manufacturer/year), `L` = block
+# length (model, engine, [E/G], oilM, [dup], oilF). Block b < n-1 is
+# emitted at the NEXT block's model line — or, for b = 0 with the
+# mid-conversation year change, at the inserted year line (which sits at
+# exactly base + L, where block 1's model would have been). The last block
+# is emitted by the trailing flush at the conversation's final line.
+EXTRACT_KERNEL_CATALOG_FOLD_SQL = """
+WITH blocks AS (
+    SELECT doc_id, b,
+           (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END + 4) AS base,
+           (4 + CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS L,
+           (1 + doc_id % 4) AS n,
+           CASE WHEN doc_id % 8 = 5 THEN 1 ELSE 0 END AS ychg,
+           (1990 + doc_id % 30) AS y1
+    FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+    WHERE b < 1 + doc_id % 4
+)
+SELECT doc_id,
+       CAST(CASE WHEN b = n - 1 THEN base + n * L + ychg - 1
+                 ELSE base + (b + 1) * L
+                      + CASE WHEN b >= 1 THEN ychg ELSE 0 END
+            END AS BIGINT) AS ref_turn,
+       CASE doc_id % 3 WHEN 0 THEN 'ACME MOTORS'
+                       WHEN 1 THEN 'ZEPHYR' ELSE 'SAAB' END AS manufacturer,
+       CAST(CASE WHEN ychg = 1 AND b >= 1 THEN y1 + 1 ELSE y1 END AS VARCHAR) AS year,
+       CASE WHEN doc_id % 3 = 2 THEN '9.3 Aero ' || CAST(b AS VARCHAR)
+            ELSE 'Model ' || chr(CAST(65 + (doc_id + b) % 26 AS INTEGER)) || CAST(b AS VARCHAR)
+       END AS model,
+       '2.' || CAST(b AS VARCHAR) || 'L, V'
+            || CAST(4 + (doc_id + b) % 5 AS VARCHAR) || ' engine'
+            || CASE WHEN doc_id % 6 = 2 THEN ' (Electric/Gas)' ELSE '' END AS engine,
+       'F' || CAST(10000 + (doc_id + b) % 90000 AS VARCHAR)
+            || ';M1C-' || CAST(100 + (doc_id * 3 + b) % 900 AS VARCHAR) || 'A' AS oils
+FROM blocks
+ORDER BY doc_id, ref_turn
+"""

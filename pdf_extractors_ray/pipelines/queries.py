@@ -113,6 +113,33 @@ def _transcript_query(family: str):
     return run
 
 
+def _ann_methods_query(sf_dir: str):
+    """LSH-bucketed AND IVF ANN chained in one driver slot (both
+    recall-tested in pytest; the driver check is rows-only). Results are
+    unioned under a ``method`` tag — same (query_id, vec_id, sim_ppm,
+    rank) schema on both sides."""
+    import pyarrow as pa
+
+    def tag(method: str):
+        def add(b: pa.Table) -> pa.Table:
+            return b.append_column("method", pa.array([method] * len(b), pa.string()))
+
+        return add
+
+    lsh = similarity.ann_lsh(sf_dir).map_batches(tag("lsh"), batch_format="pyarrow")
+    ivf = similarity.ivf_knn(sf_dir).map_batches(tag("ivf"), batch_format="pyarrow")
+    return lsh.union(ivf).sort(["method", "query_id", "rank"])
+
+
+def _simhash_dedup_query(sf_dir: str):
+    """SimHash near-dup PAIRS and the cluster labels built over the same
+    edge set, chained in one driver slot (pair extraction must yield a
+    well-formed edge table before clustering runs; both are pinned by
+    planted-dup / union-find reference tests in pytest)."""
+    pairs = dedup.simhash_pairs(sf_dir).materialize()  # edge set is near-dup-sized
+    return dedup.dup_clusters(sf_dir, edges=pairs)
+
+
 # name → (fn, oracle_sql | None); EXACTLY 50 entries (driver record cap)
 REGISTRY: dict[str, tuple] = {
     # relational core (SQL-checked)
@@ -147,6 +174,8 @@ REGISTRY: dict[str, tuple] = {
     # (ops/surrogate.py)
     "extract_kernel_invoice_bank": (surrogate.extract_kernel_invoice_bank, surrogate.EXTRACT_KERNEL_INVOICE_SQL),
     "extract_kernel_invoice_fold": (surrogate.extract_kernel_invoice_fold, surrogate.EXTRACT_KERNEL_INVOICE_FOLD_SQL),
+    "extract_kernel_layout_fold": (surrogate.extract_kernel_layout_fold, surrogate.EXTRACT_KERNEL_LAYOUT_FOLD_SQL),
+    "extract_kernel_catalog_fold": (surrogate.extract_kernel_catalog_fold, surrogate.EXTRACT_KERNEL_CATALOG_FOLD_SQL),
     "extract_kernel_boilerplate": (surrogate.extract_kernel_boilerplate, surrogate.EXTRACT_KERNEL_BOILERPLATE_SQL),
     "extract_kernel_oilcodes": (surrogate.extract_kernel_oilcodes, surrogate.EXTRACT_KERNEL_OILCODES_SQL),
     "extract_kernel_household_key": (surrogate.extract_kernel_household_key, surrogate.EXTRACT_KERNEL_HOUSEHOLD_KEY_SQL),
@@ -172,11 +201,9 @@ REGISTRY: dict[str, tuple] = {
     # training-data ops without SQL twins (recall/property tests in pytest)
     "docs_langid": (tx.docs_langid, None),
     "docs_minhash_lsh": (dedup.minhash_lsh_pairs, None),
-    "docs_simhash_pairs": (dedup.simhash_pairs, None),
+    "docs_simhash_dedup": (_simhash_dedup_query, None),
     "docs_ngram_jaccard": (dedup.ngram_jaccard_groups, None),
-    "docs_dup_clusters": (dedup.dup_clusters, None),
-    "emb_ann_lsh": (similarity.ann_lsh, None),
-    "emb_ivf_knn": (similarity.ivf_knn, None),
+    "emb_ann_methods": (_ann_methods_query, None),
     # multimodal plumbing (stubbed decode kernel): decode → features →
     # thumbnail-resize → frame-sample exercised in one chained query
     "media_pipeline": (mm.media_pipeline, None),

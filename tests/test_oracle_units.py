@@ -362,3 +362,57 @@ def test_variant_equality_gate_raises_on_mismatch():
     _assert_variants_equal("a", Fake(a), "a2", Fake(a.iloc[::-1]))  # order-free
     with _pytest.raises(RuntimeError):
         _assert_variants_equal("a", Fake(a), "b", Fake(a.assign(y=["a", "c"])))
+
+
+def test_layout_fold_surrogate_matches_oracle_fold():
+    """The rendered layout-surrogate turns, pushed through the ORACLE fold
+    (oracle.layout.extract_layout_conv), reproduce the surrogate SQL's
+    analytic expectations — late-header wait, font predicate, boundary
+    binning, last-box-wins, County-Code completeness gate."""
+    from pdf_extractors_ray.oracle import layout as lay
+    from pdf_extractors_ray.ops.surrogate import _render_layout_turns_py
+
+    for doc_id in range(0, 60):
+        turns = _render_layout_turns_py(doc_id)
+        rows = lay.extract_layout_conv([t for _, t in turns], [i for i, _ in turns])
+        off = 1 if doc_id % 7 == 0 else 0
+        kept = [p for p in range(1, 2 + doc_id % 3 + 1) if (doc_id + p) % 4 != 0]
+        assert [r["ref_turn"] for r in rows] == [p + off for p in kept]
+        for r, p in zip(rows, kept):
+            assert r["State Code"] == str(doc_id % 50)
+            assert r["County Code"] == f"C{(doc_id * 10 + p) % 997}"
+            expected_tract = f"T{(doc_id + p) % 89}" if (doc_id + p) % 3 == 0 else None
+            assert r["Tract Code"] == expected_tract  # JUNK (Times) never lands
+            assert r["Tract Population"] == str((doc_id * 7 + p) % 10000)
+
+
+def test_catalog_fold_surrogate_matches_oracle_fold():
+    """The rendered catalog-surrogate lines, pushed through the ORACLE
+    state machine (oracle.catalog.extract_catalog_conv), reproduce the
+    surrogate SQL's analytic expectations — gating, lookahead, NBSP
+    (cont'd) splits, SAAB regime, E/G continuation, year-transition flush,
+    oil dedup, trailing flush."""
+    from pdf_extractors_ray.oracle import catalog as cat
+    from pdf_extractors_ray.ops.surrogate import _render_catalog_lines_py
+
+    for doc_id in range(0, 120):
+        lines = _render_catalog_lines_py(doc_id)
+        rows = cat.extract_catalog_conv(lines, list(range(len(lines))))
+        base = (1 if doc_id % 3 == 0 else 0) + (1 if doc_id % 4 == 1 else 0) + 4
+        blk = 4 + (1 if doc_id % 6 == 2 else 0) + (1 if doc_id % 4 == 0 else 0)
+        n = 1 + doc_id % 4
+        ychg = 1 if doc_id % 8 == 5 else 0
+        y1 = 1990 + doc_id % 30
+        assert len(rows) == n
+        for b, r in enumerate(rows):
+            ref = base + n * blk + ychg - 1 if b == n - 1 else base + (b + 1) * blk + (ychg if b >= 1 else 0)
+            assert r["ref_turn"] == ref
+            assert r["manufacturer"] == ["ACME MOTORS", "ZEPHYR", "SAAB"][doc_id % 3]
+            assert r["year"] == str(y1 + 1 if (ychg and b >= 1) else y1)
+            if doc_id % 3 == 2:
+                assert r["model"] == f"9.3 Aero {b}"
+            eg = " (Electric/Gas)" if doc_id % 6 == 2 else ""
+            assert r["engine"] == f"2.{b}L, V{4 + (doc_id + b) % 5} engine{eg}"
+            assert r["oils"] == sorted(
+                {f"M1C-{100 + (doc_id * 3 + b) % 900}A", f"F{10000 + (doc_id + b) % 90000}"}
+            )
