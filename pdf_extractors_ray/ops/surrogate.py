@@ -894,3 +894,224 @@ SELECT doc_id,
 FROM blocks
 ORDER BY doc_id, ref_turn
 """
+
+
+# ---------------------------------------------------------------------------
+# census summary fold surrogate: pins the FLAGSHIP stage-A fold + summary
+# projection at pipeline level — the anchor-keyed line fold (M1/M2: all
+# three Source: anchor shapes, Prov-Date, Declarant with cross-line
+# continuation, family/non-kin/slave buckets with the None/No-names
+# filters, boilerplate skip that must NOT break a pending continuation,
+# M4 numbered members, M5 cross-turn accumulation), enrichment (M20
+# declarant parsing across 5 rendered shapes, M11 occupation gazetteer
+# incl. the 'priest of X' suffix capture, M21 declarant-id generation on
+# the RAW household number), and the summary projection (M22 key
+# splitters incl. the space-separated and 2-part variants, M23 member
+# counts, M24 brokenness flag) — by running the PRODUCTION path
+# (fold_conversations over oracle.census.extract_census_conv +
+# CensusSummarizer, exactly what pipelines.extract_census_summary
+# composes) on deterministically rendered conversations, against a
+# closed-form DuckDB twin. Reference semantics: roman-census/household.py
+# :22-143 (fold), :145-179 (occupation/ids), :234-286 (summary), :288-393
+# (declarant parser).
+
+_CENSUS_NAMES = ["Harpalos", "Thaisas", "Petesouchos", "Tamystha", "Didymos", "Sambas"]
+_CENSUS_PLACES = ["Arsinoe", "Memphis", "Oxyrhynchos"]
+_CENSUS_OCCS = ["farmer", "priest of Soknebtynis", "weaver"]
+
+
+def _render_census_turns_py(doc_id: int) -> list[tuple[int, str]]:
+    """(turn_idx, text) turns — two turns per household, 1-2 households."""
+    turns: list[tuple[int, str]] = []
+    for h in range(1 + doc_id % 2):
+        k = doc_id + 7 * h
+        y = 117 + k % 3
+        loc = ["Ar", "He", "Ox"][k % 3]
+        order = 1 + k % 9
+        if k % 9 == 5:  # 2-part number -> order widens to ''
+            hn = f"{y}-{loc}"
+        elif k % 6 == 4:  # space-separated -> splitter's replace(' ', '-')
+            hn = f"{y} {loc} {order}"
+        else:
+            hn = f"{y}-{loc}-{order}"
+        a = _CENSUS_NAMES[k % 6]
+        b = _CENSUS_NAMES[(k + 2) % 6]
+        v = k % 5
+        head = [f"HOUSEHOLD NO.: {hn}"]
+        src = f"P.Oxy. {100 + k % 900}"
+        if k % 4 == 1:
+            head.append(f"*Source: {src}")
+        elif k % 4 == 3:
+            head.append(f"[Source: {src}")  # the line[1:] anchor shape
+        else:
+            head.append(f"Source: {src}")
+        place = _CENSUS_PLACES[k % 3]
+        if k % 8 == 6:
+            head.append(f"Prov., Date: {place}")  # no comma -> year ''
+        else:
+            head.append(f"Prov., Date: {place}, {100 + k % 120}")
+        decl_cont = None
+        if v == 0:
+            dec = a
+        elif v == 1:
+            if k % 2 == 1:
+                dec, decl_cont = a, f"s. {b}"  # cross-line continuation
+            else:
+                dec = f"{a} s. {b}"
+        elif v == 2:
+            dec = f"{a}; and {b}"
+        elif v == 3:
+            dec = f"{a} and {b}"
+        else:
+            dec = f"{a}, {_CENSUS_OCCS[k % 3]}"
+        head.append(f"Declarant: {dec}")
+        if k % 2 == 1:
+            # boilerplate between the anchor and its continuation: must be
+            # skipped WITHOUT resetting last_read_variable
+            head.append("Cambridge Books Online ... terms of use")
+        if decl_cont:
+            head.append(decl_cont)
+        n_fam = 1 + k % 3
+        fam_anchor = "Family members, free non-kin:" if k % 7 == 2 else "Family members:"
+        head.append(f"{fam_anchor} (1) {_CENSUS_NAMES[(k + 1) % 6]} aged {20 + (k + 1) % 60}")
+        tail: list[str] = []
+        for i in range(2, n_fam + 1):  # members 2..F land in the NEXT turn
+            tail.append(f"({i}) {_CENSUS_NAMES[(k + i) % 6]} aged {20 + (k + i) % 60}")
+        if k % 3 == 0:
+            tail.append("from the village")  # unanchored member continuation
+        if k % 2 == 0:
+            tail.append(f"Free non-kin: {_CENSUS_NAMES[(k + 4) % 6]} the lodger")
+        else:
+            tail.append("Free non-kin: " + ("None" if k % 4 == 1 else "No names survive"))
+        tail.append(f"Slaves: (1) {_CENSUS_NAMES[(k + 5) % 6]}" if k % 3 == 0 else "Slaves: None")
+        tail.append(f"Verif./photo: p. {k % 200}")
+        tail.append("Discussion: " + ("Broken at top" if k % 4 == 3 else "Complete record"))
+        if k % 4 == 2:
+            tail.append("See BGU I 115")  # discussion continuation
+        turns.append((2 * h, "\n".join(head)))
+        turns.append((2 * h + 1, "\n".join(tail)))
+    return turns
+
+
+def extract_kernel_census_fold(sf_dir: str):
+    import pyarrow as pa
+
+    from ..oracle import census as _cenmod
+    from ..pipelines import schemas
+    from ..pipelines.extract import CensusSummarizer
+    from ..stages.fold import fold_conversations
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        conv, tidx, text = [], [], []
+        for i in batch["doc_id"]:
+            for t, payload in _render_census_turns_py(int(i)):
+                conv.append(str(int(i)))
+                tidx.append(t)
+                text.append(payload)
+        return pd.DataFrame(
+            {"conv_id": conv, "turn_idx": np.asarray(tidx, dtype=np.int32), "text": text}
+        )
+
+    households = fold_conversations(
+        ds.map_batches(render, batch_format="pandas"),
+        _cenmod.extract_census_conv,
+        schemas.HOUSEHOLD_SCHEMA,
+    )
+    summary = households.map_batches(CensusSummarizer(), batch_format="pyarrow", batch_size=512)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def s(col):
+            return pc.coalesce(batch[col], "")
+
+        ids = pc.binary_join(batch["declarant_ids"].cast(pa.list_(pa.string())), ";")
+        return pa.table(
+            {
+                "doc_id": batch["conv_id"].cast(pa.int64()),
+                "household_number_year": s("household_number_year"),
+                "household_number_location": s("household_number_location"),
+                "household_number_order": s("household_number_order"),
+                "source": s("source"),
+                "provenance": s("provenance"),
+                "provenance_place": s("provenance_place"),
+                "provenance_year": s("provenance_year"),
+                "declarant_name_1": s("declarant_name_1"),
+                "declarant_name_2": s("declarant_name_2"),
+                "declarant_name_3": s("declarant_name_3"),
+                "declarant_ids": pc.coalesce(ids, ""),
+                "declarant_occupation": s("declarant_occupation"),
+                "n_family": batch["number_of_family_members"].cast(pa.int64()),
+                "n_non_family": batch["number_of_non_family_members"].cast(pa.int64()),
+                "n_slaves": batch["number_of_slaves"].cast(pa.int64()),
+                "verif_photo": s("verif_photo"),
+                "discussion_text": s("discussion_text"),
+                "broken": s("discussion_indicates_substantive_record_brokenness"),
+            }
+        )
+
+    return summary.map_batches(project, batch_format="pyarrow").sort(
+        ["doc_id", "household_number_year"]
+    )
+
+
+def _census_fold_sql() -> str:
+    name_a = _sql_case_options(_CENSUS_NAMES, "k")
+    name_b = _sql_case_options(_CENSUS_NAMES, "(k + 2)")
+    occ = _sql_case_options(_CENSUS_OCCS, "k")
+    place = _sql_case_options(_CENSUS_PLACES, "k")
+    return f"""
+WITH hh AS (
+    SELECT doc_id, doc_id + 7 * h AS k
+    FROM documents CROSS JOIN (VALUES (0), (1)) t(h)
+    WHERE h < 1 + doc_id % 2
+),
+base AS (
+    SELECT doc_id, k,
+           CAST(117 + k % 3 AS VARCHAR) AS y,
+           CASE k % 3 WHEN 0 THEN 'Ar' WHEN 1 THEN 'He' ELSE 'Ox' END AS loc,
+           CAST(1 + k % 9 AS VARCHAR) AS ord_s,
+           {name_a} AS nm_a,
+           {name_b} AS nm_b,
+           (k % 5) AS v
+    FROM hh
+),
+hn AS (
+    SELECT *,
+           CASE WHEN k % 9 = 5 THEN y || '-' || loc
+                WHEN k % 6 = 4 THEN y || ' ' || loc || ' ' || ord_s
+                ELSE y || '-' || loc || '-' || ord_s END AS raw
+    FROM base
+)
+SELECT doc_id,
+       y AS household_number_year,
+       loc AS household_number_location,
+       CASE WHEN k % 9 = 5 THEN '' ELSE ord_s END AS household_number_order,
+       'P.Oxy. ' || CAST(100 + k % 900 AS VARCHAR) AS source,
+       CASE WHEN k % 8 = 6 THEN {place}
+            ELSE {place} || ', ' || CAST(100 + k % 120 AS VARCHAR) END AS provenance,
+       {place} AS provenance_place,
+       CASE WHEN k % 8 = 6 THEN ''
+            ELSE ' ' || CAST(100 + k % 120 AS VARCHAR) END AS provenance_year,
+       nm_a AS declarant_name_1,
+       CASE WHEN v IN (2, 3) THEN nm_b ELSE '' END AS declarant_name_2,
+       '' AS declarant_name_3,
+       raw || '-d1' || CASE WHEN v IN (2, 3) THEN ';' || raw || '-d2' ELSE '' END
+           AS declarant_ids,
+       CASE WHEN v = 4 THEN {occ} ELSE '' END AS declarant_occupation,
+       CAST(1 + k % 3 AS BIGINT) AS n_family,
+       CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_non_family,
+       CAST(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_slaves,
+       'p. ' || CAST(k % 200 AS VARCHAR) AS verif_photo,
+       CASE WHEN k % 4 = 3 THEN 'Broken at top'
+            WHEN k % 4 = 2 THEN 'Complete record See BGU I 115'
+            ELSE 'Complete record' END AS discussion_text,
+       CASE WHEN k % 4 = 3 THEN 'Yes' ELSE 'No' END AS broken
+FROM hn
+ORDER BY doc_id, household_number_year
+"""
+
+
+EXTRACT_KERNEL_CENSUS_FOLD_SQL = _census_fold_sql()

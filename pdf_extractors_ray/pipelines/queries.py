@@ -113,6 +113,18 @@ def _transcript_query(family: str):
     return run
 
 
+def _grid_box_query(sf_dir: str):
+    """Grid-synthesis detector path AND the region-crop path over the same
+    raw-box corpus in one driver slot (M40 + M41; both pinned by the
+    recording-fake differentials in pytest). The crop path must produce
+    rows before the detected grid is returned."""
+    path = boxes_path_for_sf(sf_dir)
+    crops = extract.EXTRACTORS["grid_crops"](path)
+    if crops.count() == 0:
+        raise RuntimeError("extract_grid_crops produced no rows")
+    return extract.EXTRACTORS["grid_detected"](path)
+
+
 def _ann_methods_query(sf_dir: str):
     """LSH-bucketed AND IVF ANN chained in one driver slot (both
     recall-tested in pytest; the driver check is rows-only). Results are
@@ -176,6 +188,7 @@ REGISTRY: dict[str, tuple] = {
     "extract_kernel_invoice_fold": (surrogate.extract_kernel_invoice_fold, surrogate.EXTRACT_KERNEL_INVOICE_FOLD_SQL),
     "extract_kernel_layout_fold": (surrogate.extract_kernel_layout_fold, surrogate.EXTRACT_KERNEL_LAYOUT_FOLD_SQL),
     "extract_kernel_catalog_fold": (surrogate.extract_kernel_catalog_fold, surrogate.EXTRACT_KERNEL_CATALOG_FOLD_SQL),
+    "extract_kernel_census_fold": (surrogate.extract_kernel_census_fold, surrogate.EXTRACT_KERNEL_CENSUS_FOLD_SQL),
     "extract_kernel_boilerplate": (surrogate.extract_kernel_boilerplate, surrogate.EXTRACT_KERNEL_BOILERPLATE_SQL),
     "extract_kernel_oilcodes": (surrogate.extract_kernel_oilcodes, surrogate.EXTRACT_KERNEL_OILCODES_SQL),
     "extract_kernel_household_key": (surrogate.extract_kernel_household_key, surrogate.EXTRACT_KERNEL_HOUSEHOLD_KEY_SQL),
@@ -188,8 +201,7 @@ REGISTRY: dict[str, tuple] = {
     "extract_census_summary": (_transcript_query("census_summary"), None),
     "extract_layout_detected": (_box_query("layout_detected"), None),
     "extract_table_detected": (_box_query("table_detected"), None),
-    "extract_grid_detected": (_box_query("grid_detected"), None),
-    "extract_grid_crops": (_box_query("grid_crops"), None),
+    "extract_grid_detected": (_grid_box_query, None),
     "extract_all_partitioned_metrics": (_partitioned_metrics_query, None),
     # transcript extraction families (rows-only; variant-merged queries
     # run plain AND salted/broadcast paths and require byte-equality)

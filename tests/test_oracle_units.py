@@ -416,3 +416,53 @@ def test_catalog_fold_surrogate_matches_oracle_fold():
             assert r["oils"] == sorted(
                 {f"M1C-{100 + (doc_id * 3 + b) % 900}A", f"F{10000 + (doc_id + b) % 90000}"}
             )
+
+
+def test_census_fold_surrogate_matches_oracle_fold():
+    """The rendered census-surrogate conversations, pushed through the
+    ORACLE fold + summary (oracle.census), reproduce the surrogate SQL's
+    analytic expectations — anchor shapes, boilerplate-safe continuation,
+    cross-turn member accumulation, None/No-names filters, declarant
+    parsing shapes, occupation suffix capture, raw-number declarant ids,
+    splitters, counts, brokenness."""
+    from pdf_extractors_ray.oracle import census as cen
+    from pdf_extractors_ray.ops.surrogate import (
+        _CENSUS_NAMES, _CENSUS_OCCS, _CENSUS_PLACES, _render_census_turns_py,
+    )
+
+    for doc_id in range(0, 200):
+        turns = _render_census_turns_py(doc_id)
+        hhs = cen.extract_census_conv([t for _, t in turns])
+        rows = sorted(
+            (cen.summarize_household(h) for h in hhs),
+            key=lambda r: r["household_number_year"],
+        )
+        ks = sorted(
+            (doc_id + 7 * h for h in range(1 + doc_id % 2)),
+            key=lambda k: 117 + k % 3,
+        )
+        assert len(rows) == len(ks)
+        for r, k in zip(rows, ks):
+            y, loc, ords = str(117 + k % 3), ["Ar", "He", "Ox"][k % 3], str(1 + k % 9)
+            raw = (f"{y}-{loc}" if k % 9 == 5
+                   else f"{y} {loc} {ords}" if k % 6 == 4 else f"{y}-{loc}-{ords}")
+            v = k % 5
+            assert r["household_number_year"] == y
+            assert r["household_number_location"] == loc
+            assert r["household_number_order"] == ("" if k % 9 == 5 else ords)
+            assert r["source"] == f"P.Oxy. {100 + k % 900}"
+            place = _CENSUS_PLACES[k % 3]
+            assert r["provenance_place"] == place
+            assert r["provenance_year"] == ("" if k % 8 == 6 else f" {100 + k % 120}")
+            assert r["declarant_name_1"] == _CENSUS_NAMES[k % 6]
+            assert r["declarant_name_2"] == (_CENSUS_NAMES[(k + 2) % 6] if v in (2, 3) else "")
+            assert ";".join(r["declarant_ids"]) == (
+                f"{raw}-d1" + (f";{raw}-d2" if v in (2, 3) else "")
+            )
+            assert r["declarant_occupation"] == (_CENSUS_OCCS[k % 3] if v == 4 else "")
+            assert r["number_of_family_members"] == 1 + k % 3
+            assert r["number_of_non_family_members"] == (1 if k % 2 == 0 else 0)
+            assert r["number_of_slaves"] == (1 if k % 3 == 0 else 0)
+            assert r["discussion_indicates_substantive_record_brokenness"] == (
+                "Yes" if k % 4 == 3 else "No"
+            )
