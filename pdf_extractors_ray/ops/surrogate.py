@@ -1115,3 +1115,267 @@ ORDER BY doc_id, household_number_year
 
 
 EXTRACT_KERNEL_CENSUS_FOLD_SQL = _census_fold_sql()
+
+
+# ---------------------------------------------------------------------------
+# table fold surrogate: pins the detected-table row mapper (M33 header-name
+# table init off turn 0, M34 row→record zip with short-row None padding and
+# long-row truncation, M35 the "Total <income> <expense>" merged-cell
+# re-split to columns 0/5/6 incl. the 2-part variant that leaves column 6
+# untouched, plus the malformed-JSON / non-list row skips) at pipeline
+# level — by running the PRODUCTION path (fold_conversations over
+# oracle.table.extract_table_conv, exactly what pipelines.extract_table
+# composes) on deterministically rendered JSON-cell conversations, against
+# a closed-form DuckDB twin. Reference semantics:
+# knr-property-mgmt/knr_property.py:34-55.
+
+_TABLE_MAX_ROWS = 5
+
+
+def _render_table_turns_py(doc_id: int) -> list[tuple[int, str]]:
+    """(turn_idx, JSON-cell-list) turns for one rendered table conversation.
+
+    Row regimes by k = (doc_id + pos) % 10:
+      0 → invalid JSON (skipped), 1 → non-list JSON (skipped),
+      2 → merged 'Total …' first cell (3-part on even pos, 2-part on odd),
+      3 → short 5-cell row (trailing columns → null),
+      4 → 9-cell row (extra cell truncated), else → plain 8-cell row.
+    """
+    import json
+
+    from ..sources.transcripts import _KNR_COLUMNS
+
+    turns: list[tuple[int, str]] = [(0, json.dumps(list(_KNR_COLUMNS)))]
+    for pos in range(1, 2 + doc_id % 4 + 1):
+        k = (doc_id + pos) % 10
+        if k == 0:
+            turns.append((pos, "{not json"))
+            continue
+        if k == 1:
+            turns.append((pos, json.dumps({"cells": ["dict-not-list"]})))
+            continue
+        date = _py_date(
+            (doc_id + pos) % 28 + 1, (doc_id + pos) % 12 + 1, 2020 + (doc_id + pos) % 6
+        )
+        payee = f"Payee {chr(65 + (doc_id + pos) % 26)}"
+        typ = ["Deposit", "Withdrawal", "Fee"][(doc_id + pos) % 3]
+        ref = f"R{(doc_id * 13 + pos) % 100000}"
+        desc = f"Desc {(doc_id + pos) % 50}"
+        income = str(100 + (doc_id * 7 + pos) % 9000)
+        expense = str(50 + (doc_id * 11 + pos) % 9000)
+        balance = str((doc_id * 17 + pos) % 100000)
+        if k == 2:
+            first = f"Total {income} {expense}" if pos % 2 == 0 else f"Total {income}"
+            cells = [first, payee, typ, ref, desc, "x5", "keep6", balance]
+        elif k == 3:
+            cells = [date, payee, typ, ref, desc]
+        elif k == 4:
+            cells = [date, payee, typ, ref, desc, income, expense, balance, "EXTRA"]
+        else:
+            cells = [date, payee, typ, ref, desc, income, expense, balance]
+        turns.append((pos, json.dumps(cells)))
+    return turns
+
+
+def extract_kernel_table_fold(sf_dir: str):
+    import pyarrow as pa
+
+    from ..oracle import table as _tab
+    from ..pipelines import schemas
+    from ..stages.fold import fold_conversations
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        conv, tidx, text = [], [], []
+        for i in batch["doc_id"]:
+            for pos, payload in _render_table_turns_py(int(i)):
+                conv.append(str(int(i)))
+                tidx.append(pos)
+                text.append(payload)
+        return pd.DataFrame(
+            {"conv_id": conv, "turn_idx": np.asarray(tidx, dtype=np.int32), "text": text}
+        )
+
+    folded = fold_conversations(
+        ds.map_batches(render, batch_format="pandas"),
+        _tab.extract_table_conv,
+        schemas.TABLE_SCHEMA,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def s(col):
+            return pc.coalesce(batch[col], "")
+
+        return pa.table(
+            {
+                "doc_id": batch["conv_id"].cast(pa.int64()),
+                "ref_turn": batch["ref_turn"].cast(pa.int64()),
+                "txn_date": s("Date"),
+                "payee": s("Payee / Payer"),
+                "txn_type": s("Type"),
+                "reference": s("Reference"),
+                "description": s("Description"),
+                "income": s("Income"),
+                "expense": s("Expense"),
+                "balance": s("Balance"),
+            }
+        )
+
+    return folded.map_batches(project, batch_format="pyarrow").sort(["doc_id", "ref_turn"])
+
+
+def _table_fold_sql() -> str:
+    date = _sql_date(
+        "(doc_id + pos) % 28 + 1", "(doc_id + pos) % 12 + 1", "2020 + (doc_id + pos) % 6"
+    )
+    positions = ", ".join(f"({p})" for p in range(1, _TABLE_MAX_ROWS + 1))
+    return f"""
+WITH rows_ AS (
+    SELECT doc_id, pos, (doc_id + pos) % 10 AS k
+    FROM documents CROSS JOIN (VALUES {positions}) p(pos)
+    WHERE pos <= 2 + doc_id % 4 AND (doc_id + pos) % 10 NOT IN (0, 1)
+)
+SELECT doc_id,
+       CAST(pos AS BIGINT) AS ref_turn,
+       CASE WHEN k = 2 THEN 'Total' ELSE {date} END AS txn_date,
+       'Payee ' || chr(CAST(65 + (doc_id + pos) % 26 AS INTEGER)) AS payee,
+       CASE (doc_id + pos) % 3 WHEN 0 THEN 'Deposit'
+                               WHEN 1 THEN 'Withdrawal' ELSE 'Fee' END AS txn_type,
+       'R' || CAST((doc_id * 13 + pos) % 100000 AS VARCHAR) AS reference,
+       'Desc ' || CAST((doc_id + pos) % 50 AS VARCHAR) AS description,
+       CASE WHEN k = 3 THEN ''
+            ELSE CAST(100 + (doc_id * 7 + pos) % 9000 AS VARCHAR) END AS income,
+       CASE WHEN k = 3 THEN ''
+            WHEN k = 2 AND pos % 2 = 1 THEN 'keep6'
+            ELSE CAST(50 + (doc_id * 11 + pos) % 9000 AS VARCHAR) END AS expense,
+       CASE WHEN k = 3 THEN ''
+            ELSE CAST((doc_id * 17 + pos) % 100000 AS VARCHAR) END AS balance
+FROM rows_
+ORDER BY doc_id, ref_turn
+"""
+
+
+EXTRACT_KERNEL_TABLE_FOLD_SQL = _table_fold_sql()
+
+
+# ---------------------------------------------------------------------------
+# grid fold surrogate: pins the grid-cell cleanup bank (M42: the raw-value
+# row predicates on columns 1 and 4, column projection to 0/1/3/4/6, the
+# strip + '|' removal on every cell, digit-only normalization on columns
+# 0/1/3 with the header row exempt, and the ';' removal on column 3) at
+# pipeline level — by running the PRODUCTION path (fold_conversations over
+# oracle.grid.extract_grid_conv, exactly what pipelines.extract_grid
+# composes) on deterministically rendered 8-cell JSON rows, against a
+# closed-form DuckDB twin. Reference semantics:
+# mancini-beverage-invoice/invoice.py:135-153.
+
+_GRID_MAX_ROWS = 4
+
+
+def _render_grid_turns_py(doc_id: int) -> list[tuple[int, str]]:
+    """(turn_idx, JSON-cell-list) turns for one rendered grid conversation.
+
+    Row regimes by k = (doc_id + pos) % 8:
+      0 → invalid JSON (skipped), 1 → 6-cell row (skipped, needs ≥8),
+      2 → len(cells[1]) < 2 (predicate-dropped),
+      3 → len(cells[4]) ≥ 7 (predicate-dropped),
+      4 → len(cells[4]) < 2 (predicate-dropped),
+      else → kept row exercising strip / '|' removal / digit-strip.
+    """
+    import json
+
+    header = ["ITEM NO ", "QTY|", "z2", " PRICE;| ", "DESCR", "z5", " AMT ", "z7"]
+    turns: list[tuple[int, str]] = [(0, json.dumps(header))]
+    for pos in range(1, 2 + doc_id % 3 + 1):
+        k = (doc_id + pos) % 8
+        if k == 0:
+            turns.append((pos, "{not json"))
+            continue
+        if k == 1:
+            turns.append((pos, json.dumps(["a", "bb", "c", "d", "ee", "f"])))
+            continue
+        c1 = "Q" if k == 2 else f"{1 + (doc_id + pos) % 99}x"
+        c4 = "toolongdesc" if k == 3 else ("D" if k == 4 else f"It{(doc_id + pos) % 10}m")
+        cells = [
+            f" {1000 + (doc_id * 3 + pos) % 9000}|a ",
+            c1,
+            "drop2",
+            f" {(doc_id * 7 + pos) % 10000}; ",
+            c4,
+            "drop5",
+            f" $ {(doc_id * 11 + pos) % 100000}|.00 ",
+            "drop7",
+        ]
+        turns.append((pos, json.dumps(cells)))
+    return turns
+
+
+def extract_kernel_grid_fold(sf_dir: str):
+    import pyarrow as pa
+
+    from ..oracle import grid as _grd
+    from ..pipelines import schemas
+    from ..stages.fold import fold_conversations
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        conv, tidx, text = [], [], []
+        for i in batch["doc_id"]:
+            for pos, payload in _render_grid_turns_py(int(i)):
+                conv.append(str(int(i)))
+                tidx.append(pos)
+                text.append(payload)
+        return pd.DataFrame(
+            {"conv_id": conv, "turn_idx": np.asarray(tidx, dtype=np.int32), "text": text}
+        )
+
+    folded = fold_conversations(
+        ds.map_batches(render, batch_format="pandas"),
+        _grd.extract_grid_conv,
+        schemas.GRID_SCHEMA,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def s(col):
+            return pc.coalesce(batch[col], "")
+
+        return pa.table(
+            {
+                "doc_id": batch["conv_id"].cast(pa.int64()),
+                "ref_turn": batch["ref_turn"].cast(pa.int64()),
+                "c0": s("c0"),
+                "c1": s("c1"),
+                "c3": s("c3"),
+                "c4": s("c4"),
+                "c6": s("c6"),
+            }
+        )
+
+    return folded.map_batches(project, batch_format="pyarrow").sort(["doc_id", "ref_turn"])
+
+
+EXTRACT_KERNEL_GRID_FOLD_SQL = """
+WITH data_ AS (
+    SELECT doc_id, pos
+    FROM documents CROSS JOIN (VALUES (1), (2), (3), (4)) p(pos)
+    WHERE pos <= 2 + doc_id % 3 AND (doc_id + pos) % 8 NOT IN (0, 1, 2, 3, 4)
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS ref_turn,
+       'ITEM NO' AS c0, 'QTY' AS c1, 'PRICE' AS c3, 'DESCR' AS c4, 'AMT' AS c6
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(pos AS BIGINT) AS ref_turn,
+       CAST(1000 + (doc_id * 3 + pos) % 9000 AS VARCHAR) AS c0,
+       CAST(1 + (doc_id + pos) % 99 AS VARCHAR) AS c1,
+       CAST((doc_id * 7 + pos) % 10000 AS VARCHAR) AS c3,
+       'It' || CAST((doc_id + pos) % 10 AS VARCHAR) || 'm' AS c4,
+       '$ ' || CAST((doc_id * 11 + pos) % 100000 AS VARCHAR) || '.00' AS c6
+FROM data_
+ORDER BY doc_id, ref_turn
+"""

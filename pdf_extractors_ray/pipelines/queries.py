@@ -83,6 +83,31 @@ def _layout_query(sf_dir: str):
     return _assert_variants_equal("extract_layout", grouped, "extract_layout_broadcast", broadcast)
 
 
+def _census_persons_query(sf_dir: str):
+    """Flagship stage-A→persons pipeline, with the census SUMMARY pipeline
+    chained into the same driver slot (its fold+projection semantics are
+    separately SQL-pinned by extract_kernel_census_fold; here it must still
+    run clean over the real corpus and produce rows before persons is
+    returned)."""
+    path = transcripts_path_for_sf(sf_dir)
+    summary = extract.EXTRACTORS["census_summary"](path)
+    if summary.count() == 0:
+        raise RuntimeError("extract_census_summary produced no rows")
+    return extract.EXTRACTORS["census_persons"](path)
+
+
+def _table_grid_query(sf_dir: str):
+    """KNR table fold AND Mancini grid cleanup over the real transcript
+    corpus in one driver slot (both folds are SQL-pinned at pipeline level
+    by extract_kernel_{table,grid}_fold; the grid family must produce rows
+    before the table result is returned)."""
+    path = transcripts_path_for_sf(sf_dir)
+    grid = extract.EXTRACTORS["grid"](path)
+    if grid.count() == 0:
+        raise RuntimeError("extract_grid produced no rows")
+    return extract.EXTRACTORS["table"](path)
+
+
 def _partitioned_metrics_query(sf_dir: str):
     """Headline production path at this sf: single-pass all-family
     checkpointed extraction; returns the per-partition lineage metrics."""
@@ -189,6 +214,8 @@ REGISTRY: dict[str, tuple] = {
     "extract_kernel_layout_fold": (surrogate.extract_kernel_layout_fold, surrogate.EXTRACT_KERNEL_LAYOUT_FOLD_SQL),
     "extract_kernel_catalog_fold": (surrogate.extract_kernel_catalog_fold, surrogate.EXTRACT_KERNEL_CATALOG_FOLD_SQL),
     "extract_kernel_census_fold": (surrogate.extract_kernel_census_fold, surrogate.EXTRACT_KERNEL_CENSUS_FOLD_SQL),
+    "extract_kernel_table_fold": (surrogate.extract_kernel_table_fold, surrogate.EXTRACT_KERNEL_TABLE_FOLD_SQL),
+    "extract_kernel_grid_fold": (surrogate.extract_kernel_grid_fold, surrogate.EXTRACT_KERNEL_GRID_FOLD_SQL),
     "extract_kernel_boilerplate": (surrogate.extract_kernel_boilerplate, surrogate.EXTRACT_KERNEL_BOILERPLATE_SQL),
     "extract_kernel_oilcodes": (surrogate.extract_kernel_oilcodes, surrogate.EXTRACT_KERNEL_OILCODES_SQL),
     "extract_kernel_household_key": (surrogate.extract_kernel_household_key, surrogate.EXTRACT_KERNEL_HOUSEHOLD_KEY_SQL),
@@ -197,8 +224,7 @@ REGISTRY: dict[str, tuple] = {
     # flagship pipeline + detector paths (rows-only; oracle = pytest gate
     # incl. reference differentials) — placed directly after the SQL block
     # so a budget-limited driver records them before the heavy dedup suite
-    "extract_census_persons": (_transcript_query("census_persons"), None),
-    "extract_census_summary": (_transcript_query("census_summary"), None),
+    "extract_census_persons": (_census_persons_query, None),
     "extract_layout_detected": (_box_query("layout_detected"), None),
     "extract_table_detected": (_box_query("table_detected"), None),
     "extract_grid_detected": (_grid_box_query, None),
@@ -208,8 +234,7 @@ REGISTRY: dict[str, tuple] = {
     "extract_catalog": (_catalog_query, None),
     "extract_invoice": (_invoice_query, None),
     "extract_layout": (_layout_query, None),
-    "extract_table": (_transcript_query("table"), None),
-    "extract_grid": (_transcript_query("grid"), None),
+    "extract_table_grid": (_table_grid_query, None),
     # training-data ops without SQL twins (recall/property tests in pytest)
     "docs_langid": (tx.docs_langid, None),
     "docs_minhash_lsh": (dedup.minhash_lsh_pairs, None),

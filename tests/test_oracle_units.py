@@ -466,3 +466,60 @@ def test_census_fold_surrogate_matches_oracle_fold():
             assert r["discussion_indicates_substantive_record_brokenness"] == (
                 "Yes" if k % 4 == 3 else "No"
             )
+
+
+def test_table_fold_surrogate_matches_oracle_fold():
+    """The rendered table-surrogate turns, pushed through the ORACLE row
+    mapper (oracle.table.extract_table_conv), reproduce the surrogate SQL's
+    analytic expectations — header init, merged-Total re-split (2- and
+    3-part), short-row None padding, long-row truncation, JSON skips."""
+    from pdf_extractors_ray.oracle import table as tab
+    from pdf_extractors_ray.ops.surrogate import _py_date, _render_table_turns_py
+
+    for doc_id in range(0, 120):
+        turns = _render_table_turns_py(doc_id)
+        rows = tab.extract_table_conv([t for _, t in turns], [i for i, _ in turns])
+        kept = [p for p in range(1, 2 + doc_id % 4 + 1) if (doc_id + p) % 10 not in (0, 1)]
+        assert [r["ref_turn"] for r in rows] == kept
+        for r, p in zip(rows, kept):
+            k = (doc_id + p) % 10
+            date = _py_date((doc_id + p) % 28 + 1, (doc_id + p) % 12 + 1, 2020 + (doc_id + p) % 6)
+            income = str(100 + (doc_id * 7 + p) % 9000)
+            expense = str(50 + (doc_id * 11 + p) % 9000)
+            assert r["Date"] == ("Total" if k == 2 else date)
+            assert r["Payee / Payer"] == f"Payee {chr(65 + (doc_id + p) % 26)}"
+            assert r["Type"] == ["Deposit", "Withdrawal", "Fee"][(doc_id + p) % 3]
+            assert r["Reference"] == f"R{(doc_id * 13 + p) % 100000}"
+            assert r["Description"] == f"Desc {(doc_id + p) % 50}"
+            assert r["Income"] == (None if k == 3 else income)
+            assert r["Expense"] == (
+                None if k == 3 else ("keep6" if k == 2 and p % 2 == 1 else expense)
+            )
+            assert r["Balance"] == (None if k == 3 else str((doc_id * 17 + p) % 100000))
+            assert "EXTRA" not in r.values()  # 9th cell truncated
+
+
+def test_grid_fold_surrogate_matches_oracle_fold():
+    """The rendered grid-surrogate turns, pushed through the ORACLE cleanup
+    bank (oracle.grid.extract_grid_conv), reproduce the surrogate SQL's
+    analytic expectations — raw-value predicates, projection to 0/1/3/4/6,
+    strip + '|' removal, header-exempt digit-strip, col-3 ';' removal."""
+    from pdf_extractors_ray.oracle import grid as grd
+    from pdf_extractors_ray.ops.surrogate import _render_grid_turns_py
+
+    for doc_id in range(0, 120):
+        turns = _render_grid_turns_py(doc_id)
+        rows = grd.extract_grid_conv([t for _, t in turns], [i for i, _ in turns])
+        assert rows[0] == {
+            "ref_turn": 0, "c0": "ITEM NO", "c1": "QTY", "c3": "PRICE",
+            "c4": "DESCR", "c6": "AMT",
+        }
+        kept = [p for p in range(1, 2 + doc_id % 3 + 1)
+                if (doc_id + p) % 8 not in (0, 1, 2, 3, 4)]
+        assert [r["ref_turn"] for r in rows[1:]] == kept
+        for r, p in zip(rows[1:], kept):
+            assert r["c0"] == str(1000 + (doc_id * 3 + p) % 9000)
+            assert r["c1"] == str(1 + (doc_id + p) % 99)
+            assert r["c3"] == str((doc_id * 7 + p) % 10000)
+            assert r["c4"] == f"It{(doc_id + p) % 10}m"
+            assert r["c6"] == f"$ {(doc_id * 11 + p) % 100000}.00"
