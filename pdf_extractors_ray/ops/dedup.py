@@ -579,6 +579,41 @@ def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
     return ds.groupby("source").map_groups(pairs, batch_format="pandas").sort(["source", "a", "b"])
 
 
+# DuckDB twin of ngram_jaccard_groups: the same word-3-gram shingle sets
+# (incl. the <3-token whole-text shingle), exact |A∩B| via a shingle
+# self-join within source, Jaccard threshold and ppm rounding mirrored in
+# the Python fold's operation order ((i/union)*1e6 + 0.5 floored).
+NGRAM_JACCARD_SQL = r"""
+WITH docs_t AS (
+    SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source, unnest(list_distinct(
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+        END)) AS s
+    FROM docs_t
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT x.source AS source, x.doc_id AS a, y.doc_id AS b, COUNT(*) AS cnt
+    FROM sh x JOIN sh y
+      ON x.source = y.source AND x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.source, x.doc_id, y.doc_id
+)
+SELECT it.source, it.a, it.b,
+       CAST(floor((CAST(it.cnt AS DOUBLE) / (ca.n + cb.n - it.cnt)) * 1e6 + 0.5)
+            AS BIGINT) AS jaccard_ppm
+FROM inter it
+JOIN counts ca ON ca.doc_id = it.a
+JOIN counts cb ON cb.doc_id = it.b
+WHERE CAST(it.cnt AS DOUBLE) / (ca.n + cb.n - it.cnt) >= 0.3
+ORDER BY it.source, it.a, it.b
+"""
+
+
 def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
                  edges=None):
     """Near-duplicate CLUSTERS: distributed connected components over the

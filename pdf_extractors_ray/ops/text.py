@@ -204,3 +204,38 @@ class LangId:
 def docs_langid(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
     return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4)).sort("doc_id")
+
+
+def _langid_sql() -> str:
+    """DuckDB twin of the LangId heuristic: distinct lowered tokens joined
+    to the marker bank, argmax score with lexicographic tiebreak (the
+    Python loop iterates sorted langs with a strict >), 'und' when no
+    marker matches. Generated from the same LANG_MARKERS literal bank."""
+    vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(LANG_MARKERS)
+        for w in sorted(LANG_MARKERS[lang])
+    )
+    return f"""
+WITH markers(mlang, word) AS (VALUES {vals}),
+toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+    FROM documents
+),
+scores AS (
+    SELECT t.doc_id, m.mlang, COUNT(*) AS score
+    FROM toks t JOIN markers m ON t.tok = m.word
+    GROUP BY t.doc_id, m.mlang
+),
+best AS (
+    SELECT doc_id, mlang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, mlang ASC) AS rn
+    FROM scores
+)
+SELECT d.doc_id, d.lang, COALESCE(b.mlang, 'und') AS pred_lang
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+ORDER BY d.doc_id
+"""
+
+
+DOCS_LANGID_SQL = _langid_sql()

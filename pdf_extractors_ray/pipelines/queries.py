@@ -235,11 +235,13 @@ REGISTRY: dict[str, tuple] = {
     "extract_invoice": (_invoice_query, None),
     "extract_layout": (_layout_query, None),
     "extract_table_grid": (_table_grid_query, None),
-    # training-data ops without SQL twins (recall/property tests in pytest)
-    "docs_langid": (tx.docs_langid, None),
+    # training-data ops: langid + exact n-gram Jaccard are SQL-checked;
+    # the hash-based near-dup paths have no SQL twin (recall/property
+    # tests in pytest)
+    "docs_langid": (tx.docs_langid, tx.DOCS_LANGID_SQL),
     "docs_minhash_lsh": (dedup.minhash_lsh_pairs, None),
     "docs_simhash_dedup": (_simhash_dedup_query, None),
-    "docs_ngram_jaccard": (dedup.ngram_jaccard_groups, None),
+    "docs_ngram_jaccard": (dedup.ngram_jaccard_groups, dedup.NGRAM_JACCARD_SQL),
     "emb_ann_methods": (_ann_methods_query, None),
     # multimodal plumbing (stubbed decode kernel): decode → features →
     # thumbnail-resize → frame-sample exercised in one chained query
