@@ -1379,3 +1379,445 @@ SELECT doc_id, CAST(pos AS BIGINT) AS ref_turn,
 FROM data_
 ORDER BY doc_id, ref_turn
 """
+
+
+# ---------------------------------------------------------------------------
+# DETECTOR-path surrogates: pin the raw-box region detectors (S8 header
+# detection, M40 grid-line synthesis, M41 fixed-bbox crops) to DuckDB.
+# Same recipe as the fold surrogates — deterministic box-JSON conversations
+# rendered from documents.doc_id, run through the PRODUCTION composition
+# (fold_conversations over oracle.regions folds, exactly what
+# pipelines.extract_{layout,table,grid}_detected compose), compared against
+# closed-form SQL twins. The real-box-corpus variants still run in the same
+# driver slots (pipelines/queries.py chains them with a non-empty gate);
+# the geometry recurrence itself is additionally pinned to the reference's
+# own loop by the recording-fake differentials (tests/test_regions.py).
+
+
+def _render_layout_boxes_py(doc_id: int) -> list[tuple[int, str]]:
+    """(turn_idx, box-JSON) turns for one rendered DETECTED-layout
+    conversation: topmost y-band = header (font-free — rendered Bold to
+    prove it), remaining bands and turns = data; every regime of the
+    pre-detected layout surrogate (left-of-first-bin drop, County
+    completeness, non-Arial ignore, last-box-wins, boundary-exact x) plus
+    the detector-specific ones: a boxless turn before the header (wait),
+    and a data band riding the header turn."""
+    import json
+
+    def data_boxes(p: int) -> list[dict]:
+        boxes = [{"text": "LX", "x0": 10.0, "y0": 30.0, "font": "Arial"}]
+        boxes.append(
+            {"text": str(doc_id % 50), "x0": 50.0 + doc_id % 5, "y0": 30.0, "font": "Arial"}
+        )
+        if (doc_id + p) % 4 != 0:
+            boxes.append(
+                {"text": f"C{(doc_id * 10 + p) % 997}", "x0": 150.0, "y0": 30.0, "font": "Arial"}
+            )
+        boxes.append({"text": "JUNK", "x0": 250.0, "y0": 30.0, "font": "Times"})
+        if (doc_id + p) % 3 == 0:
+            boxes.append({"text": "overwritten", "x0": 251.0, "y0": 30.0, "font": "Arial"})
+            boxes.append(
+                {"text": f"T{(doc_id + p) % 89}", "x0": 260.0, "y0": 30.0, "font": "Arial"}
+            )
+        boxes.append(
+            {"text": str((doc_id * 7 + p) % 10000), "x0": 350.0, "y0": 30.0, "font": "Arial"}
+        )
+        return boxes
+
+    turns: list[tuple[int, str]] = []
+    off = 0
+    if doc_id % 7 == 0:
+        turns.append((0, json.dumps({"boxes": []})))  # boxless turn: header wait
+        off = 1
+    hdr = [{"text": name, "x0": x, "y0": 10.0, "font": "Bold"} for name, x in _LAYOUT_HEADER]
+    if doc_id % 2 == 0:
+        hdr = hdr + data_boxes(0)
+    turns.append((off, json.dumps({"boxes": hdr})))
+    for p in range(1, 2 + doc_id % 3 + 1):
+        turns.append((off + p, json.dumps({"boxes": data_boxes(p)})))
+    return turns
+
+
+def extract_kernel_layout_detect(sf_dir: str):
+    import pyarrow as pa
+
+    from ..oracle import regions as _reg
+    from ..pipelines import schemas
+    from ..stages.fold import fold_conversations
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        conv, tidx, text = [], [], []
+        for i in batch["doc_id"]:
+            for pos, payload in _render_layout_boxes_py(int(i)):
+                conv.append(str(int(i)))
+                tidx.append(pos)
+                text.append(payload)
+        return pd.DataFrame(
+            {"conv_id": conv, "turn_idx": np.asarray(tidx, dtype=np.int32), "text": text}
+        )
+
+    folded = fold_conversations(
+        ds.map_batches(render, batch_format="pandas"),
+        _reg.extract_layout_detected_conv,
+        schemas.LAYOUT_DETECTED_SCHEMA,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def s(col):
+            return pc.coalesce(batch[col], "")
+
+        return pa.table(
+            {
+                "doc_id": batch["conv_id"].cast(pa.int64()),
+                "ref_turn": batch["ref_turn"].cast(pa.int64()),
+                "state_code": s("State Code"),
+                "county_code": s("County Code"),
+                "tract_code": s("Tract Code"),
+                "tract_population": s("Tract Population"),
+            }
+        )
+
+    return folded.map_batches(project, batch_format="pyarrow").sort(["doc_id", "ref_turn"])
+
+
+EXTRACT_KERNEL_LAYOUT_DETECT_SQL = """
+WITH rows_ AS (
+    SELECT doc_id, pos
+    FROM documents CROSS JOIN (VALUES (0), (1), (2), (3), (4)) p(pos)
+    WHERE ((pos = 0 AND doc_id % 2 = 0) OR (pos >= 1 AND pos <= 2 + doc_id % 3))
+      AND (doc_id + pos) % 4 <> 0
+)
+SELECT doc_id,
+       CAST(pos + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS ref_turn,
+       CAST(doc_id % 50 AS VARCHAR) AS state_code,
+       'C' || CAST((doc_id * 10 + pos) % 997 AS VARCHAR) AS county_code,
+       CASE WHEN (doc_id + pos) % 3 = 0
+            THEN 'T' || CAST((doc_id + pos) % 89 AS VARCHAR) ELSE '' END AS tract_code,
+       CAST((doc_id * 7 + pos) % 10000 AS VARCHAR) AS tract_population
+FROM rows_
+ORDER BY doc_id, ref_turn
+"""
+
+
+_TABLE_BOX_X = [50.0, 120.0, 190.0, 260.0, 330.0, 400.0, 470.0, 540.0]
+
+
+def _render_table_boxes_py(doc_id: int) -> list[tuple[int, str]]:
+    """(turn_idx, box-JSON) turns for one rendered DETECTED-table
+    conversation: page-0 topmost band = column names + x boundaries, each
+    later page re-renders the header band (data-skipped), a merged
+    'Total …' single box in the Date bin (fix-up re-split), two boxes in
+    the Type bin (x-ordered space concat), a left-of-first-boundary box
+    (dropped), an invalid-JSON page and a single-band page (whole band is
+    data — no header repeat to skip)."""
+    import json
+
+    from ..sources.transcripts import _KNR_COLUMNS
+
+    def hdr_boxes() -> list[dict]:
+        return [
+            {"text": c, "x0": x, "y0": 10.0} for c, x in zip(_KNR_COLUMNS, _TABLE_BOX_X)
+        ]
+
+    def data_boxes(p: int) -> list[dict]:
+        v = doc_id + p
+        income = str(100 + (doc_id * 7 + p) % 9000)
+        expense = str(50 + (doc_id * 11 + p) % 9000)
+        boxes = [{"text": "LX", "x0": 10.0, "y0": 30.0}]
+        if v % 4 == 0:
+            boxes.append({"text": f"Total {income} {expense}", "x0": 50.0, "y0": 30.0})
+        else:
+            date = _py_date(v % 28 + 1, v % 12 + 1, 2020 + v % 6)
+            boxes.append({"text": date, "x0": 50.0, "y0": 30.0})
+            boxes.append({"text": income, "x0": 400.0, "y0": 30.0})
+            boxes.append({"text": expense, "x0": 470.0, "y0": 30.0})
+        boxes.append({"text": f"Payee {chr(65 + v % 26)}", "x0": 120.0, "y0": 30.0})
+        boxes.append({"text": ["Deposit", "Withdrawal", "Fee"][v % 3], "x0": 190.0, "y0": 30.0})
+        boxes.append({"text": f"t{v % 7}", "x0": 200.0, "y0": 30.0})
+        boxes.append({"text": f"R{(doc_id * 13 + p) % 100000}", "x0": 260.0, "y0": 30.0})
+        boxes.append({"text": f"Desc {v % 50}", "x0": 330.0, "y0": 30.0})
+        boxes.append({"text": str((doc_id * 17 + p) % 100000), "x0": 540.0, "y0": 30.0})
+        return boxes
+
+    first = hdr_boxes() + (data_boxes(0) if doc_id % 2 == 0 else [])
+    turns: list[tuple[int, str]] = [(0, json.dumps({"boxes": first}))]
+    for p in range(1, 2 + doc_id % 3 + 1):
+        k = (doc_id + p) % 6
+        if k == 0:
+            turns.append((p, "{not json"))
+        elif k == 1:
+            turns.append((p, json.dumps({"boxes": data_boxes(p)})))
+        else:
+            turns.append((p, json.dumps({"boxes": hdr_boxes() + data_boxes(p)})))
+    return turns
+
+
+def extract_kernel_table_detect(sf_dir: str):
+    import pyarrow as pa
+
+    from ..oracle import regions as _reg
+    from ..pipelines import schemas
+    from ..stages.fold import fold_conversations
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        conv, tidx, text = [], [], []
+        for i in batch["doc_id"]:
+            for pos, payload in _render_table_boxes_py(int(i)):
+                conv.append(str(int(i)))
+                tidx.append(pos)
+                text.append(payload)
+        return pd.DataFrame(
+            {"conv_id": conv, "turn_idx": np.asarray(tidx, dtype=np.int32), "text": text}
+        )
+
+    folded = fold_conversations(
+        ds.map_batches(render, batch_format="pandas"),
+        _reg.extract_table_detected_conv,
+        schemas.TABLE_SCHEMA,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def s(col):
+            return pc.coalesce(batch[col], "")
+
+        return pa.table(
+            {
+                "doc_id": batch["conv_id"].cast(pa.int64()),
+                "ref_turn": batch["ref_turn"].cast(pa.int64()),
+                "txn_date": s("Date"),
+                "payee": s("Payee / Payer"),
+                "txn_type": s("Type"),
+                "reference": s("Reference"),
+                "description": s("Description"),
+                "income": s("Income"),
+                "expense": s("Expense"),
+                "balance": s("Balance"),
+            }
+        )
+
+    return folded.map_batches(project, batch_format="pyarrow").sort(["doc_id", "ref_turn"])
+
+
+def _table_detect_sql() -> str:
+    date = _sql_date(
+        "(doc_id + pos) % 28 + 1", "(doc_id + pos) % 12 + 1", "2020 + (doc_id + pos) % 6"
+    )
+    return f"""
+WITH rows_ AS (
+    SELECT doc_id, pos
+    FROM documents CROSS JOIN (VALUES (0), (1), (2), (3), (4)) p(pos)
+    WHERE (pos = 0 AND doc_id % 2 = 0)
+       OR (pos >= 1 AND pos <= 2 + doc_id % 3 AND (doc_id + pos) % 6 <> 0)
+)
+SELECT doc_id,
+       CAST(pos AS BIGINT) AS ref_turn,
+       CASE WHEN (doc_id + pos) % 4 = 0 THEN 'Total' ELSE {date} END AS txn_date,
+       'Payee ' || chr(CAST(65 + (doc_id + pos) % 26 AS INTEGER)) AS payee,
+       (CASE (doc_id + pos) % 3 WHEN 0 THEN 'Deposit'
+                                WHEN 1 THEN 'Withdrawal' ELSE 'Fee' END)
+           || ' t' || CAST((doc_id + pos) % 7 AS VARCHAR) AS txn_type,
+       'R' || CAST((doc_id * 13 + pos) % 100000 AS VARCHAR) AS reference,
+       'Desc ' || CAST((doc_id + pos) % 50 AS VARCHAR) AS description,
+       CAST(100 + (doc_id * 7 + pos) % 9000 AS VARCHAR) AS income,
+       CAST(50 + (doc_id * 11 + pos) % 9000 AS VARCHAR) AS expense,
+       CAST((doc_id * 17 + pos) % 100000 AS VARCHAR) AS balance
+FROM rows_
+ORDER BY doc_id, ref_turn
+"""
+
+
+EXTRACT_KERNEL_TABLE_DETECT_SQL = _table_detect_sql()
+
+
+def _render_grid_boxes_py(doc_id: int) -> list[tuple[int, str]]:
+    """(turn_idx, box-JSON) turns for one rendered DETECTED-grid
+    conversation. Geometry drives the PRICE-anchored recurrence exactly:
+    the anchor box (y1=10) doubles as the header row's c3 cell inside the
+    first page's extra [0.5, pb+7) band; real 6-pt rows sit at centers
+    pb + 10 + 9.5k, the 3.5-pt gap bands stay empty and are dropped by
+    the cleanup predicates. Exercises multi-box cell concat (c0, c6),
+    digit-strip with the raw-row-0 exemption, the '|' strip, both c1/c4
+    predicate drops, and the kept-but-undropped high column c8."""
+    import json
+
+    def B(text: str, x: float, y: float) -> dict:
+        return {"text": text, "x0": x, "x1": x, "y0": y, "y1": y}
+
+    n_turns = 1 + doc_id % 3
+    n_rows = 1 + doc_id % 2
+    turns: list[tuple[int, str]] = []
+    for t in range(n_turns):
+        boxes = [
+            B("HDR NO|", 20.0, 10.0), B("QTY", 50.0, 10.0), B("PRICE", 90.0, 10.0),
+            B("DESCR", 120.0, 10.0), B("AMT", 200.0, 10.0), B("X8", 420.0, 10.0),
+        ]
+        for k in range(n_rows):
+            v = (doc_id + t + k) % 5
+            cy = 20.0 + 9.5 * k
+            boxes.append(B("No.", 15.0, cy))
+            boxes.append(B(str(1000 + (doc_id * 3 + 10 * t + k) % 9000), 25.0, cy))
+            if v != 0:
+                boxes.append(B(f"{1 + (doc_id + t + k) % 99}x", 50.0, cy))
+            boxes.append(B("drop2", 78.0, cy))
+            boxes.append(B(f"{(doc_id * 7 + t + 3 * k) % 10000};", 90.0, cy))
+            boxes.append(B("toolongd" if v == 1 else f"It{(doc_id + t + k) % 10}m", 120.0, cy))
+            boxes.append(B("drop5", 150.0, cy))
+            boxes.append(B("$", 200.0, cy))
+            boxes.append(B(f"{(doc_id * 11 + t + 7 * k) % 100000}.00", 210.0, cy))
+            boxes.append(B(f"n{(doc_id + t + k) % 9}", 420.0, cy))
+        turns.append((t, json.dumps({"boxes": boxes})))
+    return turns
+
+
+def extract_kernel_grid_detect(sf_dir: str):
+    import pyarrow as pa
+
+    from ..oracle import regions as _reg
+    from ..pipelines import schemas
+    from ..stages.fold import fold_conversations
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        conv, tidx, text = [], [], []
+        for i in batch["doc_id"]:
+            for pos, payload in _render_grid_boxes_py(int(i)):
+                conv.append(str(int(i)))
+                tidx.append(pos)
+                text.append(payload)
+        return pd.DataFrame(
+            {"conv_id": conv, "turn_idx": np.asarray(tidx, dtype=np.int32), "text": text}
+        )
+
+    folded = fold_conversations(
+        ds.map_batches(render, batch_format="pandas"),
+        _reg.extract_grid_detected_conv,
+        schemas.GRID_DETECTED_SCHEMA,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {
+            "doc_id": batch["conv_id"].cast(pa.int64()),
+            "ref_turn": batch["ref_turn"].cast(pa.int64()),
+        }
+        for i in (0, 1, 3, 4, 6, 8, 9, 10, 11, 12):
+            cols[f"c{i}"] = pc.coalesce(batch[f"c{i}"], "")
+        return pa.table(cols)
+
+    return folded.map_batches(project, batch_format="pyarrow").sort(["doc_id", "ref_turn"])
+
+
+EXTRACT_KERNEL_GRID_DETECT_SQL = """
+WITH data_ AS (
+    SELECT doc_id, t, k
+    FROM documents
+    CROSS JOIN (VALUES (0), (1), (2)) tt(t)
+    CROSS JOIN (VALUES (0), (1)) kk(k)
+    WHERE t < 1 + doc_id % 3 AND k < 1 + doc_id % 2
+      AND (doc_id + t + k) % 5 NOT IN (0, 1)
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS ref_turn,
+       'HDR NO' AS c0, 'QTY' AS c1, 'PRICE' AS c3, 'DESCR' AS c4, 'AMT' AS c6,
+       'X8' AS c8, '' AS c9, '' AS c10, '' AS c11, '' AS c12
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(t AS BIGINT) AS ref_turn,
+       CAST(1000 + (doc_id * 3 + 10 * t + k) % 9000 AS VARCHAR) AS c0,
+       CAST(1 + (doc_id + t + k) % 99 AS VARCHAR) AS c1,
+       CAST((doc_id * 7 + t + 3 * k) % 10000 AS VARCHAR) AS c3,
+       'It' || CAST((doc_id + t + k) % 10 AS VARCHAR) || 'm' AS c4,
+       '$ ' || CAST((doc_id * 11 + t + 7 * k) % 100000 AS VARCHAR) || '.00' AS c6,
+       'n' || CAST((doc_id + t + k) % 9 AS VARCHAR) AS c8,
+       '' AS c9, '' AS c10, '' AS c11, '' AS c12
+FROM data_
+ORDER BY doc_id, ref_turn
+"""
+
+
+def _render_crop_boxes_py(doc_id: int) -> list[tuple[int, str]]:
+    """(turn_idx, box-JSON) turns for one rendered CROP conversation (M41):
+    page-1 po-box band (one y band, x-ordered join), sold-to (two y bands
+    newline-joined), a box straddling the po-box left edge and a box below
+    the sold-to bottom (both excluded — crops require FULL containment),
+    and a second turn that must be ignored (the reference crops page 1
+    only)."""
+    import json
+
+    def B(text: str, x0: float, x1: float, y0: float, y1: float) -> dict:
+        return {"text": text, "x0": x0, "x1": x1, "y0": y0, "y1": y1}
+
+    boxes = [
+        B("EDGE", 30.0, 50.0, 62.0, 70.0),
+        B("PO", 40.0, 60.0, 62.0, 70.0),
+        B("Box", 70.0, 90.0, 62.0, 70.0),
+        B(str(100 + doc_id % 900), 95.0, 140.0, 62.0, 70.0),
+        B(f"Cust{doc_id % 50}", 25.0, 80.0, 90.0, 98.0),
+        B("Ltd", 90.0, 120.0, 90.0, 98.0),
+        B(f"Street {doc_id % 30}", 25.0, 100.0, 120.0, 130.0),
+        B("TooLow", 25.0, 100.0, 150.0, 165.0),
+    ]
+    return [
+        (0, json.dumps({"boxes": boxes})),
+        (1, json.dumps({"boxes": [B("IGNORED", 40.0, 60.0, 62.0, 70.0)]})),
+    ]
+
+
+def extract_kernel_grid_crops(sf_dir: str):
+    import pyarrow as pa
+
+    from ..oracle import regions as _reg
+    from ..pipelines import schemas
+    from ..stages.fold import fold_conversations
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        conv, tidx, text = [], [], []
+        for i in batch["doc_id"]:
+            for pos, payload in _render_crop_boxes_py(int(i)):
+                conv.append(str(int(i)))
+                tidx.append(pos)
+                text.append(payload)
+        return pd.DataFrame(
+            {"conv_id": conv, "turn_idx": np.asarray(tidx, dtype=np.int32), "text": text}
+        )
+
+    folded = fold_conversations(
+        ds.map_batches(render, batch_format="pandas"),
+        _reg.extract_grid_crops_conv,
+        schemas.GRID_CROPS_SCHEMA,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch["conv_id"].cast(pa.int64()),
+                "ref_turn": batch["ref_turn"].cast(pa.int64()),
+                "po_box": pc.coalesce(batch["po_box"], ""),
+                "sold_to": pc.coalesce(batch["sold_to"], ""),
+            }
+        )
+
+    return folded.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
+EXTRACT_KERNEL_GRID_CROPS_SQL = """
+SELECT doc_id, CAST(0 AS BIGINT) AS ref_turn,
+       'PO Box ' || CAST(100 + doc_id % 900 AS VARCHAR) AS po_box,
+       'Cust' || CAST(doc_id % 50 AS VARCHAR) || ' Ltd' || chr(10)
+           || 'Street ' || CAST(doc_id % 30 AS VARCHAR) AS sold_to
+FROM documents
+ORDER BY doc_id
+"""

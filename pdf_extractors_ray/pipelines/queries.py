@@ -118,12 +118,20 @@ def _partitioned_metrics_query(sf_dir: str):
     return partitioned_extract_all_tasks(path, out_root, n_parts=32)
 
 
-def _box_query(family: str):
-    """Detector-path query over the raw-box fixture corpus (S8/M40/M41)."""
+def _box_query(family: str, surrogate_fn=None):
+    """Detector-path query over the raw-box fixture corpus (S8/M40/M41).
+    With ``surrogate_fn``, the real-corpus detector still runs (non-empty
+    gate) but the returned — and therefore SQL-hash-checked — result is
+    the rendered-box surrogate of the same detector."""
 
     def run(sf_dir: str):
         path = boxes_path_for_sf(sf_dir)
-        return extract.EXTRACTORS[family](path)
+        real = extract.EXTRACTORS[family](path)
+        if surrogate_fn is None:
+            return real
+        if real.count() == 0:
+            raise RuntimeError(f"extract_{family} produced no rows on the box corpus")
+        return surrogate_fn(sf_dir)
 
     run.__name__ = f"extract_{family}"
     return run
@@ -141,13 +149,17 @@ def _transcript_query(family: str):
 def _grid_box_query(sf_dir: str):
     """Grid-synthesis detector path AND the region-crop path over the same
     raw-box corpus in one driver slot (M40 + M41; both pinned by the
-    recording-fake differentials in pytest). The crop path must produce
-    rows before the detected grid is returned."""
+    recording-fake differentials in pytest). Both real-corpus paths must
+    produce rows; the returned — SQL-hash-checked — result is the
+    rendered-box surrogate of the grid detector."""
     path = boxes_path_for_sf(sf_dir)
     crops = extract.EXTRACTORS["grid_crops"](path)
     if crops.count() == 0:
         raise RuntimeError("extract_grid_crops produced no rows")
-    return extract.EXTRACTORS["grid_detected"](path)
+    detected = extract.EXTRACTORS["grid_detected"](path)
+    if detected.count() == 0:
+        raise RuntimeError("extract_grid_detected produced no rows")
+    return surrogate.extract_kernel_grid_detect(sf_dir)
 
 
 def _ann_methods_query(sf_dir: str):
@@ -168,11 +180,16 @@ def _ann_methods_query(sf_dir: str):
     return lsh.union(ivf).sort(["method", "query_id", "rank"])
 
 
-def _simhash_dedup_query(sf_dir: str):
-    """SimHash near-dup PAIRS and the cluster labels built over the same
-    edge set, chained in one driver slot (pair extraction must yield a
-    well-formed edge table before clustering runs; both are pinned by
-    planted-dup / union-find reference tests in pytest)."""
+def _hash_neardup_query(sf_dir: str):
+    """The three hash-based near-dup paths in one driver slot: MinHash-LSH
+    pairs, SimHash pairs, and the cluster labels built over the SimHash
+    edge set (all pinned by planted-dup / recall / union-find reference
+    tests in pytest — the driver check is rows-only). MinHash must yield a
+    well-formed pair table before the SimHash chain runs."""
+    mh = dedup.minhash_lsh_pairs(sf_dir)
+    if set(mh.schema().names) != {"a", "b", "jaccard_ppm"}:
+        raise RuntimeError(f"minhash_lsh_pairs schema: {mh.schema().names}")
+    mh.count()  # force full execution of the LSH path
     pairs = dedup.simhash_pairs(sf_dir).materialize()  # edge set is near-dup-sized
     return dedup.dup_clusters(sf_dir, edges=pairs)
 
@@ -221,13 +238,22 @@ REGISTRY: dict[str, tuple] = {
     "extract_kernel_household_key": (surrogate.extract_kernel_household_key, surrogate.EXTRACT_KERNEL_HOUSEHOLD_KEY_SQL),
     "extract_kernel_broken_flag": (surrogate.extract_kernel_broken_flag, surrogate.EXTRACT_KERNEL_BROKEN_FLAG_SQL),
     "extract_kernel_member_coders": (surrogate.extract_kernel_member_coders, surrogate.EXTRACT_KERNEL_MEMBER_CODERS_SQL),
-    # flagship pipeline + detector paths (rows-only; oracle = pytest gate
-    # incl. reference differentials) — placed directly after the SQL block
-    # so a budget-limited driver records them before the heavy dedup suite
+    "extract_kernel_grid_crops": (surrogate.extract_kernel_grid_crops, surrogate.EXTRACT_KERNEL_GRID_CROPS_SQL),
+    # flagship pipeline (rows-only; oracle = pytest gate incl. reference
+    # differentials) and detector paths (real box corpus gated non-empty,
+    # returned result = rendered-box surrogate, SQL-hash-checked) —
+    # placed directly after the SQL block so a budget-limited driver
+    # records them before the heavy dedup suite
     "extract_census_persons": (_census_persons_query, None),
-    "extract_layout_detected": (_box_query("layout_detected"), None),
-    "extract_table_detected": (_box_query("table_detected"), None),
-    "extract_grid_detected": (_grid_box_query, None),
+    "extract_layout_detected": (
+        _box_query("layout_detected", surrogate.extract_kernel_layout_detect),
+        surrogate.EXTRACT_KERNEL_LAYOUT_DETECT_SQL,
+    ),
+    "extract_table_detected": (
+        _box_query("table_detected", surrogate.extract_kernel_table_detect),
+        surrogate.EXTRACT_KERNEL_TABLE_DETECT_SQL,
+    ),
+    "extract_grid_detected": (_grid_box_query, surrogate.EXTRACT_KERNEL_GRID_DETECT_SQL),
     "extract_all_partitioned_metrics": (_partitioned_metrics_query, None),
     # transcript extraction families (rows-only; variant-merged queries
     # run plain AND salted/broadcast paths and require byte-equality)
@@ -239,8 +265,7 @@ REGISTRY: dict[str, tuple] = {
     # the hash-based near-dup paths have no SQL twin (recall/property
     # tests in pytest)
     "docs_langid": (tx.docs_langid, tx.DOCS_LANGID_SQL),
-    "docs_minhash_lsh": (dedup.minhash_lsh_pairs, None),
-    "docs_simhash_dedup": (_simhash_dedup_query, None),
+    "docs_hash_neardup": (_hash_neardup_query, None),
     "docs_ngram_jaccard": (dedup.ngram_jaccard_groups, dedup.NGRAM_JACCARD_SQL),
     "emb_ann_methods": (_ann_methods_query, None),
     # multimodal plumbing (stubbed decode kernel): decode → features →

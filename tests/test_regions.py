@@ -269,3 +269,98 @@ def test_grid_cleanup_matches_reference_post_processing():
     for got, (_, ref_row) in zip(got_rows, want.iterrows()):
         for i in regions.KEPT_GRID_COLS:
             assert got[i] == ref_row[i], (i, got, dict(ref_row))
+
+
+def test_layout_detect_surrogate_matches_detector():
+    """Rendered box conversations through the REAL detector fold
+    (extract_layout_detected_conv) reproduce the surrogate SQL's analytic
+    expectations — topmost-band header (font-free), boxless-turn wait,
+    data band riding the header turn, binning/font/completeness rules."""
+    from pdf_extractors_ray.oracle import regions as reg
+    from pdf_extractors_ray.ops.surrogate import _render_layout_boxes_py
+
+    for doc_id in range(0, 120):
+        turns = _render_layout_boxes_py(doc_id)
+        rows = reg.extract_layout_detected_conv([t for _, t in turns], [i for i, _ in turns])
+        off = 1 if doc_id % 7 == 0 else 0
+        kept = [p for p in ([0] if doc_id % 2 == 0 else []) + list(range(1, 2 + doc_id % 3 + 1))
+                if (doc_id + p) % 4 != 0]
+        assert [r["ref_turn"] for r in rows] == [p + off for p in kept]
+        for r, p in zip(rows, kept):
+            assert r["State Code"] == str(doc_id % 50)
+            assert r["County Code"] == f"C{(doc_id * 10 + p) % 997}"
+            assert r["Tract Code"] == (f"T{(doc_id + p) % 89}" if (doc_id + p) % 3 == 0 else None)
+            assert r["Tract Population"] == str((doc_id * 7 + p) % 10000)
+
+
+def test_table_detect_surrogate_matches_detector():
+    """Rendered box conversations through the REAL detector fold
+    (extract_table_detected_conv) reproduce the surrogate SQL — page-0
+    header discovery, per-page header-band skip, single-band pages as
+    data, merged-Total fix-up, in-bin x-ordered concat."""
+    from pdf_extractors_ray.oracle import regions as reg
+    from pdf_extractors_ray.ops.surrogate import _py_date, _render_table_boxes_py
+
+    for doc_id in range(0, 120):
+        turns = _render_table_boxes_py(doc_id)
+        rows = reg.extract_table_detected_conv([t for _, t in turns], [i for i, _ in turns])
+        kept = [p for p in ([0] if doc_id % 2 == 0 else []) + list(range(1, 2 + doc_id % 3 + 1))
+                if p == 0 or (doc_id + p) % 6 != 0]
+        assert [r["ref_turn"] for r in rows] == kept
+        for r, p in zip(rows, kept):
+            v = doc_id + p
+            assert r["Date"] == (
+                "Total" if v % 4 == 0
+                else _py_date(v % 28 + 1, v % 12 + 1, 2020 + v % 6)
+            )
+            assert r["Type"] == ["Deposit", "Withdrawal", "Fee"][v % 3] + f" t{v % 7}"
+            assert r["Income"] == str(100 + (doc_id * 7 + p) % 9000)
+            assert r["Expense"] == str(50 + (doc_id * 11 + p) % 9000)
+            assert r["Balance"] == str((doc_id * 17 + p) % 100000)
+
+
+def test_grid_detect_surrogate_matches_detector():
+    """Rendered box conversations through the REAL grid synthesis + cleanup
+    (extract_grid_detected_conv) reproduce the surrogate SQL — PRICE-anchor
+    recurrence, first-page 0.5 header band, gap-band drops, raw-row-0
+    digit-strip exemption, multi-box cell concat, predicate drops."""
+    from pdf_extractors_ray.oracle import regions as reg
+    from pdf_extractors_ray.ops.surrogate import _render_grid_boxes_py
+
+    for doc_id in range(0, 120):
+        turns = _render_grid_boxes_py(doc_id)
+        rows = reg.extract_grid_detected_conv([t for _, t in turns], [i for i, _ in turns])
+        exp = [{"ref_turn": 0, "c0": "HDR NO", "c1": "QTY", "c3": "PRICE", "c4": "DESCR",
+                "c6": "AMT", "c8": "X8", "c9": "", "c10": "", "c11": "", "c12": ""}]
+        for t in range(1 + doc_id % 3):
+            for k in range(1 + doc_id % 2):
+                if (doc_id + t + k) % 5 in (0, 1):
+                    continue
+                exp.append({
+                    "ref_turn": t,
+                    "c0": str(1000 + (doc_id * 3 + 10 * t + k) % 9000),
+                    "c1": str(1 + (doc_id + t + k) % 99),
+                    "c3": str((doc_id * 7 + t + 3 * k) % 10000),
+                    "c4": f"It{(doc_id + t + k) % 10}m",
+                    "c6": f"$ {(doc_id * 11 + t + 7 * k) % 100000}.00",
+                    "c8": f"n{(doc_id + t + k) % 9}",
+                    "c9": "", "c10": "", "c11": "", "c12": "",
+                })
+        assert rows == exp
+
+
+def test_crop_surrogate_matches_detector():
+    """Rendered box conversations through the REAL crop fold
+    (extract_grid_crops_conv) reproduce the surrogate SQL — full
+    containment, band joins, page-1-only."""
+    from pdf_extractors_ray.oracle import regions as reg
+    from pdf_extractors_ray.ops.surrogate import _render_crop_boxes_py
+
+    for doc_id in range(0, 120):
+        turns = _render_crop_boxes_py(doc_id)
+        rows = reg.extract_grid_crops_conv([t for _, t in turns], [i for i, _ in turns])
+        assert rows == [{
+            "ref_turn": 0,
+            "po_box": f"PO Box {100 + doc_id % 900}",
+            "sold_to": f"Cust{doc_id % 50} Ltd\nStreet {doc_id % 30}",
+        }]
