@@ -1821,3 +1821,230 @@ SELECT doc_id, CAST(0 AS BIGINT) AS ref_turn,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# persons fold surrogate: pins the flagship stage-A→stage-B pipeline
+# (census fold → PersonsExtractor; M6-M19 + J1-J3 in SURVEY §2) at pipeline
+# level by running the PRODUCTION composition — fold_conversations over
+# oracle.census.extract_census_conv, then the same PersonsExtractor stage
+# pipelines.extract_census_persons maps — on deterministically rendered
+# census conversations, against a closed-form DuckDB twin. Reference
+# semantics: roman-census/persons.py:389-800 (ids :389-411, declarant
+# defaulting :479-512, the numeric cross-ref cascade :542-728, declarant
+# synthesis :731-769).
+#
+# Six scenarios (s = doc_id % 6), each with a hand-derived closed-form
+# outcome (verified against the oracle fold over 3000 doc_ids before the
+# SQL was written; tests/test_oracle_units.py pins the render → oracle
+# equivalence):
+#   s0  self + "wife of ... [declarant]" (_REL1 + declarant-defaulting
+#       spouse link, bidirectional ids) + "C s. A and B" patronymic
+#       (father/mother text capture via the "and"-variant pattern)
+#   s1  numeric cross-ref cascade: "wife of A [no. 1]" links spouses via
+#       find_number_reference + set_relations; "son of B [no. 2]" links
+#       children (mother id overwrites, father keeps the text capture)
+#   s2  sibling link with OCR "?"-ref ("[no. 1]?" → question-marked ref;
+#       the siblings branch drops the marker) + textual "A [no. 1]"
+#       sibling entry superseded via _remove_reference_num_entry
+#   s3  slave row: owner + "offspring of" mother + female token walk
+#   s4  declarant synthesis (no self member → add_declarant_as_person
+#       inserts the d1 row, age/sex from the bare declarant line) +
+#       "(s. C)" paternal-grandfather capture
+#   s5  free non-kin: name keeps the "the lodger" tail, "freedw." → female
+# Declarant-id fuzzy match (set_personal_ids startswith) binds every
+# rendered self row to <hn>-d1; positional ids FM/NK/S otherwise.
+
+_PERSONS_NAMES = _CENSUS_NAMES
+
+
+def _render_persons_turns_py(doc_id: int) -> list[tuple[int, str]]:
+    """(turn_idx, text) turns: one household per conversation, 2 turns."""
+    k = doc_id
+    y = 117 + k % 3
+    loc = ["Ar", "He", "Ox"][k % 3]
+    hn = f"{y}-{loc}-{1 + k % 9}"
+    nm = _PERSONS_NAMES
+    a_, b_, c_, d_ = nm[k % 6], nm[(k + 2) % 6], nm[(k + 4) % 6], nm[(k + 1) % 6]
+    a1, a2, a3 = 20 + k % 60, 21 + (k + 3) % 60, 1 + (k + 5) % 15
+    s = k % 6
+    decl = a_
+    fam: list[str] = []
+    nonkin = slaves = None
+    if s == 0:
+        fam = [f"(1) {a_} [declarant], {a1}",
+               f"(2) {b_}, wife of {a_} [declarant], {a2}",
+               f"(3) {c_} s. {a_} and {b_}, {a3}"]
+    elif s == 1:
+        fam = [f"(1) {a_} [declarant], {a1}",
+               f"(2) {b_}, wife of {a_} [no. 1], {a2}",
+               f"(3) {c_}, son of {b_} [no. 2], {a3}"]
+    elif s == 2:
+        fam = [f"(1) {a_} [declarant], {a1}",
+               f"(2) {b_}, brother of {a_} [no. 1]?, {a2}"]
+    elif s == 3:
+        fam = [f"(1) {a_} [declarant], {a1}"]
+        slaves = f"(1) {d_}, female slave of {a_}, offspring of {b_}, {a3}"
+    elif s == 4:
+        fam = [f"(1) {b_} s. {a_} (s. {c_}), {a1}",
+               f"(2) {d_} d. {a_}, {a2}"]
+    else:
+        decl = f"{a_}, farmer"
+        fam = [f"(1) {a_} [declarant], {a1}"]
+        nonkin = f"(1) {c_} the lodger, freedw. of {a_}, {a2}"
+    head = [f"HOUSEHOLD NO.: {hn}",
+            f"Source: P.Oxy. {100 + k % 900}",
+            f"Prov., Date: {_CENSUS_PLACES[k % 3]}, {100 + k % 120}",
+            f"Declarant: {decl}",
+            f"Family members: {fam[0]}"]
+    tail = list(fam[1:])
+    tail.append(f"Free non-kin: {nonkin}" if nonkin else "Free non-kin: None")
+    tail.append(f"Slaves: {slaves}" if slaves else "Slaves: None")
+    tail.append(f"Verif./photo: p. {k % 200}")
+    tail.append("Discussion: Complete record")
+    return [(0, "\n".join(head)), (1, "\n".join(tail))]
+
+
+def extract_kernel_persons_fold(sf_dir: str):
+    import pyarrow as pa
+
+    from ..oracle import census as _cenmod
+    from ..pipelines import schemas
+    from ..pipelines.extract import PersonsExtractor
+    from ..stages.fold import fold_conversations
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        conv, tidx, text = [], [], []
+        for i in batch["doc_id"]:
+            for t, payload in _render_persons_turns_py(int(i)):
+                conv.append(str(int(i)))
+                tidx.append(t)
+                text.append(payload)
+        return pd.DataFrame(
+            {"conv_id": conv, "turn_idx": np.asarray(tidx, dtype=np.int32), "text": text}
+        )
+
+    households = fold_conversations(
+        ds.map_batches(render, batch_format="pandas"),
+        _cenmod.extract_census_conv,
+        schemas.HOUSEHOLD_SCHEMA,
+    )
+    persons = households.map_batches(PersonsExtractor(), batch_format="pyarrow", batch_size=256)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def s(col):
+            return pc.coalesce(batch[col], "")
+
+        def lst(col):
+            return pc.coalesce(
+                pc.binary_join(batch[col].cast(pa.list_(pa.string())), ";"), ""
+            )
+
+        return pa.table(
+            {
+                "doc_id": batch["conv_id"].cast(pa.int64()),
+                "household_id": s("household_id"),
+                "id": s("id"),
+                "name": s("name"),
+                "sex": s("sex"),
+                "age": s("age"),
+                "occupation": s("occupation"),
+                "father": s("father"),
+                "mother": s("mother"),
+                "paternal_grandfather": s("paternal_grandfather"),
+                "maternal_grandfather": s("maternal_grandfather"),
+                "spouse": s("spouse"),
+                "siblings": lst("siblings"),
+                "children": lst("children"),
+                "relation_to_declarant": s("relation_to_declarant"),
+                "role": s("role"),
+                "owner": s("owner"),
+            }
+        )
+
+    return persons.map_batches(project, batch_format="pyarrow").sort(["doc_id", "id"])
+
+
+def _persons_fold_sql() -> str:
+    nm_a = _sql_case_options(_CENSUS_NAMES, "k")
+    nm_b = _sql_case_options(_CENSUS_NAMES, "(k + 2)")
+    nm_c = _sql_case_options(_CENSUS_NAMES, "(k + 4)")
+    nm_d = _sql_case_options(_CENSUS_NAMES, "(k + 1)")
+    return f"""
+WITH base AS (
+    SELECT doc_id, doc_id AS k,
+           CAST(117 + doc_id % 3 AS VARCHAR) || '-'
+             || (CASE doc_id % 3 WHEN 0 THEN 'Ar' WHEN 1 THEN 'He' ELSE 'Ox' END)
+             || '-' || CAST(1 + doc_id % 9 AS VARCHAR) AS hn,
+           doc_id % 6 AS s,
+           CAST(20 + doc_id % 60 AS VARCHAR) AS a1,
+           CAST(21 + (doc_id + 3) % 60 AS VARCHAR) AS a2,
+           CAST(1 + (doc_id + 5) % 15 AS VARCHAR) AS a3
+    FROM documents
+),
+named AS (
+    SELECT *, {nm_a} AS nm_a, {nm_b} AS nm_b, {nm_c} AS nm_c, {nm_d} AS nm_d
+    FROM base
+),
+rows_ AS (
+    -- the d1 self row, present in every scenario (synthesized in s4)
+    SELECT doc_id, hn, hn || '-d1' AS id, nm_a AS name, '' AS sex,
+           CASE WHEN s = 4 THEN '' ELSE a1 END AS age,
+           '' AS occupation, '' AS father, '' AS mother, '' AS pgf, '' AS mgf,
+           CASE WHEN s IN (0, 1) THEN hn || '-FM1' ELSE '' END AS spouse,
+           CASE WHEN s = 2 THEN hn || '-FM1' ELSE '' END AS siblings,
+           '' AS children, 'self' AS rel, 'family member' AS role, '' AS owner
+    FROM named
+    UNION ALL
+    -- s0/s1 second member: the wife (declarant-defaulted vs no.-1 cascade)
+    SELECT doc_id, hn, hn || '-FM1', nm_b, 'female', a2, '', '', '', '', '',
+           hn || '-d1',
+           '', CASE WHEN s = 1 THEN hn || '-FM2' ELSE '' END,
+           CASE WHEN s = 0 THEN 'wife' ELSE '' END, 'family member', ''
+    FROM named WHERE s IN (0, 1)
+    UNION ALL
+    -- s0/s1 third member: the child ("s. A and B" text capture vs the
+    -- "son of B [no. 2]" cascade where the mother id overwrites)
+    SELECT doc_id, hn, hn || '-FM2', nm_c, 'male', a3, '',
+           CASE WHEN s = 0 THEN nm_a ELSE nm_b END,
+           CASE WHEN s = 0 THEN nm_b ELSE hn || '-FM1' END,
+           '', '', '', '', '', '', 'family member', ''
+    FROM named WHERE s IN (0, 1)
+    UNION ALL
+    -- s2 second member: brother via "?"-marked numeric ref
+    SELECT doc_id, hn, hn || '-FM1', nm_b, 'male', a2, '', '', '', '', '',
+           '', hn || '-d1', '', '', 'family member', ''
+    FROM named WHERE s = 2
+    UNION ALL
+    -- s3 slave: owner + offspring-of mother
+    SELECT doc_id, hn, hn || '-S1', nm_d, 'female', a3, '', '', nm_b, '', '',
+           '', '', '', '', 'slave', nm_a
+    FROM named WHERE s = 3
+    UNION ALL
+    -- s4 members under a synthesized declarant: patronymic + "(s. C)"
+    SELECT doc_id, hn, hn || '-FM1', nm_b, 'male', a1, '', nm_a, '', nm_c, '',
+           '', '', '', '', 'family member', ''
+    FROM named WHERE s = 4
+    UNION ALL
+    SELECT doc_id, hn, hn || '-FM2', nm_d, 'female', a2, '', nm_a, '', '', '',
+           '', '', '', '', 'family member', ''
+    FROM named WHERE s = 4
+    UNION ALL
+    -- s5 free non-kin: "the lodger" tail survives the name heuristic
+    SELECT doc_id, hn, hn || '-NK1', nm_c || ' the lodger', 'female', a2, '',
+           '', '', '', '', '', '', '', '', 'free non-kin', ''
+    FROM named WHERE s = 5
+)
+SELECT doc_id, hn AS household_id, id, name, sex, age, occupation, father,
+       mother, pgf AS paternal_grandfather, mgf AS maternal_grandfather,
+       spouse, siblings, children, rel AS relation_to_declarant, role, owner
+FROM rows_
+ORDER BY doc_id, id
+"""
+
+
+EXTRACT_KERNEL_PERSONS_FOLD_SQL = _persons_fold_sql()

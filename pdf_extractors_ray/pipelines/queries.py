@@ -86,14 +86,20 @@ def _layout_query(sf_dir: str):
 def _census_persons_query(sf_dir: str):
     """Flagship stage-A→persons pipeline, with the census SUMMARY pipeline
     chained into the same driver slot (its fold+projection semantics are
-    separately SQL-pinned by extract_kernel_census_fold; here it must still
-    run clean over the real corpus and produce rows before persons is
-    returned)."""
+    separately SQL-pinned by extract_kernel_census_fold). Both real-corpus
+    pipelines must run clean and produce rows; the returned — and therefore
+    SQL-hash-checked — result is the rendered persons-fold surrogate, which
+    drives the same PRODUCTION composition (census fold → PersonsExtractor)
+    over deterministic conversations and pins the kinship cascade
+    (M6-M19 + J1-J3) against a closed-form DuckDB twin."""
     path = transcripts_path_for_sf(sf_dir)
     summary = extract.EXTRACTORS["census_summary"](path)
     if summary.count() == 0:
         raise RuntimeError("extract_census_summary produced no rows")
-    return extract.EXTRACTORS["census_persons"](path)
+    persons = extract.EXTRACTORS["census_persons"](path)
+    if persons.count() == 0:
+        raise RuntimeError("extract_census_persons produced no rows")
+    return surrogate.extract_kernel_persons_fold(sf_dir)
 
 
 def _table_grid_query(sf_dir: str):
@@ -244,7 +250,7 @@ REGISTRY: dict[str, tuple] = {
     # returned result = rendered-box surrogate, SQL-hash-checked) —
     # placed directly after the SQL block so a budget-limited driver
     # records them before the heavy dedup suite
-    "extract_census_persons": (_census_persons_query, None),
+    "extract_census_persons": (_census_persons_query, surrogate.EXTRACT_KERNEL_PERSONS_FOLD_SQL),
     "extract_layout_detected": (
         _box_query("layout_detected", surrogate.extract_kernel_layout_detect),
         surrogate.EXTRACT_KERNEL_LAYOUT_DETECT_SQL,

@@ -523,3 +523,60 @@ def test_grid_fold_surrogate_matches_oracle_fold():
             assert r["c3"] == str((doc_id * 7 + p) % 10000)
             assert r["c4"] == f"It{(doc_id + p) % 10}m"
             assert r["c6"] == f"$ {(doc_id * 11 + p) % 100000}.00"
+
+
+def test_persons_fold_surrogate_matches_oracle_fold():
+    """The rendered persons-surrogate conversations, pushed through the
+    ORACLE census fold + per-household kinship resolution, reproduce the
+    surrogate SQL's closed-form expectations — declarant-id fuzzy match,
+    declarant-defaulted spouse links, the numeric cross-ref cascade
+    (spouse/children/sibling branches incl. the "?"-marked ref), textual
+    parent captures, grandfather capture, slave owner/mother, non-kin
+    name tail, and declarant synthesis."""
+    from pdf_extractors_ray.oracle import census as cen
+    from pdf_extractors_ray.oracle.persons import extract_persons_for_household
+    from pdf_extractors_ray.ops.surrogate import _CENSUS_NAMES as NM
+    from pdf_extractors_ray.ops.surrogate import _render_persons_turns_py
+
+    for k in range(0, 240):
+        turns = _render_persons_turns_py(k)
+        hhs = cen.extract_census_conv([t for _, t in turns])
+        assert len(hhs) == 1
+        rows = sorted(extract_persons_for_household(hhs[0]), key=lambda r: r["id"])
+        hn = f"{117 + k % 3}-{['Ar', 'He', 'Ox'][k % 3]}-{1 + k % 9}"
+        a_, b_, c_, d_ = NM[k % 6], NM[(k + 2) % 6], NM[(k + 4) % 6], NM[(k + 1) % 6]
+        a1, a2, a3 = str(20 + k % 60), str(21 + (k + 3) % 60), str(1 + (k + 5) % 15)
+        s = k % 6
+        by_id = {r["id"]: r for r in rows}
+        d1 = by_id[f"{hn}-d1"]
+        assert d1["name"] == a_ and d1["relation_to_declarant"] == "self"
+        assert d1["age"] == ("" if s == 4 else a1)
+        if s == 0:
+            w, ch = by_id[f"{hn}-FM1"], by_id[f"{hn}-FM2"]
+            assert d1["spouse"] == w["id"] and w["spouse"] == d1["id"]
+            assert w["relation_to_declarant"] == "wife" and w["sex"] == "female"
+            assert (ch["father"], ch["mother"]) == (a_, b_)
+        elif s == 1:
+            w, ch = by_id[f"{hn}-FM1"], by_id[f"{hn}-FM2"]
+            assert d1["spouse"] == w["id"] and w["spouse"] == d1["id"]
+            assert w["relation_to_declarant"] is None  # linked by number, not tag
+            assert w["children"] == [ch["id"]]
+            assert (ch["father"], ch["mother"]) == (b_, w["id"])
+        elif s == 2:
+            br = by_id[f"{hn}-FM1"]
+            assert d1["siblings"] == [br["id"]] and br["siblings"] == [d1["id"]]
+            assert br["sex"] == "male" and br["age"] == a2
+        elif s == 3:
+            sl = by_id[f"{hn}-S1"]
+            assert sl["role"] == "slave" and sl["owner"] == a_
+            assert (sl["mother"], sl["sex"], sl["age"]) == (b_, "female", a3)
+        elif s == 4:
+            m1, m2 = by_id[f"{hn}-FM1"], by_id[f"{hn}-FM2"]
+            assert d1["sex"] is None  # synthesized from the bare line
+            assert (m1["father"], m1["paternal_grandfather"]) == (a_, c_)
+            assert (m2["father"], m2["sex"], m2["age"]) == (a_, "female", a2)
+        else:
+            nk = by_id[f"{hn}-NK1"]
+            assert nk["name"] == f"{c_} the lodger"
+            assert (nk["role"], nk["sex"], nk["age"]) == ("free non-kin", "female", a2)
+        assert len(rows) == {0: 3, 1: 3, 2: 2, 3: 2, 4: 3, 5: 2}[s]
