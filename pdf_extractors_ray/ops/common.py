@@ -124,20 +124,24 @@ def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
     """
     import pyarrow as pa
 
-    def tag(side: int, key: str, own: list[str], other: list[str]):
+    def tag(side: int, key: str):
+        # both sides emit the SAME column order (__key, __side, __l_*, __r_*)
+        # so the union's block schemas differ only in the null-typed filler
+        # columns — mismatched column ORDER additionally makes Ray's
+        # streaming executor emit per-bundle schema-change warnings
         def fn(batch: pa.Table) -> pa.Table:
             n = len(batch)
             cols = {"__key": batch[key], "__side": pa.array(np.full(n, side, dtype=np.int64))}
-            for c in own:
-                cols[f"__{'l' if side == 0 else 'r'}_{c}"] = batch[c]
-            for c in other:
-                cols[f"__{'r' if side == 0 else 'l'}_{c}"] = pa.nulls(n)
+            for c in left_cols:
+                cols[f"__l_{c}"] = batch[c] if side == 0 else pa.nulls(n)
+            for c in right_cols:
+                cols[f"__r_{c}"] = batch[c] if side == 1 else pa.nulls(n)
             return pa.table(cols)
 
         return fn
 
-    lt = left_ds.map_batches(tag(0, left_on, left_cols, right_cols), batch_format="pyarrow")
-    rt = right_ds.map_batches(tag(1, right_on, right_cols, left_cols), batch_format="pyarrow")
+    lt = left_ds.map_batches(tag(0, left_on), batch_format="pyarrow")
+    rt = right_ds.map_batches(tag(1, right_on), batch_format="pyarrow")
     unioned = lt.union(rt)
 
     lsel = [f"__l_{c}" for c in left_cols]

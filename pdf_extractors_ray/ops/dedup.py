@@ -67,6 +67,13 @@ def _mulmod_p(a: np.ndarray, h: np.ndarray) -> np.ndarray:
 # distinct texts in one 1-in-16-band bucket).
 _MAX_BUCKET = 1 << 15
 
+# dup_clusters: edge sets at or under this materialized size are solved as
+# connected components in a single vectorized task (numpy min-label +
+# pointer jumping) instead of the multi-barrier distributed propagation —
+# verified near-dup edges are sparse, so this is the common case even on
+# large corpora; bigger edge sets take the distributed loop
+_SMALL_EDGE_BYTES = 256 << 20
+
 
 def _docs(sf_dir: str, columns=None):
     from ..runtime import read_parquet_sized
@@ -658,33 +665,63 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
 
     bi = edges.map_batches(bidir, batch_format="pandas").materialize()
 
-    # round 0 folded into initialization: every endpoint starts from
-    # min(itself, its direct neighbors)
-    def seed(batch: pd.DataFrame) -> pd.DataFrame:
-        src = batch["src"].to_numpy(dtype=np.int64)
-        dst = batch["dst"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {"node": np.concatenate([src, dst]), "label": np.concatenate([src, src])}
-        )
+    if (bi.size_bytes() or 0) <= _SMALL_EDGE_BYTES:
+        # SMALL edge set (the common post-verification case — near-dup
+        # edges are sparse): solve connected components in ONE task with
+        # vectorized min-label propagation + pointer jumping (O(log n)
+        # numpy rounds), instead of paying ~6 Ray barriers per distributed
+        # round. repartition(1) keeps this inside the Dataset API; the
+        # distributed loop below remains the path for edge sets too big
+        # for one worker's heap.
+        def components(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame(
+                    {"node": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64)}
+                )
+            src = batch["src"].to_numpy(dtype=np.int64)
+            dst = batch["dst"].to_numpy(dtype=np.int64)
+            nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+            si, di = inv[: len(src)], inv[len(src) :]
+            lab = np.arange(len(nodes))
+            while True:
+                nxt = lab.copy()
+                np.minimum.at(nxt, si, lab[di])
+                nxt = nxt[nxt]  # pointer jumping halves component depth
+                if np.array_equal(nxt, lab):
+                    break
+                lab = nxt
+            return pd.DataFrame({"node": nodes, "label": nodes[lab]})
 
-    labels = bucketed_group_agg(
-        bi.map_batches(seed, batch_format="pandas"), ["node"], {"label": "min"}
-    ).materialize()
-    prev_sum = labels.sum("label")
-    converged = False
-    for _ in range(max_rounds):
-        offers = cogroup_join(bi, labels, "src", "node", ["dst"], ["label"]).map_batches(
-            lambda b: pd.DataFrame(
-                {"node": b["dst"].astype(np.int64), "label": b["label"].astype(np.int64)}
-            ),
-            batch_format="pandas",
-        )
-        labels = bucketed_group_agg(labels.union(offers), ["node"], {"label": "min"}).materialize()
-        cur_sum = labels.sum("label")
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+        labels = bi.repartition(1).map_batches(components, batch_format="pandas").materialize()
+        converged = True
+    else:
+        # round 0 folded into initialization: every endpoint starts from
+        # min(itself, its direct neighbors)
+        def seed(batch: pd.DataFrame) -> pd.DataFrame:
+            src = batch["src"].to_numpy(dtype=np.int64)
+            dst = batch["dst"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {"node": np.concatenate([src, dst]), "label": np.concatenate([src, src])}
+            )
+
+        labels = bucketed_group_agg(
+            bi.map_batches(seed, batch_format="pandas"), ["node"], {"label": "min"}
+        ).materialize()
+        prev_sum = labels.sum("label")
+        converged = False
+        for _ in range(max_rounds):
+            offers = cogroup_join(bi, labels, "src", "node", ["dst"], ["label"]).map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b["dst"].astype(np.int64), "label": b["label"].astype(np.int64)}
+                ),
+                batch_format="pandas",
+            )
+            labels = bucketed_group_agg(labels.union(offers), ["node"], {"label": "min"}).materialize()
+            cur_sum = labels.sum("label")
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
     if not converged:
         # min-label propagation needs ~component-diameter rounds; the star
         # cap bounds bucket size, NOT chain depth, so a deep chain of

@@ -117,6 +117,22 @@ def test_dup_clusters_connected_components(ray_session, tmp_path):
     sizes = dict(zip(out["doc_id"], out["cluster_size"]))
     assert sizes[0] == 5
 
+    # the same edge set through the DISTRIBUTED propagation loop (the
+    # 100 TB path, which small corpora skip via the single-task
+    # union-find fast path) must produce identical labels
+    import pdf_extractors_ray.ops.dedup as dmod
+
+    old = dmod._SMALL_EDGE_BYTES
+    dmod._SMALL_EDGE_BYTES = -1
+    try:
+        dist = dedup.dup_clusters(str(tmp_path), max_hamming=6).to_pandas()
+    finally:
+        dmod._SMALL_EDGE_BYTES = old
+    assert dict(zip(dist["doc_id"], dist["cluster"])) == want
+    assert dict(zip(dist["doc_id"], dist["cluster_size"])) == dict(
+        zip(out["doc_id"], out["cluster_size"])
+    )
+
 
 def test_knn_self_consistency(ray_session):
     out = similarity.knn_bruteforce("/root/testdata/sf0.001", k=5, n_queries=5).to_pandas()
