@@ -1,15 +1,19 @@
-"""Multimodal-column plumbing (decode/feature stages over opaque binary).
+"""Multimodal columns: decode / resize / frame-sample over opaque binary.
 
-Real image/audio decoders are not available in this container, so the
-decode kernel is STUBBED (SURVEY-mandated): ``DecodeStub`` either raises
-``NotImplementedError`` (``real=True``) or produces a deterministic fake
-decode. Everything Ray-side — the binary column, the actor-pool stage
-signature, small batch sizing for large payloads, the typed metadata output
-schema — is real and tested.
+The payload column carries REAL media bytes — binary P6 PPM images and
+16-bit PCM WAV audio, the formats decodable with numpy + the stdlib alone
+(``ops/codecs.py``) — and the production pipelines below run REAL kernels
+over them: true dimensions/duration/pixel stats at decode, nearest-neighbor
+pixel resampling for thumbnails, fixed-stride PCM slicing for frame
+samples. Heavier codecs (JPEG/MP3/H.264, absent from this container) stay
+behind the same per-actor injection seam: ``DecodeStub(real=True,
+codec_factory=...)`` constructs the handle once per actor; with no factory
+it raises. ``real=False`` keeps a deterministic digest-fake decode for
+plumbing tests.
 
-The synthetic binary column is derived from ``documents.text`` (UTF-8
-bytes) since the driver tables carry no media; a production pipeline would
-``read_parquet`` a table with a real ``payload: binary`` column unchanged.
+The synthetic payloads are seeded by ``doc_id`` (the driver tables carry
+no media); a production pipeline would ``read_parquet`` a table with a
+genuine ``payload: binary`` column unchanged.
 """
 
 from __future__ import annotations
@@ -20,6 +24,8 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from . import codecs
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -40,11 +46,19 @@ def media_dataset(sf_dir: str):
 
     from ..runtime import read_parquet_sized
 
-    ds = read_parquet_sized(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_parquet_sized(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
 
     def to_binary(batch: pa.Table) -> pa.Table:
-        payload = pa.array([t.encode() for t in batch["text"].to_pylist()], pa.binary())
-        kinds = pa.array(["image" if int(d) % 2 == 0 else "audio" for d in batch["doc_id"].to_pylist()])
+        ids = batch["doc_id"].to_pylist()
+        payload = pa.array(
+            [
+                codecs.encode_ppm(codecs.synth_image(int(d))) if int(d) % 2 == 0
+                else codecs.encode_wav(*codecs.synth_audio(int(d)))
+                for d in ids
+            ],
+            pa.binary(),
+        )
+        kinds = pa.array(["image" if int(d) % 2 == 0 else "audio" for d in ids])
         return pa.Table.from_arrays([batch["doc_id"], payload, kinds], schema=MEDIA_SCHEMA)
 
     return ds.map_batches(to_binary, batch_format="pyarrow")
@@ -66,8 +80,9 @@ class DecodeStub:
     decode so the downstream plumbing is exercised end-to-end.
     """
 
-    def __init__(self, real: bool = False, codec_factory=None):
+    def __init__(self, real: bool = False, codec_factory=None, keep_payload: bool = False):
         self.real = real
+        self.keep_payload = keep_payload
         self.codec = None
         if real:
             if codec_factory is None:
@@ -98,6 +113,8 @@ class DecodeStub:
                         "duration_ms": int.from_bytes(digest[2:4], "little") if kind == "audio" else 0,
                     }
                 )
+            if self.keep_payload:
+                row["payload"] = payload
             rows.append(row)
         return pd.DataFrame(rows)
 
@@ -105,10 +122,13 @@ class DecodeStub:
 class ResizeStub:
     """Actor-pool resize stage for image payloads.
 
-    Real kernel stubbed (no image libs in this container): target geometry
-    handling, aspect-ratio math and the output schema are real; the pixel
-    work is a deterministic fake (payload digest re-hash standing in for
-    the resized bytes).
+    ``real=True`` (the production default in the pipelines below) does the
+    ACTUAL pixel work: decode the P6 payload, nearest-neighbor resample so
+    max(h, w) <= max_side (``codecs.resize_nearest``), and hash the
+    resampled bytes. Re-decoding from the payload here is deliberate —
+    shipping decoded RGB between stages through the object store costs
+    ~4x the payload bytes, while a P6 re-decode is a header parse plus a
+    buffer view. ``real=False`` keeps the digest-fake geometry-only path.
     """
 
     def __init__(self, max_side: int = 128, real: bool = False):
@@ -116,11 +136,23 @@ class ResizeStub:
         self.real = real
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if self.real:
-            raise NotImplementedError("image codecs are not available in this environment")
-        import numpy as np
-
         g = batch[batch["media_type"] == "image"]
+        if self.real:
+            out_w, out_h, shas = [], [], []
+            for payload in g["payload"]:
+                thumb = codecs.resize_nearest(codecs.decode_ppm(payload), self.max_side)
+                out_h.append(thumb.shape[0])
+                out_w.append(thumb.shape[1])
+                shas.append(hashlib.md5(thumb.tobytes()).hexdigest()[:16])
+            return pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                    "out_w": np.asarray(out_w, dtype=np.int64),
+                    "out_h": np.asarray(out_h, dtype=np.int64),
+                    "thumb_sha": shas,
+                },
+                columns=["doc_id", "out_w", "out_h", "thumb_sha"],
+            )
         w = g["width"].to_numpy(dtype=np.float64)
         h = g["height"].to_numpy(dtype=np.float64)
         scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
@@ -138,11 +170,13 @@ class ResizeStub:
 
 
 class FrameSampleStub:
-    """Actor-pool frame/segment sampler for audio/video payloads.
+    """Actor-pool frame/segment sampler for audio payloads.
 
-    Deterministic fake: sample timestamps are derived from the declared
-    duration at a fixed rate — the real decoder would seek; the Ray-side
-    fan-out (one row per sampled frame, ``flat_map``-shaped output) is real.
+    ``real=True`` (the production default in the pipelines below) decodes
+    the WAV payload and slices ACTUAL fixed-stride PCM segments
+    (``codecs.sample_pcm``); each frame row carries the true timestamp and
+    the hash of the segment's samples. ``real=False`` keeps the
+    digest-fake path driven by the declared duration alone.
     """
 
     def __init__(self, every_ms: int = 100, max_frames: int = 8, real: bool = False):
@@ -152,8 +186,26 @@ class FrameSampleStub:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if self.real:
-            raise NotImplementedError("media codecs are not available in this environment")
-        import numpy as np
+            g = batch[batch["media_type"] == "audio"]
+            doc_ids, frame_idx, ts_list, shas = [], [], [], []
+            for doc_id, payload in zip(g["doc_id"], g["payload"]):
+                pcm, rate = codecs.decode_wav(payload)
+                for i, (ts, seg) in enumerate(
+                    codecs.sample_pcm(pcm, rate, self.every_ms, self.max_frames)
+                ):
+                    doc_ids.append(int(doc_id))
+                    frame_idx.append(i)
+                    ts_list.append(ts)
+                    shas.append(hashlib.md5(seg.tobytes()).hexdigest()[:16])
+            return pd.DataFrame(
+                {
+                    "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                    "frame_idx": np.asarray(frame_idx, dtype=np.int64),
+                    "ts_ms": np.asarray(ts_list, dtype=np.int64),
+                    "frame_sha": shas,
+                },
+                columns=["doc_id", "frame_idx", "ts_ms", "frame_sha"],
+            )
 
         g = batch[batch["media_type"] == "audio"]
         n = np.minimum(
@@ -178,31 +230,43 @@ class FrameSampleStub:
         )
 
 
+_REAL_DECODE = {"real": True, "codec_factory": codecs.StdlibCodec}
+
+
 def media_features(sf_dir: str):
-    """decode(stub) → per-item typed metadata. Small batches on purpose:
-    payload bytes x batch_size x concurrency must fit the worker heap."""
+    """REAL decode (stdlib codec, once per actor) → per-item typed
+    metadata: true dimensions / duration / pixel stats. Small batches on
+    purpose: payload bytes x batch_size x concurrency must fit the worker
+    heap."""
     ds = media_dataset(sf_dir)
     return ds.map_batches(
-        DecodeStub, batch_format="pandas", batch_size=256, concurrency=(1, 4)
+        DecodeStub, fn_constructor_kwargs=dict(_REAL_DECODE),
+        batch_format="pandas", batch_size=256, concurrency=(1, 4),
     ).sort("doc_id")
 
 
 def media_thumbnails(sf_dir: str, max_side: int = 128):
-    """decode(stub) → resize(stub) over image payloads."""
+    """REAL decode → REAL nearest-neighbor resize over image payloads."""
     ds = media_dataset(sf_dir)
-    decoded = ds.map_batches(DecodeStub, batch_format="pandas", batch_size=256, concurrency=(1, 4))
+    decoded = ds.map_batches(
+        DecodeStub, fn_constructor_kwargs=dict(_REAL_DECODE, keep_payload=True),
+        batch_format="pandas", batch_size=256, concurrency=(1, 4),
+    )
     return decoded.map_batches(
-        ResizeStub, fn_constructor_kwargs={"max_side": max_side},
+        ResizeStub, fn_constructor_kwargs={"max_side": max_side, "real": True},
         batch_format="pandas", batch_size=256, concurrency=(1, 4),
     ).sort("doc_id")
 
 
 def media_frames(sf_dir: str, every_ms: int = 100):
-    """decode(stub) → frame-sample(stub) fan-out over audio payloads."""
+    """REAL decode → REAL fixed-stride PCM frame sampling over audio."""
     ds = media_dataset(sf_dir)
-    decoded = ds.map_batches(DecodeStub, batch_format="pandas", batch_size=256, concurrency=(1, 4))
+    decoded = ds.map_batches(
+        DecodeStub, fn_constructor_kwargs=dict(_REAL_DECODE, keep_payload=True),
+        batch_format="pandas", batch_size=256, concurrency=(1, 4),
+    )
     return decoded.map_batches(
-        FrameSampleStub, fn_constructor_kwargs={"every_ms": every_ms},
+        FrameSampleStub, fn_constructor_kwargs={"every_ms": every_ms, "real": True},
         batch_format="pandas", batch_size=256, concurrency=(1, 4),
     ).sort(["doc_id", "frame_idx"])
 
@@ -215,8 +279,8 @@ class MediaUnion:
     streaming pass — no materialized intermediate, no triple re-decode."""
 
     def __init__(self, max_side: int = 128, every_ms: int = 100):
-        self.resize = ResizeStub(max_side=max_side)
-        self.frames = FrameSampleStub(every_ms=every_ms)
+        self.resize = ResizeStub(max_side=max_side, real=True)
+        self.frames = FrameSampleStub(every_ms=every_ms, real=True)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         feats = pd.DataFrame(
@@ -256,11 +320,14 @@ class MediaUnion:
 
 def media_pipeline(sf_dir: str, max_side: int = 128, every_ms: int = 100):
     """Chained multimodal pipeline in one streaming pass: binary payloads →
-    decode (actor pool) → features + thumbnail-resize + frame-sample
-    (second actor pool) → union rows (doc_id, kind∈{item,thumb,frame},
-    idx, a, b, sha)."""
+    REAL decode (actor pool) → features + REAL thumbnail-resize + REAL
+    PCM frame-sample (second actor pool) → union rows (doc_id,
+    kind∈{item,thumb,frame}, idx, a, b, sha)."""
     ds = media_dataset(sf_dir)
-    decoded = ds.map_batches(DecodeStub, batch_format="pandas", batch_size=256, concurrency=(1, 4))
+    decoded = ds.map_batches(
+        DecodeStub, fn_constructor_kwargs=dict(_REAL_DECODE, keep_payload=True),
+        batch_format="pandas", batch_size=256, concurrency=(1, 4),
+    )
     return decoded.map_batches(
         MediaUnion, fn_constructor_kwargs={"max_side": max_side, "every_ms": every_ms},
         batch_format="pandas", batch_size=256, concurrency=(1, 4),
