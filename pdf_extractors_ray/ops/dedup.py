@@ -75,6 +75,33 @@ _MAX_BUCKET = 1 << 15
 _SMALL_EDGE_BYTES = 256 << 20
 
 
+def connected_components_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """(src, dst) edge rows (bidirectional) -> (node, label) with label =
+    the component's minimum node id. Vectorized min-label propagation with
+    pointer jumping: each round takes the min over direct neighbors then
+    follows label chains (``nxt[nxt]``), so convergence is O(log n) numpy
+    rounds. At the fixpoint every edge has equal labels on both ends and
+    labels are idempotent, which forces label == component min.
+    Property-tested against union-find on random graphs."""
+    if len(batch) == 0:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64)}
+        )
+    src = batch["src"].to_numpy(dtype=np.int64)
+    dst = batch["dst"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src) :]
+    lab = np.arange(len(nodes))
+    while True:
+        nxt = lab.copy()
+        np.minimum.at(nxt, si, lab[di])
+        nxt = nxt[nxt]  # pointer jumping halves component depth
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    return pd.DataFrame({"node": nodes, "label": nodes[lab]})
+
+
 def _docs(sf_dir: str, columns=None):
     from ..runtime import read_parquet_sized
 
@@ -673,26 +700,11 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
         # round. repartition(1) keeps this inside the Dataset API; the
         # distributed loop below remains the path for edge sets too big
         # for one worker's heap.
-        def components(batch: pd.DataFrame) -> pd.DataFrame:
-            if len(batch) == 0:
-                return pd.DataFrame(
-                    {"node": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64)}
-                )
-            src = batch["src"].to_numpy(dtype=np.int64)
-            dst = batch["dst"].to_numpy(dtype=np.int64)
-            nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-            si, di = inv[: len(src)], inv[len(src) :]
-            lab = np.arange(len(nodes))
-            while True:
-                nxt = lab.copy()
-                np.minimum.at(nxt, si, lab[di])
-                nxt = nxt[nxt]  # pointer jumping halves component depth
-                if np.array_equal(nxt, lab):
-                    break
-                lab = nxt
-            return pd.DataFrame({"node": nodes, "label": nodes[lab]})
-
-        labels = bi.repartition(1).map_batches(components, batch_format="pandas").materialize()
+        labels = (
+            bi.repartition(1)
+            .map_batches(connected_components_batch, batch_format="pandas")
+            .materialize()
+        )
         converged = True
     else:
         # round 0 folded into initialization: every endpoint starts from

@@ -98,3 +98,47 @@ def test_bucketed_group_agg_matches_pandas(ray_session, rows):
     )
     want = df.groupby("k", as_index=False)["v"].min().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype(np.int64), want, check_dtype=False)
+
+
+def test_connected_components_batch_matches_union_find():
+    """Property: the vectorized min-label + pointer-jumping kernel equals
+    union-find on arbitrary random graphs (chains, stars, cliques, self
+    loops, duplicate edges)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractors_ray.ops.dedup import connected_components_batch
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40)),
+            min_size=0, max_size=120,
+        )
+    )
+    def check(edges):
+        import numpy as np
+        import pandas as pd
+
+        a = np.array([e[0] for e in edges] + [e[1] for e in edges], dtype=np.int64)
+        b = np.array([e[1] for e in edges] + [e[0] for e in edges], dtype=np.int64)
+        out = connected_components_batch(pd.DataFrame({"src": a, "dst": b}))
+
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        want = {n: find(n) for n in set(a.tolist())}
+        got = dict(zip(out["node"], out["label"]))
+        assert got == want
+
+    check()
