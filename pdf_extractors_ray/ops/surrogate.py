@@ -2048,3 +2048,126 @@ ORDER BY doc_id, id
 
 
 EXTRACT_KERNEL_PERSONS_FOLD_SQL = _persons_fold_sql()
+
+
+# ---------------------------------------------------------------------------
+# OCR invoice surrogate: the scanned-page path (S9/S10/S16/S17/ST7) made
+# REAL and SQL-checked. Deterministic invoice text (charset-safe twin of
+# the invoice-bank render) is rasterized onto a P6 page bitmap with scan
+# defects (doc-dependent quarter-turn rotation + polarity inversion), the
+# GlyphOcr actor pool (ops/glyphs.py) binarizes, normalizes polarity,
+# detects orientation and reads the text back by template matching, and
+# the recovered text runs through the PRODUCTION InvoiceFieldExtractor
+# bank — OCR page reader → same downstream extraction as the text path,
+# which is exactly the reference's searchable-PDF flow. The DuckDB twin
+# re-renders the text analytically and extracts with regexp_extract; the
+# detected defects are closed-form in doc_id.
+
+_OCR_VESSELS = ["Nordic Star", "Sea Queen", "Baltic Wind", "Arctic Dawn"]
+_OCR_PORTS = ["Oslo", "Hamburg", "Rotterdam", "Aarhus", "Gdansk"]
+
+
+def _render_ocr_invoice_py(doc_id: int) -> str:
+    d1 = _py_date(doc_id % 28 + 1, doc_id % 12 + 1, 2020 + doc_id % 6)
+    d2 = _py_date(doc_id % 27 + 1, doc_id % 11 + 1, 2021 + doc_id % 5)
+    vessel = _OCR_VESSELS[doc_id % 4]
+    p1 = _OCR_PORTS[doc_id % 5]
+    p2 = _OCR_PORTS[(doc_id + 2) % 5]
+    return (
+        f"Invoice {3000000 + doc_id}\n"
+        f"Invoice Date: {d1}\n"
+        f"Due Date: {d2}\n"
+        f"Customer Number: {1000 + doc_id % 9000}\n"
+        f"Order No.: {700000 + doc_id % 100000}\n"
+        f"Ext. order no. : KO{2100000 + doc_id % 100000}-{1 + doc_id % 8}\n"
+        f"Loading date {d1}\n"
+        f"Delivery date {d2}\n"
+        f"Vessel Name: {vessel} Container type: 40HC\n"
+        f"Port of loading: {p1}\n"
+        f"Port of delivery: {p2}\n"
+        f"Total amount without VAT {10 + doc_id % 90} {doc_id % 1000:03d},{doc_id % 100:02d} NOK\n"
+        f"Tour No.: {300000 + doc_id % 100000}"
+    )
+
+
+def extract_kernel_ocr_invoice(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.invoice_extract import FIELD_PREFIX, InvoiceFieldExtractor
+    from . import codecs, glyphs
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def rasterize(batch: pd.DataFrame) -> pd.DataFrame:
+        """Text → P6 page payload with doc-dependent scan defects."""
+        payloads = []
+        for i in batch["doc_id"]:
+            i = int(i)
+            page = glyphs.render_page(
+                _render_ocr_invoice_py(i), rotate_k=i % 4, invert=i % 3 == 1
+            )
+            payloads.append(codecs.encode_ppm(page))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
+
+    ocr = (
+        ds.map_batches(rasterize, batch_format="pandas", batch_size=128)
+        .map_batches(glyphs.GlyphOcr, batch_format="pandas", batch_size=128,
+                     concurrency=(1, 4))
+    )
+    extracted = ocr.map_batches(InvoiceFieldExtractor, batch_format="pyarrow",
+                                concurrency=(1, 4))
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": batch["doc_id"].cast(pa.int64())}
+        for field, out_name in _INV_COLS.items():
+            cols[out_name] = pc.coalesce(batch[FIELD_PREFIX + field], "")
+        cols["rotation_k"] = batch["rotation_k"].cast(pa.int64())
+        cols["inverted"] = batch["inverted"].cast(pa.bool_())
+        cols["match_ppm"] = batch["match_ppm"].cast(pa.int64())
+        return pa.table(cols)
+
+    return extracted.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
+def _ocr_invoice_sql() -> str:
+    d1 = _sql_date("doc_id % 28 + 1", "doc_id % 12 + 1", "2020 + doc_id % 6")
+    d2 = _sql_date("doc_id % 27 + 1", "doc_id % 11 + 1", "2021 + doc_id % 5")
+    nl = "chr(10)"
+    vessel = _sql_case_options(_OCR_VESSELS, "doc_id")
+    p1 = _sql_case_options(_OCR_PORTS, "doc_id")
+    p2 = _sql_case_options(_OCR_PORTS, "(doc_id + 2)")
+    parts = [
+        "'Invoice ' || CAST(3000000 + doc_id AS VARCHAR)",
+        f"'Invoice Date: ' || {d1}",
+        f"'Due Date: ' || {d2}",
+        "'Customer Number: ' || CAST(1000 + doc_id % 9000 AS VARCHAR)",
+        "'Order No.: ' || CAST(700000 + doc_id % 100000 AS VARCHAR)",
+        "'Ext. order no. : KO' || CAST(2100000 + doc_id % 100000 AS VARCHAR)"
+        " || '-' || CAST(1 + doc_id % 8 AS VARCHAR)",
+        f"'Loading date ' || {d1}",
+        f"'Delivery date ' || {d2}",
+        f"'Vessel Name: ' || {vessel} || ' Container type: 40HC'",
+        f"'Port of loading: ' || {p1}",
+        f"'Port of delivery: ' || {p2}",
+        "'Total amount without VAT ' || CAST(10 + doc_id % 90 AS VARCHAR)"
+        f" || ' ' || {_sql_pad('doc_id % 1000', 3)} || ',' || {_sql_pad('doc_id % 100', 2)} || ' NOK'",
+        "'Tour No.: ' || CAST(300000 + doc_id % 100000 AS VARCHAR)",
+    ]
+    rendered = f" || {nl} || ".join(f"({p})" for p in parts)
+    fields = ",\n       ".join(
+        f"regexp_extract(rendered, {_sql_quote(pat)}, 1) AS {_INV_COLS[name]}"
+        for name, pat in _SQL_INV_PATTERNS.items()
+    )
+    return f"""
+SELECT doc_id,
+       {fields},
+       CAST(doc_id % 4 AS BIGINT) AS rotation_k,
+       (doc_id % 3 = 1) AS inverted,
+       CAST(1000000 AS BIGINT) AS match_ppm
+FROM (SELECT doc_id, {rendered} AS rendered FROM documents)
+ORDER BY doc_id
+"""
+
+
+EXTRACT_KERNEL_OCR_INVOICE_SQL = _ocr_invoice_sql()

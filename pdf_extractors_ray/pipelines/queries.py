@@ -168,6 +168,20 @@ def _grid_box_query(sf_dir: str):
     return surrogate.extract_kernel_grid_detect(sf_dir)
 
 
+def _media_ocr_query(sf_dir: str):
+    """Multimodal chain AND the OCR scanned-page path in one driver slot.
+    The real-codec media pipeline (decode → features/thumbnails/frames
+    over P6/WAV payloads) must produce rows; the returned — and therefore
+    SQL-hash-checked — result is the OCR invoice kernel: rasterized page
+    bitmaps with doc-dependent rotation/polarity defects, read back by the
+    template-matching GlyphOcr actor pool and pushed through the
+    PRODUCTION invoice bank (S9/S10/S16/S17/ST7)."""
+    media = mm.media_pipeline(sf_dir)
+    if media.count() == 0:
+        raise RuntimeError("media_pipeline produced no rows")
+    return surrogate.extract_kernel_ocr_invoice(sf_dir)
+
+
 def _ann_methods_query(sf_dir: str):
     """LSH-bucketed AND IVF ANN chained in one driver slot (both
     recall-tested in pytest; the driver check is rows-only). Results are
@@ -276,7 +290,7 @@ REGISTRY: dict[str, tuple] = {
     "emb_ann_methods": (_ann_methods_query, None),
     # multimodal plumbing (stubbed decode kernel): decode → features →
     # thumbnail-resize → frame-sample exercised in one chained query
-    "media_pipeline": (mm.media_pipeline, None),
+    "media_pipeline": (_media_ocr_query, surrogate.EXTRACT_KERNEL_OCR_INVOICE_SQL),
 }
 
 
