@@ -91,30 +91,38 @@ def _read_grid(ink: np.ndarray) -> tuple[str, int, int]:
 
 
 def ocr_page(img: np.ndarray) -> dict:
-    """Full OCR of one page image: binarize, normalize polarity (ink must
-    be the sparse class), score all four orientations by template-hit
-    rate over non-blank cells, read the best one.
+    """Full OCR of one page image: binarize, then jointly score BOTH
+    polarities x all four orientations by template hits and read the best
+    candidate. Polarity cannot be guessed from the global ink fraction —
+    a dense glyph on a tiny page exceeds 50% coverage — but the wrong
+    polarity turns every cell into a template miss, so hit count
+    discriminates both defects at once.
 
     Returns ``{"text", "rotation_k", "inverted", "match_rate"}`` where
     ``rotation_k`` is the detected number of quarter-turns the page had
-    (i.e. ``rot90(page, -rotation_k)`` restores it).
+    (i.e. ``rot90(page, -rotation_k)`` restores it) and ``inverted`` is
+    whether the page's polarity was flipped (ink dark on bright).
     """
     gray = img[:, :, 0] if img.ndim == 3 else img
-    ink = gray > 127
-    inverted = bool(ink.mean() > 0.5)
-    if inverted:
-        ink = ~ink
-    best = {"text": "", "rotation_k": 0, "inverted": inverted, "match_rate": 0.0}
+    bright = gray > 127
+    best = {"text": "", "rotation_k": 0, "inverted": False, "match_rate": 0.0}
     best_hits = -1
-    for k in range(4):
-        cand = np.rot90(ink, -k)
-        if cand.shape[0] % CELL_H or cand.shape[1] % CELL_W:
-            continue
-        text, nonblank, hits = _read_grid(cand)
-        rate = hits / nonblank if nonblank else 0.0
-        if hits > best_hits:
-            best_hits = hits
-            best = {"text": text, "rotation_k": k, "inverted": inverted, "match_rate": rate}
+    for inverted in (False, True):
+        ink = ~bright if inverted else bright
+        for k in range(4):
+            cand = np.rot90(ink, -k)
+            if cand.shape[0] % CELL_H or cand.shape[1] % CELL_W:
+                continue
+            text, nonblank, hits = _read_grid(cand)
+            rate = hits / nonblank if nonblank else 0.0
+            if hits > best_hits:
+                best_hits = hits
+                best = {
+                    "text": text,
+                    "rotation_k": k,
+                    "inverted": inverted,
+                    "match_rate": rate,
+                }
     return best
 
 

@@ -1,4 +1,4 @@
-"""Vectorized invoice field extraction (actor-pool stage).
+r"""Vectorized invoice field extraction (actor-pool stage).
 
 The reference applies 13 ``re.search`` patterns per OCR fragment
 (``nordic-logistics-invoice/nordic-invoice.py:8-23,103-115``). Here the
