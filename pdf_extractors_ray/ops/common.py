@@ -99,39 +99,65 @@ def broadcast(obj):
 
 def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
                  left_cols: list[str], right_cols: list[str],
-                 dedup_left: list[str] | None = None):
-    """Sparse-safe inner join via union + groupby cogroup.
+                 dedup_left: list[str] | None = None,
+                 n_buckets: int | None = None):
+    """Sparse-safe inner join via union + hash-BUCKETED cogroup.
 
     ``Dataset.join`` (Ray 2.49 hash-shuffle) crashes with ArrowInvalid when
-    a hash partition receives zero rows on either side — the empty
-    partition builder loses its schema — which makes it unusable for
-    sparse sides (e.g. a handful of candidate pairs joined to a keyed
-    table). This helper expresses the join as: tag each side, align
+    a hash partition receives zero rows on either side, and its aggregator
+    actors cost ~10-20 s of fixed startup per join regardless of partition
+    count — unusable for sparse sides and pathological in multi-join
+    queries. This helper expresses the join as: tag each side, align
     schemas (missing columns as Arrow nulls, which concat-promote against
-    any type), union, ``groupby`` the key, and pandas-merge inside each
-    group. Empty groups and empty partitions are handled by the sort-based
-    groupby machinery. Right side may carry multiple rows per key
-    (one-to-many expands, as an inner join should).
+    any type), hash the key into ``n_buckets`` (≈2×CPUs) buckets, union,
+    ``groupby`` the BUCKET, and one vectorized pandas-merge per bucket.
+    Grouping by bucket instead of key matters: ``map_groups`` invokes the
+    UDF once per group, and a per-KEY pandas merge costs ~2-4 ms — fatal at
+    10^4+ distinct keys (measured: q3's two joins went 60 s → <2 s at 15k
+    keys when the merge became per-bucket). Empty groups and empty
+    partitions are handled by the sort-based groupby machinery. Right side
+    may carry multiple rows per key (one-to-many expands, as an inner join
+    should).
 
     Numeric columns come back as float64 when nulls were interleaved —
     callers cast their known-int columns back to int64.
 
-    ``dedup_left``: drop duplicate left rows on these columns inside each
-    key group before merging. When the columns include the join key this is
-    an exact global dedup fused into the join's shuffle (all rows with one
-    key co-locate), saving the separate aggregation barrier a caller would
-    otherwise need.
+    ``dedup_left``: drop duplicate left rows on these columns WITHIN each
+    key group before merging (implemented bucket-wide as key+columns
+    dedup, which is equivalent). When the columns include the join key
+    this is an exact global dedup fused into the join's shuffle (all rows
+    with one key co-locate), saving the separate aggregation barrier a
+    caller would otherwise need.
     """
     import pyarrow as pa
 
+    nb = n_buckets or _default_buckets()
+
     def tag(side: int, key: str):
-        # both sides emit the SAME column order (__key, __side, __l_*, __r_*)
-        # so the union's block schemas differ only in the null-typed filler
-        # columns — mismatched column ORDER additionally makes Ray's
-        # streaming executor emit per-bundle schema-change warnings
+        # both sides emit the SAME column order (__b, __key, __side,
+        # __l_*, __r_*) so the union's block schemas differ only in the
+        # null-typed filler columns — mismatched column ORDER additionally
+        # makes Ray's streaming executor emit per-bundle schema warnings
         def fn(batch: pa.Table) -> pa.Table:
             n = len(batch)
-            cols = {"__key": batch[key], "__side": pa.array(np.full(n, side, dtype=np.int64))}
+            kcol = batch[key]
+            kv = kcol.to_numpy(zero_copy_only=False)
+            if kv.dtype.kind == "f":
+                # integer ids that crossed an earlier null-interleaving
+                # merge arrive float64; hash_array keys off raw BITS, so
+                # 5.0 and 5 would land in different buckets — canonicalize
+                # both the hash input and the stored key to int64
+                kv = kv.astype(np.int64)
+                kcol = pa.array(kv)
+            # pandas' hash is keyed by a fixed default (not salted), so
+            # equal key values land in the same bucket on both sides and
+            # across worker processes
+            b = (pd.util.hash_array(kv) % nb).astype(np.int64)
+            cols = {
+                "__b": pa.array(b),
+                "__key": kcol,
+                "__side": pa.array(np.full(n, side, dtype=np.int64)),
+            }
             for c in left_cols:
                 cols[f"__l_{c}"] = batch[c] if side == 0 else pa.nulls(n)
             for c in right_cols:
@@ -153,12 +179,12 @@ def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
         if lf.empty or rf.empty:
             return pd.DataFrame({c: [] for c in left_cols + right_cols})
         if dedup_left:
-            lf = lf.drop_duplicates([f"__l_{c}" for c in dedup_left])
+            lf = lf.drop_duplicates(["__key", *(f"__l_{c}" for c in dedup_left)])
         out = lf[["__key", *lsel]].merge(rf[["__key", *rsel]], on="__key")
         out = out.drop(columns=["__key"])
         return out.rename(columns=dict(zip(lsel + rsel, left_cols + right_cols)))
 
-    return unioned.groupby("__key").map_groups(merge, batch_format="pandas")
+    return unioned.groupby("__b").map_groups(merge, batch_format="pandas")
 
 
 def join_partitions(requested: int | None = None, per_cpu: float = 0.5, cap: int = 64) -> int:

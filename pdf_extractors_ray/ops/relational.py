@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow.compute as pc
 
-from .common import broadcast, cast_us, cents, grouped_sums, join_partitions
+from .common import broadcast, cast_us, cents, grouped_sums
 
 
 def _pq(sf_dir: str, name: str) -> str:
@@ -80,18 +80,21 @@ def q3_segment_topk(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 
     Join strategy: fully distributed. A market segment is ~20% of
     ``customer`` — NOT broadcast-small at 100 TB (a driver-side key set
-    would be tens of GB of Python ints) — so the orders semi-join runs as a
-    hash-partitioned ``Dataset.join`` against the pushdown-filtered
-    customer keys, and orders↔lineitem likewise; nothing corpus-sized
-    touches the driver (ray_guide "Joins and lookups")."""
+    would be tens of GB of Python ints) — so the orders semi-join and the
+    orders↔lineitem join both run as key-shuffled cogroups
+    (``common.cogroup_join``: union + sort-groupby + in-group merge);
+    nothing corpus-sized touches the driver (ray_guide "Joins and
+    lookups"). Ray 2.49's ``Dataset.join`` operator is NOT used: its
+    hash-shuffle aggregator actors cost ~10-20 s of fixed startup PER JOIN
+    regardless of partition count (measured at sf0.01: 65 s for this query
+    vs <10 s via cogroup), and it crashes on empty hash partitions."""
+    from .common import cogroup_join
+
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
                  filter=(pc.field("c_mktsegment") == segment)).select_columns(["c_custkey"])
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    o_keys = orders.join(
-        cust, join_type="inner", on=("o_custkey",), right_on=("c_custkey",),
-        num_partitions=join_partitions(),
-    ).select_columns(["o_orderkey"])
+    o_keys = cogroup_join(orders, cust, "o_custkey", "c_custkey", ["o_orderkey"], [])
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -100,10 +103,17 @@ def q3_segment_topk(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         return pd.DataFrame({"l_orderkey": batch["l_orderkey"], "revenue_cents": rev})
 
     rev = li.map_batches(li_rev, batch_format="pandas")
-    joined = rev.join(o_keys, join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=join_partitions())
+    joined = cogroup_join(rev, o_keys, "l_orderkey", "o_orderkey",
+                          ["l_orderkey", "revenue_cents"], [])
 
     def project(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"o_orderkey": batch["l_orderkey"], "revenue_cents": batch["revenue_cents"]})
+        # cogroup merge interleaves null filler -> cast known-ints back
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(np.int64),
+                "revenue_cents": batch["revenue_cents"].to_numpy(np.int64),
+            }
+        )
 
     agg = grouped_sums(joined.map_batches(project, batch_format="pandas"), ["o_orderkey"], ["revenue_cents"])
     return agg.sort(["revenue_cents", "o_orderkey"], descending=[True, True]).limit(k)
@@ -126,9 +136,13 @@ def q5_nation_revenue(sf_dir: str, region: str = "ASIA"):
     """Revenue per nation for one region.
 
     Dimension chain region→nation→customer is broadcast; the orders↔lineitem
-    side goes through ``Dataset.join`` (hash-partitioned) to exercise the
-    large-large join path the broadcast pattern can't cover at scale."""
+    side goes through key-shuffled cogroups (``common.cogroup_join``) —
+    the large-large join path the broadcast pattern can't cover at scale
+    (Ray 2.49's ``Dataset.join`` operator is avoided: ~10-20 s fixed
+    aggregator-actor startup per join at any partition count, measured)."""
     import ray
+
+    from .common import cogroup_join
 
     # region→nation is a true dimension chain (≤25 rows) → driver-side +
     # broadcast; customer is NOT broadcast-small at scale, so it is tagged
@@ -152,9 +166,8 @@ def q5_nation_revenue(sf_dir: str, region: str = "ASIA"):
     cust_tagged = cust.map_batches(TagCustomers, batch_format="pandas", concurrency=(1, 4))
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    tagged = orders.join(
-        cust_tagged, join_type="inner", on=("o_custkey",), right_on=("c_custkey",), num_partitions=join_partitions()
-    ).select_columns(["o_orderkey", "n_name"])
+    tagged = cogroup_join(orders, cust_tagged, "o_custkey", "c_custkey",
+                          ["o_orderkey"], ["n_name"])
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -167,8 +180,19 @@ def q5_nation_revenue(sf_dir: str, region: str = "ASIA"):
         )
 
     li = li.map_batches(li_rev, batch_format="pandas")
-    joined = li.join(tagged, join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=join_partitions())
-    out = grouped_sums(joined, ["n_name"], ["revenue_cents"])
+    joined = cogroup_join(li, tagged, "l_orderkey", "o_orderkey",
+                          ["revenue_cents"], ["n_name"])
+
+    def recast(batch: pd.DataFrame) -> pd.DataFrame:
+        # cogroup merge interleaves null filler -> cast known-ints back
+        return pd.DataFrame(
+            {
+                "n_name": batch["n_name"],
+                "revenue_cents": batch["revenue_cents"].to_numpy(np.int64),
+            }
+        )
+
+    out = grouped_sums(joined.map_batches(recast, batch_format="pandas"), ["n_name"], ["revenue_cents"])
     return out.sort("n_name")
 
 
