@@ -81,6 +81,27 @@ def test_cogroup_join_matches_pandas_merge(ray_session, left_rows, right_rows):
     pd.testing.assert_frame_equal(got[key], want, check_dtype=False)
 
 
+def test_cogroup_join_float_promoted_keys_bucket_identically(ray_session):
+    """Regression: integer keys that crossed an earlier null-interleaving
+    merge arrive as float64; pd.util.hash_array keys off raw BITS, so 5.0
+    and 5 hashed to different buckets and the join silently returned
+    empty (observed: minhash verified pairs vanished). The tag stage must
+    canonicalize float-integral keys to int64 before bucketing."""
+    import ray.data as rd
+
+    from pdf_extractors_ray.ops.common import cogroup_join
+
+    left = pd.DataFrame({"k": np.array([1.0, 2.0, 7.0]), "v": [10, 20, 70]})
+    assert left["k"].dtype == np.float64
+    right = pd.DataFrame({"rk": np.array([1, 7, 9], dtype=np.int64), "t": ["a", "b", "c"]})
+    got = cogroup_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "rk", ["v"], ["t"]
+    ).to_pandas()
+    got = got.sort_values("v").reset_index(drop=True)
+    assert list(got["v"].astype(np.int64)) == [10, 70]
+    assert list(got["t"]) == ["a", "b"]
+
+
 @given(st.lists(st.tuples(st.integers(0, 50), st.integers(-100, 100)),
                 min_size=1, max_size=80))
 @settings(max_examples=25, deadline=None)
