@@ -306,44 +306,84 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         )
 
     def collapse(group: pd.DataFrame) -> pa.Table:
-        """One hash group -> kind=0 member rows (rep keeps its text) plus
+        """One hash BUCKET (all rows of every text-hash assigned to it) ->
+        per distinct text: kind=0 member rows (rep keeps its text) plus
         kind=1 within-cluster pair rows (explicit Arrow schema: empty
-        pandas blocks lose schema entering the next shuffle)."""
-        g = group.sort_values("doc_id", kind="mergesort")
+        pandas blocks lose schema entering the next shuffle).
+
+        Grouped by hash BUCKET, not by text hash: ``map_groups`` costs a
+        Python call + batch build per group, and distinct-text count is
+        corpus-scale (500 groups at sf0.01 already cost ~1.5 s of pure
+        per-group overhead; 10^9 at web scale would be fatal). Hash groups
+        never split across buckets, so within-bucket boundary slicing is
+        exact."""
+        g = group.sort_values(["h", "doc_id"], kind="mergesort")
+        hs = g["h"].to_numpy(object)
         ids = g["doc_id"].to_numpy(np.int64)
-        rep = int(ids[0])
-        n = len(ids)
-        kind = [0] * n
-        doc_id = list(ids)
-        texts: list = [g["text"].iloc[0]] + [None] * (n - 1)
-        a: list = [None] * n
-        b: list = [None] * n
-        if n > 1 and bool(g["has_tok"].iloc[0]):
-            iu = np.triu_indices(n, 1)
-            m = len(iu[0])
-            kind += [1] * m
-            doc_id += [rep] * m
-            texts += [None] * m
-            a += list(ids[iu[0]])
-            b += list(ids[iu[1]])
+        txts = g["text"].to_numpy(object)
+        htok = g["has_tok"].to_numpy(bool)
+        change = np.flatnonzero(hs[1:] != hs[:-1]) + 1
+        bounds = np.concatenate(([0], change, [len(ids)]))
+        kind: list = []
+        doc_id: list = []
+        rep_id: list = []
+        has_tok: list = []
+        texts: list = []
+        a: list = []
+        b: list = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            seg = ids[lo:hi]
+            rep = int(seg[0])
+            n = hi - lo
+            tok = bool(htok[lo])
+            kind += [0] * n
+            doc_id += seg.tolist()
+            rep_id += [rep] * n
+            has_tok += [tok] * n
+            texts += [txts[lo]] + [None] * (n - 1)
+            a += [None] * n
+            b += [None] * n
+            if n > 1 and tok:
+                iu = np.triu_indices(n, 1)
+                m = len(iu[0])
+                kind += [1] * m
+                doc_id += [rep] * m
+                rep_id += [rep] * m
+                has_tok += [tok] * m
+                texts += [None] * m
+                a += seg[iu[0]].tolist()
+                b += seg[iu[1]].tolist()
         return pa.table(
             {
                 "kind": pa.array(kind, pa.int64()),
                 "doc_id": pa.array(doc_id, pa.int64()),
-                "rep_id": pa.array([rep] * len(kind), pa.int64()),
-                "has_tok": pa.array([bool(g["has_tok"].iloc[0])] * len(kind), pa.bool_()),
+                "rep_id": pa.array(rep_id, pa.int64()),
+                "has_tok": pa.array(has_tok, pa.bool_()),
                 "text": pa.array(texts, pa.string()),
                 "a": pa.array(a, pa.int64()),
                 "b": pa.array(b, pa.int64()),
             }
         )
 
+    from .common import _default_buckets
+
+    nb = _default_buckets()
+
+    def add_hash_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__hb"] = (
+            pd.util.hash_array(batch["h"].to_numpy(object)) % nb
+        ).astype(np.int64)
+        return batch
+
     # ONE text-bearing shuffle; the rep-text, membership and within-pair
     # tables all derive from it with stateless filters. materialize() pins
     # the (reduced) result so consumers don't re-run the groupby.
     combined = (
         ds.map_batches(hash_batch, batch_format="pandas")
-        .groupby("h")
+        .map_batches(add_hash_bucket, batch_format="pandas")
+        .groupby("__hb")
         .map_groups(collapse, batch_format="pandas")
         .materialize()
     )
@@ -364,16 +404,53 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
 
     banded = rep_texts.map_batches(minhash_band_rows, batch_format="pandas")
 
-    def emit_pairs(group: pd.DataFrame):
-        ids = np.unique(group["doc_id"].to_numpy().astype(np.int64))
-        if len(ids) < 2:
-            return _pair_table([], [])
-        if len(ids) > max_bucket:
-            return _pair_table(np.full(len(ids) - 1, ids[0]), ids[1:])
-        iu = np.triu_indices(len(ids), 1)
-        return _pair_table(ids[iu[0]], ids[iu[1]])
+    def add_band_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        # band_key is already a mixed 63-bit hash; fold the band in so the
+        # 16 bands of one doc spread across buckets
+        bk = batch["band_key"].to_numpy(np.int64).astype(np.uint64)
+        bd = batch["band"].to_numpy(np.int64).astype(np.uint64)
+        batch = batch.copy()
+        batch["__bb"] = (
+            ((bk * np.uint64(0x9E3779B97F4A7C15)) ^ bd) % np.uint64(nb)
+        ).astype(np.int64)
+        return batch
 
-    pairs = banded.groupby(["band", "band_key"]).map_groups(emit_pairs, batch_format="pandas")
+    def emit_pairs(group: pd.DataFrame):
+        """All (band, band_key) LSH buckets assigned to one hash bucket ->
+        candidate pairs, segmented by boundary slicing (grouped per BUCKET,
+        not per LSH key: band-key groups are ~all-singleton and corpus x
+        16-bands sized — per-group map_groups overhead alone measured
+        ~1.5 s for 8000 groups at sf0.01)."""
+        g = group.sort_values(["band", "band_key", "doc_id"], kind="mergesort")
+        band = g["band"].to_numpy(np.int64)
+        key = g["band_key"].to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        if len(ids) == 0:
+            return _pair_table([], [])
+        change = np.flatnonzero((np.diff(band) != 0) | (np.diff(key) != 0)) + 1
+        bounds = np.concatenate(([0], change, [len(ids)]))
+        outs_a, outs_b = [], []
+        for i in range(len(bounds) - 1):
+            seg = np.unique(ids[bounds[i] : bounds[i + 1]])
+            m = len(seg)
+            if m < 2:
+                continue
+            if m > max_bucket:
+                outs_a.append(np.full(m - 1, seg[0]))
+                outs_b.append(seg[1:])
+            else:
+                iu = np.triu_indices(m, 1)
+                outs_a.append(seg[iu[0]])
+                outs_b.append(seg[iu[1]])
+        if not outs_a:
+            return _pair_table([], [])
+        return _pair_table(np.concatenate(outs_a), np.concatenate(outs_b))
+
+    pairs = (
+        banded.map_batches(add_band_bucket, batch_format="pandas")
+        .groupby("__bb")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
 
     # candidate texts via cogroup joins; cross-band duplicate (a, b) rows
     # are dropped inside the first join's key groups (exact: same "a" ->
