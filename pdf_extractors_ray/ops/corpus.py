@@ -92,12 +92,32 @@ def dedup_turns(ds):
 
     deduped = ds.map_batches(local, batch_format="pyarrow")
 
-    def first_wins(group) -> "pa.Table":
+    from .common import _default_buckets
+
+    nb = _default_buckets()
+
+    def add_bucket(df):
+        import numpy as np
         import pandas as pd
 
-        return group.head(1)
+        h = pd.util.hash_pandas_object(df[["conv_id", "turn_idx"]], index=False).to_numpy()
+        df = df.copy()
+        df["__b"] = (h % nb).astype(np.int64)
+        return df
 
-    return deduped.groupby(["conv_id", "turn_idx"]).map_groups(first_wins, batch_format="pandas")
+    def first_wins(group):
+        # grouped per hash bucket of the key, not per (conv, turn) — group
+        # count would be corpus-ROW-scale and map_groups pays a Python
+        # call per group; within-bucket drop_duplicates is the same
+        # arbitrary-but-single pick (duplicate rows are identical payloads
+        # by construction — this is the re-ingestion guard)
+        return group.drop_duplicates(["conv_id", "turn_idx"], keep="first").drop(columns="__b")
+
+    return (
+        deduped.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(first_wins, batch_format="pandas")
+    )
 
 
 def form_fields(ds):

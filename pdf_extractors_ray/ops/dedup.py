@@ -643,8 +643,21 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = _MAX_BUCK
 
     banded = ds.map_batches(band_rows, batch_format="pandas")
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+    from .common import _default_buckets
+
+    nb = _default_buckets()
+
+    def add_band_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        bv = batch["band_val"].to_numpy(np.int64).astype(np.uint64)
+        bd = batch["band"].to_numpy(np.int64).astype(np.uint64)
+        batch = batch.copy()
+        batch["__bb"] = (
+            (((bv + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)) ^ bd) % np.uint64(nb)
+        ).astype(np.int64)
+        return batch
+
+    def _one_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
         ids = g["doc_id"].to_numpy().astype(np.int64)
         hashes = np.array([int(h, 16) for h in g["simhash"]], dtype=np.uint64)
         if len(ids) > max_bucket:
@@ -657,7 +670,25 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = _MAX_BUCK
             )
         return _hamming_pairs_chunked(ids, hashes, max_hamming)
 
-    pairs = banded.groupby(["band", "band_val"]).map_groups(emit_pairs, batch_format="pandas")
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """All (band, band_val) LSH buckets hashed to one group — grouped
+        by hash BUCKET, not per LSH key: band-val groups are ~all-singleton
+        and corpus x 4-bands sized, and ``map_groups`` pays a Python call
+        per group (the repo's measured pathological pattern)."""
+        out = [
+            _one_bucket(seg)
+            for _, seg in group.groupby(["band", "band_val"], sort=False)
+        ]
+        cols = ["a", "b", "hamming"]
+        if not out:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        return pd.concat(out, ignore_index=True)[cols]
+
+    pairs = (
+        banded.map_batches(add_band_bucket, batch_format="pandas")
+        .groupby("__bb")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
     # a pair can surface from several bands → exact dedup on the pair key.
     # Bucketed (not groupby().aggregate()): pair keys are ~all distinct, and
     # Ray's hash aggregate pays per-GROUP overhead (measured 250+ s for

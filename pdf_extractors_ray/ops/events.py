@@ -55,23 +55,48 @@ ORDER BY 1, 2
 def events_sessionize(sf_dir: str):
     """Per-user session stats: a session break is a >30-minute gap.
 
-    ``groupby(user_id)`` co-locates each user's events; the ordered gap scan
-    runs in-group (same session-fold pattern as the transcript folds)."""
-    ds = _events(sf_dir, columns=["user_id", "ts"])
+    Scale shape: grouped by a hash BUCKET of ``user_id`` (~2xCPUs
+    buckets), NOT per user — user count is corpus-scale and
+    ``map_groups`` pays a Python call per group (the repo's measured
+    pathological pattern). Within a bucket the per-user gap scan is one
+    vectorized sort + boundary-sliced prefix sums."""
+    from .common import _default_buckets
 
-    def fold(group: dict) -> pd.DataFrame:
-        ts = np.sort(np.asarray(group["ts"], dtype="datetime64[us]"))
-        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        n_sessions = 1 + int((gaps_us > SESSION_GAP_S * 1_000_000).sum()) if len(ts) else 0
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    nb = _default_buckets()
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__b"] = (
+            pd.util.hash_array(batch["user_id"].to_numpy(np.int64)) % nb
+        ).astype(np.int64)
+        return batch
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        change = np.flatnonzero(np.diff(uid) != 0) + 1
+        bounds = np.concatenate(([0], change, [len(uid)]))
+        # per-user internal gap breaks via one prefix sum over the
+        # row-adjacent gaps (cross-user boundaries masked out)
+        breaks = (np.diff(ts) > SESSION_GAP_S * 1_000_000) & (np.diff(uid) == 0)
+        cb = np.concatenate(([0], np.cumsum(breaks)))
+        n_breaks = cb[bounds[1:] - 1] - cb[bounds[:-1]]
         return pd.DataFrame(
             {
-                "user_id": [int(group["user_id"][0])],
-                "n_events": [len(ts)],
-                "n_sessions": [n_sessions],
+                "user_id": uid[bounds[:-1]],
+                "n_events": np.diff(bounds).astype(np.int64),
+                "n_sessions": (1 + n_breaks).astype(np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(fold, batch_format="numpy").sort("user_id")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .sort("user_id")
+    )
 
 
 def events_sliding(sf_dir: str, size_min: int = 30, slide_min: int = 10):
@@ -115,19 +140,43 @@ def events_running_total(sf_dir: str):
     """Per-user running cumulative value over event time (ordered in-group
     scan — the window-function pattern; cents for cross-engine exactness).
     Ties on ts are broken by event_id in both engines."""
-    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    from .common import _default_buckets
 
-    def fold(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    nb = _default_buckets()
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__b"] = (
+            pd.util.hash_array(batch["user_id"].to_numpy(np.int64)) % nb
+        ).astype(np.int64)
+        return batch
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # grouped per hash bucket of user_id (not per user — corpus-scale
+        # group count; see events_sessionize). Per-user cumsum restored by
+        # subtracting each segment's prefix offset.
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        v = cents(g["value"].to_numpy())
+        change = np.flatnonzero(np.diff(uid) != 0) + 1
+        bounds = np.concatenate(([0], change, [len(uid)]))
+        cs = v.cumsum()
+        offset = np.repeat(cs[bounds[:-1]] - v[bounds[:-1]], np.diff(bounds))
         return pd.DataFrame(
             {
-                "user_id": g["user_id"].astype(np.int64),
-                "event_id": g["event_id"].astype(np.int64),
-                "running_cents": cents(g["value"].to_numpy()).cumsum(),
+                "user_id": uid,
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "running_cents": (cs - offset).astype(np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(fold, batch_format="pandas").sort(["user_id", "event_id"])
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .sort(["user_id", "event_id"])
+    )
 
 
 EVENTS_RUNNING_SQL = """
