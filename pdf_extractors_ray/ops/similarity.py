@@ -228,13 +228,20 @@ def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int | None = N
 
     def sign(batch: pd.DataFrame) -> pd.DataFrame:
         m = _matrix(batch)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "vec_id": batch["vec_id"],
                 "bucket": lsh_signature(m, ray.get(planes_ref)),
                 "embedding": list(batch["embedding"]),
             }
         )
+        # pre-shuffle prune: only buckets containing a QUERY can emit
+        # results, so drop everything else before the exchange — the
+        # shuffle moves ~n_queries x bucket_size rows instead of the
+        # corpus, and the groupby sees <= n_queries groups instead of a
+        # corpus-scale bucket count
+        _, _, qsig_local = ray.get(queries_ref)
+        return out[np.isin(out["bucket"].to_numpy(), qsig_local)]
 
     signed = ds.map_batches(sign, batch_format="pandas")
 
