@@ -72,16 +72,52 @@ def _steal_jiffies() -> int:
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
+_PROBE_BUFS: list | None = None
 
-def _wait_steal_quiet(max_wait_s: float = 60.0, max_cpus: float = 0.5) -> None:
+
+def _dram_probe() -> float:
+    """Aggregate 8-thread memcpy bandwidth in GB/s (read+write counted).
+
+    Steal jiffies miss the OTHER contention mode on this shared box:
+    neighbor VMs saturating the memory bus. Single-thread CPU speed stays
+    flat during those episodes, but aggregate copy bandwidth collapses
+    (measured here: ~46 GB/s quiet vs 2-4 GB/s under a 24-process memcpy
+    load) — exactly the resource the 32-way fold pipeline is bound by.
+    Max-of-2 after a warm-up pass (first touch pays page zeroing)."""
+    global _PROBE_BUFS
+    import concurrent.futures
+
+    import numpy as np
+
+    n = 64 * (1 << 20) // 8  # 64 MB per thread
+    if _PROBE_BUFS is None:
+        _PROBE_BUFS = [(np.ones(n), np.ones(n)) for _ in range(8)]
+
+    def cp(pair):
+        np.copyto(pair[1], pair[0])
+
+    best = 0.0
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        list(ex.map(cp, _PROBE_BUFS))  # warm-up / page-fault pass
+        for _ in range(2):
+            t0 = time.perf_counter()
+            list(ex.map(cp, _PROBE_BUFS))
+            best = max(best, 8 * 64 * 2 / 1024 / (time.perf_counter() - t0))
+    return round(best, 1)
+
+
+def _wait_steal_quiet(max_wait_s: float = 60.0, max_cpus: float = 0.5,
+                      min_gbps: float = 0.0) -> None:
     """Block (bounded) until the hypervisor's steal rate drops below
-    ``max_cpus`` stolen CPUs, sampled over 2 s windows."""
+    ``max_cpus`` stolen CPUs (sampled over 2 s windows) AND, when
+    ``min_gbps`` > 0, the memory bus has recovered to at least that
+    aggregate copy bandwidth."""
     t0 = time.time()
     while time.time() - t0 < max_wait_s:
         s0 = _steal_jiffies()
         time.sleep(2)
         rate = (_steal_jiffies() - s0) / _CLK_TCK / 2.0
-        if rate < max_cpus:
+        if rate < max_cpus and (min_gbps <= 0 or _dram_probe() >= min_gbps):
             return
 
 
@@ -144,6 +180,7 @@ def run_bench() -> dict:
     op_queries = [] if headline_only else OP_QUERIES
     samples: dict[str, list[float]] = {"extract_all_partitioned": [], **{q: [] for q in op_queries}}
     steal_cpus: list[float] = []  # avg stolen CPUs during each headline sample
+    dram_gbps: list[float] = []  # copy bandwidth right before each sample
     out_base = f"/tmp/pdfx_bench_out_{NUM_CPUS}{os.environ.get('GRAFT_BENCH_OUT_SUFFIX', '')}"
     rows = {}
 
@@ -156,6 +193,7 @@ def run_bench() -> dict:
         nonlocal rows
         out_root = f"{out_base}_r{tag}"
         shutil.rmtree(out_root, ignore_errors=True)
+        dram_gbps.append(_dram_probe())
         s0 = _steal_jiffies()
         t0 = time.time()
         metrics = partitioned_extract_all_tasks(path, out_root, n_parts=64)
@@ -172,16 +210,23 @@ def run_bench() -> dict:
             fn(SF_DIR).count()
             samples[name].append(round(time.time() - t, 3))
 
-    # Steal-burst recovery: when the headline samples are wildly spread OR
-    # every sample ran under heavy hypervisor steal, spend a bounded extra
-    # budget (≤2 samples, ≤60 s quiet-wait each) catching a quiet window —
-    # min-of-N only works if at least one sample lands outside a burst.
+    # Contention-burst recovery: when the headline samples are wildly
+    # spread, every sample ran under heavy hypervisor steal, OR every
+    # sample ran on a depressed memory bus (neighbor VMs; invisible to
+    # steal jiffies), spend a bounded extra budget (≤3 samples, ≤90 s
+    # quiet-wait each) catching a quiet window — min-of-N only works if
+    # at least one sample lands outside a burst. The bus-recovery gate is
+    # relative to the best bandwidth seen THIS run: if the whole run sits
+    # inside an episode the gate can't fire, but the dram_gbps column in
+    # the emitted JSON still proves the episode to the reader.
     hv = samples["extract_all_partitioned"]
-    for extra in range(2):
+    for extra in range(3):
         spread = max(hv) / min(hv) if min(hv) > 0 else 1.0
-        if spread <= 1.35 and min(steal_cpus) <= 0.5:
+        best_bus = max(dram_gbps)
+        bus_ok = dram_gbps[hv.index(min(hv))] >= 0.75 * best_bus
+        if spread <= 1.35 and min(steal_cpus) <= 0.5 and bus_ok:
             break
-        _wait_steal_quiet()
+        _wait_steal_quiet(max_wait_s=90.0, min_gbps=0.75 * best_bus)
         headline_sample(f"x{extra}")
         hv = samples["extract_all_partitioned"]
 
@@ -195,6 +240,7 @@ def run_bench() -> dict:
         "queries": queries,
         "samples": samples,
         "steal_cpus_per_headline_sample": steal_cpus,
+        "dram_gbps_per_headline_sample": dram_gbps,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "turns": n_turns,
