@@ -14,6 +14,21 @@ def test_minhash_signature_deterministic():
     assert s1.shape == (64,)
 
 
+def test_minhash_batched_signatures_match_single():
+    # the span-batched kernel (with and without mid-doc-list flushes, and
+    # through both the unique-gather and direct branches) must be
+    # bit-identical to the one-doc path
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(80)]
+    distinct = [" ".join(rng.choice(words, rng.randint(0, 40))) for _ in range(60)]
+    base = " ".join(rng.choice(words, 50))
+    dup_heavy = [base + f" tail{i % 3}" for i in range(60)]
+    for texts in (distinct + ["", "one", "two words"], dup_heavy):
+        single = np.stack([dedup.minhash_signature(t) for t in texts])
+        assert (dedup.minhash_signatures(texts) == single).all()
+        assert (dedup.minhash_signatures(texts, _flat_cap=17) == single).all()
+
+
 def test_minhash_similar_docs_share_bands():
     a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     b = a + "one extra tail token"
