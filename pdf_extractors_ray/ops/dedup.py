@@ -786,6 +786,58 @@ ORDER BY it.source, it.a, it.b
 """
 
 
+# DuckDB twin of ``dup_clusters(edges=ngram_jaccard_groups(...))``: the
+# NGRAM_JACCARD_SQL edge derivation (same shingles, threshold and
+# operation order), then connected components as a recursive-CTE
+# transitive closure over the bidirectional edge set — cluster = min
+# doc_id reachable, singletons keep themselves, sizes via a window count.
+# Closure size is bounded by sum(component²); verified near-dup edges are
+# sparse, so this stays small at oracle scale.
+DUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE docs_t AS (
+    SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source, unnest(list_distinct(
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+        END)) AS s
+    FROM docs_t
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS cnt
+    FROM sh x JOIN sh y
+      ON x.source = y.source AND x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+),
+edges AS (
+    SELECT it.a, it.b FROM inter it
+    JOIN counts ca ON ca.doc_id = it.a
+    JOIN counts cb ON cb.doc_id = it.b
+    WHERE CAST(it.cnt AS DOUBLE) / (ca.n + cb.n - it.cnt) >= 0.3
+),
+bidir AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
+reach(u, v) AS (
+    SELECT u, v FROM bidir
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN bidir e ON r.v = e.u WHERE e.v <> r.u
+),
+labels AS (
+    SELECT d.doc_id AS doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT) AS cluster
+    FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+    GROUP BY d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, cluster,
+       CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+FROM labels
+ORDER BY doc_id
+"""
+
+
 def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
                  edges=None):
     """Near-duplicate CLUSTERS: distributed connected components over the
@@ -814,12 +866,12 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
     """
     from .common import bucketed_group_agg, cogroup_join
 
-    # ``edges`` lets a caller that already computed the pair set (e.g. the
-    # chained pairs+clusters driver query) reuse it instead of re-running
-    # the banding + verification stages
+    # ``edges`` lets a caller that already computed a pair set (e.g. the
+    # chained pairs+clusters driver query, or an exact-Jaccard edge table)
+    # reuse it instead of re-running the banding + verification stages
     if edges is None:
         edges = simhash_pairs(sf_dir, max_hamming=max_hamming)
-    edges = edges.drop_columns(["hamming"])
+    edges = edges.select_columns(["a", "b"])
 
     def bidir(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch["a"].to_numpy(dtype=np.int64)

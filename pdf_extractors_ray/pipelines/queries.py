@@ -201,17 +201,24 @@ def _ann_methods_query(sf_dir: str):
 
 
 def _hash_neardup_query(sf_dir: str):
-    """The three hash-based near-dup paths in one driver slot: MinHash-LSH
-    pairs, SimHash pairs, and the cluster labels built over the SimHash
-    edge set (all pinned by planted-dup / recall / union-find reference
-    tests in pytest — the driver check is rows-only). MinHash must yield a
-    well-formed pair table before the SimHash chain runs."""
+    """The hash-based near-dup paths in one driver slot. Forced gates:
+    MinHash-LSH pairs and SimHash pairs (pinned by planted-dup / recall
+    tests in pytest; dup_clusters over simhash edges is pinned by the
+    union-find reference test). RECORDED result: cluster labels over the
+    EXACT within-source Jaccard edge set — the same distributed components
+    kernel, but with an edge derivation DuckDB can replicate, so the
+    components kernel itself is hash-checked against a recursive-CTE
+    transitive-closure oracle (``DUP_CLUSTERS_SQL``)."""
     mh = dedup.minhash_lsh_pairs(sf_dir)
     if set(mh.schema().names) != {"a", "b", "jaccard_ppm"}:
         raise RuntimeError(f"minhash_lsh_pairs schema: {mh.schema().names}")
     mh.count()  # force full execution of the LSH path
-    pairs = dedup.simhash_pairs(sf_dir).materialize()  # edge set is near-dup-sized
-    return dedup.dup_clusters(sf_dir, edges=pairs)
+    sim = dedup.simhash_pairs(sf_dir)
+    if set(sim.schema().names) != {"a", "b", "hamming"}:
+        raise RuntimeError(f"simhash_pairs schema: {sim.schema().names}")
+    sim.count()  # force full execution of the SimHash path
+    exact = dedup.ngram_jaccard_groups(sf_dir).select_columns(["a", "b"])
+    return dedup.dup_clusters(sf_dir, edges=exact)
 
 
 # name → (fn, oracle_sql | None); EXACTLY 50 entries (driver record cap)
@@ -282,10 +289,11 @@ REGISTRY: dict[str, tuple] = {
     "extract_layout": (_layout_query, None),
     "extract_table_grid": (_table_grid_query, None),
     # training-data ops: langid + exact n-gram Jaccard are SQL-checked;
-    # the hash-based near-dup paths have no SQL twin (recall/property
-    # tests in pytest)
+    # the hash-based near-dup SIGNATURES have no SQL twin (recall/property
+    # tests in pytest; they run as forced gates inside the slot), but the
+    # recorded components-over-exact-edges result is hash-checked
     "docs_langid": (tx.docs_langid, tx.DOCS_LANGID_SQL),
-    "docs_hash_neardup": (_hash_neardup_query, None),
+    "docs_hash_neardup": (_hash_neardup_query, dedup.DUP_CLUSTERS_SQL),
     "docs_ngram_jaccard": (dedup.ngram_jaccard_groups, dedup.NGRAM_JACCARD_SQL),
     "emb_ann_methods": (_ann_methods_query, None),
     # multimodal plumbing (stubbed decode kernel): decode → features →
