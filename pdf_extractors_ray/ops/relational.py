@@ -153,17 +153,15 @@ def q5_nation_revenue(sf_dir: str, region: str = "ASIA"):
     nation = nation[nation["n_regionkey"] == reg_key]
     nation_map_ref = broadcast(nation.set_index("n_nationkey")["n_name"])
 
-    class TagCustomers:
-        def __init__(self):
-            self.nation_map = ray.get(nation_map_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            names = batch["c_nationkey"].map(self.nation_map)
-            out = pd.DataFrame({"c_custkey": batch["c_custkey"], "n_name": names})
-            return out[out["n_name"].notna()]
+    # elastic tasks: ray.get of the broadcast map is a zero-copy local
+    # read per task — no per-query actor-pool spawn, no pool-size cap
+    def tag_customers(batch: pd.DataFrame, *, _ref=nation_map_ref) -> pd.DataFrame:
+        names = batch["c_nationkey"].map(ray.get(_ref))
+        out = pd.DataFrame({"c_custkey": batch["c_custkey"], "n_name": names})
+        return out[out["n_name"].notna()]
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    cust_tagged = cust.map_batches(TagCustomers, batch_format="pandas", concurrency=(1, 4))
+    cust_tagged = cust.map_batches(tag_customers, batch_format="pandas")
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     tagged = cogroup_join(orders, cust_tagged, "o_custkey", "c_custkey",

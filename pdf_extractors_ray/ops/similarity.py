@@ -68,29 +68,31 @@ def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 10):
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     queries_ref = ray.put((qdf["vec_id"].to_numpy(), qn))
 
-    class Score:
-        def __init__(self):
-            self.qids, self.qn = ray.get(queries_ref)
-            self.k = k
+    # elastic tasks, not an actor pool: the broadcast side is one ray.put,
+    # each task's ray.get is a zero-copy read from the local object store,
+    # and the stage scales to every free CPU with no per-query actor
+    # startup (a fixed pool capped the matmul at pool-size CPUs AND paid
+    # its spawn cost per driver query — measured as the dominant term on
+    # small corpora)
+    def score(batch: pd.DataFrame, *, _ref=queries_ref, _k=k) -> pd.DataFrame:
+        qids, qmat = ray.get(_ref)
+        c = _matrix(batch)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        sims = cn @ qmat.T  # candidates x queries
+        sim_ppm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        cids = batch["vec_id"].to_numpy()
+        out = []
+        for j, qid in enumerate(qids):
+            col = sim_ppm[:, j]
+            mask = cids != qid
+            ids, vals = cids[mask], col[mask]
+            # partial top-k inside the batch: (sim desc, vec_id asc)
+            order = np.lexsort((ids, -vals))[:_k]
+            for i in order:
+                out.append((int(qid), int(ids[i]), int(vals[i])))
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "sim_ppm"])
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            c = _matrix(batch)
-            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
-            sims = cn @ self.qn.T  # candidates x queries
-            sim_ppm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
-            cids = batch["vec_id"].to_numpy()
-            out = []
-            for j, qid in enumerate(self.qids):
-                col = sim_ppm[:, j]
-                mask = cids != qid
-                ids, vals = cids[mask], col[mask]
-                # partial top-k inside the batch: (sim desc, vec_id asc)
-                order = np.lexsort((ids, -vals))[: self.k]
-                for i in order:
-                    out.append((int(qid), int(ids[i]), int(vals[i])))
-            return pd.DataFrame(out, columns=["query_id", "vec_id", "sim_ppm"])
-
-    partial = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+    partial = ds.map_batches(score, batch_format="pandas")
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["sim_ppm", "vec_id"], ascending=[False, True], kind="mergesort").head(k)

@@ -180,21 +180,26 @@ ORDER BY doc_id
 """
 
 
-class LangId:
-    """Stopword-overlap language-ID heuristic (actor-pool stage: marker
-    sets prepared once per actor). Deterministic argmax with lexicographic
-    tiebreak; 'und' when nothing matches."""
+# marker sets prepared ONCE per worker process at module import (workers
+# are reused across tasks, so this is the same amortization an actor pool
+# gave, without paying actor spawn per driver query — a real model load
+# would go back to the actor-pool + fn_constructor_kwargs seam that
+# ops/multimodal.py demonstrates)
+_LANG_MARKER_SETS = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+_LANG_ORDER = sorted(_LANG_MARKER_SETS)
 
-    def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+
+class LangId:
+    """Stopword-overlap language-ID heuristic. Deterministic argmax with
+    lexicographic tiebreak; 'und' when nothing matches."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         preds = []
         for text in batch["text"]:
             toks = set(text.lower().split())
             best_lang, best_score = "und", 0
-            for lang in sorted(self.markers):
-                score = len(toks & self.markers[lang])
+            for lang in _LANG_ORDER:
+                score = len(toks & _LANG_MARKER_SETS[lang])
                 if score > best_score:
                     best_lang, best_score = lang, score
             preds.append(best_lang)
@@ -203,7 +208,7 @@ class LangId:
 
 def docs_langid(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4)).sort("doc_id")
+    return ds.map_batches(LangId(), batch_format="pandas").sort("doc_id")
 
 
 def _langid_sql() -> str:
