@@ -889,13 +889,46 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
         # numpy rounds), instead of paying ~6 Ray barriers per distributed
         # round. repartition(1) keeps this inside the Dataset API; the
         # distributed loop below remains the path for edge sets too big
-        # for one worker's heap.
-        labels = (
+        # for one worker's heap. Component SIZES come out of the same
+        # task (every member of an endpoint component is an endpoint, so
+        # the single task sees whole components), and docs that are not
+        # endpoints are always singletons of size 1 — one fused
+        # bucketed {min label, max size} pass finishes the job, instead
+        # of the separate size-count + size-join barriers the
+        # distributed path needs.
+        def components_sized(batch: pd.DataFrame) -> pd.DataFrame:
+            out = connected_components_batch(batch)
+            sizes = out.groupby("label", sort=False)["node"].transform("size")
+            out["cluster_size"] = sizes.astype(np.int64)
+            return out
+
+        endpoint = (
             bi.repartition(1)
-            .map_batches(connected_components_batch, batch_format="pandas")
-            .materialize()
+            .map_batches(components_sized, batch_format="pandas")
         )
-        converged = True
+        docs = _docs(sf_dir, columns=["doc_id"])
+
+        def init_singleton(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["doc_id"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {"node": ids, "label": ids, "cluster_size": np.int64(1)}
+            )
+
+        full = bucketed_group_agg(
+            docs.map_batches(init_singleton, batch_format="pandas").union(endpoint),
+            ["node"], {"label": "min", "cluster_size": "max"},
+        )
+
+        def project(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["node"].astype(np.int64),
+                    "cluster": batch["label"].astype(np.int64),
+                    "cluster_size": batch["cluster_size"].astype(np.int64),
+                }
+            )
+
+        return full.map_batches(project, batch_format="pandas").sort("doc_id")
     else:
         # round 0 folded into initialization: every endpoint starts from
         # min(itself, its direct neighbors)
