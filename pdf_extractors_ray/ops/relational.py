@@ -116,7 +116,17 @@ def q3_segment_topk(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         )
 
     agg = grouped_sums(joined.map_batches(project, batch_format="pandas"), ["o_orderkey"], ["revenue_cents"])
-    return agg.sort(["revenue_cents", "o_orderkey"], descending=[True, True]).limit(k)
+
+    # per-block partial top-k before the global sort: the global top-k is
+    # a subset of the union of per-block top-ks (keys are unique after
+    # grouped_sums), so the all-to-all sort sees k×n_blocks rows instead
+    # of every order in the segment
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["revenue_cents", "o_orderkey"],
+                                 ascending=[False, False], kind="mergesort").head(k)
+
+    pruned = agg.map_batches(block_topk, batch_format="pandas")
+    return pruned.sort(["revenue_cents", "o_orderkey"], descending=[True, True]).limit(k)
 
 
 Q3_SQL = """
@@ -407,7 +417,15 @@ def customer_topk_balance(sf_dir: str, k: int = 20):
         )
 
     ds = cust.map_batches(derive, batch_format="pandas")
-    return ds.sort(["acctbal_cents", "c_custkey"], descending=[True, False]).limit(k)
+
+    # per-block partial top-k (rows are unique per customer) so the
+    # all-to-all sort sees k×n_blocks rows, not the whole customer table
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["acctbal_cents", "c_custkey"],
+                                 ascending=[False, True], kind="mergesort").head(k)
+
+    pruned = ds.map_batches(block_topk, batch_format="pandas")
+    return pruned.sort(["acctbal_cents", "c_custkey"], descending=[True, False]).limit(k)
 
 
 CUSTOMER_TOPK_SQL = """
