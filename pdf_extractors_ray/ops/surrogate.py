@@ -182,7 +182,7 @@ def extract_kernel_invoice_bank(sf_dir: str):
 
     return (
         ds.map_batches(render, batch_format="pandas")
-        .map_batches(extractor, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(extractor(), batch_format="pyarrow")
         .map_batches(project, batch_format="pyarrow")
         .sort("doc_id")
     )
@@ -572,7 +572,7 @@ def extract_kernel_invoice_fold(sf_dir: str):
     n_parts = _default_n_parts()
     folded = (
         ds.map_batches(render, batch_format="pandas")
-        .map_batches(InvoiceFieldExtractor, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(InvoiceFieldExtractor(), batch_format="pyarrow")
         .map_batches(lambda b: append_part_id(b, n_parts), batch_format="pyarrow")
         .groupby("part_id")
         .map_groups(_fold_invoice_partition, batch_format="pyarrow")
@@ -2115,8 +2115,7 @@ def extract_kernel_ocr_invoice(sf_dir: str):
         .map_batches(glyphs.GlyphOcr, batch_format="pandas", batch_size=128,
                      concurrency=(1, 4))
     )
-    extracted = ocr.map_batches(InvoiceFieldExtractor, batch_format="pyarrow",
-                                concurrency=(1, 4))
+    extracted = ocr.map_batches(InvoiceFieldExtractor(), batch_format="pyarrow")
 
     def project(batch: pa.Table) -> pa.Table:
         cols = {"doc_id": batch["doc_id"].cast(pa.int64())}

@@ -273,22 +273,26 @@ def extract_invoice(path: str, concurrency=None, batch_size: int = 4096, n_parts
     from ..stages.fold import _default_n_parts
     from ..state.lineage import append_part_id
 
-    if concurrency is None:
-        # width-derived actor pool: a fixed (1, 8) cap starves a wider
-        # cluster (round-1 lesson: "fixed pools cap scaling")
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (1, max(8, cpus))
-
     ds = family_dataset(path, "invoice")
-    ds = ds.map_batches(
-        InvoiceFieldExtractor,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    # default: elastic tasks — the extractor's only state is the
+    # module-level RE2 pattern bank, so an actor pool buys nothing and
+    # pays its spawn cost per query (and a fixed cap starves a wider
+    # cluster — round-1 lesson); pass ``concurrency`` to force a pool
+    if concurrency is None:
+        ds = ds.map_batches(
+            InvoiceFieldExtractor(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+    else:
+        ds = ds.map_batches(
+            InvoiceFieldExtractor,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     n_parts = n_parts or _default_n_parts()
     ds = ds.map_batches(
         lambda b: append_part_id(b, n_parts), batch_format="pyarrow", zero_copy_batch=True
