@@ -22,8 +22,18 @@ _TARGET_BUCKET = 128  # aim for ~this many vectors per LSH bucket
 
 
 def _hyperplanes(n_bits: int) -> np.ndarray:
-    """Deterministic random hyperplanes for an n_bits-wide signature."""
-    return np.random.RandomState(7).normal(size=(n_bits, 64)).astype(np.float64)
+    """Deterministic random hyperplanes for an n_bits-wide signature.
+
+    Coefficients are QUANTIZED to integers (×2^10, stored as integer-valued
+    float64): together with the ×2^20 embedding quantization in
+    ``lsh_signature``, every product is ≤2^33 and every 64-term dot product
+    ≤2^39 — exactly representable in float64, so the signature bit pattern
+    is identical no matter the summation order and bit-reproducible in a
+    DuckDB oracle (``ANN_LSH_SQL``). RandomState draws are a stream, so the
+    first k rows of ``_hyperplanes(n)`` equal ``_hyperplanes(k)`` for k<n.
+    """
+    normal = np.random.RandomState(7).normal(size=(n_bits, 64))
+    return np.floor(normal * 1024.0 + 0.5)
 
 
 def _derive_n_bits(n_vectors: int) -> int:
@@ -200,10 +210,17 @@ ORDER BY a, b
 
 
 def lsh_signature(m: np.ndarray, planes: np.ndarray | None = None) -> np.ndarray:
-    """random-hyperplane signature per row (one bit per hyperplane)."""
+    """random-hyperplane signature per row (one bit per hyperplane).
+
+    The embedding is quantized ×2^20 (exact: a power-of-two scale) so the
+    dot products against the integer-quantized planes are exact integers
+    carried in float64 — the sign test has no rounding ambiguity and the
+    DuckDB twin reproduces the buckets bit-for-bit.
+    """
     if planes is None:
         planes = _HYPERPLANES
-    bits = (m @ planes.T) > 0
+    qm = np.floor(m * 1048576.0 + 0.5)
+    bits = (qm @ planes.T) > 0
     return (bits * (1 << np.arange(len(planes)))).sum(axis=1).astype(np.int64)
 
 
@@ -252,7 +269,9 @@ def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int | None = N
             bucket = int(group["bucket"].iloc[0])
             sel = qsig == bucket
             if not sel.any():
-                return pd.DataFrame({"query_id": [], "vec_id": [], "sim_ppm": [], "rank": []})
+                return pd.DataFrame(
+                    {c: np.array([], dtype=np.int64) for c in ("query_id", "vec_id", "sim_ppm", "rank")}
+                )
             c = _matrix(group)
             cn = c / np.linalg.norm(c, axis=1, keepdims=True)
             sims = cn @ qn[sel].T
@@ -269,6 +288,64 @@ def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int | None = N
             return pd.DataFrame(out, columns=["query_id", "vec_id", "sim_ppm", "rank"])
 
     return signed.groupby("bucket").map_groups(bucket_search, batch_format="pandas").sort(["query_id", "rank"])
+
+
+def _planes_sql_literal(max_bits: int = 24) -> str:
+    """(bit, coeffs) VALUES rows for the first ``max_bits`` quantized
+    hyperplanes — the stream property of ``_hyperplanes`` means the SQL
+    twin can embed the widest plausible plane set once and mask to the
+    corpus-derived ``n_bits`` at query time."""
+    planes = _hyperplanes(max_bits)
+    rows = []
+    for bit, row in enumerate(planes):
+        coeffs = ",".join(str(int(v)) for v in row)
+        rows.append(f"({bit}, [{coeffs}]::DOUBLE[])")
+    return ",\n    ".join(rows)
+
+
+# DuckDB twin of ann_lsh (k=5, n_queries=10): identical integer-quantized
+# signatures (embedding ×2^20, planes ×2^10 — all dot products exact), the
+# same corpus-size-derived signature width, bucket-restricted candidates,
+# and the same (sim_ppm desc, vec_id asc) top-k.
+ANN_LSH_SQL = f"""
+WITH nb AS (
+    SELECT CASE WHEN COUNT(*) <= 128 THEN 4
+                ELSE GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 128.0)) AS BIGINT)) END AS n_bits
+    FROM embeddings
+),
+planes(bit, coeffs) AS (VALUES
+    {_planes_sql_literal()}
+),
+qe AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           list_transform(embedding::DOUBLE[], x -> FLOOR(x * 1048576.0 + 0.5)) AS qemb
+    FROM embeddings
+),
+sig AS (
+    SELECT e.vec_id,
+           SUM(CASE WHEN list_inner_product(e.qemb, p.coeffs) > 0
+                    THEN (1::BIGINT << p.bit) ELSE 0 END) AS bucket
+    FROM qe e JOIN planes p ON p.bit < (SELECT n_bits FROM nb)
+    GROUP BY e.vec_id
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           CAST(FLOOR(list_cosine_similarity(ce.emb, qv.emb) * 1000000 + 0.5) AS BIGINT) AS sim_ppm
+    FROM sig q
+    JOIN sig c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+    JOIN qe qv ON qv.vec_id = q.vec_id
+    JOIN qe ce ON ce.vec_id = c.vec_id
+    WHERE q.vec_id < 10
+),
+ranked AS (
+    SELECT query_id, vec_id, sim_ppm,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_ppm DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, sim_ppm, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
 
 
 # ---------------------------------------------------------------------------

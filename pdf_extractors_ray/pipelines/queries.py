@@ -183,21 +183,19 @@ def _media_ocr_query(sf_dir: str):
 
 
 def _ann_methods_query(sf_dir: str):
-    """LSH-bucketed AND IVF ANN chained in one driver slot (both
-    recall-tested in pytest; the driver check is rows-only). Results are
-    unioned under a ``method`` tag — same (query_id, vec_id, sim_ppm,
-    rank) schema on both sides."""
-    import pyarrow as pa
-
-    def tag(method: str):
-        def add(b: pa.Table) -> pa.Table:
-            return b.append_column("method", pa.array([method] * len(b), pa.string()))
-
-        return add
-
-    lsh = similarity.ann_lsh(sf_dir).map_batches(tag("lsh"), batch_format="pyarrow")
-    ivf = similarity.ivf_knn(sf_dir).map_batches(tag("ivf"), batch_format="pyarrow")
-    return lsh.union(ivf).sort(["method", "query_id", "rank"])
+    """LSH-bucketed AND IVF ANN chained in one driver slot. Forced gate:
+    the IVF path must run end-to-end and produce the ANN schema (k-means
+    quantizer floats have no exact SQL twin; recall is pytest-pinned).
+    RECORDED result: the LSH ANN output — integer-quantized signatures
+    (embedding ×2^20, planes ×2^10; every dot product exact in float64)
+    make the bucket assignment bit-reproducible in DuckDB, so the full
+    bucketed search is hash-checked against ``ANN_LSH_SQL``."""
+    ivf = similarity.ivf_knn(sf_dir)
+    if set(ivf.schema().names) != {"query_id", "vec_id", "sim_ppm", "rank"}:
+        raise RuntimeError(f"ivf_knn schema: {ivf.schema().names}")
+    if ivf.count() == 0:
+        raise RuntimeError("ivf_knn produced no rows")
+    return similarity.ann_lsh(sf_dir)
 
 
 def _hash_neardup_query(sf_dir: str):
@@ -295,7 +293,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_langid": (tx.docs_langid, tx.DOCS_LANGID_SQL),
     "docs_hash_neardup": (_hash_neardup_query, dedup.DUP_CLUSTERS_SQL),
     "docs_ngram_jaccard": (dedup.ngram_jaccard_groups, dedup.NGRAM_JACCARD_SQL),
-    "emb_ann_methods": (_ann_methods_query, None),
+    "emb_ann_methods": (_ann_methods_query, similarity.ANN_LSH_SQL),
     # multimodal plumbing (stubbed decode kernel): decode → features →
     # thumbnail-resize → frame-sample exercised in one chained query
     "media_pipeline": (_media_ocr_query, surrogate.EXTRACT_KERNEL_OCR_INVOICE_SQL),

@@ -165,6 +165,35 @@ def test_ann_lsh_subset_of_exact_candidates(ray_session):
     assert (ann["rank"] >= 1).all()
 
 
+def test_ann_lsh_matches_duckdb_twin(ray_session):
+    """The integer-quantized signatures (embedding ×2^20, planes ×2^10)
+    make the bucket assignment exact in float64, so the whole bucketed
+    search must reproduce bit-for-bit in DuckDB (ANN_LSH_SQL)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    engine = (
+        similarity.ann_lsh(sf)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    oracle = con.sql(similarity.ANN_LSH_SQL).df()
+    pd.testing.assert_frame_equal(engine, oracle, check_dtype=False)
+
+
+def test_lsh_signature_exact_integer_dots():
+    """Every quantized product must stay < 2^53 so the float64 matmul is
+    exact regardless of summation order (the SQL-reproducibility claim)."""
+    planes = similarity._hyperplanes(24)
+    assert (planes == np.floor(planes)).all()
+    # worst case: |emb| <= 1.0 → quantized <= 2^20; 64-dim dot bound
+    bound = (2**20) * np.abs(planes).max() * 64
+    assert bound < 2**53
+
+
 def test_decode_stub_modes(ray_session):
     from pdf_extractors_ray.ops.multimodal import DecodeStub, media_dataset
 
