@@ -192,6 +192,10 @@ def test_lsh_signature_exact_integer_dots():
     # worst case: |emb| <= 1.0 → quantized <= 2^20; 64-dim dot bound
     bound = (2**20) * np.abs(planes).max() * 64
     assert bound < 2**53
+    # RandomState draws are a stream: the SQL twin embeds 24 planes and
+    # masks to n_bits, which is only valid if narrower widths are prefixes
+    for k in (4, 7, 12):
+        assert (similarity._hyperplanes(k) == planes[:k]).all()
 
 
 def test_decode_stub_modes(ray_session):
