@@ -229,3 +229,133 @@ FROM (
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def events_asof_orders(sf_dir: str):
+    """Distributed AS-OF join: each event matched to the latest order of
+    the same user with ``o_orderdate <= ts`` (ties on date broken by min
+    ``o_orderkey``; events with no prior order drop — inner asof).
+
+    Ray Data has no asof-join primitive. This expresses it as the repo's
+    bucketed-cogroup shape: tag both sides, hash the user key into
+    ~2×CPU buckets, union, and solve each bucket with ONE vectorized
+    merge-scan — ``np.lexsort`` over (user, time, side) with orders
+    sorting before events at equal time, then ``np.maximum.accumulate``
+    carrying the index of the most recent order row forward; an event's
+    match is valid iff that row belongs to the same user. No per-user
+    Python loop (the repo's measured per-group-call cost), no per-event
+    search. Partitioning assumption (same as the invoice fold): one
+    key's rows fit in one group — salt hot keys at 100 TB.
+    """
+    from .common import _default_buckets
+
+    nb = _default_buckets()
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    from ..runtime import read_parquet_sized
+
+    od = read_parquet_sized(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def _bucket(key: np.ndarray) -> np.ndarray:
+        # Knuth-mix then mod; numpy int64 multiply wraps (never raises)
+        # and % with a positive modulus is non-negative for any sign
+        with np.errstate(over="ignore"):
+            return (key * np.int64(-6700417)) % nb
+
+    def tag_events(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["user_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "__b": _bucket(key),
+                "key": key,
+                "side": np.ones(len(key), dtype=np.int8),
+                "t_us": batch["ts"].astype("datetime64[us]").astype(np.int64),
+                # float64 on BOTH sides (orders carry NaN here) so the
+                # union's block schemas are uniform — no concat promotion
+                "event_id": batch["event_id"].to_numpy(dtype=np.float64),
+                "o_orderkey": np.full(len(key), np.nan),
+            }
+        )
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["o_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "__b": _bucket(key),
+                "key": key,
+                "side": np.zeros(len(key), dtype=np.int8),
+                "t_us": batch["o_orderdate"].astype("datetime64[us]").astype(np.int64),
+                "event_id": np.full(len(key), np.nan),
+                "o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.float64),
+            }
+        )
+
+    unioned = ev.map_batches(tag_events, batch_format="pandas").union(
+        od.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def solve_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        key = group["key"].to_numpy(dtype=np.int64)
+        side = group["side"].to_numpy(dtype=np.int8)
+        t_us = group["t_us"].to_numpy(dtype=np.int64)
+        okey = group["o_orderkey"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        # min-orderkey tie-break: lexsort is stable and ranks by the LAST
+        # key first; sorting orders by (key, t_us, side, okey_filled) and
+        # keeping the FIRST order row per (key, t_us) pins min o_orderkey
+        okey_filled = np.where(side == 0, okey.astype(np.float64), np.inf)
+        order = np.lexsort((okey_filled, side, t_us, key))
+        key, side, t_us, okey, eid = key[order], side[order], t_us[order], okey[order], eid[order]
+        # carry forward the most recent ORDER row index; equal-date orders
+        # keep only their first (min-orderkey) representative
+        pos = np.arange(len(key), dtype=np.int64)
+        is_order = side == 0
+        first_at_date = np.ones(len(key), dtype=bool)
+        if is_order.any():
+            op = pos[is_order]
+            dup = np.zeros(len(op), dtype=bool)
+            dup[1:] = (key[op[1:]] == key[op[:-1]]) & (t_us[op[1:]] == t_us[op[:-1]])
+            first_at_date[op[dup]] = False
+        carrier = np.where(is_order & first_at_date, pos, -1)
+        last_order = np.maximum.accumulate(carrier)
+        is_event = side == 1
+        m = last_order[is_event]
+        valid = (m >= 0) & (key[np.maximum(m, 0)] == key[is_event])
+        ei = pos[is_event][valid]
+        oi = m[valid]
+        return pd.DataFrame(
+            {
+                "event_id": eid[ei].astype(np.int64),
+                "user_id": key[ei],
+                "ts": pd.to_datetime(t_us[ei], unit="us").astype("datetime64[us]"),
+                "o_orderkey": okey[oi].astype(np.int64),
+                "o_orderdate": pd.to_datetime(t_us[oi], unit="us").astype("datetime64[us]"),
+            }
+        )
+
+    out = unioned.groupby("__b").map_groups(solve_bucket, batch_format="pandas")
+    return cast_us(out, ["ts", "o_orderdate"]).sort("event_id")
+
+
+# deterministic twin of DuckDB's native ASOF JOIN (same most-recent-date
+# semantics; the native operator's tie choice among equal-date orders is
+# unspecified, so the twin pins it to MIN(o_orderkey) — the engine does
+# the same)
+EVENTS_ASOF_SQL = """
+WITH od AS (
+    SELECT o_custkey, o_orderdate, MIN(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY 1, 2
+),
+m AS (
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+           ROW_NUMBER() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC) AS rn
+    FROM events e JOIN od o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+FROM m WHERE rn = 1
+ORDER BY event_id
+"""

@@ -198,6 +198,27 @@ def _ann_methods_query(sf_dir: str):
     return similarity.ann_lsh(sf_dir)
 
 
+def _sliding_asof_query(sf_dir: str):
+    """Sliding windows AND the distributed as-of join in one driver slot.
+    Forced gate: ``events_asof_orders`` (events→orders, most recent
+    o_orderdate ≤ ts) must run end-to-end with the asof invariant holding
+    on every row (pytest pins it to a deterministic DuckDB twin AND to the
+    native ASOF JOIN dates). RECORDED result: the sliding-window
+    aggregate, hash-checked as before."""
+    asof = events.events_asof_orders(sf_dir)
+    if set(asof.schema().names) != {"event_id", "user_id", "ts", "o_orderkey", "o_orderdate"}:
+        raise RuntimeError(f"events_asof_orders schema: {asof.schema().names}")
+    import pandas as pd
+
+    def viol(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [len(b)], "bad": [int((b["o_orderdate"] > b["ts"]).sum())]})
+
+    counts = asof.map_batches(viol, batch_format="pandas").to_pandas()
+    if counts["bad"].sum() or counts["n"].sum() == 0:
+        raise RuntimeError(f"asof invariant violated on {counts['bad'].sum()} rows")
+    return events.events_sliding(sf_dir)
+
+
 def _hash_neardup_query(sf_dir: str):
     """The hash-based near-dup paths in one driver slot. Forced gates:
     MinHash-LSH pairs and SimHash pairs (pinned by planted-dup / recall
@@ -237,7 +258,7 @@ REGISTRY: dict[str, tuple] = {
     "events_sessionize": (events.events_sessionize, events.EVENTS_SESSIONIZE_SQL),
     "events_props_k": (events.events_props_k, events.EVENTS_PROPS_K_SQL),
     "events_running_total": (events.events_running_total, events.EVENTS_RUNNING_SQL),
-    "events_sliding": (events.events_sliding, events.EVENTS_SLIDING_SQL),
+    "events_sliding": (_sliding_asof_query, events.EVENTS_SLIDING_SQL),
     # text analysis (SQL-checked where expressible)
     "docs_token_stats": (tx.docs_token_stats, tx.DOCS_TOKEN_STATS_SQL),
     "docs_quality": (tx.docs_quality, tx.DOCS_QUALITY_SQL),

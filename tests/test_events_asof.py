@@ -1,0 +1,86 @@
+"""Distributed as-of join (events → most recent order per user).
+
+The operator has no recorded driver row (it runs as a forced gate inside
+the ``events_sliding`` slot), so these differentials are its hard check:
+the bucketed lexsort + maximum.accumulate merge must reproduce (1) the
+deterministic DuckDB twin exactly and (2) the DATE choice of DuckDB's
+native ASOF JOIN (the native operator's tie choice among equal-date
+orders is unspecified, so only the date is compared there).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extractors_ray.ops import events as ev
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sf: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+def test_asof_join_matches_duckdb_twin(ray_session):
+    eng = ev.events_asof_orders(SF).to_pandas().reset_index(drop=True)
+    con = _oracle(SF)
+    ora = con.sql(ev.EVENTS_ASOF_SQL).df()
+    assert len(eng) > 0
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+
+def test_asof_join_matches_native_asof_dates(ray_session):
+    eng = ev.events_asof_orders(SF).to_pandas()
+    con = _oracle(SF)
+    nat = con.sql(
+        """SELECT e.event_id, o.o_orderdate FROM events e
+           ASOF JOIN orders o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+           ORDER BY e.event_id"""
+    ).df()
+    m = eng.merge(nat, on="event_id", suffixes=("", "_nat"))
+    assert len(m) == len(eng) == len(nat)
+    assert (m["o_orderdate"] == m["o_orderdate_nat"]).all()
+
+
+def test_asof_join_edge_semantics(ray_session, tmp_path):
+    """Inclusive boundary, equal-date min-orderkey tie-break, and
+    no-prior-order drop — on a hand-built corpus."""
+    ts = pd.Timestamp("2024-06-01 12:00:00")
+    events = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [ts, ts + pd.Timedelta(hours=1), ts - pd.Timedelta(days=9)],
+            "user_id": [7, 7, 7],
+            "event_type": ["c"] * 3,
+            "value": [1.0] * 3,
+            "props": ["{}"] * 3,
+        }
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    # two orders share the asof date (keys 20 and 10 → min 10); one later
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [20, 10, 30],
+            "o_custkey": [7, 7, 7],
+            "o_orderstatus": ["O"] * 3,
+            "o_totalprice": [1.0] * 3,
+            "o_orderdate": [ts, ts, ts + pd.Timedelta(minutes=30)],
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    events.to_parquet(tmp_path / "events.parquet", index=False)
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+
+    out = ev.events_asof_orders(str(tmp_path)).to_pandas().set_index("event_id")
+    # event 1: exactly AT the date (inclusive) → min orderkey 10
+    assert out.loc[1, "o_orderkey"] == 10
+    # event 2: the 30-min-later order wins
+    assert out.loc[2, "o_orderkey"] == 30
+    # event 3: before every order → dropped
+    assert 3 not in out.index
