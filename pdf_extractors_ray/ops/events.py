@@ -272,10 +272,11 @@ def events_asof_orders(sf_dir: str):
                 "key": key,
                 "side": np.ones(len(key), dtype=np.int8),
                 "t_us": batch["ts"].astype("datetime64[us]").astype(np.int64),
-                # float64 on BOTH sides (orders carry NaN here) so the
-                # union's block schemas are uniform — no concat promotion
-                "event_id": batch["event_id"].to_numpy(dtype=np.float64),
-                "o_orderkey": np.full(len(key), np.nan),
+                # -1 sentinels keep BOTH sides int64 (a NaN filler would
+                # float-promote and silently cap exact ids at 2^53) and
+                # the union's block schemas uniform — no concat promotion
+                "event_id": batch["event_id"].to_numpy(dtype=np.int64),
+                "o_orderkey": np.full(len(key), -1, dtype=np.int64),
             }
         )
 
@@ -287,8 +288,8 @@ def events_asof_orders(sf_dir: str):
                 "key": key,
                 "side": np.zeros(len(key), dtype=np.int8),
                 "t_us": batch["o_orderdate"].astype("datetime64[us]").astype(np.int64),
-                "event_id": np.full(len(key), np.nan),
-                "o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.float64),
+                "event_id": np.full(len(key), -1, dtype=np.int64),
+                "o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.int64),
             }
         )
 
@@ -300,12 +301,12 @@ def events_asof_orders(sf_dir: str):
         key = group["key"].to_numpy(dtype=np.int64)
         side = group["side"].to_numpy(dtype=np.int8)
         t_us = group["t_us"].to_numpy(dtype=np.int64)
-        okey = group["o_orderkey"].to_numpy()
-        eid = group["event_id"].to_numpy()
+        okey = group["o_orderkey"].to_numpy(dtype=np.int64)
+        eid = group["event_id"].to_numpy(dtype=np.int64)
         # min-orderkey tie-break: lexsort is stable and ranks by the LAST
         # key first; sorting orders by (key, t_us, side, okey_filled) and
         # keeping the FIRST order row per (key, t_us) pins min o_orderkey
-        okey_filled = np.where(side == 0, okey.astype(np.float64), np.inf)
+        okey_filled = np.where(side == 0, okey, np.iinfo(np.int64).max)
         order = np.lexsort((okey_filled, side, t_us, key))
         key, side, t_us, okey, eid = key[order], side[order], t_us[order], okey[order], eid[order]
         # carry forward the most recent ORDER row index; equal-date orders
