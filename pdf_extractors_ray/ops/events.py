@@ -231,6 +231,45 @@ ORDER BY user_id
 """
 
 
+def asof_merge_scan(key, side, t_us, okey, eid):
+    """Vectorized asof merge over one bucket's mixed rows (side 0 =
+    order, 1 = event). Returns matched (event_id, user_key, event_t_us,
+    o_orderkey, order_t_us) arrays — most recent order with date ≤ ts,
+    inclusive; equal-date ties pinned to min o_orderkey; unmatched events
+    drop. Pure numpy so the kernel is property-testable on its own.
+    """
+    # min-orderkey tie-break: lexsort is stable and ranks by the LAST
+    # key first; sorting orders by (key, t_us, side, okey_filled) and
+    # keeping the FIRST order row per (key, t_us) pins min o_orderkey
+    okey_filled = np.where(side == 0, okey, np.iinfo(np.int64).max)
+    order = np.lexsort((okey_filled, side, t_us, key))
+    key, side, t_us, okey, eid = key[order], side[order], t_us[order], okey[order], eid[order]
+    # carry forward the most recent ORDER row index; equal-date orders
+    # keep only their first (min-orderkey) representative
+    pos = np.arange(len(key), dtype=np.int64)
+    is_order = side == 0
+    first_at_date = np.ones(len(key), dtype=bool)
+    if is_order.any():
+        op = pos[is_order]
+        dup = np.zeros(len(op), dtype=bool)
+        dup[1:] = (key[op[1:]] == key[op[:-1]]) & (t_us[op[1:]] == t_us[op[:-1]])
+        first_at_date[op[dup]] = False
+    carrier = np.where(is_order & first_at_date, pos, -1)
+    last_order = np.maximum.accumulate(carrier)
+    is_event = side == 1
+    m = last_order[is_event]
+    valid = (m >= 0) & (key[np.maximum(m, 0)] == key[is_event])
+    ei = pos[is_event][valid]
+    oi = m[valid]
+    return (
+        eid[ei].astype(np.int64),
+        key[ei],
+        t_us[ei],
+        okey[oi].astype(np.int64),
+        t_us[oi],
+    )
+
+
 def events_asof_orders(sf_dir: str):
     """Distributed AS-OF join: each event matched to the latest order of
     the same user with ``o_orderdate <= ts`` (ties on date broken by min
@@ -298,41 +337,20 @@ def events_asof_orders(sf_dir: str):
     )
 
     def solve_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        key = group["key"].to_numpy(dtype=np.int64)
-        side = group["side"].to_numpy(dtype=np.int8)
-        t_us = group["t_us"].to_numpy(dtype=np.int64)
-        okey = group["o_orderkey"].to_numpy(dtype=np.int64)
-        eid = group["event_id"].to_numpy(dtype=np.int64)
-        # min-orderkey tie-break: lexsort is stable and ranks by the LAST
-        # key first; sorting orders by (key, t_us, side, okey_filled) and
-        # keeping the FIRST order row per (key, t_us) pins min o_orderkey
-        okey_filled = np.where(side == 0, okey, np.iinfo(np.int64).max)
-        order = np.lexsort((okey_filled, side, t_us, key))
-        key, side, t_us, okey, eid = key[order], side[order], t_us[order], okey[order], eid[order]
-        # carry forward the most recent ORDER row index; equal-date orders
-        # keep only their first (min-orderkey) representative
-        pos = np.arange(len(key), dtype=np.int64)
-        is_order = side == 0
-        first_at_date = np.ones(len(key), dtype=bool)
-        if is_order.any():
-            op = pos[is_order]
-            dup = np.zeros(len(op), dtype=bool)
-            dup[1:] = (key[op[1:]] == key[op[:-1]]) & (t_us[op[1:]] == t_us[op[:-1]])
-            first_at_date[op[dup]] = False
-        carrier = np.where(is_order & first_at_date, pos, -1)
-        last_order = np.maximum.accumulate(carrier)
-        is_event = side == 1
-        m = last_order[is_event]
-        valid = (m >= 0) & (key[np.maximum(m, 0)] == key[is_event])
-        ei = pos[is_event][valid]
-        oi = m[valid]
+        eid, ekey, ets, okey_m, ots = asof_merge_scan(
+            group["key"].to_numpy(dtype=np.int64),
+            group["side"].to_numpy(dtype=np.int8),
+            group["t_us"].to_numpy(dtype=np.int64),
+            group["o_orderkey"].to_numpy(dtype=np.int64),
+            group["event_id"].to_numpy(dtype=np.int64),
+        )
         return pd.DataFrame(
             {
-                "event_id": eid[ei].astype(np.int64),
-                "user_id": key[ei],
-                "ts": pd.to_datetime(t_us[ei], unit="us").astype("datetime64[us]"),
-                "o_orderkey": okey[oi].astype(np.int64),
-                "o_orderdate": pd.to_datetime(t_us[oi], unit="us").astype("datetime64[us]"),
+                "event_id": eid,
+                "user_id": ekey,
+                "ts": pd.to_datetime(ets, unit="us").astype("datetime64[us]"),
+                "o_orderkey": okey_m,
+                "o_orderdate": pd.to_datetime(ots, unit="us").astype("datetime64[us]"),
             }
         )
 

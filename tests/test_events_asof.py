@@ -84,3 +84,37 @@ def test_asof_join_edge_semantics(ray_session, tmp_path):
     assert out.loc[2, "o_orderkey"] == 30
     # event 3: before every order → dropped
     assert 3 not in out.index
+
+
+def test_asof_merge_scan_property():
+    """The lexsort + maximum.accumulate kernel vs a brute-force per-event
+    scan, over random corpora with heavy key/time collisions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractors_ray.ops.events import asof_merge_scan
+
+    row = st.tuples(st.integers(0, 3), st.integers(0, 10), st.integers(0, 5))
+
+    @given(st.lists(row, max_size=40), st.lists(row, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def run(orders, events):
+        n_o, n_e = len(orders), len(events)
+        key = np.array([k for k, _, _ in orders] + [k for k, _, _ in events], dtype=np.int64)
+        t_us = np.array([t for _, t, _ in orders] + [t for _, t, _ in events], dtype=np.int64)
+        side = np.array([0] * n_o + [1] * n_e, dtype=np.int8)
+        okey = np.array([o for _, _, o in orders] + [-1] * n_e, dtype=np.int64)
+        eid = np.array([-1] * n_o + list(range(n_e)), dtype=np.int64)
+        got = asof_merge_scan(key, side, t_us, okey, eid)
+        got_map = {int(e): (int(k), int(ts), int(ok), int(ot))
+                   for e, k, ts, ok, ot in zip(*got)}
+        for i, (ek, et, _) in enumerate(events):
+            cand = [(ot, ok) for ok_key, ot, ok in orders if ok_key == ek and ot <= et]
+            if not cand:
+                assert i not in got_map
+                continue
+            best_date = max(ot for ot, _ in cand)
+            best_key = min(ok for ot, ok in cand if ot == best_date)
+            assert got_map[i] == (ek, et, best_key, best_date), (i, events[i], orders)
+
+    run()
