@@ -378,3 +378,150 @@ SELECT event_id, user_id, ts, o_orderkey, o_orderdate
 FROM m WHERE rn = 1
 ORDER BY event_id
 """
+
+
+def _order_counts_below(K_o, T_o, k_p, t_p, inclusive: bool):
+    """Per probe (k_p[i], t_p[i]): number of orders with key == k_p[i]
+    and T_o <= t_p[i] (inclusive) or < t_p[i] (exclusive). One lexsort
+    over the union — orders sort before probes at equal time when
+    inclusive, after when exclusive."""
+    n_o, n_p = len(K_o), len(k_p)
+    key = np.concatenate([K_o, k_p])
+    t = np.concatenate([T_o, t_p])
+    probe_side = np.int8(1) if inclusive else np.int8(0)
+    side = np.concatenate(
+        [np.full(n_o, 1 - probe_side, np.int8), np.full(n_p, probe_side, np.int8)]
+    )
+    srt = np.lexsort((side, t, key))
+    is_order = np.concatenate([np.ones(n_o, bool), np.zeros(n_p, bool)])[srt]
+    run = np.cumsum(is_order)  # orders at positions <= here
+    k_sorted = key[srt]
+    new_seg = np.ones(len(k_sorted), bool)
+    new_seg[1:] = k_sorted[1:] != k_sorted[:-1]
+    seg_id = np.cumsum(new_seg) - 1
+    seg_start = np.flatnonzero(new_seg)
+    # orders strictly before each segment's first row
+    base = (run[seg_start] - is_order[seg_start])[seg_id]
+    cnt_sorted = run - is_order.astype(np.int64) - base  # orders before this row, in-segment
+    cnt_sorted = cnt_sorted + 0  # (probes contribute 0 to run at their own slot)
+    # scatter back to original probe order
+    out = np.empty(n_p, dtype=np.int64)
+    probe_mask = ~is_order
+    orig_idx = np.concatenate([np.full(n_o, -1, np.int64), np.arange(n_p, dtype=np.int64)])[srt]
+    out[orig_idx[probe_mask]] = cnt_sorted[probe_mask]
+    return out
+
+
+def range_join_scan(K_o, T_o, k_e, t_e, window_us: int):
+    """Vectorized range join over one bucket: for each event i, ALL order
+    rows j of the same user with ``t_e[i] - window_us <= T_o[j] <=
+    t_e[i]`` (both bounds inclusive). ``K_o/T_o`` must be lexsorted by
+    (key, time). Returns (event_row_idx, order_row_idx) index arrays
+    (ragged ranges flattened). Pure numpy — property-testable alone."""
+    if not len(K_o) or not len(k_e):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    hi = _order_counts_below(K_o, T_o, k_e, t_e, inclusive=True)
+    lo = _order_counts_below(K_o, T_o, k_e, t_e - window_us, inclusive=False)
+    cnt = hi - lo
+    base = np.searchsorted(K_o, k_e, side="left") + lo
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ev_idx = np.repeat(np.arange(len(k_e), dtype=np.int64), cnt)
+    starts = np.repeat(base, cnt)
+    offsets = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    return ev_idx, starts + offsets
+
+
+def events_orders_range_join(sf_dir: str, window_days: int = 9000):
+    """Distributed RANGE join: every (event, order) pair of the same user
+    with ``o_orderdate`` inside ``[ts - window_days, ts]`` (inclusive).
+    (The synthetic eras sit ~22 years apart — events 2024, orders
+    1995-2001 — so the discriminating default is 9000 days: the lower
+    bound genuinely cuts inside the order range at every sf.)
+    Same bucketed-cogroup shape as ``events_asof_orders``; each bucket is
+    solved by two vectorized merge-count passes (one per bound) plus a
+    ragged-range emit — no per-user Python, no per-event scan. Output
+    cardinality is the join's own (each event × its in-window orders).
+    """
+    from .common import _default_buckets
+
+    nb = _default_buckets()
+    window_us = window_days * 86_400_000_000
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    from ..runtime import read_parquet_sized
+
+    od = read_parquet_sized(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def _bucket(key: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (key * np.int64(-6700417)) % nb
+
+    def tag_events(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["user_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "__b": _bucket(key),
+                "key": key,
+                "side": np.ones(len(key), dtype=np.int8),
+                "t_us": batch["ts"].astype("datetime64[us]").astype(np.int64),
+                "event_id": batch["event_id"].to_numpy(dtype=np.int64),
+                "o_orderkey": np.full(len(key), -1, dtype=np.int64),
+            }
+        )
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["o_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "__b": _bucket(key),
+                "key": key,
+                "side": np.zeros(len(key), dtype=np.int8),
+                "t_us": batch["o_orderdate"].astype("datetime64[us]").astype(np.int64),
+                "event_id": np.full(len(key), -1, dtype=np.int64),
+                "o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    unioned = ev.map_batches(tag_events, batch_format="pandas").union(
+        od.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def solve_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        side = group["side"].to_numpy(dtype=np.int8)
+        key = group["key"].to_numpy(dtype=np.int64)
+        t_us = group["t_us"].to_numpy(dtype=np.int64)
+        is_o = side == 0
+        okey = group["o_orderkey"].to_numpy(dtype=np.int64)[is_o]
+        K_o, T_o = key[is_o], t_us[is_o]
+        srt = np.lexsort((okey, T_o, K_o))
+        K_o, T_o, okey = K_o[srt], T_o[srt], okey[srt]
+        is_e = ~is_o
+        eid = group["event_id"].to_numpy(dtype=np.int64)[is_e]
+        k_e, t_e = key[is_e], t_us[is_e]
+        ei, oi = range_join_scan(K_o, T_o, k_e, t_e, window_us)
+        return pd.DataFrame(
+            {
+                "event_id": eid[ei],
+                "user_id": k_e[ei],
+                "ts": pd.to_datetime(t_e[ei], unit="us").astype("datetime64[us]"),
+                "o_orderkey": okey[oi],
+                "o_orderdate": pd.to_datetime(T_o[oi], unit="us").astype("datetime64[us]"),
+            }
+        )
+
+    out = unioned.groupby("__b").map_groups(solve_bucket, batch_format="pandas")
+    return cast_us(out, ["ts", "o_orderdate"]).sort(["event_id", "o_orderkey"])
+
+
+EVENTS_RANGE_JOIN_SQL = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+FROM events e JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND o.o_orderdate <= e.ts
+ AND o.o_orderdate >= e.ts - INTERVAL 9000 DAY
+ORDER BY event_id, o_orderkey
+"""

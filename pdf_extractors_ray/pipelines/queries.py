@@ -199,23 +199,34 @@ def _ann_methods_query(sf_dir: str):
 
 
 def _sliding_asof_query(sf_dir: str):
-    """Sliding windows AND the distributed as-of join in one driver slot.
-    Forced gate: ``events_asof_orders`` (events→orders, most recent
-    o_orderdate ≤ ts) must run end-to-end with the asof invariant holding
-    on every row (pytest pins it to a deterministic DuckDB twin AND to the
-    native ASOF JOIN dates). RECORDED result: the sliding-window
+    """Sliding windows AND the distributed as-of + range joins in one
+    driver slot. Forced gates: ``events_asof_orders`` (most recent
+    o_orderdate ≤ ts) and ``events_orders_range_join`` (all pairs within
+    the window) must run end-to-end with their interval invariants
+    holding on every row (pytest pins both to deterministic DuckDB twins,
+    the asof additionally to native ASOF JOIN dates, and both kernels to
+    brute-force property tests). RECORDED result: the sliding-window
     aggregate, hash-checked as before."""
-    asof = events.events_asof_orders(sf_dir)
-    if set(asof.schema().names) != {"event_id", "user_id", "ts", "o_orderkey", "o_orderdate"}:
-        raise RuntimeError(f"events_asof_orders schema: {asof.schema().names}")
     import pandas as pd
 
-    def viol(b: pd.DataFrame) -> pd.DataFrame:
+    cols = {"event_id", "user_id", "ts", "o_orderkey", "o_orderdate"}
+    window = pd.Timedelta(days=9000)
+
+    def viol_asof(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"n": [len(b)], "bad": [int((b["o_orderdate"] > b["ts"]).sum())]})
 
-    counts = asof.map_batches(viol, batch_format="pandas").to_pandas()
-    if counts["bad"].sum() or counts["n"].sum() == 0:
-        raise RuntimeError(f"asof invariant violated on {counts['bad'].sum()} rows")
+    def viol_range(b: pd.DataFrame) -> pd.DataFrame:
+        bad = (b["o_orderdate"] > b["ts"]) | (b["o_orderdate"] < b["ts"] - window)
+        return pd.DataFrame({"n": [len(b)], "bad": [int(bad.sum())]})
+
+    for fn, viol in ((events.events_asof_orders, viol_asof),
+                     (events.events_orders_range_join, viol_range)):
+        ds = fn(sf_dir)
+        if set(ds.schema().names) != cols:
+            raise RuntimeError(f"{fn.__name__} schema: {ds.schema().names}")
+        counts = ds.map_batches(viol, batch_format="pandas").to_pandas()
+        if counts["bad"].sum() or counts["n"].sum() == 0:
+            raise RuntimeError(f"{fn.__name__} invariant violated on {counts['bad'].sum()} rows")
     return events.events_sliding(sf_dir)
 
 

@@ -118,3 +118,43 @@ def test_asof_merge_scan_property():
             assert got_map[i] == (ek, et, best_key, best_date), (i, events[i], orders)
 
     run()
+
+
+def test_range_join_matches_duckdb(ray_session):
+    eng = ev.events_orders_range_join(SF).to_pandas().reset_index(drop=True)
+    con = _oracle(SF)
+    ora = con.sql(ev.EVENTS_RANGE_JOIN_SQL).df()
+    assert len(eng) > 0
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+
+def test_range_join_scan_property():
+    """Two-bound merge-count kernel vs a brute-force double loop, over
+    random corpora with heavy collisions (both bounds inclusive)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractors_ray.ops.events import range_join_scan
+
+    orow = st.tuples(st.integers(0, 3), st.integers(0, 12))
+    erow = st.tuples(st.integers(0, 3), st.integers(0, 12))
+
+    @given(st.lists(orow, max_size=40), st.lists(erow, max_size=30), st.integers(0, 6))
+    @settings(max_examples=300, deadline=None)
+    def run(orders, events, window):
+        srt = sorted(range(len(orders)), key=lambda i: orders[i])
+        K_o = np.array([orders[i][0] for i in srt], dtype=np.int64)
+        T_o = np.array([orders[i][1] for i in srt], dtype=np.int64)
+        k_e = np.array([k for k, _ in events], dtype=np.int64)
+        t_e = np.array([t for _, t in events], dtype=np.int64)
+        ei, oi = range_join_scan(K_o, T_o, k_e, t_e, window)
+        got = sorted(zip(ei.tolist(), oi.tolist()))
+        want = sorted(
+            (i, j)
+            for i, (ek, et) in enumerate(events)
+            for j in range(len(K_o))
+            if K_o[j] == ek and et - window <= T_o[j] <= et
+        )
+        assert got == want, (orders, events, window)
+
+    run()
