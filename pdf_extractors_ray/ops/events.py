@@ -525,3 +525,79 @@ FROM events e JOIN orders o
  AND o.o_orderdate >= e.ts - INTERVAL 9000 DAY
 ORDER BY event_id, o_orderkey
 """
+
+
+KMV_K = 128
+_KMV_SCALE = float(1 << 60)  # hash domain: 15 hex chars = 60 bits
+
+
+def _kmv_hash(values: np.ndarray) -> np.ndarray:
+    """Deterministic 60-bit hash: first 15 hex chars of md5(str(v)) —
+    bit-identical to DuckDB ``('0x' || substr(md5(v::VARCHAR),1,15))``."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(str(int(v)).encode()).hexdigest()[:15], 16) for v in values),
+        dtype=np.int64,
+        count=len(values),
+    )
+
+
+def kmv_estimate(kth_values: np.ndarray, k: int = KMV_K) -> tuple[int, int, int]:
+    """(n_kept, kth_hash, estimate) from a sorted-unique hash array.
+    Standard KMV: fewer than k distinct hashes → the exact count; else
+    (k-1) / (h_k / 2^60), floored — float64 ops only, so the DuckDB twin
+    reproduces the estimate exactly."""
+    if len(kth_values) < k:
+        return len(kth_values), int(kth_values[-1]) if len(kth_values) else -1, len(kth_values)
+    kth = int(kth_values[k - 1])
+    return k, kth, int(np.floor((k - 1) * _KMV_SCALE / float(kth)))
+
+
+def events_kmv_distinct(sf_dir: str, k: int = KMV_K):
+    """Approximate distinct ``user_id`` count via a KMV (k-minimum-values)
+    sketch — the mergeable-sketch shape for distinct-count at 100 TB:
+    each block contributes its k smallest DISTINCT hashes (a superset of
+    the global k minimum is guaranteed inside the union of per-block
+    minima), the tiny partials merge in one final fold, and the estimate
+    is a closed-form function of the k-th minimum. The hash is md5-derived
+    (never Python ``hash``), so the whole sketch — including the estimate
+    — is deterministic and bit-reproducible in DuckDB (``EVENTS_KMV_SQL``).
+    """
+    ds = _events(sf_dir, columns=["user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        uniq = np.unique(batch["user_id"].to_numpy(dtype=np.int64))
+        h = np.unique(_kmv_hash(uniq))  # sorted ascending
+        return pd.DataFrame({"hv": h[:k]})
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(group["hv"].to_numpy(dtype=np.int64))
+        n_kept, kth, est = kmv_estimate(h[:k], k)
+        return pd.DataFrame(
+            {"k": [np.int64(k)], "n_kept": [np.int64(n_kept)],
+             "kth_hash": [np.int64(kth)], "estimate": [np.int64(est)]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+    )
+
+
+EVENTS_KMV_SQL = f"""
+WITH h AS (
+    SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+),
+topk AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}),
+agg AS (SELECT COUNT(*) AS n_kept, MAX(hv) AS kth FROM topk)
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(CASE WHEN n_kept = 0 THEN -1 ELSE kth END AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
+                 ELSE CAST(FLOOR(({KMV_K} - 1) * {float(1 << 60)!r} / CAST(kth AS DOUBLE)) AS BIGINT)
+            END AS BIGINT) AS estimate
+FROM agg
+"""

@@ -198,6 +198,39 @@ def _ann_methods_query(sf_dir: str):
     return similarity.ann_lsh(sf_dir)
 
 
+def _distinct_kmv_query(sf_dir: str):
+    """Exact distinct users AND the KMV distinct-count sketch in one
+    driver slot. Forced gate: the mergeable k-minimum-values sketch must
+    run end-to-end and its estimate land inside the KMV error envelope of
+    the exact total (or equal it exactly below k distinct); pytest pins
+    the sketch bit-for-bit to a DuckDB md5 twin and its mergeability by
+    property test. RECORDED result: the exact per-type distinct counts,
+    hash-checked as before."""
+    exact_ds = relational.events_distinct_users(sf_dir)
+    sketch = events.events_kmv_distinct(sf_dir).to_pandas()
+    est, n_kept = int(sketch["estimate"][0]), int(sketch["n_kept"][0])
+    # per-type counts over-count the global distinct (a user spans types);
+    # recompute the global exact total from the sketch's own domain
+    import numpy as np
+
+    uniq = relational._read(sf_dir, "events", columns=["user_id"]).map_batches(
+        lambda b: b.drop_duplicates(["user_id"]), batch_format="pandas"
+    )
+    from ..ops.common import bucketed_group_agg
+
+    exact_total = bucketed_group_agg(
+        uniq.map_batches(lambda b: b.assign(_c=np.int64(1)), batch_format="pandas"),
+        ["user_id"], {"_c": "min"},
+    ).count()
+    if n_kept < events.KMV_K:
+        ok = est == exact_total
+    else:
+        ok = abs(est - exact_total) <= 6 * exact_total / np.sqrt(events.KMV_K - 2)
+    if not ok:
+        raise RuntimeError(f"KMV estimate {est} vs exact {exact_total} out of envelope")
+    return exact_ds
+
+
 def _sliding_asof_query(sf_dir: str):
     """Sliding windows AND the distributed as-of + range joins in one
     driver slot. Forced gates: ``events_asof_orders`` (most recent
@@ -260,7 +293,7 @@ REGISTRY: dict[str, tuple] = {
     "q6_filtered_revenue": (relational.q6_filtered_revenue, relational.Q6_SQL),
     "orders_priority_count": (relational.orders_priority_count, relational.ORDERS_PRIORITY_SQL),
     "orders_topk_per_customer": (relational.orders_topk_per_customer, relational.ORDERS_TOPK_SQL),
-    "events_distinct_users": (relational.events_distinct_users, relational.EVENTS_DISTINCT_SQL),
+    "events_distinct_users": (_distinct_kmv_query, relational.EVENTS_DISTINCT_SQL),
     "orders_by_month": (relational.orders_by_month, relational.ORDERS_BY_MONTH_SQL),
     "customer_topk_balance": (relational.customer_topk_balance, relational.CUSTOMER_TOPK_SQL),
     "supplier_per_nation": (relational.supplier_per_nation, relational.SUPPLIER_PER_NATION_SQL),
