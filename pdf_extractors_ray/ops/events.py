@@ -403,7 +403,6 @@ def _order_counts_below(K_o, T_o, k_p, t_p, inclusive: bool):
     # orders strictly before each segment's first row
     base = (run[seg_start] - is_order[seg_start])[seg_id]
     cnt_sorted = run - is_order.astype(np.int64) - base  # orders before this row, in-segment
-    cnt_sorted = cnt_sorted + 0  # (probes contribute 0 to run at their own slot)
     # scatter back to original probe order
     out = np.empty(n_p, dtype=np.int64)
     probe_mask = ~is_order
