@@ -270,21 +270,13 @@ def asof_merge_scan(key, side, t_us, okey, eid):
     )
 
 
-def events_asof_orders(sf_dir: str):
-    """Distributed AS-OF join: each event matched to the latest order of
-    the same user with ``o_orderdate <= ts`` (ties on date broken by min
-    ``o_orderkey``; events with no prior order drop — inner asof).
-
-    Ray Data has no asof-join primitive. This expresses it as the repo's
-    bucketed-cogroup shape: tag both sides, hash the user key into
-    ~2×CPU buckets, union, and solve each bucket with ONE vectorized
-    merge-scan — ``np.lexsort`` over (user, time, side) with orders
-    sorting before events at equal time, then ``np.maximum.accumulate``
-    carrying the index of the most recent order row forward; an event's
-    match is valid iff that row belongs to the same user. No per-user
-    Python loop (the repo's measured per-group-call cost), no per-event
-    search. Partitioning assumption (same as the invoice fold): one
-    key's rows fit in one group — salt hot keys at 100 TB.
+def _tagged_events_orders_union(sf_dir: str):
+    """Shared cogroup prelude for the asof and range joins: tag events
+    (side 1) and orders (side 0) into one uniform int64 schema
+    ``(__b, key, side, t_us, event_id, o_orderkey)``, hash the user key
+    into ~2×CPU buckets, and union. -1 sentinels keep BOTH sides int64
+    (a NaN filler would float-promote and silently cap exact ids at
+    2^53) and the union's block schemas uniform — no concat promotion.
     """
     from .common import _default_buckets
 
@@ -311,9 +303,6 @@ def events_asof_orders(sf_dir: str):
                 "key": key,
                 "side": np.ones(len(key), dtype=np.int8),
                 "t_us": batch["ts"].astype("datetime64[us]").astype(np.int64),
-                # -1 sentinels keep BOTH sides int64 (a NaN filler would
-                # float-promote and silently cap exact ids at 2^53) and
-                # the union's block schemas uniform — no concat promotion
                 "event_id": batch["event_id"].to_numpy(dtype=np.int64),
                 "o_orderkey": np.full(len(key), -1, dtype=np.int64),
             }
@@ -332,9 +321,29 @@ def events_asof_orders(sf_dir: str):
             }
         )
 
-    unioned = ev.map_batches(tag_events, batch_format="pandas").union(
+    return ev.map_batches(tag_events, batch_format="pandas").union(
         od.map_batches(tag_orders, batch_format="pandas")
     )
+
+
+def events_asof_orders(sf_dir: str, sort: bool = True):
+    """Distributed AS-OF join: each event matched to the latest order of
+    the same user with ``o_orderdate <= ts`` (ties on date broken by min
+    ``o_orderkey``; events with no prior order drop — inner asof).
+
+    Ray Data has no asof-join primitive. This expresses it as the repo's
+    bucketed-cogroup shape (``_tagged_events_orders_union``) and solves
+    each bucket with ONE vectorized merge-scan — ``np.lexsort`` over
+    (user, time, side) with orders sorting before events at equal time,
+    then ``np.maximum.accumulate`` carrying the index of the most recent
+    order row forward; an event's match is valid iff that row belongs to
+    the same user. No per-user Python loop (the repo's measured
+    per-group-call cost), no per-event search. Partitioning assumption
+    (same as the invoice fold): one key's rows fit in one group — salt
+    hot keys at 100 TB. ``sort=False`` skips the terminal global sort for
+    order-insensitive consumers (e.g. the driver slot's invariant gate).
+    """
+    unioned = _tagged_events_orders_union(sf_dir)
 
     def solve_bucket(group: pd.DataFrame) -> pd.DataFrame:
         eid, ekey, ets, okey_m, ots = asof_merge_scan(
@@ -354,8 +363,9 @@ def events_asof_orders(sf_dir: str):
             }
         )
 
-    out = unioned.groupby("__b").map_groups(solve_bucket, batch_format="pandas")
-    return cast_us(out, ["ts", "o_orderdate"]).sort("event_id")
+    out = cast_us(unioned.groupby("__b").map_groups(solve_bucket, batch_format="pandas"),
+                  ["ts", "o_orderdate"])
+    return out.sort("event_id") if sort else out
 
 
 # deterministic twin of DuckDB's native ASOF JOIN (same most-recent-date
@@ -432,62 +442,22 @@ def range_join_scan(K_o, T_o, k_e, t_e, window_us: int):
     return ev_idx, starts + offsets
 
 
-def events_orders_range_join(sf_dir: str, window_days: int = 9000):
+def events_orders_range_join(sf_dir: str, window_days: int = 9000, sort: bool = True):
     """Distributed RANGE join: every (event, order) pair of the same user
     with ``o_orderdate`` inside ``[ts - window_days, ts]`` (inclusive).
     (The synthetic eras sit ~22 years apart — events 2024, orders
     1995-2001 — so the discriminating default is 9000 days: the lower
     bound genuinely cuts inside the order range at every sf.)
-    Same bucketed-cogroup shape as ``events_asof_orders``; each bucket is
-    solved by two vectorized merge-count passes (one per bound) plus a
-    ragged-range emit — no per-user Python, no per-event scan. Output
-    cardinality is the join's own (each event × its in-window orders).
+    Same bucketed-cogroup shape as ``events_asof_orders``
+    (``_tagged_events_orders_union``); each bucket is solved by two
+    vectorized merge-count passes (one per bound) plus a ragged-range
+    emit — no per-user Python, no per-event scan. Output cardinality is
+    the join's own (each event × its in-window orders). ``sort=False``
+    skips the terminal global sort of the expanded pair set for
+    order-insensitive consumers (the slot's invariant gate).
     """
-    from .common import _default_buckets
-
-    nb = _default_buckets()
     window_us = window_days * 86_400_000_000
-    ev = _events(sf_dir, columns=["event_id", "ts", "user_id"])
-    from ..runtime import read_parquet_sized
-
-    od = read_parquet_sized(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    )
-
-    def _bucket(key: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            return (key * np.int64(-6700417)) % nb
-
-    def tag_events(batch: pd.DataFrame) -> pd.DataFrame:
-        key = batch["user_id"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "__b": _bucket(key),
-                "key": key,
-                "side": np.ones(len(key), dtype=np.int8),
-                "t_us": batch["ts"].astype("datetime64[us]").astype(np.int64),
-                "event_id": batch["event_id"].to_numpy(dtype=np.int64),
-                "o_orderkey": np.full(len(key), -1, dtype=np.int64),
-            }
-        )
-
-    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
-        key = batch["o_custkey"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "__b": _bucket(key),
-                "key": key,
-                "side": np.zeros(len(key), dtype=np.int8),
-                "t_us": batch["o_orderdate"].astype("datetime64[us]").astype(np.int64),
-                "event_id": np.full(len(key), -1, dtype=np.int64),
-                "o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.int64),
-            }
-        )
-
-    unioned = ev.map_batches(tag_events, batch_format="pandas").union(
-        od.map_batches(tag_orders, batch_format="pandas")
-    )
+    unioned = _tagged_events_orders_union(sf_dir)
 
     def solve_bucket(group: pd.DataFrame) -> pd.DataFrame:
         side = group["side"].to_numpy(dtype=np.int8)
@@ -512,8 +482,9 @@ def events_orders_range_join(sf_dir: str, window_days: int = 9000):
             }
         )
 
-    out = unioned.groupby("__b").map_groups(solve_bucket, batch_format="pandas")
-    return cast_us(out, ["ts", "o_orderdate"]).sort(["event_id", "o_orderkey"])
+    out = cast_us(unioned.groupby("__b").map_groups(solve_bucket, batch_format="pandas"),
+                  ["ts", "o_orderdate"])
+    return out.sort(["event_id", "o_orderkey"]) if sort else out
 
 
 EVENTS_RANGE_JOIN_SQL = """

@@ -237,6 +237,14 @@ def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int | None = N
     ds = _emb(sf_dir, columns=["vec_id", "embedding"])
     if n_bits is None:
         n_bits = _derive_n_bits(ds.count())
+    if n_bits > _SQL_MAX_BITS:
+        # the DuckDB twin embeds exactly _SQL_MAX_BITS planes; a wider
+        # engine signature would silently diverge from the oracle — fail
+        # loudly instead (reached only above ~128·2^24 ≈ 2.1e9 vectors)
+        raise ValueError(
+            f"n_bits={n_bits} exceeds the {_SQL_MAX_BITS}-plane ANN_LSH_SQL twin; "
+            "widen _planes_sql_literal() alongside"
+        )
     planes = _hyperplanes(n_bits)
     qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
     q = _matrix(qdf)
@@ -290,7 +298,10 @@ def ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int | None = N
     return signed.groupby("bucket").map_groups(bucket_search, batch_format="pandas").sort(["query_id", "rank"])
 
 
-def _planes_sql_literal(max_bits: int = 24) -> str:
+_SQL_MAX_BITS = 24
+
+
+def _planes_sql_literal(max_bits: int = _SQL_MAX_BITS) -> str:
     """(bit, coeffs) VALUES rows for the first ``max_bits`` quantized
     hyperplanes — the stream property of ``_hyperplanes`` means the SQL
     twin can embed the widest plausible plane set once and mask to the
@@ -304,9 +315,13 @@ def _planes_sql_literal(max_bits: int = 24) -> str:
 
 
 # DuckDB twin of ann_lsh (k=5, n_queries=10): identical integer-quantized
-# signatures (embedding ×2^20, planes ×2^10 — all dot products exact), the
-# same corpus-size-derived signature width, bucket-restricted candidates,
-# and the same (sim_ppm desc, vec_id asc) top-k.
+# signatures (embedding ×2^20, planes ×2^10 — all dot products exact; the
+# BUCKET assignment is provably bit-identical), the same corpus-size-derived
+# signature width, bucket-restricted candidates, and the same (sim_ppm desc,
+# vec_id asc) top-k. The sim_ppm values themselves are float cosines floored
+# to ppm — not provably exact across engines, but the identical recipe the
+# long-green KNN_SQL / EMB_DUP_PAIRS_SQL oracles already rely on (a
+# divergence would need a cosine within ~1 ulp of an x.5 ppm boundary).
 ANN_LSH_SQL = f"""
 WITH nb AS (
     SELECT CASE WHEN COUNT(*) <= 128 THEN 4

@@ -188,8 +188,9 @@ def _ann_methods_query(sf_dir: str):
     quantizer floats have no exact SQL twin; recall is pytest-pinned).
     RECORDED result: the LSH ANN output — integer-quantized signatures
     (embedding ×2^20, planes ×2^10; every dot product exact in float64)
-    make the bucket assignment bit-reproducible in DuckDB, so the full
-    bucketed search is hash-checked against ``ANN_LSH_SQL``."""
+    make the BUCKET assignment bit-reproducible in DuckDB, and the ppm
+    cosine ranking follows the same recipe as the long-green KNN oracle,
+    so the full bucketed search is hash-checked against ``ANN_LSH_SQL``."""
     ivf = similarity.ivf_knn(sf_dir)
     if set(ivf.schema().names) != {"query_id", "vec_id", "sim_ppm", "rank"}:
         raise RuntimeError(f"ivf_knn schema: {ivf.schema().names}")
@@ -254,11 +255,16 @@ def _sliding_asof_query(sf_dir: str):
 
     for fn, viol in ((events.events_asof_orders, viol_asof),
                      (events.events_orders_range_join, viol_range)):
-        ds = fn(sf_dir)
+        # sort=False: the gate only sums per-batch booleans, so the ops'
+        # terminal global sort (of the expanded pair set, for the range
+        # join) would be pure wasted wall-clock inside this slot
+        ds = fn(sf_dir, sort=False)
         if set(ds.schema().names) != cols:
             raise RuntimeError(f"{fn.__name__} schema: {ds.schema().names}")
         counts = ds.map_batches(viol, batch_format="pandas").to_pandas()
-        if counts["bad"].sum() or counts["n"].sum() == 0:
+        if counts["n"].sum() == 0:
+            raise RuntimeError(f"{fn.__name__} produced no rows")
+        if counts["bad"].sum():
             raise RuntimeError(f"{fn.__name__} invariant violated on {counts['bad'].sum()} rows")
     return events.events_sliding(sf_dir)
 
