@@ -44,7 +44,22 @@ OP_QUERIES = [
     "docs_exact_dedup",
     "docs_token_stats",
     "emb_knn_bruteforce",
+    # round-3 custom operators (ops, not registry slots): full sorted
+    # output contracts are what's timed
+    "events_asof_orders",
+    "events_orders_range_join",
+    "events_kmv_distinct",
 ]
+
+
+def _op_extra():
+    from pdf_extractors_ray.ops import events as _ev
+
+    return {
+        "events_asof_orders": _ev.events_asof_orders,
+        "events_orders_range_join": _ev.events_orders_range_join,
+        "events_kmv_distinct": _ev.events_kmv_distinct,
+    }
 
 
 def _warm_cache(paths: list[str]) -> None:
@@ -205,7 +220,7 @@ def run_bench() -> dict:
     for r in range(n_samples):
         headline_sample(r)
         for name in op_queries:
-            fn = REGISTRY[name][0]
+            fn = _op_extra().get(name) or REGISTRY[name][0]
             t = time.time()
             fn(SF_DIR).count()
             samples[name].append(round(time.time() - t, 3))
