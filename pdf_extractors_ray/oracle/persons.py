@@ -580,6 +580,12 @@ def find_number_reference(ref_no: int, persons: list[dict]):
     pat = _number_ref_pattern(fill)
     indexes: list = []
     for index, person in enumerate(persons):
+        data = person["data"]
+        # every pattern here requires a literal case-insensitive "no";
+        # most member texts carry no cross-reference, and this loop runs
+        # O(members²) per household — skip the regex cascade outright
+        if "no" not in data and "No" not in data and "NO" not in data and "nO" not in data:
+            continue
         m = _NUM_AND.search(person["data"])
         if m:
             for val in m.group(1).strip().split(" and "):
