@@ -20,7 +20,7 @@ after.
 
 from __future__ import annotations
 
-from ..ops import dedup, events, relational, similarity, surrogate
+from ..ops import curate, dedup, events, relational, similarity, surrogate
 from ..ops import multimodal as mm
 from ..ops import text as tx
 from ..sources.transcripts import boxes_path_for_sf, transcripts_path_for_sf
@@ -48,6 +48,61 @@ def _assert_variants_equal(name_a: str, ds_a, name_b: str, ds_b) -> None:
         n = int((ca != cb).any(axis=1).sum()) if len(ca) == len(cb) else abs(len(ca) - len(cb))
         raise RuntimeError(f"{name_a} vs {name_b}: {n} differing rows (of {len(ca)}/{len(cb)})")
     return a
+
+
+def _assert_sql_twin(name: str, ds, sql: str, sf_dir: str, tables=("documents",)) -> None:
+    """In-query hash gate: dtype-strict comparison of a pipeline result
+    against its DuckDB twin — the same canon as the external gate (columns
+    sorted by name, object cells stringified, rows sorted by all columns),
+    so a slot can keep an op fully SQL-checked while RECORDING a different
+    op's result. Raises so the driver records a hard error on divergence."""
+    import duckdb
+    import pandas as pd
+
+    def canon(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    got = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    want = con.execute(sql).fetchdf()
+    g, w = canon(got), canon(want)
+    if list(g.columns) != list(w.columns) or len(g) != len(w):
+        raise RuntimeError(
+            f"{name} twin gate: shape mismatch {g.shape}/{list(g.columns)} "
+            f"vs {w.shape}/{list(w.columns)}"
+        )
+    try:
+        pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
+    except AssertionError as e:  # noqa: BLE001
+        raise RuntimeError(f"{name} twin gate: value mismatch: {str(e)[:300]}") from e
+
+
+def _keyword_redact_query(sf_dir: str):
+    """PII redaction AND the regex keyword extractor in one driver slot.
+    Forced gate: ``docs_keyword`` stays fully hash-checked via the
+    in-query twin gate (same canon as the driver's). RECORDED result:
+    ``docs_redact`` — rendered PII overlay → ordered RE2 count+replace
+    chain, byte-identical to ``DOCS_REDACT_SQL`` (both engines are RE2)."""
+    _assert_sql_twin("docs_keyword", tx.docs_keyword(sf_dir), tx.DOCS_KEYWORD_SQL, sf_dir)
+    return curate.docs_redact(sf_dir)
+
+
+def _fingerprint_split_query(sf_dir: str):
+    """Deterministic train/val/test split AND the md5 fingerprint in one
+    driver slot. Forced gate: ``docs_fingerprint`` stays fully
+    hash-checked via the in-query twin gate. RECORDED result: the
+    stratified (lang, split) doc/token rollup of the md5-hash split —
+    the same md5 hex-parse construct the KMV twin pins."""
+    _assert_sql_twin(
+        "docs_fingerprint", tx.docs_fingerprint(sf_dir), tx.DOCS_FINGERPRINT_SQL, sf_dir
+    )
+    return curate.docs_split_stratified(sf_dir)
 
 
 def _invoice_query(sf_dir: str):
@@ -312,8 +367,8 @@ REGISTRY: dict[str, tuple] = {
     # text analysis (SQL-checked where expressible)
     "docs_token_stats": (tx.docs_token_stats, tx.DOCS_TOKEN_STATS_SQL),
     "docs_quality": (tx.docs_quality, tx.DOCS_QUALITY_SQL),
-    "docs_fingerprint": (tx.docs_fingerprint, tx.DOCS_FINGERPRINT_SQL),
-    "docs_keyword": (tx.docs_keyword, tx.DOCS_KEYWORD_SQL),
+    "docs_split_stratified": (_fingerprint_split_query, curate.DOCS_SPLIT_SQL),
+    "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),
     "docs_bpe_tokens": (tx.docs_bpe_tokens, tx.DOCS_BPE_TOKENS_SQL),
     "docs_exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     # similarity search (SQL-checked)

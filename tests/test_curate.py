@@ -1,0 +1,101 @@
+"""Curation ops: PII redaction (DuckDB RE2 twin + Python-re differential +
+idempotence) and the deterministic md5 train/val/test split (twin parity,
+partition/fraction invariants)."""
+
+import re
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extractors_ray.ops import curate
+
+
+def _oracle(sf: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    return con.sql(sql).df()
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_redact_matches_duckdb_twin(ray_session, sf):
+    eng = curate.docs_redact(sf).to_pandas().reset_index(drop=True)
+    ora = _oracle(sf, curate.DOCS_REDACT_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+    # residue conditions actually exercised: every kind has >0 total AND
+    # at least one zero-count row
+    for col in ("n_emails", "n_urls", "n_ips", "n_phones"):
+        assert eng[col].sum() > 0 and (eng[col] == 0).any()
+    # nothing pattern-shaped survives redaction
+    for _, pat, _ in curate.REDACTIONS:
+        assert not eng["redacted"].str.contains(pat, regex=True).any()
+
+
+def _py_redact_chain(text: str):
+    """Reference implementation of the ordered count+replace chain in
+    Python `re` (leftmost-first semantics match RE2 for these patterns)."""
+    counts, red = [], text
+    for _, pat, repl in curate.REDACTIONS:
+        counts.append(len(re.findall(pat, red)))
+        red = re.sub(pat, repl, red)
+    return counts, red
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab5. @_:/+-\nhttpexamplecom", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_redact_kernel_differential(texts):
+    """pyarrow RE2 chain == Python-re chain on adversarial strings, and
+    redaction is idempotent (a second pass changes nothing)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string())
+    red = arr
+    got_counts = []
+    for _, pat, repl in curate.REDACTIONS:
+        got_counts.append(pc.count_substring_regex(red, pat).to_pylist())
+        red = pc.replace_substring_regex(red, pat, repl)
+    got_red = red.to_pylist()
+    for i, t in enumerate(texts):
+        want_counts, want_red = _py_redact_chain(t)
+        assert [c[i] for c in got_counts] == want_counts
+        assert got_red[i] == want_red
+        assert _py_redact_chain(want_red)[1] == want_red  # idempotent
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_split_matches_duckdb_twin(ray_session, sf):
+    eng = curate.docs_split_stratified(sf).to_pandas().reset_index(drop=True)
+    ora = _oracle(sf, curate.DOCS_SPLIT_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+
+
+def test_split_partition_and_fractions(ray_session):
+    """The split partitions the corpus (rollup doc total == corpus rows),
+    every (lang) stratum is represented, and global fractions sit near
+    80/10/10 (binomial tolerance at n=500)."""
+    sf = "/root/testdata/sf0.01"
+    roll = curate.docs_split_stratified(sf).to_pandas()
+    n = duckdb.sql(f"SELECT COUNT(*) FROM '{sf}/documents.parquet'").fetchone()[0]
+    assert roll["n_docs"].sum() == n
+    by_split = roll.groupby("split")["n_docs"].sum()
+    for split, pct in (("train", 0.80), ("val", 0.10), ("test", 0.10)):
+        sigma = np.sqrt(n * pct * (1 - pct))
+        assert abs(by_split.get(split, 0) - n * pct) < 5 * sigma, (split, dict(by_split))
+
+
+def test_split_labels_deterministic_and_balanced():
+    ids = np.arange(20000, dtype=np.int64)
+    a, b = curate.split_labels(ids), curate.split_labels(ids)
+    assert (a == b).all()
+    frac_train = (a == "train").mean()
+    assert 0.78 < frac_train < 0.82
