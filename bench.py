@@ -49,16 +49,28 @@ OP_QUERIES = [
     "events_asof_orders",
     "events_orders_range_join",
     "events_kmv_distinct",
+    "docs_top_tokens",
+    "docs_pii_redact",
+    "docs_split_stratified",
 ]
 
 
 def _op_extra():
+    """Sub-queries timed as DIRECT op calls: either they have no registry
+    slot of their own, or their slot chains in-query twin gates that
+    should not be part of the op's timing."""
+    from pdf_extractors_ray.ops import curate as _cu
     from pdf_extractors_ray.ops import events as _ev
+    from pdf_extractors_ray.ops import text as _tx
 
     return {
         "events_asof_orders": _ev.events_asof_orders,
         "events_orders_range_join": _ev.events_orders_range_join,
         "events_kmv_distinct": _ev.events_kmv_distinct,
+        "docs_token_stats": _tx.docs_token_stats,
+        "docs_top_tokens": _tx.docs_top_tokens,
+        "docs_pii_redact": _cu.docs_redact,
+        "docs_split_stratified": _cu.docs_split_stratified,
     }
 
 

@@ -180,6 +180,71 @@ ORDER BY doc_id
 """
 
 
+TOP_TOKENS_K = 25
+
+
+def docs_top_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
+    return top_tokens_from(_docs(sf_dir, columns=["text"]), k=k)
+
+
+def top_tokens_from(ds, k: int = TOP_TOKENS_K, n_buckets: int | None = None):
+    """Corpus vocabulary top-k over a Dataset with a ``text`` column:
+    exact global token counts → k most frequent (count DESC, token ASC
+    tiebreak — deterministic at the k boundary).
+
+    The skewed-key-domain shape: per-batch ``value_counts`` partials bound
+    what the shuffle moves to the per-batch VOCABULARY size (a hot token
+    like 'the' contributes one partial row per batch, not one per
+    occurrence), the bucketed combine makes the sums exact, and each
+    bucket prunes to its own top-k before the tiny global sort — the
+    global top-k rows are each inside their bucket's top-k, so pruning
+    loses nothing. At 100 TB only ~k × n_buckets rows reach the final
+    single-block ranking."""
+    from .common import bucketed_group_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)}
+        )
+
+    counts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["token"], {"n": "sum"},
+        n_buckets=n_buckets,
+    )
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)[["token", "n"]]
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = prune(batch).reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    # batch_size=None: finish must see the ONE repartitioned block whole —
+    # the default 1024-row batching would split >40 buckets' pruned rows
+    # into two batches and emit two disjoint "top-k"s with duplicate ranks
+    return (
+        counts.map_batches(prune, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+    )
+
+
+DOCS_TOP_TOKENS_SQL = f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token)
+SELECT token,
+       CAST(n AS BIGINT) AS n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+FROM c
+ORDER BY n DESC, token ASC
+LIMIT {TOP_TOKENS_K}
+"""
+
+
 # marker sets prepared ONCE per worker process at module import (workers
 # are reused across tasks, so this is the same amortization an actor pool
 # gave, without paying actor spawn per driver query — a real model load

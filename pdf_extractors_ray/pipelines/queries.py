@@ -105,6 +105,18 @@ def _fingerprint_split_query(sf_dir: str):
     return curate.docs_split_stratified(sf_dir)
 
 
+def _token_stats_top_query(sf_dir: str):
+    """Vocabulary top-k AND the per-language token stats in one driver
+    slot. Forced gate: ``docs_token_stats`` stays fully hash-checked via
+    the in-query twin gate. RECORDED result: ``docs_top_tokens`` — exact
+    global token counts with per-batch partials, bucketed sums, per-bucket
+    top-k prune, deterministic (count DESC, token ASC) ranking."""
+    _assert_sql_twin(
+        "docs_token_stats", tx.docs_token_stats(sf_dir), tx.DOCS_TOKEN_STATS_SQL, sf_dir
+    )
+    return tx.docs_top_tokens(sf_dir)
+
+
 def _invoice_query(sf_dir: str):
     """Invoice fold — runs BOTH the plain grouped fold and the salted
     hot-conversation variant (M27 precedence + cross-window LOCF) and
@@ -365,7 +377,7 @@ REGISTRY: dict[str, tuple] = {
     "events_running_total": (events.events_running_total, events.EVENTS_RUNNING_SQL),
     "events_sliding": (_sliding_asof_query, events.EVENTS_SLIDING_SQL),
     # text analysis (SQL-checked where expressible)
-    "docs_token_stats": (tx.docs_token_stats, tx.DOCS_TOKEN_STATS_SQL),
+    "docs_top_tokens": (_token_stats_top_query, tx.DOCS_TOP_TOKENS_SQL),
     "docs_quality": (tx.docs_quality, tx.DOCS_QUALITY_SQL),
     "docs_split_stratified": (_fingerprint_split_query, curate.DOCS_SPLIT_SQL),
     "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),

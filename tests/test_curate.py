@@ -93,6 +93,52 @@ def test_split_partition_and_fractions(ray_session):
         assert abs(by_split.get(split, 0) - n * pct) < 5 * sigma, (split, dict(by_split))
 
 
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_top_tokens_matches_duckdb_twin(ray_session, sf):
+    from pdf_extractors_ray.ops import text as tx
+
+    eng = tx.docs_top_tokens(sf).to_pandas().reset_index(drop=True)
+    ora = _oracle(sf, tx.DOCS_TOP_TOKENS_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+
+
+def test_top_tokens_exact_vs_full_count(ray_session):
+    """The partial/bucket/prune path must equal a single-process full
+    count with the same (n DESC, token ASC) tiebreak — ties at the k
+    boundary included."""
+    from pdf_extractors_ray.ops import text as tx
+
+    sf = "/root/testdata/sf0.01"
+    eng = tx.docs_top_tokens(sf, k=40).to_pandas().reset_index(drop=True)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    vc = docs["text"].str.split(" ").explode().value_counts()
+    full = pd.DataFrame({"token": vc.index, "n": vc.to_numpy("int64")})
+    full = full.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+    full = full.head(40).reset_index(drop=True)
+    full["rank"] = np.arange(1, len(full) + 1, dtype=np.int64)
+    pd.testing.assert_frame_equal(eng, full, check_dtype=True)
+
+
+def test_top_tokens_wide_vocab_many_buckets(ray_session):
+    """Regression: with more buckets×k pruned rows than the default
+    1024-row map_batches batch size, the final ranking must still see
+    them as ONE batch (two disjoint 'top-k's with duplicate ranks
+    otherwise). 3000-token vocabulary, 200 buckets, known counts."""
+    import ray
+
+    from pdf_extractors_ray.ops import text as tx
+
+    docs = pd.DataFrame({"text": [f"tok{i:04d}" for i in range(3000) for _ in (i % 7 + 1) * [0]]})
+    ds = ray.data.from_pandas(docs).repartition(8)
+    got = tx.top_tokens_from(ds, k=10, n_buckets=200).to_pandas()
+    vc = docs["text"].value_counts()
+    want = pd.DataFrame({"token": vc.index, "n": vc.to_numpy("int64")})
+    want = want.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+    want = want.head(10).reset_index(drop=True)
+    want["rank"] = np.arange(1, 11, dtype=np.int64)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=True)
+
+
 def test_split_labels_deterministic_and_balanced():
     ids = np.arange(20000, dtype=np.int64)
     a, b = curate.split_labels(ids), curate.split_labels(ids)
