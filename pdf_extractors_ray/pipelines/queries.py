@@ -55,7 +55,11 @@ def _assert_sql_twin(name: str, ds, sql: str, sf_dir: str, tables=("documents",)
     against its DuckDB twin — the same canon as the external gate (columns
     sorted by name, object cells stringified, rows sorted by all columns),
     so a slot can keep an op fully SQL-checked while RECORDING a different
-    op's result. Raises so the driver records a hard error on divergence."""
+    op's result. Raises so the driver records a hard error on divergence.
+
+    Like ``_assert_variants_equal``, this gate runs at correctness-check
+    scale (sf0.01) where both frames are small; it is NOT part of any
+    production pipeline — the ops themselves stream."""
     import duckdb
     import pandas as pd
 
