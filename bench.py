@@ -52,6 +52,8 @@ OP_QUERIES = [
     "docs_top_tokens",
     "docs_pii_redact",
     "docs_split_stratified",
+    "docs_line_dedup",
+    "docs_decontaminate",
 ]
 
 
@@ -60,6 +62,7 @@ def _op_extra():
     slot of their own, or their slot chains in-query twin gates that
     should not be part of the op's timing."""
     from pdf_extractors_ray.ops import curate as _cu
+    from pdf_extractors_ray.ops import dedup as _dd
     from pdf_extractors_ray.ops import events as _ev
     from pdf_extractors_ray.ops import text as _tx
 
@@ -71,6 +74,9 @@ def _op_extra():
         "docs_top_tokens": _tx.docs_top_tokens,
         "docs_pii_redact": _cu.docs_redact,
         "docs_split_stratified": _cu.docs_split_stratified,
+        "docs_exact_dedup": _dd.exact_dedup,
+        "docs_line_dedup": _cu.docs_line_dedup,
+        "docs_decontaminate": _cu.docs_decontaminate,
     }
 
 

@@ -1,6 +1,9 @@
 """Training-data curation operators over the ``documents`` table: PII
-redaction and deterministic train/val/test splitting with stratified
-accounting.
+redaction, deterministic train/val/test splitting with stratified
+accounting, line-level exact dedup with first-occurrence-wins reassembly
+(the Lee-et-al. boilerplate-removal shape), benchmark decontamination via
+a broadcast n-gram blocklist, and deterministic per-source mixture
+sampling.
 
 Both are first-class LLM-corpus ops the reference's extraction pipelines
 feed into at scale (reference analogue: the per-record scrub/normalize
@@ -171,6 +174,323 @@ def docs_split_stratified(sf_dir: str):
 
     ds = ds.map_batches(derive, batch_format="pandas")
     return grouped_sums(ds, ["lang", "split"], ["n_docs", "n_tokens"]).sort(["lang", "split"])
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (first global occurrence wins, documents reassembled)
+# ---------------------------------------------------------------------------
+
+# order key = doc_id * LINE_SHIFT + line_idx: lexicographic (doc_id,
+# line_idx) as ONE int64. Documented bounds: < 2^20 lines per document and
+# doc_id < 2^43 — both hold for any real corpus shard layout (at 10^12
+# docs, doc_id*2^20 is still < 2^63).
+LINE_SHIFT = 1 << 20
+
+
+def _render_doc_lines(doc_id: np.ndarray, text: pd.Series) -> pd.Series:
+    """Deterministic multi-line overlay: the synthetic corpus is
+    single-line, so boilerplate lines are rendered from doc_id residues
+    (the repo's surrogate recipe — both engines build the same string
+    analytically). The '\\n'-joined result has line 0 = the original text
+    and 1-3 boilerplate lines that REPEAT across documents, so the dedup
+    actually collides: 'subscribe...' is shared by every even doc, the
+    'rights reserved k' / 'doc footer k' families have 5 / 11 variants."""
+    d = pd.Series(doc_id, dtype=np.int64)
+    l1 = np.where(d % 2 == 0, "\nsubscribe to our newsletter today", "")
+    l2 = ("\nall rights reserved " + (d % 5).astype(str)).where(d % 3 == 0, "")
+    l3 = np.where(d % 7 == 1, "\ncookie policy applies", "")
+    l4 = "\ndoc footer " + (d % 11).astype(str)
+    return text.reset_index(drop=True) + l1 + l2 + l3 + l4
+
+
+_LINES_RENDER_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to our newsletter today'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved '"
+    " || CAST(doc_id % 5 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 1 THEN chr(10) || 'cookie policy applies' ELSE '' END"
+    " || chr(10) || 'doc footer ' || CAST(doc_id % 11 AS VARCHAR)"
+)
+
+
+def line_rows(sf_dir: str):
+    """Exploded (doc_id, line_idx, line, order) rows of the rendered
+    corpus — one vectorized explode per batch, no per-row Python."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        rendered = _render_doc_lines(batch["doc_id"].to_numpy(), batch["text"])
+        lines = rendered.str.split("\n")
+        counts = lines.str.len().to_numpy()
+        flat = lines.explode()
+        idx = flat.groupby(level=0).cumcount().to_numpy().astype(np.int64)
+        doc = np.repeat(batch["doc_id"].to_numpy(), counts).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "line_idx": idx,
+                "line": flat.to_numpy(),
+                "order": doc * LINE_SHIFT + idx,
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
+def docs_line_dedup(sf_dir: str):
+    """Corpus-wide line-level exact dedup, first occurrence wins
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" — the exact-substring/boilerplate-removal shape at line
+    granularity): every duplicate of a line is dropped except the one
+    with the smallest (doc_id, line_idx), and each document is
+    reassembled from its surviving lines in original order.
+
+    Distributed shape (three bucketed exchanges, nothing driver-side):
+      1. winners: per-line min order — per-BATCH partial min first (a
+         boilerplate line occurring billions of times contributes ONE row
+         per batch to the shuffle), then ``bucketed_group_agg``;
+      2. verdicts: ``cogroup_join`` of the line rows with the winners on
+         the line text — a row survives iff its order equals the group
+         min (hot-key note: one line's rows co-locate in one bucket; the
+         per-bucket merge is a vectorized pandas join, and at extreme
+         boilerplate skew the left side can be salted by order-range
+         because the right side is 1 row/key);
+      3. reassembly: bucket by doc_id, one vectorized groupby-join per
+         bucket.
+    """
+    from .common import _default_buckets, bucketed_group_agg, cogroup_join
+
+    lines = line_rows(sf_dir)
+    winners = bucketed_group_agg(
+        lines.select_columns(["line", "order"]), ["line"], {"order": "min"}
+    ).map_batches(
+        lambda b: b.rename(columns={"order": "win_order"}), batch_format="pandas"
+    )
+    joined = cogroup_join(
+        lines,
+        winners,
+        "line",
+        "line",
+        left_cols=["doc_id", "line_idx", "line", "order"],
+        right_cols=["win_order"],
+    )
+    nb = _default_buckets()
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("doc_id", "line_idx", "order", "win_order"):
+            batch[c] = batch[c].astype(np.int64)
+        batch["__db"] = (
+            pd.util.hash_array(batch["doc_id"].to_numpy()) % nb
+        ).astype(np.int64)
+        return batch
+
+    def rollup(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["doc_id", "line_idx"], kind="mergesort")
+        n_lines = group.groupby("doc_id", sort=True).size()
+        kept = group[group["order"] == group["win_order"]]
+        n_kept = kept.groupby("doc_id").size()
+        txt = kept.groupby("doc_id")["line"].agg("\n".join)
+        out = pd.DataFrame(
+            {
+                "doc_id": n_lines.index.to_numpy(),
+                "n_lines": n_lines.to_numpy().astype(np.int64),
+            }
+        )
+        out["n_kept"] = (
+            n_kept.reindex(out["doc_id"]).fillna(0).to_numpy().astype(np.int64)
+        )
+        out["dedup_text"] = txt.reindex(out["doc_id"]).fillna("").to_numpy()
+        return out
+
+    bucketed = joined.map_batches(bucket, batch_format="pandas")
+    return bucketed.groupby("__db").map_groups(rollup, batch_format="pandas").sort("doc_id")
+
+
+DOCS_LINE_DEDUP_SQL = f"""
+WITH r AS (SELECT doc_id, {_LINES_RENDER_SQL} AS rendered FROM documents),
+l AS (
+    SELECT doc_id,
+           unnest(string_split(rendered, chr(10))) AS line,
+           generate_subscripts(string_split(rendered, chr(10)), 1) - 1 AS line_idx
+    FROM r
+),
+w AS (
+    SELECT doc_id, line_idx, line,
+           ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+    FROM l
+)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY line_idx), '')
+           AS dedup_text
+FROM w
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (broadcast n-gram blocklist)
+# ---------------------------------------------------------------------------
+
+# every 41st document stands in for "a benchmark document"; its token
+# 3-gram at positions 2-4 (1-based) is the blocklist entry
+DECON_RESIDUE = 41
+DECON_LO, DECON_HI = 2, 4  # 1-based inclusive slice, = python [1:4]
+
+
+def blocklist_grams(sf_dir: str) -> list[str]:
+    """The deterministic benchmark blocklist: distinct token 3-grams from
+    the residue-selected documents. The benchmark side of decontamination
+    is SMALL by definition (a benchmark suite is MBs against a 100 TB
+    corpus), so collecting it to the driver and broadcasting is the scale
+    shape — the corpus side never moves."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["doc_id"] % DECON_RESIDUE == 0]
+        toks = sub["text"].str.split(" ")
+        toks = toks[toks.str.len() >= DECON_HI]
+        return pd.DataFrame(
+            {"gram": toks.map(lambda t: " ".join(t[DECON_LO - 1 : DECON_HI]))}
+        )
+
+    rows = ds.map_batches(derive, batch_format="pandas").take_all()
+    return sorted({r["gram"] for r in rows})
+
+
+def docs_decontaminate(sf_dir: str):
+    """Per-document benchmark-overlap counts: how many DISTINCT blocklist
+    grams occur as a substring, and the contaminated flag. The blocklist
+    is broadcast once (``ray.put``); each batch runs one vectorized
+    ``match_substring`` per gram (at real blocklist sizes an Aho-Corasick
+    automaton built once per actor replaces the per-gram loop — the
+    data-movement shape is identical)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from .common import broadcast
+
+    ref = broadcast(blocklist_grams(sf_dir))
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def derive(batch: "pa.Table") -> "pa.Table":
+        grams = ray.get(ref)  # local object-store fetch, not a re-ship
+        text = batch["text"]
+        hits = np.zeros(len(batch), dtype=np.int64)
+        for g in grams:
+            hits += pc.match_substring(text, g).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": pa.array(hits),
+                "contaminated": pa.array((hits > 0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_DECONTAMINATE_SQL = f"""
+WITH bl AS (
+    SELECT DISTINCT
+           array_to_string(list_slice(string_split(text, ' '), {DECON_LO}, {DECON_HI}), ' ')
+               AS gram
+    FROM documents
+    WHERE doc_id % {DECON_RESIDUE} = 0 AND len(string_split(text, ' ')) >= {DECON_HI}
+),
+h AS (
+    SELECT d.doc_id, COUNT(b.gram) AS n_hits
+    FROM documents d LEFT JOIN bl b ON contains(d.text, b.gram)
+    GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM h
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-source mixture sampling
+# ---------------------------------------------------------------------------
+
+MIX_SALT = "mix:"
+
+
+def _mix_target_pct(src_num: np.ndarray) -> np.ndarray:
+    """Per-source target sampling rate in percent: 20 + (7*k) % 71 —
+    deterministic, spans 20-90%, distinct across the synthetic sources."""
+    return 20 + (7 * src_num) % 71
+
+
+def _mix_hash(doc_ids) -> np.ndarray:
+    """Same md5 hex-parse construct as the split hash, salted with 'mix:'
+    so mixture membership is independent of the train/val/test split."""
+    return np.fromiter(
+        (
+            int(hashlib.md5((MIX_SALT + str(int(i))).encode()).hexdigest()[:15], 16) % 100
+            for i in doc_ids
+        ),
+        dtype=np.int64,
+        count=len(doc_ids),
+    )
+
+
+def docs_sample_mixture(sf_dir: str):
+    """Deterministic weighted mixture sampling (the DoReMi/data-mixing
+    shape): each source gets a target rate; a document is kept iff its
+    salted md5 hash lands under the rate. Pure per-row decision — no
+    coordination, resume-safe, a kept-set that is stable under
+    re-partitioning. Recorded result: per-source accounting (total docs,
+    kept docs, kept tokens) so the realized mixture is auditable against
+    the targets; only this KB-sized rollup shuffles."""
+    ds = _docs(sf_dir, columns=["doc_id", "source", "text"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        src_num = batch["source"].str.slice(3).astype(np.int64).to_numpy()
+        pct = _mix_target_pct(src_num)
+        kept = (_mix_hash(batch["doc_id"].to_numpy()) < pct).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "source": batch["source"],
+                "target_pct": pct,
+                "n_docs": np.int64(1),
+                "n_kept": kept,
+                "n_tokens_kept": kept
+                * (batch["text"].str.count(" ").to_numpy() + 1),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pandas")
+    return grouped_sums(
+        ds, ["source", "target_pct"], ["n_docs", "n_kept", "n_tokens_kept"]
+    ).sort("source")
+
+
+DOCS_MIXTURE_SQL = f"""
+WITH a AS (
+    SELECT source,
+           20 + (7 * CAST(substr(source, 4) AS BIGINT)) % 71 AS target_pct,
+           CASE WHEN ('0x' || substr(md5('{MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 < 20 + (7 * CAST(substr(source, 4) AS BIGINT)) % 71
+                THEN 1 ELSE 0 END AS kept,
+           len(string_split(text, ' ')) AS n_toks
+    FROM documents
+)
+SELECT source, target_pct,
+       COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept * n_toks) AS BIGINT) AS n_tokens_kept
+FROM a
+GROUP BY source, target_pct
+ORDER BY source
+"""
 
 
 DOCS_SPLIT_SQL = f"""

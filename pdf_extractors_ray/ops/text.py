@@ -180,6 +180,131 @@ ORDER BY doc_id
 """
 
 
+def repetition_frame(batch: pd.DataFrame) -> pd.DataFrame:
+    """Pure per-batch kernel for the Gopher-style repetition signals —
+    separated from the Dataset wiring so tests can drive crafted strings.
+
+    All integer/ppm fixed-point; ties on equal counts break to the
+    lexicographically smallest token/bigram on both engines. Documents
+    with a single token have no bigram: top_bigram is NULL/None, the
+    count 0, the ppm 0.
+    """
+    batch = batch.reset_index(drop=True)
+    toks = batch["text"].str.split(" ")
+    n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+    n_chars = batch["text"].str.len().to_numpy(dtype=np.int64)
+    flat = toks.explode()
+    df = pd.DataFrame({"doc": flat.index.to_numpy(), "tok": flat.to_numpy()})
+
+    tc = df.groupby(["doc", "tok"], sort=False).size().reset_index(name="c")
+    tc = tc.sort_values(["doc", "c", "tok"], ascending=[True, False, True], kind="mergesort")
+    top1 = tc.groupby("doc", sort=True).head(1).set_index("doc")
+    dup = tc[tc["c"] > 1].groupby("doc")["c"].sum()
+
+    # adjacent bigrams: one shift over the exploded array, doc boundaries
+    # masked — no per-row Python
+    doc_arr = df["doc"].to_numpy()
+    tok_arr = df["tok"].to_numpy(dtype=object)
+    same = doc_arr[1:] == doc_arr[:-1]
+    bdf = pd.DataFrame(
+        {"doc": doc_arr[:-1][same], "g": tok_arr[:-1][same] + " " + tok_arr[1:][same]}
+    )
+    bc = bdf.groupby(["doc", "g"], sort=False).size().reset_index(name="c")
+    bc = bc.sort_values(["doc", "c", "g"], ascending=[True, False, True], kind="mergesort")
+    top2 = bc.groupby("doc", sort=True).head(1).set_index("doc")
+
+    idx = pd.RangeIndex(len(batch))
+    t1c = top1["c"].reindex(idx).to_numpy(dtype=np.int64)
+    t1tok = top1["tok"].reindex(idx)
+    t2c = top2["c"].reindex(idx).fillna(0).to_numpy().astype(np.int64)
+    t2g = top2["g"].reindex(idx)
+    dupc = dup.reindex(idx).fillna(0).to_numpy().astype(np.int64)
+
+    def ppm(num, den):
+        return np.floor(
+            num.astype(np.float64) / np.maximum(den, 1) * 1e6 + 0.5
+        ).astype(np.int64)
+
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "top_token": t1tok.to_numpy(),
+            "top_token_count": t1c,
+            "top_token_ppm": ppm(t1c * t1tok.str.len().to_numpy(dtype=np.int64), n_chars),
+            "top_bigram": t2g.where(pd.notna(t2g), None).to_numpy(dtype=object),
+            "top_bigram_count": t2c,
+            "top_bigram_ppm": np.where(n_tokens > 1, ppm(t2c, n_tokens - 1), np.int64(0)),
+            "dup_tokens_ppm": ppm(dupc, n_tokens),
+        }
+    )
+
+
+def docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document (Rae et al.,
+    "Scaling Language Models: ... Gopher", repetition-filter family,
+    adapted to the single-line corpus): most frequent token and its
+    character fraction, most frequent adjacent 2-gram and its fraction of
+    2-gram slots, and the fraction of tokens occurring more than once.
+    Embarrassingly parallel — one vectorized explode+groupby per batch,
+    no shuffle; the terminal sort is presentation-only."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(repetition_frame, batch_format="pandas").sort("doc_id")
+
+
+DOCS_REPETITION_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+top1 AS (
+    SELECT doc_id, tok, c FROM (
+        SELECT doc_id, tok, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok ASC) AS rn
+        FROM tc) WHERE rn = 1
+),
+dup AS (
+    SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_toks
+    FROM tc GROUP BY doc_id
+),
+bg AS (
+    SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+),
+bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+top2 AS (
+    SELECT doc_id, g, c FROM (
+        SELECT doc_id, g, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        FROM bc) WHERE rn = 1
+),
+base AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, len(text) AS n_chars
+    FROM documents
+)
+SELECT base.doc_id,
+       top1.tok AS top_token,
+       CAST(top1.c AS BIGINT) AS top_token_count,
+       CAST(FLOOR((top1.c * len(top1.tok))::DOUBLE / GREATEST(base.n_chars, 1) * 1000000 + 0.5)
+            AS BIGINT) AS top_token_ppm,
+       top2.g AS top_bigram,
+       CAST(COALESCE(top2.c, 0) AS BIGINT) AS top_bigram_count,
+       CASE WHEN base.n_tokens > 1
+            THEN CAST(FLOOR(COALESCE(top2.c, 0)::DOUBLE / (base.n_tokens - 1) * 1000000 + 0.5)
+                      AS BIGINT)
+            ELSE 0 END AS top_bigram_ppm,
+       CAST(FLOOR(COALESCE(dup.dup_toks, 0)::DOUBLE / GREATEST(base.n_tokens, 1) * 1000000 + 0.5)
+            AS BIGINT) AS dup_tokens_ppm
+FROM base
+JOIN top1 USING (doc_id)
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 TOP_TOKENS_K = 25
 
 

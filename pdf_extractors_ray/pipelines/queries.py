@@ -121,6 +121,47 @@ def _token_stats_top_query(sf_dir: str):
     return tx.docs_top_tokens(sf_dir)
 
 
+def _exact_line_dedup_query(sf_dir: str):
+    """Line-level dedup AND document-level exact dedup in one driver slot.
+    Forced gate: ``docs_exact_dedup`` (md5 → min doc_id per hash) stays
+    fully hash-checked via the in-query twin gate. RECORDED result:
+    ``docs_line_dedup`` — corpus-wide first-occurrence-wins line dedup
+    with document reassembly (Lee-et-al. boilerplate removal), three
+    bucketed exchanges, pinned to a window-SQL DuckDB twin."""
+    _assert_sql_twin("docs_exact_dedup", dedup.exact_dedup(sf_dir), dedup.EXACT_DEDUP_SQL, sf_dir)
+    return curate.docs_line_dedup(sf_dir)
+
+
+def _langid_decontaminate_query(sf_dir: str):
+    """Benchmark decontamination AND language-ID in one driver slot.
+    Forced gate: ``docs_langid`` stays fully hash-checked via the in-query
+    twin gate. RECORDED result: ``docs_decontaminate`` — distinct-gram hit
+    counts against a broadcast benchmark blocklist (small side collected
+    once, corpus side never moves)."""
+    _assert_sql_twin("docs_langid", tx.docs_langid(sf_dir), tx.DOCS_LANGID_SQL, sf_dir)
+    return curate.docs_decontaminate(sf_dir)
+
+
+def _quality_repetition_query(sf_dir: str):
+    """Gopher-style repetition signals AND the quality scorer in one
+    driver slot. Forced gate: ``docs_quality`` stays fully hash-checked
+    via the in-query twin gate. RECORDED result: ``docs_repetition`` —
+    top token/bigram fractions and duplicate-token fraction, ppm
+    fixed-point, deterministic tie-breaks."""
+    _assert_sql_twin("docs_quality", tx.docs_quality(sf_dir), tx.DOCS_QUALITY_SQL, sf_dir)
+    return tx.docs_repetition(sf_dir)
+
+
+def _bpe_mixture_query(sf_dir: str):
+    """Deterministic mixture sampling AND the BPE-ish pretokenizer counts
+    in one driver slot. Forced gate: ``docs_bpe_tokens`` stays fully
+    hash-checked via the in-query twin gate. RECORDED result:
+    ``docs_sample_mixture`` — salted-hash per-source weighted sampling
+    with the realized-mixture accounting rollup."""
+    _assert_sql_twin("docs_bpe_tokens", tx.docs_bpe_tokens(sf_dir), tx.DOCS_BPE_TOKENS_SQL, sf_dir)
+    return curate.docs_sample_mixture(sf_dir)
+
+
 def _invoice_query(sf_dir: str):
     """Invoice fold — runs BOTH the plain grouped fold and the salted
     hot-conversation variant (M27 precedence + cross-window LOCF) and
@@ -382,11 +423,11 @@ REGISTRY: dict[str, tuple] = {
     "events_sliding": (_sliding_asof_query, events.EVENTS_SLIDING_SQL),
     # text analysis (SQL-checked where expressible)
     "docs_top_tokens": (_token_stats_top_query, tx.DOCS_TOP_TOKENS_SQL),
-    "docs_quality": (tx.docs_quality, tx.DOCS_QUALITY_SQL),
+    "docs_repetition": (_quality_repetition_query, tx.DOCS_REPETITION_SQL),
     "docs_split_stratified": (_fingerprint_split_query, curate.DOCS_SPLIT_SQL),
     "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),
-    "docs_bpe_tokens": (tx.docs_bpe_tokens, tx.DOCS_BPE_TOKENS_SQL),
-    "docs_exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
+    "docs_sample_mixture": (_bpe_mixture_query, curate.DOCS_MIXTURE_SQL),
+    "docs_line_dedup": (_exact_line_dedup_query, curate.DOCS_LINE_DEDUP_SQL),
     # similarity search (SQL-checked)
     "emb_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_SQL),
     "emb_dup_pairs": (similarity.emb_dup_pairs, similarity.EMB_DUP_PAIRS_SQL),
@@ -428,11 +469,12 @@ REGISTRY: dict[str, tuple] = {
     "extract_invoice": (_invoice_query, None),
     "extract_layout": (_layout_query, None),
     "extract_table_grid": (_table_grid_query, None),
-    # training-data ops: langid + exact n-gram Jaccard are SQL-checked;
-    # the hash-based near-dup SIGNATURES have no SQL twin (recall/property
-    # tests in pytest; they run as forced gates inside the slot), but the
-    # recorded components-over-exact-edges result is hash-checked
-    "docs_langid": (tx.docs_langid, tx.DOCS_LANGID_SQL),
+    # training-data ops: decontamination (langid twin-gated in-query) +
+    # exact n-gram Jaccard are SQL-checked; the hash-based near-dup
+    # SIGNATURES have no SQL twin (recall/property tests in pytest; they
+    # run as forced gates inside the slot), but the recorded
+    # components-over-exact-edges result is hash-checked
+    "docs_decontaminate": (_langid_decontaminate_query, curate.DOCS_DECONTAMINATE_SQL),
     "docs_hash_neardup": (_hash_neardup_query, dedup.DUP_CLUSTERS_SQL),
     "docs_ngram_jaccard": (dedup.ngram_jaccard_groups, dedup.NGRAM_JACCARD_SQL),
     "emb_ann_methods": (_ann_methods_query, similarity.ANN_LSH_SQL),

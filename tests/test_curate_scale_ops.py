@@ -1,0 +1,218 @@
+"""Round-3 curation scale ops: line-level exact dedup (first occurrence
+wins + reassembly), benchmark decontamination, Gopher-style repetition
+signals, and deterministic mixture sampling — DuckDB twin parity at two
+sfs plus semantic invariants and single-process reference differentials."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extractors_ray.ops import curate
+from pdf_extractors_ray.ops import text as tx
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _oracle(sf: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    return con.sql(sql).df()
+
+
+def _docs_df(sf: str) -> pd.DataFrame:
+    return duckdb.sql(f"SELECT doc_id, text, source FROM '{sf}/documents.parquet'").df()
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_line_dedup_matches_duckdb_twin(ray_session, sf):
+    eng = curate.docs_line_dedup(sf).to_pandas().reset_index(drop=True)
+    ora = _oracle(sf, curate.DOCS_LINE_DEDUP_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+    # the rendered boilerplate actually collides: a real fraction of lines
+    # is dropped, and no document loses its unique line 0 entirely
+    assert eng["n_kept"].sum() < eng["n_lines"].sum()
+    assert (eng["n_kept"] >= 1).all()
+
+
+def _ref_line_dedup(df: pd.DataFrame) -> pd.DataFrame:
+    """Single-process first-occurrence-wins reference over the rendered
+    corpus, processed in global (doc_id, line_idx) order."""
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    rendered = curate._render_doc_lines(df["doc_id"].to_numpy(), df["text"])
+    seen: set[str] = set()
+    rows = []
+    for doc_id, r in zip(df["doc_id"], rendered):
+        lines = r.split("\n")
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        rows.append(
+            {
+                "doc_id": int(doc_id),
+                "n_lines": len(lines),
+                "n_kept": len(kept),
+                "dedup_text": "\n".join(kept),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"doc_id": np.int64, "n_lines": np.int64, "n_kept": np.int64}
+    )
+
+
+def test_line_dedup_matches_reference_fold(ray_session):
+    sf = "/root/testdata/sf0.001"
+    eng = curate.docs_line_dedup(sf).to_pandas().reset_index(drop=True)
+    ref = _ref_line_dedup(_docs_df(sf))
+    pd.testing.assert_frame_equal(eng, ref[eng.columns], check_dtype=True)
+
+
+def test_line_dedup_global_uniqueness_and_first_winner(ray_session):
+    """Surviving lines are globally unique across the whole corpus, and
+    each distinct rendered line survives in exactly the document where it
+    first occurred."""
+    sf = "/root/testdata/sf0.01"
+    eng = curate.docs_line_dedup(sf).to_pandas()
+    surv = eng[eng["n_kept"] > 0]
+    exploded = (
+        surv.set_index("doc_id")["dedup_text"].str.split("\n").explode().reset_index()
+    )
+    assert not exploded["dedup_text"].duplicated().any()
+    # first-winner: the shared even-doc boilerplate line survives exactly
+    # once, in the smallest even doc_id
+    bp = exploded[exploded["dedup_text"] == "subscribe to our newsletter today"]
+    even_min = int(eng["doc_id"][eng["doc_id"] % 2 == 0].min())
+    assert bp["doc_id"].tolist() == [even_min]
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_decontaminate_matches_duckdb_twin(ray_session, sf):
+    eng = curate.docs_decontaminate(sf).to_pandas().reset_index(drop=True)
+    ora = _oracle(sf, curate.DOCS_DECONTAMINATE_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+
+
+def test_decontaminate_flags_planted_and_matches_bruteforce(ray_session):
+    sf = "/root/testdata/sf0.001"
+    eng = curate.docs_decontaminate(sf).to_pandas().set_index("doc_id")
+    docs = _docs_df(sf)
+    grams = curate.blocklist_grams(sf)
+    assert grams and grams == sorted(set(grams))
+    # brute-force substring reference
+    for _, row in docs.iterrows():
+        hits = sum(g in row["text"] for g in grams)
+        assert eng.loc[row["doc_id"], "n_hits"] == hits
+        assert eng.loc[row["doc_id"], "contaminated"] == int(hits > 0)
+    # every blocklist-contributing document is itself flagged
+    donors = docs[
+        (docs["doc_id"] % curate.DECON_RESIDUE == 0)
+        & (docs["text"].str.split(" ").str.len() >= curate.DECON_HI)
+    ]
+    assert (eng.loc[donors["doc_id"], "contaminated"] == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_repetition_matches_duckdb_twin(ray_session, sf):
+    eng = tx.docs_repetition(sf).to_pandas().reset_index(drop=True)
+    ora = _oracle(sf, tx.DOCS_REPETITION_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+    # the signals are non-degenerate on the corpus
+    assert (eng["dup_tokens_ppm"] > 0).any()
+    assert (eng["top_bigram_count"] > 1).any()
+
+
+def test_repetition_kernel_ties_and_edges():
+    """Crafted strings through the pure kernel: lexicographic tie-break on
+    tokens, bigram counting across repeats, the single-token edge, and the
+    all-duplicates case."""
+    batch = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["b a b a", "xyz", "q q q"]}
+    )
+    out = tx.repetition_frame(batch).set_index("doc_id")
+    # doc 1: a and b tie at 2 → 'a' wins; bigrams 'b a':2, 'a b':1
+    assert out.loc[1, "top_token"] == "a"
+    assert out.loc[1, "top_token_count"] == 2
+    assert out.loc[1, "top_token_ppm"] == int(np.floor(2 * 1 / 7 * 1e6 + 0.5))
+    assert out.loc[1, "top_bigram"] == "b a"
+    assert out.loc[1, "top_bigram_count"] == 2
+    assert out.loc[1, "top_bigram_ppm"] == int(np.floor(2 / 3 * 1e6 + 0.5))
+    assert out.loc[1, "dup_tokens_ppm"] == 1_000_000
+    # doc 2: single token — no bigram
+    assert out.loc[2, "top_token"] == "xyz"
+    assert out.loc[2, "top_bigram"] is None
+    assert out.loc[2, "top_bigram_count"] == 0
+    assert out.loc[2, "top_bigram_ppm"] == 0
+    assert out.loc[2, "dup_tokens_ppm"] == 0
+    # doc 3: everything repeats
+    assert out.loc[3, "top_token"] == "q"
+    assert out.loc[3, "dup_tokens_ppm"] == 1_000_000
+    assert out.loc[3, "top_bigram"] == "q q"
+    assert out.loc[3, "top_bigram_ppm"] == 1_000_000
+
+
+def test_repetition_kernel_matches_counter_bruteforce():
+    """Kernel == collections.Counter reference on the sf0.001 texts."""
+    from collections import Counter
+
+    docs = _docs_df("/root/testdata/sf0.001").head(100).reset_index(drop=True)
+    out = tx.repetition_frame(docs[["doc_id", "text"]]).set_index("doc_id")
+    for _, row in docs.iterrows():
+        toks = row["text"].split(" ")
+        tc = Counter(toks)
+        top_tok = min(tc, key=lambda t: (-tc[t], t))
+        got = out.loc[row["doc_id"]]
+        assert got["top_token"] == top_tok and got["top_token_count"] == tc[top_tok]
+        dup = sum(c for c in tc.values() if c > 1)
+        assert got["dup_tokens_ppm"] == int(np.floor(dup / len(toks) * 1e6 + 0.5))
+        if len(toks) > 1:
+            bc = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+            top_bg = min(bc, key=lambda g: (-bc[g], g))
+            assert got["top_bigram"] == top_bg and got["top_bigram_count"] == bc[top_bg]
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_mixture_matches_duckdb_twin(ray_session, sf):
+    eng = curate.docs_sample_mixture(sf).to_pandas().reset_index(drop=True)
+    ora = _oracle(sf, curate.DOCS_MIXTURE_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+
+
+def test_mixture_targets_and_envelope(ray_session):
+    """Per-source realized rates sit inside the binomial envelope of the
+    deterministic targets; the rollup partitions the corpus; the target
+    formula matches the documented 20 + (7k) % 71."""
+    sf = "/root/testdata/sf0.01"
+    roll = curate.docs_sample_mixture(sf).to_pandas()
+    docs = _docs_df(sf)
+    assert roll["n_docs"].sum() == len(docs)
+    for _, r in roll.iterrows():
+        k = int(r["source"][3:])
+        assert r["target_pct"] == 20 + (7 * k) % 71
+        n, p = r["n_docs"], r["target_pct"] / 100.0
+        sigma = np.sqrt(n * p * (1 - p))
+        assert abs(r["n_kept"] - n * p) <= 5 * sigma + 1, dict(r)
+    # determinism: the kept decision is a pure hash — rerun identical
+    again = curate.docs_sample_mixture(sf).to_pandas()
+    pd.testing.assert_frame_equal(roll, again)
