@@ -54,6 +54,7 @@ OP_QUERIES = [
     "docs_split_stratified",
     "docs_line_dedup",
     "docs_decontaminate",
+    "orders_price_quantiles",
 ]
 
 
@@ -64,6 +65,7 @@ def _op_extra():
     from pdf_extractors_ray.ops import curate as _cu
     from pdf_extractors_ray.ops import dedup as _dd
     from pdf_extractors_ray.ops import events as _ev
+    from pdf_extractors_ray.ops import relational as _rl
     from pdf_extractors_ray.ops import text as _tx
 
     return {
@@ -77,6 +79,7 @@ def _op_extra():
         "docs_exact_dedup": _dd.exact_dedup,
         "docs_line_dedup": _cu.docs_line_dedup,
         "docs_decontaminate": _cu.docs_decontaminate,
+        "orders_price_quantiles": _rl.orders_price_quantiles,
     }
 
 

@@ -403,6 +403,132 @@ ORDER BY 1
 """
 
 
+QUANTILES_PPM = (500_000, 900_000, 990_000)
+
+
+def exact_quantiles_int(ds, col: str, qs_ppm=QUANTILES_PPM, n_bins: int = 1024):
+    """Exact quantile SELECTION over an int64 column without a global sort.
+
+    Rank semantics: the k-th smallest value (1-based), k = ceil(q * n) —
+    the discrete quantile. Algorithm: iterative distributed counting —
+    each pass histograms every still-active quantile's candidate range
+    into ``n_bins`` equal-width bins (per-batch numpy ``bincount``
+    partials, bucketed tiny combine), the driver walks the cumulative
+    counts to pick the bin containing the rank, and the range narrows by
+    ~n_bins× per pass until its width is 1 (the value itself). For a
+    cents-scale domain that is ≤3 passes over ONE column; nothing but
+    B-sized count vectors ever leaves the workers — the scale alternative
+    (global sort) is an all-to-all shuffle of every row.
+
+    All active quantiles share each pass (one scan histograms every
+    active range), so total scans stay ≤ ceil(log_B(domain width)).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .common import grouped_sums
+
+    # pass 0: n, min, max (tiny per-batch partials)
+    def mm(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy()
+        return pd.DataFrame(
+            {"n": [np.int64(len(v))], "lo": [v.min()], "hi": [v.max()]}
+        )
+
+    parts = ds.map_batches(mm, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    lo0, hi0 = int(parts["lo"].min()), int(parts["hi"].max()) + 1
+    # state per quantile: [lo, hi) candidate range + rank within it (1-based)
+    state = {
+        q: {"lo": lo0, "hi": hi0, "k": int(np.ceil(q / 1_000_000.0 * n)), "val": None}
+        for q in qs_ppm
+    }
+
+    while True:
+        active = {q: s for q, s in state.items() if s["val"] is None}
+        if not active:
+            break
+        ranges = [
+            (qi, s["lo"], s["hi"], max(1, -(-(s["hi"] - s["lo"]) // n_bins)))
+            for qi, s in enumerate(state.values())
+            if s["val"] is None
+        ]
+
+        def hist(batch: pd.DataFrame) -> pd.DataFrame:
+            v = batch[col].to_numpy()
+            qis, bins, cnts = [], [], []
+            for qi, rlo, rhi, width in ranges:
+                m = v[(v >= rlo) & (v < rhi)]
+                if len(m) == 0:
+                    continue
+                b = (m - rlo) // width
+                bc = np.bincount(b, minlength=1)
+                nz = np.nonzero(bc)[0]
+                qis.append(np.full(len(nz), qi, dtype=np.int64))
+                bins.append(nz.astype(np.int64))
+                cnts.append(bc[nz].astype(np.int64))
+            if not qis:
+                return pd.DataFrame({"qi": [], "bin": [], "cnt": []}).astype(np.int64)
+            return pd.DataFrame(
+                {"qi": np.concatenate(qis), "bin": np.concatenate(bins),
+                 "cnt": np.concatenate(cnts)}
+            )
+
+        combined = grouped_sums(
+            ds.map_batches(hist, batch_format="pandas"), ["qi", "bin"], ["cnt"]
+        ).to_pandas()
+        for qi, rlo, rhi, width in ranges:
+            q = list(state.keys())[qi]
+            s = state[q]
+            rows = combined[combined["qi"] == qi].sort_values("bin")
+            cum = rows["cnt"].cumsum().to_numpy()
+            pos = int(np.searchsorted(cum, s["k"]))
+            b = int(rows["bin"].iloc[pos])
+            s["k"] -= int(cum[pos - 1]) if pos > 0 else 0
+            s["lo"], s["hi"] = rlo + b * width, min(rhi, rlo + (b + 1) * width)
+            if s["hi"] - s["lo"] == 1:
+                s["val"] = s["lo"]
+
+    return n, [
+        (q, int(np.ceil(q / 1_000_000.0 * n)), state[q]["val"]) for q in qs_ppm
+    ]
+
+
+def orders_price_quantiles(sf_dir: str, qs_ppm=QUANTILES_PPM):
+    """Exact p50/p90/p99 of the order price (in cents) via the
+    distributed counting selection above — no sort, ≤3 histogram passes
+    over one pruned column."""
+    import ray.data as rd
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+    cds = orders.map_batches(
+        lambda b: pd.DataFrame({"c": cents(b["o_totalprice"].to_numpy())}),
+        batch_format="pandas",
+    )
+    n, rows = exact_quantiles_int(cds, "c", qs_ppm)
+    out = pd.DataFrame(
+        {
+            "q_ppm": np.array([q for q, _, _ in rows], dtype=np.int64),
+            "rank": np.array([k for _, k, _ in rows], dtype=np.int64),
+            "value_cents": np.array([v for _, _, v in rows], dtype=np.int64),
+        }
+    ).sort_values("q_ppm")
+    return rd.from_pandas(out)
+
+
+ORDERS_QUANTILES_SQL = """
+WITH v AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c FROM orders),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn, COUNT(*) OVER () AS n FROM v),
+q AS (SELECT * FROM (VALUES (500000), (900000), (990000)) t(q_ppm))
+SELECT CAST(q.q_ppm AS BIGINT) AS q_ppm,
+       CAST(CEIL(q.q_ppm / 1000000.0 * MIN(r.n)) AS BIGINT) AS rank,
+       MIN(r.c) AS value_cents
+FROM q JOIN r ON r.rn = CAST(CEIL(q.q_ppm / 1000000.0 * r.n) AS BIGINT)
+GROUP BY q.q_ppm
+ORDER BY q.q_ppm
+"""
+
+
 def customer_topk_balance(sf_dir: str, k: int = 20):
     """Global top-k by account balance (sort + limit)."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])

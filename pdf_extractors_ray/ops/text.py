@@ -305,6 +305,69 @@ ORDER BY doc_id
 """
 
 
+MG_CAPACITY = 128
+_MG_TOTAL_KEY = "\x00total"  # sentinel: token strings never contain NUL
+
+
+def mg_compress(counts: pd.Series, m: int = MG_CAPACITY) -> pd.Series:
+    """Misra-Gries compress: reduce an exact (or summed-MG) count vector
+    to ≤ m keys by subtracting the (m+1)-th largest count from every key
+    and dropping non-positives. Estimates only ever UNDER-count, and each
+    compress over a substream of n_i items loses ≤ n_i/(m+1) per key
+    (Misra & Gries 1982; merge-safety: Agarwal et al., "Mergeable
+    Summaries", PODS 2012 §3 — summing summaries then compressing keeps
+    the global bound n/(m+1) for any merge tree)."""
+    if len(counts) <= m:
+        return counts
+    arr = np.sort(counts.to_numpy())[::-1]
+    out = counts - arr[m]
+    return out[out > 0]
+
+
+def mg_heavy_hitters(sf_dir: str, m: int = MG_CAPACITY):
+    """Mergeable heavy-hitters sketch over the corpus token stream — the
+    sub-linear-memory scale path beside the exact ``docs_top_tokens``:
+    each batch computes exact local counts and MG-compresses them to ≤ m
+    rows (so the shuffle moves ≤ m rows per batch no matter how hot the
+    vocabulary), the per-token sums combine in a bucketed tiny exchange,
+    and the result is the candidate set with under-estimates. Guarantee:
+    every token with true count > n/(m+1) is present, with
+    est ≤ true ≤ est + n/(m+1).
+
+    Returns ``(n_total, candidates)``: total token count and a pandas
+    frame (token, est) sorted est DESC, token ASC. At extreme batch
+    counts insert intermediate compress levels (tree merge) — the merge
+    theorem covers any tree; candidates here stay driver-small because
+    distinct survivors ≤ m × effective levels, not corpus vocabulary.
+    """
+    from .common import grouped_sums
+
+    ds = _docs(sf_dir, columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ").explode()
+        vc = toks.value_counts()
+        comp = mg_compress(vc.astype(np.int64), m)
+        return pd.DataFrame(
+            {
+                "token": np.concatenate([comp.index.to_numpy(), [_MG_TOTAL_KEY]]),
+                "est": np.concatenate(
+                    [comp.to_numpy(), [np.int64(len(toks))]]
+                ).astype(np.int64),
+            }
+        )
+
+    merged = grouped_sums(
+        ds.map_batches(partial, batch_format="pandas"), ["token"], ["est"]
+    ).to_pandas()
+    n_total = int(merged.loc[merged["token"] == _MG_TOTAL_KEY, "est"].iloc[0])
+    cand = merged[merged["token"] != _MG_TOTAL_KEY]
+    cand = cand.sort_values(
+        ["est", "token"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return n_total, cand
+
+
 TOP_TOKENS_K = 25
 
 

@@ -110,14 +110,32 @@ def _fingerprint_split_query(sf_dir: str):
 
 
 def _token_stats_top_query(sf_dir: str):
-    """Vocabulary top-k AND the per-language token stats in one driver
-    slot. Forced gate: ``docs_token_stats`` stays fully hash-checked via
-    the in-query twin gate. RECORDED result: ``docs_top_tokens`` — exact
-    global token counts with per-batch partials, bucketed sums, per-bucket
-    top-k prune, deterministic (count DESC, token ASC) ranking."""
+    """Vocabulary top-k AND the per-language token stats AND the
+    Misra-Gries heavy-hitters sketch in one driver slot. Forced gates:
+    ``docs_token_stats`` stays fully hash-checked via the in-query twin
+    gate, and the MERGEABLE MG sketch (the sub-linear scale path beside
+    the exact count) must satisfy its theorem bound against the exact
+    top-k: every top-k token present with est ≤ true ≤ est + n/(m+1).
+    RECORDED result: ``docs_top_tokens`` — exact global token counts with
+    per-batch partials, bucketed sums, per-bucket top-k prune,
+    deterministic (count DESC, token ASC) ranking."""
     _assert_sql_twin(
         "docs_token_stats", tx.docs_token_stats(sf_dir), tx.DOCS_TOKEN_STATS_SQL, sf_dir
     )
+    n_total, cand = tx.mg_heavy_hitters(sf_dir)
+    exact = tx.docs_top_tokens(sf_dir)
+    bound = n_total // (tx.MG_CAPACITY + 1)
+    est = dict(zip(cand["token"], cand["est"]))
+    for row in exact.to_pandas().itertuples():
+        true = int(row.n)
+        if true <= bound:
+            continue  # below the sketch's detection threshold
+        e = est.get(row.token)
+        if e is None or not (e <= true <= e + bound):
+            raise RuntimeError(
+                f"MG sketch bound violated for {row.token!r}: "
+                f"est={e} true={true} bound={bound}"
+            )
     return tx.docs_top_tokens(sf_dir)
 
 
@@ -160,6 +178,23 @@ def _bpe_mixture_query(sf_dir: str):
     with the realized-mixture accounting rollup."""
     _assert_sql_twin("docs_bpe_tokens", tx.docs_bpe_tokens(sf_dir), tx.DOCS_BPE_TOKENS_SQL, sf_dir)
     return curate.docs_sample_mixture(sf_dir)
+
+
+def _month_quantiles_query(sf_dir: str):
+    """Exact distributed quantile selection AND the monthly rollup in one
+    driver slot. Forced gate: ``orders_by_month`` stays fully hash-checked
+    via the in-query twin gate. RECORDED result:
+    ``orders_price_quantiles`` — exact p50/p90/p99 of the order price in
+    cents via iterative histogram narrowing (≤3 counting passes, no
+    global sort), pinned to a ROW_NUMBER DuckDB twin."""
+    _assert_sql_twin(
+        "orders_by_month",
+        relational.orders_by_month(sf_dir),
+        relational.ORDERS_BY_MONTH_SQL,
+        sf_dir,
+        tables=("orders",),
+    )
+    return relational.orders_price_quantiles(sf_dir)
 
 
 def _invoice_query(sf_dir: str):
@@ -412,7 +447,7 @@ REGISTRY: dict[str, tuple] = {
     "orders_priority_count": (relational.orders_priority_count, relational.ORDERS_PRIORITY_SQL),
     "orders_topk_per_customer": (relational.orders_topk_per_customer, relational.ORDERS_TOPK_SQL),
     "events_distinct_users": (_distinct_kmv_query, relational.EVENTS_DISTINCT_SQL),
-    "orders_by_month": (relational.orders_by_month, relational.ORDERS_BY_MONTH_SQL),
+    "orders_price_quantiles": (_month_quantiles_query, relational.ORDERS_QUANTILES_SQL),
     "customer_topk_balance": (relational.customer_topk_balance, relational.CUSTOMER_TOPK_SQL),
     "supplier_per_nation": (relational.supplier_per_nation, relational.SUPPLIER_PER_NATION_SQL),
     # event streams (SQL-checked)

@@ -61,3 +61,115 @@ def test_kmv_estimate_accuracy():
     _, _, est = ev.kmv_estimate(h)
     sigma = 5000 / np.sqrt(ev.KMV_K - 2)
     assert abs(est - 5000) < 4 * sigma
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_mg_bound_property():
+    """Simulated distributed MG (per-chunk exact counts -> compress ->
+    global sum) satisfies the mergeable-summaries theorem on random
+    streams: estimates never over-count, under-count by at most
+    n/(m+1), and every token heavier than the bound is present."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractors_ray.ops.text import mg_compress
+
+    m = 8
+
+    @given(
+        st.lists(st.integers(0, 30), min_size=1, max_size=400),
+        st.integers(1, 7),
+    )
+    @settings(max_examples=200, deadline=None)
+    def run(vals, n_chunks):
+        toks = [f"t{v}" for v in vals]
+        chunks = np.array_split(np.array(toks, dtype=object), n_chunks)
+        merged = Counter()
+        for ch in chunks:
+            if len(ch) == 0:
+                continue
+            comp = mg_compress(pd.Series(Counter(ch)).astype(np.int64), m)
+            merged.update(comp.to_dict())
+        true = Counter(toks)
+        n = len(toks)
+        bound = n // (m + 1)
+        for tok, est in merged.items():
+            assert est <= true[tok] <= est + bound, (tok, est, true[tok], bound)
+        for tok, c in true.items():
+            if c > bound:
+                assert tok in merged, (tok, c, bound)
+
+    run()
+
+
+def test_mg_heavy_hitters_vs_exact(ray_session):
+    """Distributed sketch over the real corpus vs a single-process exact
+    count: bound + containment for the exact top-k."""
+    from collections import Counter
+
+    from pdf_extractors_ray.ops.text import MG_CAPACITY, mg_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(f"SELECT text FROM '{sf}/documents.parquet'").df()
+    true = Counter(t for txt in docs["text"] for t in txt.split(" "))
+    n_total, cand = mg_heavy_hitters(sf)
+    assert n_total == sum(true.values())
+    bound = n_total // (MG_CAPACITY + 1)
+    est = dict(zip(cand["token"], cand["est"]))
+    for tok, e in est.items():
+        assert e <= true[tok] <= e + bound
+    for tok, c in true.most_common(25):
+        if c > bound:
+            assert tok in est
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantile selection
+# ---------------------------------------------------------------------------
+
+
+def test_quantiles_match_duckdb_twin(ray_session):
+    from pdf_extractors_ray.ops import relational as rel
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eng = rel.orders_price_quantiles(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+        ora = con.sql(rel.ORDERS_QUANTILES_SQL).df()
+        eng["q_ppm"] = eng["q_ppm"].astype(np.int64)
+        ora["q_ppm"] = ora["q_ppm"].astype(np.int64)
+        pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+
+
+def test_quantile_selection_vs_numpy(ray_session):
+    """Histogram-narrowing selection == sorted k-th element on adversarial
+    distributions: heavy ties, skew, tiny n, single distinct value,
+    negative values."""
+    import ray.data as rd
+
+    from pdf_extractors_ray.ops.relational import exact_quantiles_int
+
+    rng = np.random.RandomState(7)
+    cases = [
+        rng.randint(0, 10, size=1000),              # heavy ties
+        rng.randint(-50_000, 50_000, size=5000),    # wide + negatives
+        np.full(37, 42),                            # single distinct value
+        np.array([5]),                              # n = 1
+        (rng.pareto(1.2, size=3000) * 1e6).astype(np.int64),  # skew
+    ]
+    qs = (1, 250_000, 500_000, 900_000, 999_999, 1_000_000)
+    for vals in cases:
+        ds = rd.from_pandas(pd.DataFrame({"c": vals.astype(np.int64)}))
+        n, rows = exact_quantiles_int(ds, "c", qs_ppm=qs, n_bins=16)
+        assert n == len(vals)
+        srt = np.sort(vals)
+        for q, rank, val in rows:
+            k = int(np.ceil(q / 1_000_000.0 * n))
+            assert rank == k
+            assert val == srt[k - 1], (q, k, val, srt[k - 1])
