@@ -55,6 +55,7 @@ OP_QUERIES = [
     "docs_line_dedup",
     "docs_decontaminate",
     "orders_price_quantiles",
+    "docs_pack_sequences",
 ]
 
 
@@ -80,6 +81,7 @@ def _op_extra():
         "docs_line_dedup": _cu.docs_line_dedup,
         "docs_decontaminate": _cu.docs_decontaminate,
         "orders_price_quantiles": _rl.orders_price_quantiles,
+        "docs_pack_sequences": _cu.docs_pack_sequences,
     }
 
 

@@ -509,3 +509,116 @@ FROM a
 GROUP BY lang, split
 ORDER BY lang, split
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sequence packing (context-length chunking)
+
+
+SEQ_LEN = 2048
+
+
+def docs_pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN):
+    """Pack the corpus into fixed-length training sequences: documents in
+    ``doc_id`` order are tokenized (single-space split, the token-stats
+    construct), each followed by one EOD separator token, and the
+    concatenated stream is cut every ``seq_len`` tokens (the GPT-style
+    pretraining packing shape). Emits one row per document: its global
+    ``start_tok`` offset and the [``seq_first``, ``seq_last``] range of
+    training sequences it lands in (the separator counts as the doc's
+    last stream position).
+
+    Scale shape — a distributed ORDERED prefix scan with no global sort:
+
+    1. one pruned-column pass derives contiguous ``doc_id``-range buckets
+       (value-range, not hash — prefix order must be preserved),
+    2. per-batch partial token-cost sums per bucket move to the driver
+       (R ≈ 2×CPUs rows, KB-sized at any corpus size) where the exclusive
+       bucket offsets are a tiny cumsum, broadcast once via ``ray.put``,
+    3. ONE value-range shuffle co-locates each bucket; the in-group fold
+       is a vectorized cumsum seeded by the bucket's broadcast offset.
+
+    The integer cost table (doc_id, n_tokens, bucket) is materialized so
+    the partial-sum pass and the fold don't re-read + re-tokenize the
+    text column twice; at 100 TB it is 24 bytes/doc — orders of magnitude
+    below the text it summarizes, and the object store spills it if
+    needed. Partitioning assumption: one doc_id-range bucket fits a
+    worker's heap (buckets count scales with cluster CPUs; re-derive R
+    from bytes when docs-per-bucket outgrows memory)."""
+    import ray
+
+    from .common import _default_buckets
+
+    max_id = int(_docs(sf_dir, columns=["doc_id"]).max("doc_id"))
+    n_buckets = _default_buckets()
+    span = max(1, (max_id + n_buckets) // n_buckets)
+
+    def costs(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": d,
+                "n_tokens": (batch["text"].str.count(" ") + 1).to_numpy(np.int64),
+                "bucket": d // span,
+            }
+        )
+
+    cost_ds = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(costs, batch_format="pandas")
+        .materialize()
+    )
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bucket": batch["bucket"], "cost": batch["n_tokens"] + 1})
+
+    totals = (
+        grouped_sums(cost_ds.map_batches(part, batch_format="pandas"), ["bucket"], ["cost"])
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    csum = totals["cost"].cumsum().to_numpy(np.int64)
+    offsets = dict(zip(totals["bucket"].to_numpy(np.int64), csum - totals["cost"].to_numpy(np.int64)))
+    off_ref = ray.put(offsets)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)  # zero-copy local fetch of the tiny map
+        g = group.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy(np.int64)
+        cost = n + 1
+        start = np.cumsum(cost) - cost + off[int(g["bucket"].iloc[0])]
+        seq_first = start // seq_len
+        seq_last = (start + n) // seq_len
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "start_tok": start,
+                "seq_first": seq_first,
+                "seq_last": seq_last,
+                "n_seqs": seq_last - seq_first + 1,
+            }
+        )
+
+    return cost_ds.groupby("bucket").map_groups(fold, batch_format="pandas").sort("doc_id")
+
+
+DOCS_PACK_SQL = f"""
+WITH t AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens + 1) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_tok
+    FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // {SEQ_LEN} AS seq_first,
+       (start_tok + n_tokens) // {SEQ_LEN} AS seq_last,
+       (start_tok + n_tokens) // {SEQ_LEN} - start_tok // {SEQ_LEN} + 1 AS n_seqs
+FROM s
+ORDER BY doc_id
+"""

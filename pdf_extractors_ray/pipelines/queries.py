@@ -170,14 +170,19 @@ def _quality_repetition_query(sf_dir: str):
     return tx.docs_repetition(sf_dir)
 
 
-def _bpe_mixture_query(sf_dir: str):
-    """Deterministic mixture sampling AND the BPE-ish pretokenizer counts
-    in one driver slot. Forced gate: ``docs_bpe_tokens`` stays fully
-    hash-checked via the in-query twin gate. RECORDED result:
-    ``docs_sample_mixture`` — salted-hash per-source weighted sampling
-    with the realized-mixture accounting rollup."""
+def _bpe_mixture_pack_query(sf_dir: str):
+    """Deterministic sequence packing AND mixture sampling AND the BPE-ish
+    pretokenizer counts in one driver slot. Forced gates:
+    ``docs_bpe_tokens`` and ``docs_sample_mixture`` stay fully
+    hash-checked via in-query twin gates. RECORDED result:
+    ``docs_pack_sequences`` — context-length packing via a distributed
+    ordered prefix scan (value-range buckets, broadcast exclusive
+    offsets, one shuffle), pinned to a window-cumsum DuckDB twin."""
     _assert_sql_twin("docs_bpe_tokens", tx.docs_bpe_tokens(sf_dir), tx.DOCS_BPE_TOKENS_SQL, sf_dir)
-    return curate.docs_sample_mixture(sf_dir)
+    _assert_sql_twin(
+        "docs_sample_mixture", curate.docs_sample_mixture(sf_dir), curate.DOCS_MIXTURE_SQL, sf_dir
+    )
+    return curate.docs_pack_sequences(sf_dir)
 
 
 def _month_quantiles_query(sf_dir: str):
@@ -461,7 +466,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_repetition": (_quality_repetition_query, tx.DOCS_REPETITION_SQL),
     "docs_split_stratified": (_fingerprint_split_query, curate.DOCS_SPLIT_SQL),
     "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),
-    "docs_sample_mixture": (_bpe_mixture_query, curate.DOCS_MIXTURE_SQL),
+    "docs_pack_sequences": (_bpe_mixture_pack_query, curate.DOCS_PACK_SQL),
     "docs_line_dedup": (_exact_line_dedup_query, curate.DOCS_LINE_DEDUP_SQL),
     # similarity search (SQL-checked)
     "emb_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_SQL),

@@ -216,3 +216,45 @@ def test_mixture_targets_and_envelope(ray_session):
     # determinism: the kept decision is a pure hash — rerun identical
     again = curate.docs_sample_mixture(sf).to_pandas()
     pd.testing.assert_frame_equal(roll, again)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed ordered prefix scan)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_pack_sequences_matches_duckdb_twin(ray_session, sf):
+    got = curate.docs_pack_sequences(sf).to_pandas().reset_index(drop=True)
+    want = _oracle(sf, curate.DOCS_PACK_SQL)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
+
+
+def test_pack_sequences_matches_sequential_bruteforce(ray_session):
+    sf = SFS[0]
+    got = curate.docs_pack_sequences(sf, seq_len=97).to_pandas()
+    docs = _docs_df(sf).sort_values("doc_id")
+    pos = 0
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        n = text.count(" ") + 1
+        rows.append((doc_id, n, pos, pos // 97, (pos + n) // 97, (pos + n) // 97 - pos // 97 + 1))
+        pos += n + 1  # doc tokens + EOD separator
+    want = pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "start_tok", "seq_first", "seq_last", "n_seqs"]
+    ).astype(np.int64).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_exact=True)
+
+
+def test_pack_sequences_stream_invariants(ray_session):
+    """Consecutive docs tile the token stream exactly (no gaps/overlaps),
+    chunk spans are consistent with the offsets, and the first doc starts
+    at 0 — the properties a resume/shard consumer relies on."""
+    out = curate.docs_pack_sequences(SFS[1]).to_pandas().sort_values("doc_id")
+    start = out["start_tok"].to_numpy()
+    n = out["n_tokens"].to_numpy()
+    assert start[0] == 0
+    assert (start[1:] == start[:-1] + n[:-1] + 1).all()
+    assert (out["seq_first"] == start // curate.SEQ_LEN).all()
+    assert (out["seq_last"] == (start + n) // curate.SEQ_LEN).all()
+    assert (out["n_seqs"] >= 1).all()
