@@ -56,6 +56,7 @@ OP_QUERIES = [
     "docs_decontaminate",
     "orders_price_quantiles",
     "docs_pack_sequences",
+    "emb_semantic_dedup",
 ]
 
 
@@ -67,6 +68,7 @@ def _op_extra():
     from pdf_extractors_ray.ops import dedup as _dd
     from pdf_extractors_ray.ops import events as _ev
     from pdf_extractors_ray.ops import relational as _rl
+    from pdf_extractors_ray.ops import similarity as _sm
     from pdf_extractors_ray.ops import text as _tx
 
     return {
@@ -82,6 +84,7 @@ def _op_extra():
         "docs_decontaminate": _cu.docs_decontaminate,
         "orders_price_quantiles": _rl.orders_price_quantiles,
         "docs_pack_sequences": _cu.docs_pack_sequences,
+        "emb_semantic_dedup": _sm.emb_semantic_dedup,
     }
 
 

@@ -451,3 +451,126 @@ def ivf_knn(sf_dir: str, k: int = 5, n_queries: int = 10, n_lists: int = 8, npro
         return g
 
     return partial.groupby("query_id").map_groups(topk, batch_format="pandas").sort(["query_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: LSH buckets + exact cosine threshold
+
+
+SEMDEDUP_TAU_PPM = 400_000
+
+
+def emb_semantic_dedup(sf_dir: str, tau_ppm: int = SEMDEDUP_TAU_PPM, n_bits: int | None = None):
+    """Embedding-space near-duplicate removal (the SemDeDup shape, with the
+    LSH bucket standing in for the k-means cluster): a vector is a
+    duplicate iff an EARLIER vector (smaller ``vec_id``) in its signature
+    bucket has cosine similarity ≥ ``tau_ppm`` — first-occurrence-wins,
+    the same keep rule as line dedup lifted to embeddings. Emits one row
+    per vector: its bucket, the dup flag and its representative (the
+    earliest similar bucket neighbor, itself when kept).
+
+    Determinism / oracle parity: bucket assignment uses the
+    integer-quantized signature (provably bit-identical in DuckDB, see
+    ``lsh_signature``); the within-bucket cosine follows the long-green
+    ppm recipe of ``KNN_SQL`` / ``EMB_DUP_PAIRS_SQL``.
+
+    Scale shape: signature width grows with corpus size
+    (``_derive_n_bits``) so buckets hold ~128 vectors; buckets hash into
+    ~2×CPU coarse shards (one ``map_groups`` per SHARD, not per bucket —
+    Ray's per-group overhead is paid per shard) and each bucket costs one
+    b×b matmul. Like all LSH methods this trades recall for never
+    comparing across buckets — cross-bucket near-dups are the documented
+    miss; ``emb_dup_pairs`` is the exact quadratic check."""
+    import ray
+
+    from .common import _default_buckets
+
+    ds = _emb(sf_dir, columns=["vec_id", "embedding"])
+    if n_bits is None:
+        n_bits = _derive_n_bits(ds.count())
+    if n_bits > _SQL_MAX_BITS:
+        raise ValueError(
+            f"n_bits={n_bits} exceeds the {_SQL_MAX_BITS}-plane EMB_SEMANTIC_DEDUP_SQL "
+            "twin; widen _planes_sql_literal() alongside"
+        )
+    planes_ref = ray.put(_hyperplanes(n_bits))
+    nb = _default_buckets()
+
+    def sign(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = lsh_signature(_matrix(batch), ray.get(planes_ref))
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "bucket": sig,
+                "embedding": list(batch["embedding"]),
+                "__s": (pd.util.hash_array(sig) % nb).astype(np.int64),
+            }
+        )
+
+    def shard_fold(shard: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for bucket, g in shard.groupby("bucket", sort=False):
+            g = g.sort_values("vec_id", kind="mergesort")
+            ids = g["vec_id"].to_numpy(np.int64)
+            m = _matrix(g)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sim_ppm = np.floor(mn @ mn.T * 1e6 + 0.5).astype(np.int64)
+            # ids ascend within the bucket, so the strict lower triangle is
+            # exactly the "earlier neighbor" relation
+            hit = np.tril(sim_ppm >= tau_ppm, -1)
+            any_hit = hit.any(axis=1)
+            # first True per row = smallest similar vec_id (columns ascend)
+            rep = np.where(any_hit, ids[hit.argmax(axis=1)], ids)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "bucket": np.full(len(ids), bucket, dtype=np.int64),
+                        "is_dup": any_hit.astype(np.int64),
+                        "rep_id": rep,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    signed = ds.map_batches(sign, batch_format="pandas")
+    return signed.groupby("__s").map_groups(shard_fold, batch_format="pandas").sort("vec_id")
+
+
+EMB_SEMANTIC_DEDUP_SQL = f"""
+WITH nb AS (
+    SELECT CASE WHEN COUNT(*) <= 128 THEN 4
+                ELSE GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 128.0)) AS BIGINT)) END AS n_bits
+    FROM embeddings
+),
+planes(bit, coeffs) AS (VALUES
+    {_planes_sql_literal()}
+),
+qe AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           list_transform(embedding::DOUBLE[], x -> FLOOR(x * 1048576.0 + 0.5)) AS qemb
+    FROM embeddings
+),
+sig AS (
+    SELECT e.vec_id,
+           CAST(SUM(CASE WHEN list_inner_product(e.qemb, p.coeffs) > 0
+                         THEN (1::BIGINT << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+    FROM qe e JOIN planes p ON p.bit < (SELECT n_bits FROM nb)
+    GROUP BY e.vec_id
+),
+hits AS (
+    SELECT i.vec_id, MIN(j.vec_id) AS rep_min
+    FROM sig i
+    JOIN sig j ON i.bucket = j.bucket AND j.vec_id < i.vec_id
+    JOIN qe ie ON ie.vec_id = i.vec_id
+    JOIN qe je ON je.vec_id = j.vec_id
+    WHERE CAST(FLOOR(list_cosine_similarity(ie.emb, je.emb) * 1000000 + 0.5) AS BIGINT)
+          >= {SEMDEDUP_TAU_PPM}
+    GROUP BY i.vec_id
+)
+SELECT s.vec_id, s.bucket,
+       CAST(CASE WHEN h.rep_min IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+       COALESCE(h.rep_min, s.vec_id) AS rep_id
+FROM sig s LEFT JOIN hits h ON h.vec_id = s.vec_id
+ORDER BY s.vec_id
+"""

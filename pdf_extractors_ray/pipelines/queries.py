@@ -202,6 +202,23 @@ def _month_quantiles_query(sf_dir: str):
     return relational.orders_price_quantiles(sf_dir)
 
 
+def _emb_dedup_query(sf_dir: str):
+    """SemDeDup-style semantic dedup AND the exact quadratic dup-pair scan
+    in one driver slot. Forced gate: ``emb_dup_pairs`` (block-pair cosine
+    ≥ threshold) stays fully hash-checked via the in-query twin gate.
+    RECORDED result: ``emb_semantic_dedup`` — LSH-bucketed
+    first-occurrence-wins embedding dedup with integer-quantized bucket
+    assignment, pinned to its own DuckDB twin."""
+    _assert_sql_twin(
+        "emb_dup_pairs",
+        similarity.emb_dup_pairs(sf_dir),
+        similarity.EMB_DUP_PAIRS_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    return similarity.emb_semantic_dedup(sf_dir)
+
+
 def _invoice_query(sf_dir: str):
     """Invoice fold — runs BOTH the plain grouped fold and the salted
     hot-conversation variant (M27 precedence + cross-window LOCF) and
@@ -470,7 +487,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_line_dedup": (_exact_line_dedup_query, curate.DOCS_LINE_DEDUP_SQL),
     # similarity search (SQL-checked)
     "emb_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_SQL),
-    "emb_dup_pairs": (similarity.emb_dup_pairs, similarity.EMB_DUP_PAIRS_SQL),
+    "emb_semantic_dedup": (_emb_dedup_query, similarity.EMB_SEMANTIC_DEDUP_SQL),
     # extraction-kernel surrogates (SQL-checked): the per-turn extraction
     # kernels AND the invoice fold pinned to DuckDB over rendered inputs
     # (ops/surrogate.py)

@@ -326,3 +326,62 @@ def test_media_pipeline_matches_individual_stages(ray_session):
     assert list(u_thumb["sha"]) == list(thumbs.sort_values("doc_id")["thumb_sha"])
     u_frame = uni[uni["kind"] == "frame"].sort_values(["doc_id", "idx"])
     assert list(u_frame["sha"]) == list(frames.sort_values(["doc_id", "frame_idx"])["frame_sha"])
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup shape over LSH buckets)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_semantic_dedup_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    engine = similarity.emb_semantic_dedup(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    oracle = con.sql(similarity.EMB_SEMANTIC_DEDUP_SQL).df()
+    pd.testing.assert_frame_equal(engine, oracle, check_dtype=True, check_exact=True)
+    assert engine["is_dup"].sum() > 0  # the synthetic corpus plants near-dups
+
+
+def test_semantic_dedup_matches_bruteforce(ray_session, tmp_path):
+    """Pairwise double-loop reference over a random corpus with planted
+    exact and near duplicates: the distributed result must agree row for
+    row on flags and representatives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 64).astype(np.float32)
+    base[13] = base[2]  # exact duplicate, later id flagged
+    base[44] = base[2] + 1e-4 * rng.randn(64).astype(np.float32)  # near dup
+    base[45] = -base[7]  # anti-parallel: similar bucket NOT similar cosine
+    df = pd.DataFrame(
+        {"vec_id": np.arange(60, dtype=np.int64), "embedding": list(base), "label": np.int32(0)}
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "embeddings.parquet"))
+
+    got = similarity.emb_semantic_dedup(str(tmp_path)).to_pandas().sort_values("vec_id")
+
+    n_bits = similarity._derive_n_bits(60)
+    planes = similarity._hyperplanes(n_bits)
+    m = base.astype(np.float64)
+    sig = similarity.lsh_signature(m, planes)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for i in range(60):
+        rep, dup = i, 0
+        for j in range(i):
+            if sig[j] != sig[i]:
+                continue
+            sim = int(np.floor(mn[i] @ mn[j] * 1e6 + 0.5))
+            if sim >= similarity.SEMDEDUP_TAU_PPM:
+                rep, dup = min(rep if dup else j, j), 1
+        row = got.iloc[i]
+        assert row["vec_id"] == i and row["bucket"] == sig[i]
+        assert row["is_dup"] == dup and row["rep_id"] == rep, (i, dup, rep, dict(row))
+    # the planted pairs must actually be caught
+    gd = got.set_index("vec_id")
+    assert gd.loc[13, "is_dup"] == 1 and gd.loc[13, "rep_id"] == 2
+    assert gd.loc[44, "is_dup"] == 1 and gd.loc[44, "rep_id"] == 2
+    assert gd.loc[45, "is_dup"] == 0  # anti-parallel never passes the cosine
