@@ -57,6 +57,7 @@ OP_QUERIES = [
     "orders_price_quantiles",
     "docs_pack_sequences",
     "emb_semantic_dedup",
+    "docs_tfidf",
 ]
 
 
@@ -85,6 +86,7 @@ def _op_extra():
         "orders_price_quantiles": _rl.orders_price_quantiles,
         "docs_pack_sequences": _cu.docs_pack_sequences,
         "emb_semantic_dedup": _sm.emb_semantic_dedup,
+        "docs_tfidf": _tx.docs_tfidf,
     }
 
 

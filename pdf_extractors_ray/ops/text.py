@@ -497,3 +497,168 @@ ORDER BY d.doc_id
 
 
 DOCS_LANGID_SQL = _langid_sql()
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms (corpus DF pass + skew-aware join)
+
+
+TFIDF_K = 3
+TFIDF_HEAVY_K = 1024
+
+
+def docs_tfidf(sf_dir: str, k: int = TFIDF_K, heavy_k: int = TFIDF_HEAVY_K):
+    """Top-``k`` most distinctive terms per document scored by
+    ``score_ppm = tf * 1e6 // df`` (term frequency over document
+    frequency, integer floor division — exact on both engines; ties break
+    token-ascending).
+
+    Scale shape — the full TF-IDF dataflow with the skew handled
+    explicitly:
+
+    1. one pass explodes each doc into DISTINCT (doc_id, token, tf) rows
+       (tf resolved within the row's own batch — a doc is one row),
+    2. the document-frequency table comes from per-batch partials through
+       the bucketed combine (what a hot token moves is one partial row per
+       batch, never one per occurrence),
+    3. the dfs of the ``heavy_k`` most frequent tokens (the 'the'/'and'
+       head of the Zipf curve — exactly the keys that would put billions
+       of rows into ONE join group at 100 TB) are broadcast once via
+       ``ray.put`` and attached map-side; only the long tail, where each
+       key is rare by construction, goes through the hash-bucketed
+       cogroup join,
+    4. per-doc top-k folds inside doc-hash buckets (groups stay
+       vocabulary-of-one-doc sized).
+    """
+    import ray
+
+    from .common import _default_buckets, bucketed_group_agg, cogroup_join
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = batch["text"].str.split(" ").explode()
+        e = pd.DataFrame({"i": tok.index.to_numpy(np.int64), "token": tok.to_numpy(object)})
+        g = e.groupby(["i", "token"], sort=False).size().reset_index(name="tf")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[g["i"].to_numpy()],
+                "token": g["token"],
+                "tf": g["tf"].to_numpy(np.int64),
+            }
+        )
+
+    # (doc, token, tf) rows are ints + one token string per DISTINCT term:
+    # far smaller than the text; materialized so the df pass and the join
+    # don't re-explode the corpus twice
+    tf_ds = ds.map_batches(tf_rows, batch_format="pandas").materialize()
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["token"].value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(object), "df": vc.to_numpy(np.int64)})
+
+    df_ds = bucketed_group_agg(
+        tf_ds.map_batches(df_partial, batch_format="pandas"), ["token"], {"df": "sum"}
+    ).materialize()
+
+    def prune_heavy(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["df", "token"], ascending=[False, True], kind="mergesort").head(
+            heavy_k
+        )
+
+    if heavy_k > 0:
+        heavy_df = (
+            df_ds.map_batches(prune_heavy, batch_format="pandas")
+            .repartition(1)
+            .map_batches(prune_heavy, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
+        heavy_map = dict(zip(heavy_df["token"], heavy_df["df"].astype(np.int64)))
+    else:  # all-tail reference path (exercised by the split-equivalence test)
+        heavy_map = {}
+    heavy_ref = ray.put(heavy_map)
+
+    def attach_heavy(batch: pd.DataFrame) -> pd.DataFrame:
+        hm = ray.get(heavy_ref)  # zero-copy local dict fetch
+        out = batch.copy()
+        out["df"] = out["token"].map(hm).astype("Int64")
+        return out
+
+    tagged = tf_ds.map_batches(attach_heavy, batch_format="pandas")
+
+    def heavy_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch[batch["df"].notna()]
+        return pd.DataFrame(
+            {
+                "doc_id": h["doc_id"].to_numpy(np.int64),
+                "token": h["token"],
+                "tf": h["tf"].to_numpy(np.int64),
+                "df": h["df"].to_numpy(np.int64),
+            }
+        )
+
+    def tail_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["df"].isna()][["doc_id", "token", "tf"]]
+
+    heavy_part = tagged.map_batches(heavy_rows, batch_format="pandas")
+
+    def tail_df(batch: pd.DataFrame) -> pd.DataFrame:
+        hm = ray.get(heavy_ref)
+        return batch[~batch["token"].isin(hm)]
+
+    joined_tail = cogroup_join(
+        tagged.map_batches(tail_rows, batch_format="pandas"),
+        df_ds.map_batches(tail_df, batch_format="pandas"),
+        left_on="token",
+        right_on="token",
+        left_cols=["doc_id", "token", "tf"],
+        right_cols=["df"],
+    )
+
+    nb = _default_buckets()
+
+    def add_doc_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        for c in ("doc_id", "tf", "df"):
+            out[c] = out[c].astype(np.int64)
+        out["__b"] = (pd.util.hash_array(out["doc_id"].to_numpy()) % nb).astype(np.int64)
+        out["score_ppm"] = out["tf"].to_numpy() * 1_000_000 // out["df"].to_numpy()
+        return out
+
+    both = heavy_part.union(joined_tail).map_batches(add_doc_bucket, batch_format="pandas")
+
+    def topk(shard: pd.DataFrame) -> pd.DataFrame:
+        s = shard.sort_values(
+            ["doc_id", "score_ppm", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        s = s.groupby("doc_id", sort=False).head(k)
+        s["rank"] = s.groupby("doc_id", sort=False).cumcount().to_numpy(np.int64) + 1
+        return s[["doc_id", "token", "tf", "df", "score_ppm", "rank"]]
+
+    return both.groupby("__b").map_groups(topk, batch_format="pandas").sort(["doc_id", "rank"])
+
+
+DOCS_TFIDF_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+),
+ranked AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           tf.tf * 1000000 // df.df AS score_ppm,
+           ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * 1000000 // df.df DESC, tf.token ASC
+           ) AS rank
+    FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, df, score_ppm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TFIDF_K}
+ORDER BY doc_id, rank
+"""

@@ -160,14 +160,18 @@ def _langid_decontaminate_query(sf_dir: str):
     return curate.docs_decontaminate(sf_dir)
 
 
-def _quality_repetition_query(sf_dir: str):
-    """Gopher-style repetition signals AND the quality scorer in one
-    driver slot. Forced gate: ``docs_quality`` stays fully hash-checked
-    via the in-query twin gate. RECORDED result: ``docs_repetition`` —
-    top token/bigram fractions and duplicate-token fraction, ppm
-    fixed-point, deterministic tie-breaks."""
+def _quality_repetition_tfidf_query(sf_dir: str):
+    """TF-IDF distinctive terms AND the Gopher repetition signals AND the
+    quality scorer in one driver slot. Forced gates: ``docs_quality`` and
+    ``docs_repetition`` stay fully hash-checked via in-query twin gates.
+    RECORDED result: ``docs_tfidf`` — per-doc top-k terms by
+    tf·1e6//df with the corpus-DF pass bucketed and the Zipf-head dfs
+    broadcast map-side (only the long tail shuffles through the join)."""
     _assert_sql_twin("docs_quality", tx.docs_quality(sf_dir), tx.DOCS_QUALITY_SQL, sf_dir)
-    return tx.docs_repetition(sf_dir)
+    _assert_sql_twin(
+        "docs_repetition", tx.docs_repetition(sf_dir), tx.DOCS_REPETITION_SQL, sf_dir
+    )
+    return tx.docs_tfidf(sf_dir)
 
 
 def _bpe_mixture_pack_query(sf_dir: str):
@@ -480,7 +484,7 @@ REGISTRY: dict[str, tuple] = {
     "events_sliding": (_sliding_asof_query, events.EVENTS_SLIDING_SQL),
     # text analysis (SQL-checked where expressible)
     "docs_top_tokens": (_token_stats_top_query, tx.DOCS_TOP_TOKENS_SQL),
-    "docs_repetition": (_quality_repetition_query, tx.DOCS_REPETITION_SQL),
+    "docs_tfidf": (_quality_repetition_tfidf_query, tx.DOCS_TFIDF_SQL),
     "docs_split_stratified": (_fingerprint_split_query, curate.DOCS_SPLIT_SQL),
     "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),
     "docs_pack_sequences": (_bpe_mixture_pack_query, curate.DOCS_PACK_SQL),

@@ -258,3 +258,50 @@ def test_pack_sequences_stream_invariants(ray_session):
     assert (out["seq_first"] == start // curate.SEQ_LEN).all()
     assert (out["seq_last"] == (start + n) // curate.SEQ_LEN).all()
     assert (out["n_seqs"] >= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms (skew-aware DF join)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_tfidf_matches_duckdb_twin(ray_session, sf):
+    got = tx.docs_tfidf(sf).to_pandas().reset_index(drop=True)
+    want = _oracle(sf, tx.DOCS_TFIDF_SQL)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
+
+
+def test_tfidf_heavy_and_tail_paths_agree(ray_session):
+    """The broadcast Zipf-head shortcut must be invisible in the result:
+    forcing every token through the cogroup join (heavy_k=0) and forcing
+    every token through the broadcast map (heavy_k >> vocab) both equal
+    the default mixed path."""
+    sf = SFS[0]
+    default = tx.docs_tfidf(sf).to_pandas().reset_index(drop=True)
+    all_tail = tx.docs_tfidf(sf, heavy_k=0).to_pandas().reset_index(drop=True)
+    all_heavy = tx.docs_tfidf(sf, heavy_k=10**9).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(default, all_tail, check_dtype=True, check_exact=True)
+    pd.testing.assert_frame_equal(default, all_heavy, check_dtype=True, check_exact=True)
+
+
+def test_tfidf_matches_counter_bruteforce(ray_session):
+    """Pure-Python Counter reference over the raw docs: per-doc tf, global
+    df, integer score, (score desc, token asc) top-3."""
+    from collections import Counter
+
+    sf = SFS[0]
+    docs = _docs_df(sf)
+    tf = {r.doc_id: Counter(r.text.split(" ")) for r in docs.itertuples()}
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    got = tx.docs_tfidf(sf).to_pandas()
+    for doc_id, grp in got.groupby("doc_id"):
+        scored = sorted(
+            ((t, n, df[t], n * 1_000_000 // df[t]) for t, n in tf[doc_id].items()),
+            key=lambda x: (-x[3], x[0]),
+        )[: tx.TFIDF_K]
+        want = [(t, n, d, s) for t, n, d, s in scored]
+        have = list(zip(grp["token"], grp["tf"], grp["df"], grp["score_ppm"]))
+        assert have == want, (doc_id, have[:3], want[:3])
