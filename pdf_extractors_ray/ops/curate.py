@@ -622,3 +622,74 @@ SELECT doc_id, n_tokens, start_tok,
 FROM s
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-source reservoir sampling (exact-k via hash ranking)
+
+
+RESERVOIR_K = 10
+RES_SALT = "res:"
+
+
+def docs_reservoir_sample(sf_dir: str, k: int = RESERVOIR_K):
+    """Exactly ``k`` documents per source (fewer when the source is
+    smaller), selected as the k smallest salted-md5 hashes — a
+    deterministic reservoir: the sample is stable under re-partitioning,
+    resume and corpus append-order, and mergeable (each block's k
+    smallest per source provably contain the global k smallest, the same
+    partial-minima argument as the KMV sketch). Complements
+    ``docs_sample_mixture``: that op keeps a RATE per source, this one an
+    exact COUNT.
+
+    Scale shape: per-batch prune to ≤k rows per source (vectorized sort +
+    grouped head), so the shuffle moves ≤ k·sources rows per batch; the
+    final per-source fold sees ≤ k·n_batches tiny rows."""
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "source": batch["source"],
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "res_hash": np.fromiter(
+                    (
+                        int(hashlib.md5((RES_SALT + str(int(i))).encode()).hexdigest()[:15], 16)
+                        for i in batch["doc_id"]
+                    ),
+                    dtype=np.int64,
+                    count=len(batch),
+                ),
+            }
+        )
+        out = out.sort_values(["source", "res_hash", "doc_id"], kind="mergesort")
+        return out.groupby("source", sort=False).head(k)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["res_hash", "doc_id"], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "doc_id", "res_hash", "rank"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(fold, batch_format="pandas")
+        .sort(["source", "rank"])
+    )
+
+
+DOCS_RESERVOIR_SQL = f"""
+WITH a AS (
+    SELECT source, doc_id,
+           ('0x' || substr(md5('{RES_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS res_hash
+    FROM documents
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY res_hash, doc_id) AS rank
+    FROM a
+)
+SELECT source, doc_id, res_hash, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {RESERVOIR_K}
+ORDER BY source, rank
+"""

@@ -97,16 +97,24 @@ def _keyword_redact_query(sf_dir: str):
     return curate.docs_redact(sf_dir)
 
 
-def _fingerprint_split_query(sf_dir: str):
-    """Deterministic train/val/test split AND the md5 fingerprint in one
-    driver slot. Forced gate: ``docs_fingerprint`` stays fully
-    hash-checked via the in-query twin gate. RECORDED result: the
-    stratified (lang, split) doc/token rollup of the md5-hash split —
-    the same md5 hex-parse construct the KMV twin pins."""
+def _fingerprint_split_reservoir_query(sf_dir: str):
+    """Deterministic per-source reservoir sampling AND the train/val/test
+    split AND the md5 fingerprint in one driver slot. Forced gates:
+    ``docs_fingerprint`` and ``docs_split_stratified`` stay fully
+    hash-checked via in-query twin gates. RECORDED result:
+    ``docs_reservoir_sample`` — exact-k-per-source hash-ranked sampling
+    (mergeable partial top-k, stable under re-partitioning), pinned to a
+    ROW_NUMBER DuckDB twin."""
     _assert_sql_twin(
         "docs_fingerprint", tx.docs_fingerprint(sf_dir), tx.DOCS_FINGERPRINT_SQL, sf_dir
     )
-    return curate.docs_split_stratified(sf_dir)
+    _assert_sql_twin(
+        "docs_split_stratified",
+        curate.docs_split_stratified(sf_dir),
+        curate.DOCS_SPLIT_SQL,
+        sf_dir,
+    )
+    return curate.docs_reservoir_sample(sf_dir)
 
 
 def _token_stats_top_query(sf_dir: str):
@@ -485,7 +493,7 @@ REGISTRY: dict[str, tuple] = {
     # text analysis (SQL-checked where expressible)
     "docs_top_tokens": (_token_stats_top_query, tx.DOCS_TOP_TOKENS_SQL),
     "docs_tfidf": (_quality_repetition_tfidf_query, tx.DOCS_TFIDF_SQL),
-    "docs_split_stratified": (_fingerprint_split_query, curate.DOCS_SPLIT_SQL),
+    "docs_reservoir_sample": (_fingerprint_split_reservoir_query, curate.DOCS_RESERVOIR_SQL),
     "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),
     "docs_pack_sequences": (_bpe_mixture_pack_query, curate.DOCS_PACK_SQL),
     "docs_line_dedup": (_exact_line_dedup_query, curate.DOCS_LINE_DEDUP_SQL),

@@ -305,3 +305,44 @@ def test_tfidf_matches_counter_bruteforce(ray_session):
         want = [(t, n, d, s) for t, n, d, s in scored]
         have = list(zip(grp["token"], grp["tf"], grp["df"], grp["score_ppm"]))
         assert have == want, (doc_id, have[:3], want[:3])
+
+
+# ---------------------------------------------------------------------------
+# reservoir sampling (exact-k per source)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_reservoir_matches_duckdb_twin(ray_session, sf):
+    got = curate.docs_reservoir_sample(sf).to_pandas().reset_index(drop=True)
+    want = _oracle(sf, curate.DOCS_RESERVOIR_SQL)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
+
+
+def test_reservoir_exact_count_and_mergeability(ray_session):
+    """Each source yields exactly min(k, source size) rows; the sample is
+    the k globally smallest hashes per source (so per-batch pruning lost
+    nothing), and a different k re-derives a PREFIX of the same ranking."""
+    import hashlib as _h
+
+    sf = SFS[1]
+    out = curate.docs_reservoir_sample(sf).to_pandas()
+    docs = _docs_df(sf)
+    sizes = docs.groupby("source").size()
+    counts = out.groupby("source").size()
+    for src, n in sizes.items():
+        assert counts.get(src, 0) == min(curate.RESERVOIR_K, n)
+    # brute-force the winning set per source
+    docs = docs.assign(
+        h=[
+            int(_h.md5((curate.RES_SALT + str(int(i))).encode()).hexdigest()[:15], 16)
+            for i in docs["doc_id"]
+        ]
+    )
+    for src, grp in docs.groupby("source"):
+        want = grp.sort_values(["h", "doc_id"]).head(curate.RESERVOIR_K)["doc_id"].tolist()
+        have = out[out["source"] == src].sort_values("rank")["doc_id"].tolist()
+        assert have == want
+    smaller = curate.docs_reservoir_sample(sf, k=3).to_pandas()
+    merged = out[out["rank"] <= 3].reset_index(drop=True)
+    pd.testing.assert_frame_equal(smaller.reset_index(drop=True), merged, check_exact=True)
