@@ -58,6 +58,7 @@ OP_QUERIES = [
     "docs_pack_sequences",
     "emb_semantic_dedup",
     "docs_tfidf",
+    "docs_reservoir_sample",
 ]
 
 
@@ -87,6 +88,7 @@ def _op_extra():
         "docs_pack_sequences": _cu.docs_pack_sequences,
         "emb_semantic_dedup": _sm.emb_semantic_dedup,
         "docs_tfidf": _tx.docs_tfidf,
+        "docs_reservoir_sample": _cu.docs_reservoir_sample,
     }
 
 

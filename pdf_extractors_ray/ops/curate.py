@@ -140,14 +140,23 @@ ORDER BY doc_id
 DOCS_REDACT_SQL = _redact_sql()
 
 
-def _split_hash(doc_ids) -> np.ndarray:
-    """60-bit md5 prefix of the decimal doc_id, mod 100 — stable across
-    runs, machines and engines (no salted hashing)."""
+def _md5_hash15(doc_ids, salt: str = "") -> np.ndarray:
+    """60-bit md5 prefix of salt + decimal doc_id as int64 — the one
+    engine/oracle-shared hash construct behind the split, mixture and
+    reservoir ops (DuckDB mirror:
+    ``('0x' || substr(md5(salt || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT``,
+    the same hex-parse the KMV sketch twin pins)."""
     return np.fromiter(
-        (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16) % 100 for i in doc_ids),
+        (int(hashlib.md5((salt + str(int(i))).encode()).hexdigest()[:15], 16) for i in doc_ids),
         dtype=np.int64,
         count=len(doc_ids),
     )
+
+
+def _split_hash(doc_ids) -> np.ndarray:
+    """Split hash: md5 prefix of the bare decimal doc_id, mod 100 —
+    stable across runs, machines and engines."""
+    return _md5_hash15(doc_ids) % 100
 
 
 def split_labels(doc_ids) -> np.ndarray:
@@ -432,14 +441,7 @@ def _mix_target_pct(src_num: np.ndarray) -> np.ndarray:
 def _mix_hash(doc_ids) -> np.ndarray:
     """Same md5 hex-parse construct as the split hash, salted with 'mix:'
     so mixture membership is independent of the train/val/test split."""
-    return np.fromiter(
-        (
-            int(hashlib.md5((MIX_SALT + str(int(i))).encode()).hexdigest()[:15], 16) % 100
-            for i in doc_ids
-        ),
-        dtype=np.int64,
-        count=len(doc_ids),
-    )
+    return _md5_hash15(doc_ids, MIX_SALT) % 100
 
 
 def docs_sample_mixture(sf_dir: str):
@@ -652,14 +654,7 @@ def docs_reservoir_sample(sf_dir: str, k: int = RESERVOIR_K):
             {
                 "source": batch["source"],
                 "doc_id": batch["doc_id"].to_numpy(np.int64),
-                "res_hash": np.fromiter(
-                    (
-                        int(hashlib.md5((RES_SALT + str(int(i))).encode()).hexdigest()[:15], 16)
-                        for i in batch["doc_id"]
-                    ),
-                    dtype=np.int64,
-                    count=len(batch),
-                ),
+                "res_hash": _md5_hash15(batch["doc_id"], RES_SALT),
             }
         )
         out = out.sort_values(["source", "res_hash", "doc_id"], kind="mergesort")

@@ -537,6 +537,7 @@ def docs_tfidf(sf_dir: str, k: int = TFIDF_K, heavy_k: int = TFIDF_HEAVY_K):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)  # explode() indices must be positional
         tok = batch["text"].str.split(" ").explode()
         e = pd.DataFrame({"i": tok.index.to_numpy(np.int64), "token": tok.to_numpy(object)})
         g = e.groupby(["i", "token"], sort=False).size().reset_index(name="tf")
@@ -578,36 +579,34 @@ def docs_tfidf(sf_dir: str, k: int = TFIDF_K, heavy_k: int = TFIDF_HEAVY_K):
         heavy_map = {}
     heavy_ref = ray.put(heavy_map)
 
-    def attach_heavy(batch: pd.DataFrame) -> pd.DataFrame:
-        hm = ray.get(heavy_ref)  # zero-copy local dict fetch
-        out = batch.copy()
-        out["df"] = out["token"].map(hm).astype("Int64")
-        return out
-
-    tagged = tf_ds.map_batches(attach_heavy, batch_format="pandas")
-
+    # heavy/tail split computed directly on the materialized tf table —
+    # both branches are cheap filters, so no shared tagging stage (an
+    # un-materialized intermediate would re-execute once per consumer:
+    # Ray Data plans are trees, not DAGs)
     def heavy_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch[batch["df"].notna()]
+        hm = ray.get(heavy_ref)  # zero-copy local dict fetch
+        h = batch[batch["token"].isin(hm)]
         return pd.DataFrame(
             {
                 "doc_id": h["doc_id"].to_numpy(np.int64),
                 "token": h["token"],
                 "tf": h["tf"].to_numpy(np.int64),
-                "df": h["df"].to_numpy(np.int64),
+                "df": h["token"].map(hm).to_numpy(np.int64),
             }
         )
 
     def tail_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["df"].isna()][["doc_id", "token", "tf"]]
+        hm = ray.get(heavy_ref)
+        return batch[~batch["token"].isin(hm)][["doc_id", "token", "tf"]]
 
-    heavy_part = tagged.map_batches(heavy_rows, batch_format="pandas")
+    heavy_part = tf_ds.map_batches(heavy_rows, batch_format="pandas")
 
     def tail_df(batch: pd.DataFrame) -> pd.DataFrame:
         hm = ray.get(heavy_ref)
         return batch[~batch["token"].isin(hm)]
 
     joined_tail = cogroup_join(
-        tagged.map_batches(tail_rows, batch_format="pandas"),
+        tf_ds.map_batches(tail_rows, batch_format="pandas"),
         df_ds.map_batches(tail_df, batch_format="pandas"),
         left_on="token",
         right_on="token",

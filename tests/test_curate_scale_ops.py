@@ -281,8 +281,15 @@ def test_tfidf_heavy_and_tail_paths_agree(ray_session):
     default = tx.docs_tfidf(sf).to_pandas().reset_index(drop=True)
     all_tail = tx.docs_tfidf(sf, heavy_k=0).to_pandas().reset_index(drop=True)
     all_heavy = tx.docs_tfidf(sf, heavy_k=10**9).to_pandas().reset_index(drop=True)
+    # the synthetic vocab (31 tokens) is smaller than the default heavy_k,
+    # so the default path is all-heavy; heavy_k=10 forces a GENUINE mixed
+    # split (10 broadcast + 21 joined) — the boundary the op exists for
+    vocab = len(set(" ".join(_docs_df(sf)["text"]).split(" ")))
+    assert 10 < vocab, "mixed-split leg needs heavy_k < vocabulary size"
+    mixed = tx.docs_tfidf(sf, heavy_k=10).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(default, all_tail, check_dtype=True, check_exact=True)
     pd.testing.assert_frame_equal(default, all_heavy, check_dtype=True, check_exact=True)
+    pd.testing.assert_frame_equal(default, mixed, check_dtype=True, check_exact=True)
 
 
 def test_tfidf_matches_counter_bruteforce(ray_session):
