@@ -100,7 +100,8 @@ def broadcast(obj):
 def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
                  left_cols: list[str], right_cols: list[str],
                  dedup_left: list[str] | None = None,
-                 n_buckets: int | None = None):
+                 n_buckets: int | None = None,
+                 how: str = "inner"):
     """Sparse-safe inner join via union + hash-BUCKETED cogroup.
 
     ``Dataset.join`` (Ray 2.49 hash-shuffle) crashes with ArrowInvalid when
@@ -128,7 +129,15 @@ def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
     this is an exact global dedup fused into the join's shuffle (all rows
     with one key co-locate), saving the separate aggregation barrier a
     caller would otherwise need.
+
+    ``how``: ``"inner"`` (default), ``"left"`` (unmatched left rows kept
+    with null right columns — numeric right columns float64-promote, as
+    with interleaved nulls above), or ``"anti"`` (left rows whose key has
+    NO right row; output carries ``left_cols`` only — the distributed
+    NOT-EXISTS shape, same one shuffle as the inner join).
     """
+    if how not in ("inner", "left", "anti"):
+        raise ValueError(f"how={how!r}: expected 'inner', 'left' or 'anti'")
     import pyarrow as pa
 
     nb = n_buckets or _default_buckets()
@@ -173,14 +182,21 @@ def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
     lsel = [f"__l_{c}" for c in left_cols]
     rsel = [f"__r_{c}" for c in right_cols]
 
+    out_cols = left_cols if how == "anti" else left_cols + right_cols
+
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         lf = group[group["__side"] == 0]
         rf = group[group["__side"] == 1]
-        if lf.empty or rf.empty:
-            return pd.DataFrame({c: [] for c in left_cols + right_cols})
+        if lf.empty or (rf.empty and how == "inner"):
+            return pd.DataFrame({c: [] for c in out_cols})
         if dedup_left:
             lf = lf.drop_duplicates(["__key", *(f"__l_{c}" for c in dedup_left)])
-        out = lf[["__key", *lsel]].merge(rf[["__key", *rsel]], on="__key")
+        if how == "anti":
+            keep = lf[~lf["__key"].isin(rf["__key"].unique())]
+            return keep[lsel].rename(columns=dict(zip(lsel, left_cols)))
+        out = lf[["__key", *lsel]].merge(
+            rf[["__key", *rsel]], on="__key", how="left" if how == "left" else "inner"
+        )
         out = out.drop(columns=["__key"])
         return out.rename(columns=dict(zip(lsel + rsel, left_cols + right_cols)))
 

@@ -585,3 +585,106 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+def q22_antijoin_nation(sf_dir: str, priority: str = "1-URGENT"):
+    """TPC-H Q22 shape adapted to the synthetic schema: customers whose
+    balance is above the average POSITIVE balance and who have placed NO
+    ``priority`` order, rolled up per nation (customer count + total
+    balance in cents). Exercises the distributed ANTI join (NOT EXISTS) —
+    the synthetic generator gives every customer at least one order, so
+    the right side is the pruned+filtered urgent-order key column, which
+    keeps the anti join selective at every sf.
+
+    Exactness: the above-average comparison is integer cross-multiplied
+    (``bal_cents * n_pos > sum_pos_cents``) so no float average crosses
+    an engine boundary. Scale shape: the (sum, count) of positive
+    balances is a two-int rollup broadcast map-side; the anti join is
+    the one hash-bucketed cogroup exchange (orders pruned to the key
+    column); the nation rollup is a bucketed grouped sum."""
+    import ray
+
+    from .common import cogroup_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bal = cents(batch["c_acctbal"].to_numpy())
+        pos = bal[batch["c_acctbal"].to_numpy() > 0]
+        return pd.DataFrame({"s": [pos.sum()], "n": [len(pos)]})
+
+    totals = cust.map_batches(pos_partial, batch_format="pandas").to_pandas()
+    s, n = int(totals["s"].sum()), int(totals["n"].sum())
+    thresh_ref = ray.put((s, n))
+
+    def rich(batch: pd.DataFrame) -> pd.DataFrame:
+        s_, n_ = ray.get(thresh_ref)
+        bal = cents(batch["c_acctbal"].to_numpy())
+        keep = bal * n_ > s_
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"].to_numpy(np.int64)[keep],
+                "c_nationkey": batch["c_nationkey"].to_numpy(np.int64)[keep],
+                "bal_cents": bal[keep],
+            }
+        )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == priority,
+    )
+    no_orders = cogroup_join(
+        cust.map_batches(rich, batch_format="pandas"),
+        orders,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        left_cols=["c_nationkey", "bal_cents"],
+        right_cols=[],
+        how="anti",
+    )
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": batch["c_nationkey"].to_numpy(np.int64),
+                "numcust": np.ones(len(batch), dtype=np.int64),
+                "totacctbal_cents": batch["bal_cents"].to_numpy(np.int64),
+            }
+        )
+
+    return grouped_sums(
+        no_orders.map_batches(to_int, batch_format="pandas"),
+        ["c_nationkey"],
+        ["numcust", "totacctbal_cents"],
+    ).sort("c_nationkey")
+
+
+Q22_SQL = """
+WITH bal AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents,
+           c_acctbal > 0 AS pos
+    FROM customer
+),
+agg AS (
+    SELECT CAST(SUM(CASE WHEN pos THEN bal_cents ELSE 0 END) AS BIGINT) AS s,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n
+    FROM bal
+),
+no_ord AS (
+    SELECT b.c_nationkey, b.bal_cents
+    FROM bal b, agg
+    WHERE b.bal_cents * agg.n > agg.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = b.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM no_ord
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

@@ -231,6 +231,24 @@ def _emb_dedup_query(sf_dir: str):
     return similarity.emb_semantic_dedup(sf_dir)
 
 
+def _custbal_antijoin_query(sf_dir: str):
+    """Distributed ANTI join (TPC-H Q22 shape) AND the balance top-k in
+    one driver slot. Forced gate: ``customer_topk_balance`` stays fully
+    hash-checked via the in-query twin gate. RECORDED result:
+    ``q22_antijoin_nation`` — above-average-positive-balance customers
+    with no urgent order, per nation; the NOT-EXISTS runs as the
+    hash-bucketed cogroup anti join and the average comparison is
+    integer cross-multiplied."""
+    _assert_sql_twin(
+        "customer_topk_balance",
+        relational.customer_topk_balance(sf_dir),
+        relational.CUSTOMER_TOPK_SQL,
+        sf_dir,
+        tables=("customer",),
+    )
+    return relational.q22_antijoin_nation(sf_dir)
+
+
 def _invoice_query(sf_dir: str):
     """Invoice fold — runs BOTH the plain grouped fold and the salted
     hot-conversation variant (M27 precedence + cross-window LOCF) and
@@ -482,7 +500,7 @@ REGISTRY: dict[str, tuple] = {
     "orders_topk_per_customer": (relational.orders_topk_per_customer, relational.ORDERS_TOPK_SQL),
     "events_distinct_users": (_distinct_kmv_query, relational.EVENTS_DISTINCT_SQL),
     "orders_price_quantiles": (_month_quantiles_query, relational.ORDERS_QUANTILES_SQL),
-    "customer_topk_balance": (relational.customer_topk_balance, relational.CUSTOMER_TOPK_SQL),
+    "q22_antijoin_nation": (_custbal_antijoin_query, relational.Q22_SQL),
     "supplier_per_nation": (relational.supplier_per_nation, relational.SUPPLIER_PER_NATION_SQL),
     # event streams (SQL-checked)
     "events_hourly": (events.events_hourly, events.EVENTS_HOURLY_SQL),

@@ -163,3 +163,50 @@ def test_connected_components_batch_matches_union_find():
         assert got == want
 
     check()
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(-5, 5)), min_size=1, max_size=60),
+    st.lists(st.tuples(st.integers(0, 20), st.text(alphabet="xyz", min_size=1, max_size=3)),
+             min_size=0, max_size=30),
+)
+@settings(max_examples=25, deadline=None)
+def test_cogroup_join_left_and_anti_match_pandas(ray_session, left_rows, right_rows):
+    import ray.data as rd
+
+    from pdf_extractors_ray.ops.common import cogroup_join
+
+    left = pd.DataFrame(left_rows, columns=["k", "v"]).astype({"k": np.int64, "v": np.int64})
+    right = pd.DataFrame(right_rows, columns=["rk", "t"]).astype({"rk": np.int64})
+    lds = rd.from_pandas(left)
+    rds = (
+        rd.from_pandas(right)
+        if not right.empty
+        # Ray from_pandas rejects empty frames; an empty right side is the
+        # anti join's most important edge (everything kept) — synthesize
+        # it as a filtered non-empty frame instead
+        else rd.from_pandas(pd.DataFrame({"rk": [np.int64(10**9)], "t": ["x"]})).filter(
+            lambda r: False
+        )
+    )
+    got_anti = cogroup_join(lds, rds, "k", "rk", ["k", "v"], [], how="anti").to_pandas()
+    want_anti = left[~left["k"].isin(right["rk"])]
+    key = ["k", "v"]
+    if want_anti.empty:
+        assert len(got_anti) == 0
+    else:
+        pd.testing.assert_frame_equal(
+            got_anti.astype({"k": np.int64, "v": np.int64}).sort_values(key).reset_index(drop=True),
+            want_anti.sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    got_left = cogroup_join(lds, rds, "k", "rk", ["k", "v"], ["t"], how="left").to_pandas()
+    want_left = left.merge(right, left_on="k", right_on="rk", how="left")[["k", "v", "t"]]
+    key = ["k", "v", "t"]
+    pd.testing.assert_frame_equal(
+        got_left.fillna({"t": "\0"}).astype({"k": np.int64, "v": np.int64})
+        .sort_values(key).reset_index(drop=True)[key],
+        want_left.fillna({"t": "\0"}).sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )

@@ -173,3 +173,42 @@ def test_quantile_selection_vs_numpy(ray_session):
             k = int(np.ceil(q / 1_000_000.0 * n))
             assert rank == k
             assert val == srt[k - 1], (q, k, val, srt[k - 1])
+
+
+def test_q22_antijoin_matches_duckdb_twin(ray_session):
+    from pdf_extractors_ray.ops import relational as rl
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = rl.q22_antijoin_nation(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        want = con.sql(rl.Q22_SQL).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
+        assert got["numcust"].sum() > 0  # the anti join must be selective, not empty
+
+
+def test_q22_antijoin_semantics_bruteforce(ray_session):
+    """Reference semantics recomputed in pandas: above-average positive
+    balance (integer cross-multiplied) and no urgent order."""
+    sf = "/root/testdata/sf0.001"
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    bal = np.floor(cust["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+    pos = bal[cust["c_acctbal"].to_numpy() > 0]
+    s, n = pos.sum(), len(pos)
+    urgent = set(orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    keep = (bal * n > s) & ~cust["c_custkey"].isin(urgent).to_numpy()
+    want = (
+        pd.DataFrame({"c_nationkey": cust["c_nationkey"].to_numpy(np.int64)[keep],
+                      "bal": bal[keep]})
+        .groupby("c_nationkey")
+        .agg(numcust=("bal", "size"), totacctbal_cents=("bal", "sum"))
+        .reset_index()
+    )
+    from pdf_extractors_ray.ops import relational as rl
+
+    got = rl.q22_antijoin_nation(sf).to_pandas()
+    assert got["c_nationkey"].tolist() == want["c_nationkey"].tolist()
+    assert got["numcust"].tolist() == want["numcust"].tolist()
+    assert got["totacctbal_cents"].tolist() == want["totacctbal_cents"].tolist()
