@@ -59,6 +59,7 @@ OP_QUERIES = [
     "emb_semantic_dedup",
     "docs_tfidf",
     "docs_reservoir_sample",
+    "docs_curation_pipeline",
 ]
 
 
@@ -89,6 +90,7 @@ def _op_extra():
         "emb_semantic_dedup": _sm.emb_semantic_dedup,
         "docs_tfidf": _tx.docs_tfidf,
         "docs_reservoir_sample": _cu.docs_reservoir_sample,
+        "docs_curation_pipeline": _cu.docs_curation_pipeline,
     }
 
 

@@ -688,3 +688,174 @@ SELECT source, doc_id, res_hash, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {RESERVOIR_K}
 ORDER BY source, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end curation pipeline (filter → dedup → tag → split)
+
+
+CURATION_MIN_TOKENS = 30
+CURATION_MIN_STOP_PPM = 10_000  # ≥1% stopwords (integer cross-multiplied)
+CURATION_FP_TOKENS = 5  # opening-fingerprint width for the dedup stage
+
+
+def docs_curation_pipeline(sf_dir: str):
+    """The ops composed as ONE streaming pipeline — the shape a user
+    actually runs over a crawl: quality filter (min length + min stopword
+    ratio, integer cross-multiplied) → near-dup removal on an
+    opening-fingerprint key (md5 of the first 5 tokens; the full exact /
+    MinHash / semantic dedups are separate ops) → language-ID tagging →
+    deterministic split assignment → per-(pred_lang, split) token
+    accounting.
+
+    Everything fuses into one lazy DAG with a SINGLE corpus-bearing
+    shuffle (the dedup cogroup — text is dropped before it moves; only
+    doc_id/fingerprint/counts travel) and a KB-sized rollup; the filter
+    prunes ~25% of rows before anything shuffles. Each stage's kernel is
+    the same construct its standalone op pins (quality counts, md5
+    hex-parse split, LangId marker argmax), so the composed DuckDB twin
+    is assembled from the same SQL fragments."""
+    from . import text as _txmod  # circular-safe: ops.text imports nothing from here
+    from .common import _default_buckets
+
+    tx = _txmod
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    nb = _default_buckets()
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        toks = batch["text"].str.split(" ")
+        n_tok = toks.str.len().astype(np.int64)
+        flat = toks.explode()
+        n_stop = (
+            flat.isin(tx.STOPWORDS)
+            .groupby(level=0)
+            .sum()
+            .astype(np.int64)
+            .reindex(range(len(batch)), fill_value=0)
+        )
+        keep = (n_tok >= CURATION_MIN_TOKENS) & (
+            n_stop.to_numpy() * 1_000_000 >= CURATION_MIN_STOP_PPM * n_tok.to_numpy()
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "n_tokens": n_tok.to_numpy(),
+                "fp": [
+                    hashlib.md5(" ".join(t[:CURATION_FP_TOKENS]).encode()).hexdigest()
+                    for t in toks
+                ],
+                # lowered distinct tokens for LangId, computed BEFORE the
+                # shuffle so text never moves
+                "pred_lang": _langid_preds(batch["text"]),
+            }
+        )[keep.to_numpy()]
+        out["__b"] = (pd.util.hash_array(out["fp"].to_numpy(object)) % nb).astype(np.int64)
+        return out
+
+    def dedup_fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["fp", "doc_id"], kind="mergesort").drop_duplicates(
+            "fp", keep="first"
+        )
+        return g[["doc_id", "n_tokens", "pred_lang"]]
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pred_lang": batch["pred_lang"],
+                "split": split_labels(batch["doc_id"].to_numpy()),
+                "n_docs": np.int64(1),
+                "n_tokens": batch["n_tokens"].to_numpy(np.int64),
+            }
+        )
+
+    surv = ds.map_batches(prep, batch_format="pandas").groupby("__b").map_groups(
+        dedup_fold, batch_format="pandas"
+    )
+    return grouped_sums(
+        surv.map_batches(label, batch_format="pandas"),
+        ["pred_lang", "split"],
+        ["n_docs", "n_tokens"],
+    ).sort(["pred_lang", "split"])
+
+
+def _langid_preds(texts: pd.Series) -> list[str]:
+    """The LangId marker-argmax kernel (ops/text.py LangId) applied to a
+    text Series — same sorted-lang strict-> loop, 'und' fallback."""
+    from .text import _LANG_MARKER_SETS, _LANG_ORDER
+
+    preds = []
+    for text in texts:
+        toks = set(text.lower().split())
+        best_lang, best_score = "und", 0
+        for lang in _LANG_ORDER:
+            score = len(toks & _LANG_MARKER_SETS[lang])
+            if score > best_score:
+                best_lang, best_score = lang, score
+        preds.append(best_lang)
+    return preds
+
+
+def _curation_sql() -> str:
+    from .text import LANG_MARKERS
+
+    vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(LANG_MARKERS)
+        for w in sorted(LANG_MARKERS[lang])
+    )
+    return f"""
+WITH markers(mlang, word) AS (VALUES {vals}),
+base AS (
+    SELECT doc_id, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','a','and','of','to'))) AS BIGINT) AS n_stop
+    FROM documents
+),
+filt AS (
+    SELECT doc_id, text, n_tokens,
+           md5(array_to_string(string_split(text, ' ')[1:{CURATION_FP_TOKENS}], ' ')) AS fp
+    FROM base
+    WHERE n_tokens >= {CURATION_MIN_TOKENS}
+      AND n_stop * 1000000 >= {CURATION_MIN_STOP_PPM} * n_tokens
+),
+kept AS (
+    SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM filt
+    ) WHERE doc_id = keep_id
+),
+toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+    FROM kept
+),
+scores AS (
+    SELECT t.doc_id, m.mlang, COUNT(*) AS score
+    FROM toks t JOIN markers m ON t.tok = m.word
+    GROUP BY t.doc_id, m.mlang
+),
+best AS (
+    SELECT doc_id, mlang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, mlang ASC) AS rn
+    FROM scores
+),
+lab AS (
+    SELECT COALESCE(b.mlang, 'und') AS pred_lang,
+           CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                     < {TRAIN_PCT} THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                     < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           k.n_tokens
+    FROM kept k LEFT JOIN best b ON k.doc_id = b.doc_id AND b.rn = 1
+)
+SELECT pred_lang, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM lab
+GROUP BY pred_lang, split
+ORDER BY pred_lang, split
+"""
+
+
+DOCS_CURATION_SQL = _curation_sql()

@@ -158,14 +158,22 @@ def _exact_line_dedup_query(sf_dir: str):
     return curate.docs_line_dedup(sf_dir)
 
 
-def _langid_decontaminate_query(sf_dir: str):
-    """Benchmark decontamination AND language-ID in one driver slot.
-    Forced gate: ``docs_langid`` stays fully hash-checked via the in-query
-    twin gate. RECORDED result: ``docs_decontaminate`` — distinct-gram hit
-    counts against a broadcast benchmark blocklist (small side collected
-    once, corpus side never moves)."""
+def _langid_decon_curation_query(sf_dir: str):
+    """The composed curation pipeline AND benchmark decontamination AND
+    language-ID in one driver slot. Forced gates: ``docs_langid`` and
+    ``docs_decontaminate`` stay fully hash-checked via in-query twin
+    gates. RECORDED result: ``docs_curation_pipeline`` — quality filter →
+    opening-fingerprint dedup → LangId tag → split → (pred_lang, split)
+    token accounting, fused into one streaming DAG with a single
+    corpus-bearing shuffle, pinned to a composed DuckDB twin."""
     _assert_sql_twin("docs_langid", tx.docs_langid(sf_dir), tx.DOCS_LANGID_SQL, sf_dir)
-    return curate.docs_decontaminate(sf_dir)
+    _assert_sql_twin(
+        "docs_decontaminate",
+        curate.docs_decontaminate(sf_dir),
+        curate.DOCS_DECONTAMINATE_SQL,
+        sf_dir,
+    )
+    return curate.docs_curation_pipeline(sf_dir)
 
 
 def _quality_repetition_tfidf_query(sf_dir: str):
@@ -561,7 +569,7 @@ REGISTRY: dict[str, tuple] = {
     # SIGNATURES have no SQL twin (recall/property tests in pytest; they
     # run as forced gates inside the slot), but the recorded
     # components-over-exact-edges result is hash-checked
-    "docs_decontaminate": (_langid_decontaminate_query, curate.DOCS_DECONTAMINATE_SQL),
+    "docs_curation_pipeline": (_langid_decon_curation_query, curate.DOCS_CURATION_SQL),
     "docs_hash_neardup": (_hash_neardup_query, dedup.DUP_CLUSTERS_SQL),
     "docs_ngram_jaccard": (dedup.ngram_jaccard_groups, dedup.NGRAM_JACCARD_SQL),
     "emb_ann_methods": (_ann_methods_query, similarity.ANN_LSH_SQL),

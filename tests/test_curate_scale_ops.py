@@ -353,3 +353,57 @@ def test_reservoir_exact_count_and_mergeability(ray_session):
     smaller = curate.docs_reservoir_sample(sf, k=3).to_pandas()
     merged = out[out["rank"] <= 3].reset_index(drop=True)
     pd.testing.assert_frame_equal(smaller.reset_index(drop=True), merged, check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# composed curation pipeline
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_curation_pipeline_matches_duckdb_twin(ray_session, sf):
+    got = curate.docs_curation_pipeline(sf).to_pandas().reset_index(drop=True)
+    want = _oracle(sf, curate.DOCS_CURATION_SQL)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
+    assert got["n_docs"].sum() < 500  # the filter+dedup stages must prune
+
+
+def test_curation_pipeline_matches_bruteforce(ray_session):
+    """Sequential reference of the whole chain over the raw docs."""
+    import hashlib as _h
+
+    sf = SFS[1]
+    docs = _docs_df(sf).sort_values("doc_id")
+    from pdf_extractors_ray.ops.text import STOPWORDS
+
+    seen, rows = set(), []
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        n_tok, n_stop = len(toks), sum(t in STOPWORDS for t in toks)
+        if n_tok < curate.CURATION_MIN_TOKENS:
+            continue
+        if n_stop * 1_000_000 < curate.CURATION_MIN_STOP_PPM * n_tok:
+            continue
+        fp = _h.md5(" ".join(toks[: curate.CURATION_FP_TOKENS]).encode()).hexdigest()
+        if fp in seen:  # doc_id-ascending iteration = first-occurrence-wins
+            continue
+        seen.add(fp)
+        rows.append((r.doc_id, n_tok))
+    from pdf_extractors_ray.ops.curate import _langid_preds, split_labels
+
+    ref = pd.DataFrame(rows, columns=["doc_id", "n_tokens"])
+    texts = docs.set_index("doc_id").loc[ref["doc_id"], "text"]
+    ref["pred_lang"] = _langid_preds(texts)
+    ref["split"] = split_labels(ref["doc_id"].to_numpy())
+    want = (
+        ref.groupby(["pred_lang", "split"])
+        .agg(n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"))
+        .reset_index()
+        .sort_values(["pred_lang", "split"])
+        .reset_index(drop=True)
+    )
+    got = curate.docs_curation_pipeline(sf).to_pandas().reset_index(drop=True)
+    assert got["pred_lang"].tolist() == want["pred_lang"].tolist()
+    assert got["split"].tolist() == want["split"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
