@@ -60,6 +60,7 @@ OP_QUERIES = [
     "docs_tfidf",
     "docs_reservoir_sample",
     "docs_curation_pipeline",
+    "docs_dup_span_stats",
 ]
 
 
@@ -91,6 +92,7 @@ def _op_extra():
         "docs_tfidf": _tx.docs_tfidf,
         "docs_reservoir_sample": _cu.docs_reservoir_sample,
         "docs_curation_pipeline": _cu.docs_curation_pipeline,
+        "docs_dup_span_stats": _cu.docs_dup_span_stats,
     }
 
 

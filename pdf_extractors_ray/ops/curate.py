@@ -859,3 +859,129 @@ ORDER BY pred_lang, split
 
 
 DOCS_CURATION_SQL = _curation_sql()
+
+
+# ---------------------------------------------------------------------------
+# Duplicated k-gram span statistics (the ExactSubstr dedup signal)
+
+
+SPAN_K = 8
+
+
+def docs_dup_span_stats(sf_dir: str, k: int = SPAN_K):
+    """Per-document duplicated-span statistics — the signal behind
+    Lee-et-al. ExactSubstr dedup, at k-token-window granularity instead
+    of a suffix array: every sliding window of ``k`` tokens is a gram; an
+    occurrence is DUPLICATED iff the same gram occurs elsewhere in the
+    corpus and this occurrence is not the global first (ordered by
+    (doc_id, pos) — first-occurrence-wins, the removable copies). Emits
+    per doc: window count, duplicated-window count, and the ppm fraction.
+
+    Scale shape: ONE gram-keyed shuffle (hash-bucketed, the line-dedup
+    machinery at window granularity) carrying (gram, doc, pos); the
+    per-doc totals ride a separate KB-per-batch rollup and join the dup
+    counts in a bucketed grouped sum, so docs with no window (< k
+    tokens) keep a row. Grams shuffle as strings for exact equality with
+    the oracle; at 100 TB swap the key for a 128-bit fingerprint to
+    halve the exchange (collision odds ~1e-15) — documented, not done,
+    because the twin groups by the exact string."""
+    from .common import _default_buckets
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    nb = _default_buckets()
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        doc_out, pos_out, gram_out = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_numpy(np.int64), batch["text"]):
+            t = text.split(" ")
+            n = len(t) - k + 1
+            if n <= 0:
+                continue
+            gram_out.extend(" ".join(t[p : p + k]) for p in range(n))
+            doc_out.extend([doc_id] * n)
+            pos_out.extend(range(n))
+        out = pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_out, dtype=np.int64),
+                "pos": np.asarray(pos_out, dtype=np.int64),
+                "gram": pd.Series(gram_out, dtype=object),
+            }
+        )
+        out["__b"] = (pd.util.hash_array(out["gram"].to_numpy(object)) % nb).astype(np.int64)
+        return out
+
+    def mark_dups(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["gram", "doc_id", "pos"], kind="mergesort")
+        dup = g.duplicated("gram", keep="first")  # every non-first occurrence
+        d = g[dup]
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(np.int64),
+                "n_grams": np.zeros(int(dup.sum()), dtype=np.int64),
+                "n_dup": np.ones(int(dup.sum()), dtype=np.int64),
+            }
+        )
+
+    dups = (
+        ds.map_batches(gram_rows, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(mark_dups, batch_format="pandas")
+    )
+
+    def totals(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok = (batch["text"].str.count(" ") + 1).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "n_grams": np.maximum(n_tok - k + 1, 0),
+                "n_dup": np.zeros(len(batch), dtype=np.int64),
+            }
+        )
+
+    combined = grouped_sums(
+        ds.map_batches(totals, batch_format="pandas").union(dups),
+        ["doc_id"],
+        ["n_grams", "n_dup"],
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        ng = batch["n_grams"].to_numpy(np.int64)
+        nd = batch["n_dup"].to_numpy(np.int64)
+        batch = batch.copy()
+        batch["dup_ppm"] = np.where(ng > 0, nd * 1_000_000 // np.maximum(ng, 1), 0)
+        return batch
+
+    return combined.map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
+DOCS_DUP_SPAN_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (
+    SELECT doc_id, t,
+           unnest(range(1, greatest(len(t) - {SPAN_K - 1}, 0) + 1)) AS pos
+    FROM toks
+),
+w AS (
+    SELECT doc_id, pos, array_to_string(t[pos:pos + {SPAN_K - 1}], ' ') AS gram
+    FROM idx
+),
+r AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM w
+),
+agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+    FROM r GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_dup, 0) AS n_dup,
+       CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0
+            ELSE a.n_dup * 1000000 // a.n_grams END AS dup_ppm
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""

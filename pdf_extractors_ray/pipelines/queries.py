@@ -147,15 +147,20 @@ def _token_stats_top_query(sf_dir: str):
     return tx.docs_top_tokens(sf_dir)
 
 
-def _exact_line_dedup_query(sf_dir: str):
-    """Line-level dedup AND document-level exact dedup in one driver slot.
-    Forced gate: ``docs_exact_dedup`` (md5 → min doc_id per hash) stays
-    fully hash-checked via the in-query twin gate. RECORDED result:
-    ``docs_line_dedup`` — corpus-wide first-occurrence-wins line dedup
-    with document reassembly (Lee-et-al. boilerplate removal), three
-    bucketed exchanges, pinned to a window-SQL DuckDB twin."""
+def _exact_line_span_dedup_query(sf_dir: str):
+    """Duplicated k-gram span stats AND line-level dedup AND
+    document-level exact dedup in one driver slot. Forced gates:
+    ``docs_exact_dedup`` (md5 → min doc_id per hash) and
+    ``docs_line_dedup`` (first-occurrence-wins line dedup with document
+    reassembly) stay fully hash-checked via in-query twin gates.
+    RECORDED result: ``docs_dup_span_stats`` — the ExactSubstr signal at
+    k-token-window granularity, one gram-keyed shuffle, pinned to a
+    window-SQL DuckDB twin."""
     _assert_sql_twin("docs_exact_dedup", dedup.exact_dedup(sf_dir), dedup.EXACT_DEDUP_SQL, sf_dir)
-    return curate.docs_line_dedup(sf_dir)
+    _assert_sql_twin(
+        "docs_line_dedup", curate.docs_line_dedup(sf_dir), curate.DOCS_LINE_DEDUP_SQL, sf_dir
+    )
+    return curate.docs_dup_span_stats(sf_dir)
 
 
 def _langid_decon_curation_query(sf_dir: str):
@@ -522,7 +527,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_reservoir_sample": (_fingerprint_split_reservoir_query, curate.DOCS_RESERVOIR_SQL),
     "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),
     "docs_pack_sequences": (_bpe_mixture_pack_query, curate.DOCS_PACK_SQL),
-    "docs_line_dedup": (_exact_line_dedup_query, curate.DOCS_LINE_DEDUP_SQL),
+    "docs_dup_span_stats": (_exact_line_span_dedup_query, curate.DOCS_DUP_SPAN_SQL),
     # similarity search (SQL-checked)
     "emb_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_SQL),
     "emb_semantic_dedup": (_emb_dedup_query, similarity.EMB_SEMANTIC_DEDUP_SQL),

@@ -407,3 +407,64 @@ def test_curation_pipeline_matches_bruteforce(ray_session):
     assert got["split"].tolist() == want["split"].tolist()
     assert got["n_docs"].tolist() == want["n_docs"].tolist()
     assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# duplicated k-gram span stats (ExactSubstr signal)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_dup_span_stats_matches_duckdb_twin(ray_session, sf):
+    got = curate.docs_dup_span_stats(sf).to_pandas().reset_index(drop=True)
+    want = _oracle(sf, curate.DOCS_DUP_SPAN_SQL)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
+    assert got["n_dup"].sum() > 0  # the corpus genuinely repeats spans
+
+
+def test_dup_span_stats_matches_bruteforce(ray_session):
+    """Sequential dict reference: first occurrence (by doc_id, pos) of
+    each k-window is kept, every later occurrence counts as duplicated."""
+    sf = SFS[0]
+    docs = _docs_df(sf).sort_values("doc_id")
+    k = curate.SPAN_K
+    seen, per_doc = set(), {}
+    for r in docs.itertuples():
+        t = r.text.split(" ")
+        n = max(len(t) - k + 1, 0)
+        nd = 0
+        for p in range(n):
+            g = " ".join(t[p : p + k])
+            if g in seen:
+                nd += 1
+            else:
+                seen.add(g)
+        per_doc[r.doc_id] = (n, nd)
+    got = curate.docs_dup_span_stats(sf).to_pandas()
+    for row in got.itertuples():
+        n, nd = per_doc[row.doc_id]
+        assert (row.n_grams, row.n_dup) == (n, nd), row.doc_id
+        assert row.dup_ppm == (nd * 1_000_000 // n if n else 0)
+
+
+def test_dup_span_stats_short_doc_edge(ray_session, tmp_path):
+    """Docs shorter than k tokens keep a zero row; a planted repeated
+    span across two docs is attributed to the LATER doc only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = "one two three four five six seven eight"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["tiny doc", f"start {span} end", f"prefix {span} suffix tail"],
+            "lang": "en",
+            "source": "src0",
+            "n_chars": np.int64(1),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    out = curate.docs_dup_span_stats(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_grams"] == 0 and out.loc[0, "n_dup"] == 0 and out.loc[0, "dup_ppm"] == 0
+    assert out.loc[1, "n_dup"] == 0  # first occurrence wins
+    assert out.loc[2, "n_dup"] == 1  # exactly the planted 8-token window
