@@ -715,10 +715,9 @@ def docs_curation_pipeline(sf_dir: str):
     the same construct its standalone op pins (quality counts, md5
     hex-parse split, LangId marker argmax), so the composed DuckDB twin
     is assembled from the same SQL fragments."""
-    from . import text as _txmod  # circular-safe: ops.text imports nothing from here
+    from . import text as tx  # circular-safe: ops.text imports nothing from here
     from .common import _default_buckets
-
-    tx = _txmod
+    from .text import langid_preds
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     nb = _default_buckets()
 
@@ -734,22 +733,25 @@ def docs_curation_pipeline(sf_dir: str):
             .astype(np.int64)
             .reindex(range(len(batch)), fill_value=0)
         )
-        keep = (n_tok >= CURATION_MIN_TOKENS) & (
-            n_stop.to_numpy() * 1_000_000 >= CURATION_MIN_STOP_PPM * n_tok.to_numpy()
-        )
+        keep = (
+            (n_tok >= CURATION_MIN_TOKENS)
+            & (n_stop.to_numpy() * 1_000_000 >= CURATION_MIN_STOP_PPM * n_tok.to_numpy())
+        ).to_numpy()
+        # filter FIRST: the fingerprint md5 and the LangId argmax (the two
+        # expensive per-row kernels; both computed pre-shuffle so text
+        # never moves) run only on the ~75% of rows that survive
+        kept_toks = toks[keep]
         out = pd.DataFrame(
             {
-                "doc_id": batch["doc_id"].to_numpy(np.int64),
-                "n_tokens": n_tok.to_numpy(),
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[keep],
+                "n_tokens": n_tok.to_numpy()[keep],
                 "fp": [
                     hashlib.md5(" ".join(t[:CURATION_FP_TOKENS]).encode()).hexdigest()
-                    for t in toks
+                    for t in kept_toks
                 ],
-                # lowered distinct tokens for LangId, computed BEFORE the
-                # shuffle so text never moves
-                "pred_lang": _langid_preds(batch["text"]),
+                "pred_lang": langid_preds(batch["text"][keep]),
             }
-        )[keep.to_numpy()]
+        )
         out["__b"] = (pd.util.hash_array(out["fp"].to_numpy(object)) % nb).astype(np.int64)
         return out
 
@@ -777,23 +779,6 @@ def docs_curation_pipeline(sf_dir: str):
         ["pred_lang", "split"],
         ["n_docs", "n_tokens"],
     ).sort(["pred_lang", "split"])
-
-
-def _langid_preds(texts: pd.Series) -> list[str]:
-    """The LangId marker-argmax kernel (ops/text.py LangId) applied to a
-    text Series — same sorted-lang strict-> loop, 'und' fallback."""
-    from .text import _LANG_MARKER_SETS, _LANG_ORDER
-
-    preds = []
-    for text in texts:
-        toks = set(text.lower().split())
-        best_lang, best_score = "und", 0
-        for lang in _LANG_ORDER:
-            score = len(toks & _LANG_MARKER_SETS[lang])
-            if score > best_score:
-                best_lang, best_score = lang, score
-        preds.append(best_lang)
-    return preds
 
 
 def _curation_sql() -> str:
@@ -881,7 +866,8 @@ def docs_dup_span_stats(sf_dir: str, k: int = SPAN_K):
     machinery at window granularity) carrying (gram, doc, pos); the
     per-doc totals ride a separate KB-per-batch rollup and join the dup
     counts in a bucketed grouped sum, so docs with no window (< k
-    tokens) keep a row. Grams shuffle as strings for exact equality with
+    tokens) keep a row. ``DOCS_DUP_SPAN_SQL`` pins the DEFAULT
+    ``k=SPAN_K``; non-default k is for tests/ad-hoc use only. Grams shuffle as strings for exact equality with
     the oracle; at 100 TB swap the key for a 128-bit fingerprint to
     halve the exchange (collision odds ~1e-15) — documented, not done,
     because the twin groups by the exact string."""
@@ -914,12 +900,14 @@ def docs_dup_span_stats(sf_dir: str, k: int = SPAN_K):
     def mark_dups(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["gram", "doc_id", "pos"], kind="mergesort")
         dup = g.duplicated("gram", keep="first")  # every non-first occurrence
-        d = g[dup]
+        # pre-combine per doc inside the group: one output row per
+        # (bucket, doc) instead of one per duplicated occurrence
+        per_doc = g.loc[dup, "doc_id"].value_counts()
         return pd.DataFrame(
             {
-                "doc_id": d["doc_id"].to_numpy(np.int64),
-                "n_grams": np.zeros(int(dup.sum()), dtype=np.int64),
-                "n_dup": np.ones(int(dup.sum()), dtype=np.int64),
+                "doc_id": per_doc.index.to_numpy(np.int64),
+                "n_grams": np.zeros(len(per_doc), dtype=np.int64),
+                "n_dup": per_doc.to_numpy(np.int64),
             }
         )
 

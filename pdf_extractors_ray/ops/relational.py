@@ -594,7 +594,8 @@ def q22_antijoin_nation(sf_dir: str, priority: str = "1-URGENT"):
     balance in cents). Exercises the distributed ANTI join (NOT EXISTS) —
     the synthetic generator gives every customer at least one order, so
     the right side is the pruned+filtered urgent-order key column, which
-    keeps the anti join selective at every sf.
+    keeps the anti join selective at every sf. ``Q22_SQL`` pins the
+    DEFAULT priority; non-default values are for tests/ad-hoc use only.
 
     Exactness: the above-average comparison is integer cross-multiplied
     (``bal_cents * n_pos > sum_pos_cents``) so no float average crosses

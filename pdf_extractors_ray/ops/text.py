@@ -447,16 +447,32 @@ class LangId:
     lexicographic tiebreak; 'und' when nothing matches."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in batch["text"]:
-            toks = set(text.lower().split())
-            best_lang, best_score = "und", 0
-            for lang in _LANG_ORDER:
-                score = len(toks & _LANG_MARKER_SETS[lang])
-                if score > best_score:
-                    best_lang, best_score = lang, score
-            preds.append(best_lang)
-        return pd.DataFrame({"doc_id": batch["doc_id"], "lang": batch["lang"], "pred_lang": preds})
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pred_lang": langid_preds(batch["text"]),
+            }
+        )
+
+
+def langid_preds(texts) -> list[str]:
+    """The LangId marker-argmax kernel over an iterable of texts: distinct
+    lowered tokens intersected with each marker set, argmax score with the
+    strict-> loop over sorted langs (lexicographic tiebreak), 'und' when
+    nothing matches. The ONE copy of this kernel — ``LangId`` and the
+    composed curation pipeline (ops/curate.py) both delegate here, so the
+    standalone op and the pipeline stage cannot drift."""
+    preds = []
+    for text in texts:
+        toks = set(text.lower().split())
+        best_lang, best_score = "und", 0
+        for lang in _LANG_ORDER:
+            score = len(toks & _LANG_MARKER_SETS[lang])
+            if score > best_score:
+                best_lang, best_score = lang, score
+        preds.append(best_lang)
+    return preds
 
 
 def docs_langid(sf_dir: str):

@@ -389,11 +389,12 @@ def test_curation_pipeline_matches_bruteforce(ray_session):
             continue
         seen.add(fp)
         rows.append((r.doc_id, n_tok))
-    from pdf_extractors_ray.ops.curate import _langid_preds, split_labels
+    from pdf_extractors_ray.ops.curate import split_labels
+    from pdf_extractors_ray.ops.text import langid_preds
 
     ref = pd.DataFrame(rows, columns=["doc_id", "n_tokens"])
     texts = docs.set_index("doc_id").loc[ref["doc_id"], "text"]
-    ref["pred_lang"] = _langid_preds(texts)
+    ref["pred_lang"] = langid_preds(texts)
     ref["split"] = split_labels(ref["doc_id"].to_numpy())
     want = (
         ref.groupby(["pred_lang", "split"])
