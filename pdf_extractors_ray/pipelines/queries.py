@@ -328,12 +328,43 @@ def _table_grid_query(sf_dir: str):
 
 def _partitioned_metrics_query(sf_dir: str):
     """Headline production path at this sf: single-pass all-family
-    checkpointed extraction; returns the per-partition lineage metrics."""
+    checkpointed extraction; returns the per-partition lineage metrics.
+
+    Forced in-query invariants (this slot has no SQL twin — the fold
+    outputs are pinned elsewhere; these pin the EXCHANGE itself):
+    turn-count conservation (sum of per-partition n_turns == the corpus
+    row count from parquet METADATA, an independent source), exact
+    partition cover (part_ids are 0..n_parts-1 once each), and resume
+    stability (a second run must resume every partition and reproduce
+    every content_hash byte-for-byte)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
     from ..state.lineage import partitioned_extract_all_tasks
 
     path = transcripts_path_for_sf(sf_dir)
     out_root = path.rstrip("/") + "_extracted"
-    return partitioned_extract_all_tasks(path, out_root, n_parts=32)
+    first = partitioned_extract_all_tasks(path, out_root, n_parts=32)
+
+    meta_turns = sum(
+        _pq.read_metadata(f).num_rows for f in sorted(_glob.glob(path + "/*.parquet"))
+    )
+    if int(first["n_turns"].sum()) != meta_turns:
+        raise RuntimeError(
+            f"turn conservation violated: {first['n_turns'].sum()} != {meta_turns}"
+        )
+    if sorted(first["part_id"]) != list(range(32)):
+        raise RuntimeError(f"partition cover violated: {sorted(first['part_id'])}")
+
+    second = partitioned_extract_all_tasks(path, out_root, n_parts=32)
+    if not bool(second["resumed"].all()):
+        raise RuntimeError("resume invariant violated: second run recomputed partitions")
+    a = first.sort_values("part_id")["content_hash"].tolist()
+    b = second.sort_values("part_id")["content_hash"].tolist()
+    if a != b:
+        raise RuntimeError("resume instability: content hashes differ between runs")
+    return first
 
 
 def _box_query(family: str, surrogate_fn=None):
