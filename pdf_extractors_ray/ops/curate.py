@@ -973,3 +973,94 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (training order) via hash-range partitioning
+
+
+SHUFFLE_SALT = "shuf:"
+SHUFFLE_SHARD = 64  # docs per output shard; a shard ≈ one training file
+
+
+def docs_global_shuffle(sf_dir: str, shard_size: int = SHUFFLE_SHARD):
+    """Deterministic seeded GLOBAL shuffle of the corpus — the training-
+    order randomization every pretraining run needs: each document gets a
+    dense global ``shuffle_rank`` (0..n-1) in ascending order of its
+    salted md5 hash, plus the output ``shard`` it lands in
+    (``rank // shard_size`` — at production scale one shard = one output
+    file, so a resumed run re-emits exactly the missing shards).
+
+    Scale shape — NO comparison sort and no ``random_shuffle()``-style
+    full exchange of the payload:
+
+    1. the 60-bit hash key is uniform, so fixed VALUE-RANGE buckets over
+       the key space are balanced by construction (no sampling pass, no
+       skew: the hash destroys key clustering) — bucket = key // span,
+    2. per-bucket counts roll up to the driver (R ≈ 2×CPUs rows), the
+       exclusive cumsum gives each bucket's global rank offset, broadcast
+       once via ``ray.put``,
+    3. ONE hash-range shuffle of the narrow (doc_id, key) table
+       co-locates each bucket; the in-group fold is a vectorized argsort
+       seeded by the bucket offset. The text payload never moves — a
+       downstream writer joins ranks back or reads docs by shard.
+
+    Determinism / oracle parity: the key is the repo's shared md5
+    hex-parse construct, bit-identical in DuckDB; ties (real at 10^12
+    docs: ~4e5 expected 60-bit birthday collisions) break by doc_id on
+    both engines, so the rank is a total order everywhere."""
+    import ray
+
+    from .common import _default_buckets
+
+    n_buckets = _default_buckets()
+    span = -(-(1 << 60) // n_buckets)
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(np.int64)
+        k = _md5_hash15(d, SHUFFLE_SALT)
+        return pd.DataFrame({"doc_id": d, "skey": k, "bucket": k // span})
+
+    key_ds = _docs(sf_dir, columns=["doc_id"]).map_batches(keyed, batch_format="pandas")
+    key_ds = key_ds.materialize()  # 24 B/doc; read once for counts + fold
+
+    totals = (
+        grouped_sums(key_ds, ["bucket"], [], count_alias="n")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    csum = totals["n"].cumsum().to_numpy(np.int64)
+    offsets = dict(zip(totals["bucket"].to_numpy(np.int64), csum - totals["n"].to_numpy(np.int64)))
+    off_ref = ray.put(offsets)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = group.sort_values(["skey", "doc_id"], kind="mergesort")
+        rank = off[int(g["bucket"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "shuffle_rank": rank,
+                "shard": rank // shard_size,
+            }
+        )
+
+    return key_ds.groupby("bucket").map_groups(fold, batch_format="pandas").sort("doc_id")
+
+
+DOCS_SHUFFLE_SQL = f"""
+WITH k AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS skey
+    FROM documents
+),
+r AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS shuffle_rank
+    FROM k
+)
+SELECT doc_id, shuffle_rank, shuffle_rank // {SHUFFLE_SHARD} AS shard
+FROM r
+ORDER BY doc_id
+"""

@@ -196,18 +196,23 @@ def _quality_repetition_tfidf_query(sf_dir: str):
 
 
 def _bpe_mixture_pack_query(sf_dir: str):
-    """Deterministic sequence packing AND mixture sampling AND the BPE-ish
-    pretokenizer counts in one driver slot. Forced gates:
-    ``docs_bpe_tokens`` and ``docs_sample_mixture`` stay fully
-    hash-checked via in-query twin gates. RECORDED result:
-    ``docs_pack_sequences`` — context-length packing via a distributed
-    ordered prefix scan (value-range buckets, broadcast exclusive
-    offsets, one shuffle), pinned to a window-cumsum DuckDB twin."""
+    """Deterministic GLOBAL shuffle AND sequence packing AND mixture
+    sampling AND the BPE-ish pretokenizer counts in one driver slot.
+    Forced gates: ``docs_pack_sequences``, ``docs_bpe_tokens`` and
+    ``docs_sample_mixture`` stay fully hash-checked via in-query twin
+    gates. RECORDED result: ``docs_global_shuffle`` — seeded
+    training-order shuffle via hash-range partitioning (no comparison
+    sort: uniform 60-bit keys make fixed value-range buckets balanced;
+    broadcast exclusive offsets; one narrow-table shuffle), pinned to a
+    ROW_NUMBER-over-md5 DuckDB twin."""
     _assert_sql_twin("docs_bpe_tokens", tx.docs_bpe_tokens(sf_dir), tx.DOCS_BPE_TOKENS_SQL, sf_dir)
     _assert_sql_twin(
         "docs_sample_mixture", curate.docs_sample_mixture(sf_dir), curate.DOCS_MIXTURE_SQL, sf_dir
     )
-    return curate.docs_pack_sequences(sf_dir)
+    _assert_sql_twin(
+        "docs_pack_sequences", curate.docs_pack_sequences(sf_dir), curate.DOCS_PACK_SQL, sf_dir
+    )
+    return curate.docs_global_shuffle(sf_dir)
 
 
 def _month_quantiles_query(sf_dir: str):
@@ -557,7 +562,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_tfidf": (_quality_repetition_tfidf_query, tx.DOCS_TFIDF_SQL),
     "docs_reservoir_sample": (_fingerprint_split_reservoir_query, curate.DOCS_RESERVOIR_SQL),
     "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),
-    "docs_pack_sequences": (_bpe_mixture_pack_query, curate.DOCS_PACK_SQL),
+    "docs_global_shuffle": (_bpe_mixture_pack_query, curate.DOCS_SHUFFLE_SQL),
     "docs_dup_span_stats": (_exact_line_span_dedup_query, curate.DOCS_DUP_SPAN_SQL),
     # similarity search (SQL-checked)
     "emb_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_SQL),

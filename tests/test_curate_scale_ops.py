@@ -469,3 +469,43 @@ def test_dup_span_stats_short_doc_edge(ray_session, tmp_path):
     assert out.loc[0, "n_grams"] == 0 and out.loc[0, "n_dup"] == 0 and out.loc[0, "dup_ppm"] == 0
     assert out.loc[1, "n_dup"] == 0  # first occurrence wins
     assert out.loc[2, "n_dup"] == 1  # exactly the planted 8-token window
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_global_shuffle_matches_duckdb_twin(ray_session, sf):
+    eng = curate.docs_global_shuffle(sf).to_pandas().reset_index(drop=True)
+    ora = _oracle(sf, curate.DOCS_SHUFFLE_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+
+
+def test_global_shuffle_is_a_permutation_and_matches_reference(ray_session):
+    sf = SFS[1]
+    eng = curate.docs_global_shuffle(sf).to_pandas()
+    n = len(eng)
+    # dense permutation 0..n-1, shards cut every SHUFFLE_SHARD ranks
+    assert sorted(eng["shuffle_rank"]) == list(range(n))
+    assert (eng["shard"] == eng["shuffle_rank"] // curate.SHUFFLE_SHARD).all()
+    # single-process reference: argsort of (md5 key, doc_id)
+    d = eng["doc_id"].to_numpy(np.int64)
+    key = curate._md5_hash15(d, curate.SHUFFLE_SALT)
+    order = np.lexsort((d, key))
+    ref_rank = np.empty(n, dtype=np.int64)
+    ref_rank[order] = np.arange(n, dtype=np.int64)
+    assert (eng["shuffle_rank"].to_numpy() == ref_rank).all()
+
+
+def test_global_shuffle_stable_under_bucket_count(ray_session, monkeypatch):
+    """The rank must not depend on the cluster size that computed it —
+    resume/reproducibility at 10^12 docs hinges on this."""
+    sf = SFS[0]
+    base = curate.docs_global_shuffle(sf).to_pandas()
+    from pdf_extractors_ray.ops import common
+
+    monkeypatch.setattr(common, "_default_buckets", lambda: 3)
+    alt = curate.docs_global_shuffle(sf).to_pandas()
+    pd.testing.assert_frame_equal(base, alt, check_dtype=True)
