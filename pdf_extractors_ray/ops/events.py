@@ -571,3 +571,144 @@ SELECT CAST({KMV_K} AS BIGINT) AS k,
             END AS BIGINT) AS estimate
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join (the 100 TB join optimization: probe side never
+# shuffles — membership is a map-side bit test against a broadcast filter)
+
+
+BLOOM_K = 4  # hash functions
+BLOOM_BITS_PER_KEY = 8  # m = next_pow2(8·n_build)  → FP ≈ 2.4% at k=4
+BLOOM_MIN_LOG2_M = 11  # floor so tiny builds don't degenerate
+
+
+def _bloom_m(n_build: int) -> int:
+    import math
+
+    return 1 << max(BLOOM_MIN_LOG2_M, math.ceil(math.log2(BLOOM_BITS_PER_KEY * max(1, n_build))))
+
+
+def _bloom_positions(keys: np.ndarray, i: int, m: int) -> np.ndarray:
+    """Position of hash ``i`` for each key: the repo's shared md5
+    hex-parse construct (bit-identical in DuckDB), salted per hash."""
+    from .curate import _md5_hash15
+
+    return _md5_hash15(keys, f"bloom{i}:") % m
+
+
+def events_bloom_semijoin(sf_dir: str, priority: str = "1-URGENT"):
+    """Bloom-filter semi-join: which event users are (probably) customers
+    with at least one ``priority`` order, plus their event counts. The
+    shape every 100 TB join planner reaches for when one side is small:
+    the big (events) side NEVER shuffles — each batch tests its user ids
+    against a broadcast m-bit filter; only users passing the bloom would
+    continue to an exact verification join downstream.
+
+    Scale shape:
+
+    1. build side: pruned+filtered read of orders → distinct custkeys via
+       one bucketed shuffle of the (small) key set,
+    2. per-block partial bitmaps OR-merge in a BINARY TREE of Ray tasks
+       over object-store refs — the driver and any single worker hold at
+       most two bitmaps (m = 8·n_build bits ≈ 1 B/key); no partial
+       crosses the driver,
+    3. probe side: map-side k-probe bit test per batch against the
+       ``ray.put`` filter; per-user rollup moves only (user, hit, count).
+
+    Determinism / oracle parity: positions are the shared md5 construct;
+    m derives from the EXACT distinct build count with the same
+    ``next_pow2(8n)`` formula on both engines (the ANN width-derivation
+    pattern), so the filter — including its false positives — is
+    bit-reproducible in SQL. No false negatives by construction."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..runtime import read_parquet_sized
+    from .common import bucketed_group_agg, grouped_sums
+
+    orders = read_parquet_sized(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=(pc.field("o_orderpriority") == priority),
+    )
+    distinct = bucketed_group_agg(
+        orders.map_batches(
+            lambda b: b.drop_duplicates("o_custkey").assign(one=np.int64(1)),
+            batch_format="pandas",
+        ),
+        ["o_custkey"],
+        {"one": "min"},
+    )
+    distinct = distinct.materialize()  # small side; read twice (count + bitmaps)
+    n_build = distinct.count()
+    m = _bloom_m(n_build)
+
+    @ray.remote
+    def block_bitmap(block, m_: int) -> np.ndarray:
+        bm = np.zeros(m_ // 64, dtype=np.uint64)
+        if block.num_rows == 0 or "o_custkey" not in block.column_names:
+            return bm  # empty build block (e.g. the filter matched nothing)
+        keys = block["o_custkey"].to_numpy()
+        for i in range(BLOOM_K):
+            p = _bloom_positions(keys, i, m_)
+            np.bitwise_or.at(bm, p // 64, np.uint64(1) << (p % 64).astype(np.uint64))
+        return bm
+
+    @ray.remote
+    def or_bitmaps(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.bitwise_or(a, b)
+
+    refs = [block_bitmap.remote(r, m) for r in distinct.to_arrow_refs()]
+    while len(refs) > 1:  # binary tree: depth log2(blocks)
+        refs = [
+            or_bitmaps.remote(refs[j], refs[j + 1]) if j + 1 < len(refs) else refs[j]
+            for j in range(0, len(refs), 2)
+        ]
+    bitmap = ray.get(refs[0]) if refs else np.zeros(m // 64, dtype=np.uint64)
+    bm_ref = ray.put(bitmap)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(bm_ref)  # zero-copy local fetch
+        u = batch["user_id"].to_numpy(np.int64)
+        hit = np.ones(len(u), dtype=bool)
+        for i in range(BLOOM_K):
+            p = _bloom_positions(u, i, m)
+            hit &= (bm[p // 64] >> (p % 64).astype(np.uint64)) & np.uint64(1) != 0
+        return pd.DataFrame(
+            {"user_id": u, "bloom_hit": hit.astype(np.int64), "n_events": np.int64(1)}
+        )
+
+    probed = _events(sf_dir, columns=["user_id"]).map_batches(probe, batch_format="pandas")
+    return grouped_sums(probed, ["user_id", "bloom_hit"], ["n_events"]).sort("user_id")
+
+
+EVENTS_BLOOM_SQL = f"""
+WITH b AS (
+    SELECT DISTINCT o_custkey AS u FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+par AS (
+    SELECT CAST(POWER(2, GREATEST({BLOOM_MIN_LOG2_M},
+        CEIL(LOG2({BLOOM_BITS_PER_KEY} * (SELECT COUNT(*) FROM b))))) AS BIGINT) AS m
+),
+pos AS (
+    SELECT DISTINCT
+        ('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':' || CAST(u AS VARCHAR)), 1, 15))
+            ::BIGINT % (SELECT m FROM par) AS p
+    FROM b, range({BLOOM_K}) r(i)
+),
+cand AS (
+    SELECT user_id,
+        ('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))
+            ::BIGINT % (SELECT m FROM par) AS p
+    FROM (SELECT DISTINCT user_id FROM events), range({BLOOM_K}) r(i)
+),
+hits AS (
+    SELECT user_id, CAST(BOOL_AND(p IN (SELECT p FROM pos)) AS BIGINT) AS bloom_hit
+    FROM cand GROUP BY user_id
+)
+SELECT e.user_id, h.bloom_hit, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN hits h USING (user_id)
+GROUP BY e.user_id, h.bloom_hit
+ORDER BY e.user_id
+"""

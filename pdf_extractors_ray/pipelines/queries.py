@@ -215,6 +215,25 @@ def _bpe_mixture_pack_query(sf_dir: str):
     return curate.docs_global_shuffle(sf_dir)
 
 
+def _running_bloom_query(sf_dir: str):
+    """Bloom-filter semi-join AND the per-user running total in one
+    driver slot. Forced gate: ``events_running_total`` stays fully
+    hash-checked via the in-query twin gate. RECORDED result:
+    ``events_bloom_semijoin`` — which event users (probably) have an
+    urgent order: distinct build keys → tree-OR'd per-block bitmaps →
+    broadcast map-side k-probe bit test (the probe side never shuffles),
+    with m derived from the exact build count so the filter — false
+    positives included — is bit-reproducible in the DuckDB twin."""
+    _assert_sql_twin(
+        "events_running_total",
+        events.events_running_total(sf_dir),
+        events.EVENTS_RUNNING_SQL,
+        sf_dir,
+        tables=("events",),
+    )
+    return events.events_bloom_semijoin(sf_dir)
+
+
 def _month_quantiles_query(sf_dir: str):
     """Exact distributed quantile selection AND the monthly rollup in one
     driver slot. Forced gate: ``orders_by_month`` stays fully hash-checked
@@ -555,7 +574,7 @@ REGISTRY: dict[str, tuple] = {
     "events_hourly": (events.events_hourly, events.EVENTS_HOURLY_SQL),
     "events_sessionize": (events.events_sessionize, events.EVENTS_SESSIONIZE_SQL),
     "events_props_k": (events.events_props_k, events.EVENTS_PROPS_K_SQL),
-    "events_running_total": (events.events_running_total, events.EVENTS_RUNNING_SQL),
+    "events_bloom_semijoin": (_running_bloom_query, events.EVENTS_BLOOM_SQL),
     "events_sliding": (_sliding_asof_query, events.EVENTS_SLIDING_SQL),
     # text analysis (SQL-checked where expressible)
     "docs_top_tokens": (_token_stats_top_query, tx.DOCS_TOP_TOKENS_SQL),

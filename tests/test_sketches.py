@@ -3,6 +3,7 @@
 import duckdb
 import numpy as np
 import pandas as pd
+import pytest
 
 from pdf_extractors_ray.ops import events as ev
 
@@ -212,3 +213,75 @@ def test_q22_antijoin_semantics_bruteforce(ray_session):
     assert got["c_nationkey"].tolist() == want["c_nationkey"].tolist()
     assert got["numcust"].tolist() == want["numcust"].tolist()
     assert got["totacctbal_cents"].tolist() == want["totacctbal_cents"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter semi-join
+# ---------------------------------------------------------------------------
+
+
+def _bloom_oracle(sf: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    return con.sql(ev.EVENTS_BLOOM_SQL).df()
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_bloom_semijoin_matches_duckdb_twin(ray_session, sf):
+    eng = ev.events_bloom_semijoin(sf).to_pandas().reset_index(drop=True)
+    ora = _bloom_oracle(sf)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(ray_session):
+    sf = "/root/testdata/sf0.01"
+    eng = ev.events_bloom_semijoin(sf).to_pandas()
+    truth = duckdb.sql(
+        f"""SELECT DISTINCT user_id FROM '{sf}/events.parquet'
+            WHERE user_id IN (SELECT o_custkey FROM '{sf}/orders.parquet'
+                              WHERE o_orderpriority = '1-URGENT')"""
+    ).df()["user_id"]
+    members = set(truth.to_numpy())
+    hits = set(eng.loc[eng["bloom_hit"] == 1, "user_id"].to_numpy())
+    assert members <= hits  # a bloom filter NEVER drops a true member
+    # FP count bounded: at 8 bits/key, k=4 the theoretical rate is ~2.4%;
+    # allow a generous envelope over the non-member population
+    n_non = len(eng) - len(members)
+    assert len(hits - members) <= max(3, int(0.1 * n_non))
+
+
+def test_bloom_forced_false_positives(ray_session, monkeypatch):
+    """With m clamped to 64 bits the filter must saturate: every probe
+    key collides into set bits — exercising the FP path end to end
+    (the twin stays in lockstep because m derives identically)."""
+    monkeypatch.setattr(ev, "_bloom_m", lambda n: 64)
+    eng = ev.events_bloom_semijoin("/root/testdata/sf0.001").to_pandas()
+    # ~1300 build keys × 4 hashes over 64 bits ⇒ all bits set ⇒ all hit
+    assert (eng["bloom_hit"] == 1).all()
+
+
+def test_bloom_tree_or_equals_single_pass():
+    """Tree-OR of per-chunk bitmaps == bitmap of the concatenation."""
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 10_000, size=500).astype(np.int64)
+    m = 2048
+
+    def bitmap(ks: np.ndarray) -> np.ndarray:
+        bm = np.zeros(m // 64, dtype=np.uint64)
+        for i in range(ev.BLOOM_K):
+            p = ev._bloom_positions(ks, i, m)
+            np.bitwise_or.at(bm, p // 64, np.uint64(1) << (p % 64).astype(np.uint64))
+        return bm
+
+    chunks = np.array_split(keys, 7)
+    acc = np.zeros(m // 64, dtype=np.uint64)
+    for c in chunks:
+        acc = np.bitwise_or(acc, bitmap(c))
+    assert (acc == bitmap(keys)).all()
+
+
+def test_bloom_empty_build_side(ray_session):
+    """No build keys at all → zero bitmap → every probe misses."""
+    eng = ev.events_bloom_semijoin("/root/testdata/sf0.001", priority="no-such").to_pandas()
+    assert len(eng) > 0 and (eng["bloom_hit"] == 0).all()
