@@ -677,3 +677,100 @@ SELECT doc_id, token, tf, df, score_ppm, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {TFIDF_K}
 ORDER BY doc_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (token → document frequency + capped postings head)
+
+
+INDEX_HEADS = 8  # postings kept per token; df stays exact
+
+
+def docs_inverted_index(sf_dir: str, n_heads: int = INDEX_HEADS):
+    """Build the retrieval-side inverted index over the corpus: for every
+    token its exact document frequency plus the first ``n_heads`` posting
+    doc_ids (ascending). The full posting list of a Zipf-head token is
+    corpus-sized — the cap is the standard impact-ordered-index move: df
+    stays exact for scoring, the stored postings stay O(1) per token.
+
+    Scale shape — the pairs NEVER shuffle raw: a document is one row, so
+    after per-batch (token, doc) dedup the pairs are GLOBALLY distinct;
+    df is therefore a plain sum of per-batch partial counts, and the
+    postings head is a mergeable partial-minima set (each batch's
+    ``n_heads`` smallest doc ids provably contain the global smallest —
+    the KMV/reservoir argument). What moves per batch is one row per
+    batch-vocabulary token (count + a ≤``n_heads``-id string), combined
+    in hash buckets of the token key."""
+    from .common import _default_buckets
+
+    n_buckets = _default_buckets()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        doc = np.repeat(batch["doc_id"].to_numpy(np.int64), toks.str.len().to_numpy(np.int64))
+        pairs = pd.DataFrame({"token": toks.explode().to_numpy(dtype=object), "doc_id": doc})
+        pairs = pairs.drop_duplicates().sort_values(["token", "doc_id"], kind="mergesort")
+        g = pairs.groupby("token", sort=False)
+        pairs["rn"] = g.cumcount()
+        heads = (
+            pairs[pairs["rn"] < n_heads]
+            .assign(doc_str=lambda d: d["doc_id"].astype(str))
+            .groupby("token", sort=False)["doc_str"]
+            .agg(",".join)
+        )
+        out = g.size().rename("df_part").reset_index()
+        out["heads"] = heads.reindex(out["token"]).to_numpy(dtype=object)
+        out["__b"] = (
+            pd.util.hash_array(out["token"].to_numpy(dtype=object)) % n_buckets
+        ).astype(np.int64)
+        return out
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        df = group.groupby("token", as_index=False, sort=False)["df_part"].sum()
+        h = group[["token"]].copy()
+        h["doc_id"] = group["heads"].str.split(",")
+        h = h.explode("doc_id")
+        h["doc_id"] = h["doc_id"].astype(np.int64)
+        h = h.sort_values(["token", "doc_id"], kind="mergesort")
+        h["rn"] = h.groupby("token", sort=False).cumcount()
+        postings = (
+            h[h["rn"] < n_heads]
+            .assign(doc_str=lambda d: d["doc_id"].astype(str))
+            .groupby("token", sort=False)["doc_str"]
+            .agg(",".join)
+        )
+        return pd.DataFrame(
+            {
+                "token": df["token"].to_numpy(dtype=object),
+                "df": df["df_part"].to_numpy(np.int64),
+                "postings": postings.reindex(df["token"]).to_numpy(dtype=object),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas")
+        .sort("token")
+    )
+
+
+DOCS_INVERTED_INDEX_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+),
+d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY token),
+h AS (
+    SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM (SELECT token, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+          FROM pairs)
+    WHERE rn <= {INDEX_HEADS}
+    GROUP BY token
+)
+SELECT d.token, d.df, h.postings
+FROM d JOIN h USING (token)
+ORDER BY d.token
+"""

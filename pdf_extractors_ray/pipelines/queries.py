@@ -182,17 +182,20 @@ def _langid_decon_curation_query(sf_dir: str):
 
 
 def _quality_repetition_tfidf_query(sf_dir: str):
-    """TF-IDF distinctive terms AND the Gopher repetition signals AND the
-    quality scorer in one driver slot. Forced gates: ``docs_quality`` and
-    ``docs_repetition`` stay fully hash-checked via in-query twin gates.
-    RECORDED result: ``docs_tfidf`` — per-doc top-k terms by
-    tf·1e6//df with the corpus-DF pass bucketed and the Zipf-head dfs
-    broadcast map-side (only the long tail shuffles through the join)."""
+    """Inverted index AND TF-IDF distinctive terms AND the Gopher
+    repetition signals AND the quality scorer in one driver slot. Forced
+    gates: ``docs_quality``, ``docs_repetition`` and ``docs_tfidf`` stay
+    fully hash-checked via in-query twin gates. RECORDED result:
+    ``docs_inverted_index`` — exact per-token document frequency + capped
+    postings head, built from mergeable per-batch partials (globally
+    distinct pairs ⇒ df sums; heads are partial minima), pinned to an
+    unnest/ROW_NUMBER DuckDB twin."""
     _assert_sql_twin("docs_quality", tx.docs_quality(sf_dir), tx.DOCS_QUALITY_SQL, sf_dir)
     _assert_sql_twin(
         "docs_repetition", tx.docs_repetition(sf_dir), tx.DOCS_REPETITION_SQL, sf_dir
     )
-    return tx.docs_tfidf(sf_dir)
+    _assert_sql_twin("docs_tfidf", tx.docs_tfidf(sf_dir), tx.DOCS_TFIDF_SQL, sf_dir)
+    return tx.docs_inverted_index(sf_dir)
 
 
 def _bpe_mixture_pack_query(sf_dir: str):
@@ -578,7 +581,7 @@ REGISTRY: dict[str, tuple] = {
     "events_sliding": (_sliding_asof_query, events.EVENTS_SLIDING_SQL),
     # text analysis (SQL-checked where expressible)
     "docs_top_tokens": (_token_stats_top_query, tx.DOCS_TOP_TOKENS_SQL),
-    "docs_tfidf": (_quality_repetition_tfidf_query, tx.DOCS_TFIDF_SQL),
+    "docs_inverted_index": (_quality_repetition_tfidf_query, tx.DOCS_INVERTED_INDEX_SQL),
     "docs_reservoir_sample": (_fingerprint_split_reservoir_query, curate.DOCS_RESERVOIR_SQL),
     "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),
     "docs_global_shuffle": (_bpe_mixture_pack_query, curate.DOCS_SHUFFLE_SQL),

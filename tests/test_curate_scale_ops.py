@@ -509,3 +509,56 @@ def test_global_shuffle_stable_under_bucket_count(ray_session, monkeypatch):
     monkeypatch.setattr(common, "_default_buckets", lambda: 3)
     alt = curate.docs_global_shuffle(sf).to_pandas()
     pd.testing.assert_frame_equal(base, alt, check_dtype=True)
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_inverted_index_matches_duckdb_twin(ray_session, sf):
+    eng = tx.docs_inverted_index(sf).to_pandas().reset_index(drop=True)
+    ora = _oracle(sf, tx.DOCS_INVERTED_INDEX_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+
+
+def test_inverted_index_matches_bruteforce(ray_session):
+    sf = SFS[1]
+    eng = tx.docs_inverted_index(sf).to_pandas().set_index("token")
+    docs = _docs_df(sf)
+    postings: dict[str, set] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        for tok in set(text.split(" ")):
+            postings.setdefault(tok, set()).add(int(doc_id))
+    assert set(eng.index) == set(postings)
+    for tok, s in postings.items():
+        assert eng.loc[tok, "df"] == len(s)
+        want = ",".join(map(str, sorted(s)[: tx.INDEX_HEADS]))
+        assert eng.loc[tok, "postings"] == want
+
+
+def test_inverted_index_head_merge_is_batch_invariant(ray_session, tmp_path):
+    """df sums and postings heads must be mergeable: re-running with a
+    tiny batch size (many partials per token) must not change anything."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    docs = _docs_df(SFS[0]).head(40)
+    p = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": docs["doc_id"].to_numpy(np.int64),
+                "text": docs["text"],
+                "lang": ["en"] * len(docs),
+                "source": docs["source"],
+                "n_chars": docs["text"].str.len().to_numpy(np.int64),
+            }
+        ),
+        p,
+        row_group_size=3,  # many tiny blocks → many partials per token
+    )
+    eng = tx.docs_inverted_index(str(tmp_path)).to_pandas().reset_index(drop=True)
+    ora = _oracle(str(tmp_path), tx.DOCS_INVERTED_INDEX_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
