@@ -774,3 +774,166 @@ SELECT d.token, d.df, h.postings
 FROM d JOIN h USING (token)
 ORDER BY d.token
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (distributed merge learning over the word table)
+
+
+BPE_MERGES = 6  # merge rules learned per run
+BPE_MIN_COUNT = 2  # stop when the best pair occurs once
+_SYM_SEP = "\x1f"  # joiner between symbols; never appears in corpus text
+_EOW = "</w>"  # end-of-word marker symbol (one symbol, Sennrich-style)
+
+
+def bpe_word_counts(sf_dir: str):
+    """Distributed word-frequency table — BPE's actual input. The classic
+    trainer never touches the corpus again after this pass: everything
+    downstream runs on the vocabulary-sized (word, n) table."""
+    from .common import bucketed_group_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)})
+
+    return bucketed_group_agg(
+        _docs(sf_dir, columns=["text"]).map_batches(partial, batch_format="pandas"),
+        ["word"],
+        {"n": "sum"},
+    ).sort("word")
+
+
+BPE_WORD_COUNTS_SQL = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY word ORDER BY word
+"""
+
+
+def _pair_counts_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized adjacent-symbol pair counts weighted by word count."""
+    syms = batch["sym"].str.split(_SYM_SEP)
+    lens = syms.str.len().to_numpy(np.int64)
+    flat = syms.explode().to_numpy(dtype=object)
+    widx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    wn = np.repeat(batch["n"].to_numpy(np.int64), lens)
+    adj = widx[:-1] == widx[1:]
+    out = pd.DataFrame(
+        {"left": flat[:-1][adj], "right": flat[1:][adj], "cnt": wn[:-1][adj]}
+    )
+    return out.groupby(["left", "right"], as_index=False, sort=False)["cnt"].sum()
+
+
+def _merge_pattern(left: str, right: str):
+    """Boundary-aware merge regex: the pair must sit on symbol boundaries
+    (start/end of word or the separator), so a symbol whose text merely
+    ENDS with ``left`` can't capture a following ``right``. Non-greedy
+    left-to-right application == the scan-merge reference (matches are
+    non-overlapping in original-string order)."""
+    import re
+
+    return re.compile(
+        f"(?:^|(?<={_SYM_SEP})){re.escape(left)}{_SYM_SEP}{re.escape(right)}(?={_SYM_SEP}|$)"
+    )
+
+
+def docs_bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pd.DataFrame:
+    """Learn BPE merge rules distributedly — the tokenizer-training step a
+    pretraining data pipeline runs before anything else tokenizes. Returns
+    the merge table (it, left, right, cnt): at each iteration the highest-
+    count adjacent symbol pair (count DESC, pair ASC — the deterministic
+    tiebreak) becomes one symbol.
+
+    Scale shape: ONE corpus pass builds the (word, n) table; the merge
+    loop runs entirely on that vocabulary-sized table — per iteration one
+    bucketed shuffle of per-batch pair partials (each batch contributes
+    its batch-vocabulary of pairs once, not per occurrence), a ≤n_buckets-
+    row argmax on the driver, and a map-side regex merge broadcast by
+    closure (bytes). The corpus text is never re-read; at 10^12 turns the
+    word table is the only thing iterated, and it shrinks nothing — but
+    moves nothing wider than itself either."""
+    from .common import _default_buckets, bucketed_group_agg
+
+    def to_syms(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "sym": [
+                    _SYM_SEP.join(list(w) + [_EOW]) for w in batch["word"].to_numpy(dtype=object)
+                ],
+                "n": batch["n"].to_numpy(np.int64),
+            }
+        )
+
+    table = bpe_word_counts(sf_dir).map_batches(to_syms, batch_format="pandas").materialize()
+    nb = _default_buckets()
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(n_merges):
+        partial = table.map_batches(_pair_counts_partial, batch_format="pandas")
+        sums = bucketed_group_agg(partial, ["left", "right"], {"cnt": "sum"}, n_buckets=nb)
+
+        def prune(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.sort_values(
+                ["cnt", "left", "right"], ascending=[False, True, True], kind="mergesort"
+            ).head(1)
+
+        best = (
+            sums.map_batches(prune, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["cnt", "left", "right"], ascending=[False, True, True])
+            .head(1)
+        )
+        if best.empty or int(best["cnt"].iloc[0]) < BPE_MIN_COUNT:
+            break
+        left, right, cnt = str(best["left"].iloc[0]), str(best["right"].iloc[0]), int(best["cnt"].iloc[0])
+        merges.append((it, left, right, cnt))
+        pat, rep = _merge_pattern(left, right), left + right
+
+        def apply(batch: pd.DataFrame, pat=pat, rep=rep) -> pd.DataFrame:
+            # callable repl: the merged symbol is literal text, never a
+            # backreference template
+            return batch.assign(
+                sym=batch["sym"].str.replace(pat, lambda m: rep, regex=True)
+            )
+
+        table = table.map_batches(apply, batch_format="pandas").materialize()
+    return pd.DataFrame(merges, columns=["it", "left", "right", "cnt"]).astype(
+        {"it": np.int64, "cnt": np.int64}
+    )
+
+
+def ref_bpe_merges(word_counts: dict, n_merges: int = BPE_MERGES) -> pd.DataFrame:
+    """Single-process textbook BPE (Sennrich scan-merge) — the reference
+    the distributed trainer is gated against in-query (fed from DuckDB
+    word counts, so the whole path word-count → merges is independently
+    reproduced)."""
+    vocab: dict[tuple, int] = {}
+    for w, n in word_counts.items():
+        key = tuple(list(w) + [_EOW])
+        vocab[key] = vocab.get(key, 0) + int(n)
+    merges = []
+    for it in range(n_merges):
+        pairs: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < BPE_MIN_COUNT:
+            break
+        merges.append((it, left, right, cnt))
+        new_vocab: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return pd.DataFrame(merges, columns=["it", "left", "right", "cnt"]).astype(
+        {"it": np.int64, "cnt": np.int64}
+    )

@@ -118,18 +118,39 @@ def _fingerprint_split_reservoir_query(sf_dir: str):
 
 
 def _token_stats_top_query(sf_dir: str):
-    """Vocabulary top-k AND the per-language token stats AND the
-    Misra-Gries heavy-hitters sketch in one driver slot. Forced gates:
-    ``docs_token_stats`` stays fully hash-checked via the in-query twin
-    gate, and the MERGEABLE MG sketch (the sub-linear scale path beside
-    the exact count) must satisfy its theorem bound against the exact
-    top-k: every top-k token present with est ≤ true ≤ est + n/(m+1).
-    RECORDED result: ``docs_top_tokens`` — exact global token counts with
+    """Vocabulary top-k AND per-language token stats AND the MG sketch AND
+    the distributed BPE tokenizer trainer in one driver slot. Forced
+    gates: ``docs_token_stats`` and ``docs_bpe_word_counts`` stay fully
+    hash-checked via in-query twin gates; ``docs_bpe_train`` must equal
+    the textbook single-process BPE fed from DuckDB word counts; the MG
+    sketch must satisfy its theorem bound vs the exact top-k. RECORDED
+    result: ``docs_top_tokens`` — exact global token counts with
     per-batch partials, bucketed sums, per-bucket top-k prune,
-    deterministic (count DESC, token ASC) ranking."""
+    deterministic (count DESC, token ASC) ranking; MG bound: every top-k
+    token present with est ≤ true ≤ est + n/(m+1)."""
     _assert_sql_twin(
         "docs_token_stats", tx.docs_token_stats(sf_dir), tx.DOCS_TOKEN_STATS_SQL, sf_dir
     )
+    _assert_sql_twin(
+        "docs_bpe_word_counts", tx.bpe_word_counts(sf_dir), tx.BPE_WORD_COUNTS_SQL, sf_dir
+    )
+    # forced gate: the DISTRIBUTED BPE trainer must reproduce the textbook
+    # single-process trainer fed from DuckDB's own word counts — pins the
+    # whole corpus → word-count → merge-loop path in the driver record
+    import duckdb as _duck
+    import pandas as _pd
+
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    wc = con.execute(tx.BPE_WORD_COUNTS_SQL).fetchdf()
+    ref_merges = tx.ref_bpe_merges(dict(zip(wc["word"], wc["n"])))
+    dist_merges = tx.docs_bpe_train(sf_dir)
+    try:
+        _pd.testing.assert_frame_equal(dist_merges, ref_merges, check_dtype=True)
+    except AssertionError as e:  # noqa: BLE001
+        raise RuntimeError(f"docs_bpe_train diverged from textbook BPE: {str(e)[:300]}") from e
     n_total, cand = tx.mg_heavy_hitters(sf_dir)
     exact = tx.docs_top_tokens(sf_dir)
     bound = n_total // (tx.MG_CAPACITY + 1)

@@ -562,3 +562,123 @@ def test_inverted_index_head_merge_is_batch_invariant(ray_session, tmp_path):
     eng = tx.docs_inverted_index(str(tmp_path)).to_pandas().reset_index(drop=True)
     ora = _oracle(str(tmp_path), tx.DOCS_INVERTED_INDEX_SQL)
     pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def _inline_bpe(word_counts: dict, n_merges: int) -> list:
+    """Independent textbook BPE written fresh for the test (the module's
+    own ref_bpe_merges gates the driver; this one gates BOTH)."""
+    from collections import Counter
+
+    vocab = Counter()
+    for w, n in word_counts.items():
+        vocab[tuple(list(w) + ["</w>"])] += int(n)
+    merges = []
+    for it in range(n_merges):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((it, left, right, cnt))
+        nv = Counter()
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (left, right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += n
+        vocab = nv
+    return merges
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_bpe_train_matches_inline_textbook(ray_session, sf):
+    import duckdb
+
+    dist = tx.docs_bpe_train(sf)
+    wc = duckdb.sql(
+        f"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM '{sf}/documents.parquet')
+            SELECT word, COUNT(*) AS n FROM t GROUP BY word"""
+    ).df()
+    ref = _inline_bpe(dict(zip(wc["word"], wc["n"])), tx.BPE_MERGES)
+    got = list(dist.itertuples(index=False, name=None))
+    assert got == ref
+
+
+def test_bpe_word_counts_match_duckdb_twin(ray_session):
+    eng = tx.bpe_word_counts(SFS[1]).to_pandas().reset_index(drop=True)
+    ora = _oracle(SFS[1], tx.BPE_WORD_COUNTS_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+
+
+def test_bpe_merge_regex_respects_symbol_boundaries():
+    """A symbol whose text merely ENDS with `left` must not capture a
+    following `right`: after merging (a,b)→'ab', the pair (b,c) must not
+    fire inside '…ab|c…'."""
+    sep = "\x1f"
+    pat = tx._merge_pattern("b", "c")
+    # word 'abc' already merged to symbols [ab, c]: no 'b'-symbol present
+    assert pat.sub("bc", sep.join(["ab", "c"])) == sep.join(["ab", "c"])
+    # genuine [a, b, c] does merge its (b, c)
+    assert pat.sub("bc", sep.join(["a", "b", "c"])) == sep.join(["a", "bc"])
+    # left-to-right non-overlap: [b, c, b, c] → [bc, bc]; [c, c, c] with
+    # pair (c, c) merges the first two only
+    assert pat.sub("bc", sep.join(["b", "c", "b", "c"])) == sep.join(["bc", "bc"])
+    pat_cc = tx._merge_pattern("c", "c")
+    assert pat_cc.sub("cc", sep.join(["c", "c", "c"])) == sep.join(["cc", "c"])
+
+
+def test_bpe_reference_tiebreak_and_stop():
+    # tie on count → lexicographically smallest pair wins
+    ref = tx.ref_bpe_merges({"ab": 3, "cd": 3}, n_merges=1)
+    assert list(ref.iloc[0][["left", "right"]]) == ["a", "b"]
+    # all pairs unique → trainer stops before n_merges
+    ref = tx.ref_bpe_merges({"xy": 1, "zq": 1}, n_merges=5)
+    assert len(ref) == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab", "bc"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([("a", "b"), ("b", "c"), ("c", "c"), ("ab", "c")]),
+)
+def test_bpe_regex_apply_equals_scan_merge(words, pair):
+    """Property: the vectorized boundary-aware regex merge equals the
+    textbook scan-merge on arbitrary symbol sequences, including symbols
+    whose text embeds the pair's characters."""
+    sep = "\x1f"
+    left, right = pair
+    pat = tx._merge_pattern(left, right)
+    for syms in words:
+        got = pat.sub(left + right, sep.join(syms)).split(sep)
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        assert got == out
