@@ -581,6 +581,7 @@ FROM agg
 BLOOM_K = 4  # hash functions
 BLOOM_BITS_PER_KEY = 8  # m = next_pow2(8·n_build)  → FP ≈ 2.4% at k=4
 BLOOM_MIN_LOG2_M = 11  # floor so tiny builds don't degenerate
+BLOOM_PRIORITY = "1-URGENT"  # default build-side filter; shared with the SQL twin
 
 
 def _bloom_m(n_build: int) -> int:
@@ -597,7 +598,7 @@ def _bloom_positions(keys: np.ndarray, i: int, m: int) -> np.ndarray:
     return _md5_hash15(keys, f"bloom{i}:") % m
 
 
-def events_bloom_semijoin(sf_dir: str, priority: str = "1-URGENT"):
+def events_bloom_semijoin(sf_dir: str, priority: str = BLOOM_PRIORITY):
     """Bloom-filter semi-join: which event users are (probably) customers
     with at least one ``priority`` order, plus their event counts. The
     shape every 100 TB join planner reaches for when one side is small:
@@ -671,10 +672,14 @@ def events_bloom_semijoin(sf_dir: str, priority: str = "1-URGENT"):
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
         bm = ray.get(bm_ref)  # zero-copy local fetch
         u = batch["user_id"].to_numpy(np.int64)
-        hit = np.ones(len(u), dtype=bool)
+        # the md5 probe is a per-element Python hash — pay it once per
+        # DISTINCT user in the batch, not once per event row
+        uu, inv = np.unique(u, return_inverse=True)
+        hit_u = np.ones(len(uu), dtype=bool)
         for i in range(BLOOM_K):
-            p = _bloom_positions(u, i, m)
-            hit &= (bm[p // 64] >> (p % 64).astype(np.uint64)) & np.uint64(1) != 0
+            p = _bloom_positions(uu, i, m)
+            hit_u &= (bm[p // 64] >> (p % 64).astype(np.uint64)) & np.uint64(1) != 0
+        hit = hit_u[inv]
         return pd.DataFrame(
             {"user_id": u, "bloom_hit": hit.astype(np.int64), "n_events": np.int64(1)}
         )
@@ -685,11 +690,11 @@ def events_bloom_semijoin(sf_dir: str, priority: str = "1-URGENT"):
 
 EVENTS_BLOOM_SQL = f"""
 WITH b AS (
-    SELECT DISTINCT o_custkey AS u FROM orders WHERE o_orderpriority = '1-URGENT'
+    SELECT DISTINCT o_custkey AS u FROM orders WHERE o_orderpriority = '{BLOOM_PRIORITY}'
 ),
 par AS (
     SELECT CAST(POWER(2, GREATEST({BLOOM_MIN_LOG2_M},
-        CEIL(LOG2({BLOOM_BITS_PER_KEY} * (SELECT COUNT(*) FROM b))))) AS BIGINT) AS m
+        CEIL(LOG2({BLOOM_BITS_PER_KEY} * GREATEST(1, (SELECT COUNT(*) FROM b)))))) AS BIGINT) AS m
 ),
 pos AS (
     SELECT DISTINCT

@@ -786,10 +786,12 @@ _SYM_SEP = "\x1f"  # joiner between symbols; never appears in corpus text
 _EOW = "</w>"  # end-of-word marker symbol (one symbol, Sennrich-style)
 
 
-def bpe_word_counts(sf_dir: str):
+def _bpe_word_counts_unsorted(sf_dir: str):
     """Distributed word-frequency table — BPE's actual input. The classic
     trainer never touches the corpus again after this pass: everything
-    downstream runs on the vocabulary-sized (word, n) table."""
+    downstream runs on the vocabulary-sized (word, n) table. Unsorted:
+    the merge loop is order-independent, so the trainer consumes this
+    directly and skips the global vocabulary sort."""
     from .common import bucketed_group_agg
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -800,7 +802,12 @@ def bpe_word_counts(sf_dir: str):
         _docs(sf_dir, columns=["text"]).map_batches(partial, batch_format="pandas"),
         ["word"],
         {"n": "sum"},
-    ).sort("word")
+    )
+
+
+def bpe_word_counts(sf_dir: str):
+    """Gate-facing word counts: sorted to match ``ORDER BY word``."""
+    return _bpe_word_counts_unsorted(sf_dir).sort("word")
 
 
 BPE_WORD_COUNTS_SQL = """
@@ -863,7 +870,9 @@ def docs_bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pd.DataFrame:
             }
         )
 
-    table = bpe_word_counts(sf_dir).map_batches(to_syms, batch_format="pandas").materialize()
+    table = (
+        _bpe_word_counts_unsorted(sf_dir).map_batches(to_syms, batch_format="pandas").materialize()
+    )
     nb = _default_buckets()
     merges: list[tuple[int, str, str, int]] = []
     for it in range(n_merges):

@@ -50,12 +50,14 @@ def _assert_variants_equal(name_a: str, ds_a, name_b: str, ds_b) -> None:
     return a
 
 
-def _assert_sql_twin(name: str, ds, sql: str, sf_dir: str, tables=("documents",)) -> None:
+def _assert_sql_twin(name: str, ds, sql: str, sf_dir: str, tables=("documents",)):
     """In-query hash gate: dtype-strict comparison of a pipeline result
     against its DuckDB twin — the same canon as the external gate (columns
     sorted by name, object cells stringified, rows sorted by all columns),
     so a slot can keep an op fully SQL-checked while RECORDING a different
     op's result. Raises so the driver records a hard error on divergence.
+    Returns the oracle frame (as fetched, pre-canon) so callers that need
+    the twin's output don't re-run the SQL.
 
     Like ``_assert_variants_equal``, this gate runs at correctness-check
     scale (sf0.01) where both frames are small; it is NOT part of any
@@ -72,9 +74,12 @@ def _assert_sql_twin(name: str, ds, sql: str, sf_dir: str, tables=("documents",)
 
     got = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
     con = duckdb.connect()
-    for t in tables:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    want = con.execute(sql).fetchdf()
+    try:
+        for t in tables:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        want = con.execute(sql).fetchdf()
+    finally:
+        con.close()
     g, w = canon(got), canon(want)
     if list(g.columns) != list(w.columns) or len(g) != len(w):
         raise RuntimeError(
@@ -85,6 +90,7 @@ def _assert_sql_twin(name: str, ds, sql: str, sf_dir: str, tables=("documents",)
         pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
     except AssertionError as e:  # noqa: BLE001
         raise RuntimeError(f"{name} twin gate: value mismatch: {str(e)[:300]}") from e
+    return want
 
 
 def _keyword_redact_query(sf_dir: str):
@@ -131,20 +137,15 @@ def _token_stats_top_query(sf_dir: str):
     _assert_sql_twin(
         "docs_token_stats", tx.docs_token_stats(sf_dir), tx.DOCS_TOKEN_STATS_SQL, sf_dir
     )
-    _assert_sql_twin(
+    wc = _assert_sql_twin(
         "docs_bpe_word_counts", tx.bpe_word_counts(sf_dir), tx.BPE_WORD_COUNTS_SQL, sf_dir
     )
     # forced gate: the DISTRIBUTED BPE trainer must reproduce the textbook
-    # single-process trainer fed from DuckDB's own word counts — pins the
-    # whole corpus → word-count → merge-loop path in the driver record
-    import duckdb as _duck
+    # single-process trainer fed from DuckDB's own word counts (the twin
+    # gate's oracle frame — no second corpus scan) — pins the whole
+    # corpus → word-count → merge-loop path in the driver record
     import pandas as _pd
 
-    con = _duck.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
-    )
-    wc = con.execute(tx.BPE_WORD_COUNTS_SQL).fetchdf()
     ref_merges = tx.ref_bpe_merges(dict(zip(wc["word"], wc["n"])))
     dist_merges = tx.docs_bpe_train(sf_dir)
     try:
