@@ -61,6 +61,12 @@ OP_QUERIES = [
     "docs_reservoir_sample",
     "docs_curation_pipeline",
     "docs_dup_span_stats",
+    "docs_global_shuffle",
+    "events_bloom_semijoin",
+    "docs_inverted_index",
+    "docs_bpe_train",
+    "docs_bigram_pmi",
+    "docs_quality_rank",
 ]
 
 
@@ -93,6 +99,13 @@ def _op_extra():
         "docs_reservoir_sample": _cu.docs_reservoir_sample,
         "docs_curation_pipeline": _cu.docs_curation_pipeline,
         "docs_dup_span_stats": _cu.docs_dup_span_stats,
+        "docs_global_shuffle": _cu.docs_global_shuffle,
+        "events_bloom_semijoin": _ev.events_bloom_semijoin,
+        "docs_inverted_index": _tx.docs_inverted_index,
+        # returns an (eager) pandas frame; .count() is a no-op finisher
+        "docs_bpe_train": _tx.docs_bpe_train,
+        "docs_bigram_pmi": _tx.docs_bigram_pmi,
+        "docs_quality_rank": _cu.docs_quality_rank,
     }
 
 

@@ -1064,3 +1064,198 @@ SELECT doc_id, shuffle_rank, shuffle_rank // {SHUFFLE_SHARD} AS shard
 FROM r
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: exact global rank by quality score (skewed sort key)
+
+
+RANK_PHASE = 64  # docs per curriculum phase (≈ one training stage's file)
+
+
+def docs_quality_rank(
+    sf_dir: str,
+    n_buckets: int | None = None,
+    hot_factor: int = 2,
+    phase_size: int = RANK_PHASE,
+):
+    """Curriculum ordering: every document's exact global rank under
+    ``ORDER BY quality DESC, doc_id`` (quality = the shared stopword-ratio
+    ppm score), plus the curriculum ``phase`` it lands in. The complement
+    of ``docs_global_shuffle``: that op ranks by a UNIFORM hash key where
+    fixed value ranges are balanced by construction; a quality score is a
+    bounded-domain but heavily TIED, skewed key — thousands of documents
+    share one popular ratio — so balanced range partitioning has to be
+    planned from data, not assumed.
+
+    Scale shape — no comparison sort, no corpus-sized exchange:
+
+    1. one pass renders the narrow (doc_id, score) table (16 B/doc,
+       materialized),
+    2. the EXACT score histogram rolls up to the driver — the score
+       domain is bounded (ppm ∈ [0, 1e6]), so the rollup is ≤1e6 rows
+       regardless of corpus size (cf. ``orders_price_quantiles``, which
+       narrows iteratively because cents are unbounded),
+    3. the driver greedy-packs consecutive scores (rank order) into
+       ~equal-row buckets; a score whose tie-group alone exceeds
+       ``hot_factor``× the target gets its own family of doc-id-range
+       SUB-buckets — the hot-key salting this repo applies to hot
+       conversations, here applied to hot rank keys,
+    4. hot sub-bucket counts come from one extra narrow pass (only if hot
+       scores exist); exclusive offsets per bucket broadcast once,
+    5. ONE hash-range shuffle of the narrow table; each bucket's fold
+       sorts locally by (score DESC, doc_id) and adds its offset.
+
+    Exactness: buckets partition the corpus into contiguous rank ranges
+    (non-hot buckets hold complete runs of consecutive scores; hot
+    sub-buckets hold one score split by ascending doc-id ranges), so
+    local sort + exclusive offset reproduces the global ROW_NUMBER
+    bit-for-bit — pinned by the DuckDB twin and by the bucket/hot-factor
+    independence test."""
+    import ray
+
+    from .common import _default_buckets
+    from .text import stop_ratio_ppm_kernel
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "q": stop_ratio_ppm_kernel(batch["text"]),
+            }
+        )
+
+    key_ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+    key_ds = key_ds.materialize()  # 16 B/doc; read ≤3 times (hist + hot + fold)
+
+    hist = (
+        grouped_sums(key_ds, ["q"], [], count_alias="n")
+        .to_pandas()
+        .sort_values("q", ascending=False)
+        .reset_index(drop=True)
+    )
+    span_ds = key_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"lo": [b["doc_id"].min()], "hi": [b["doc_id"].max()]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    dmin, dmax = int(span_ds["lo"].min()), int(span_ds["hi"].max())
+    dspan = max(1, dmax - dmin + 1)
+
+    total = int(hist["n"].sum())
+    nb = n_buckets or _default_buckets()
+    target = max(1, -(-total // nb))
+
+    score2bucket: dict[int, int] = {}
+    hot_info: dict[int, tuple[int, int]] = {}  # score -> (first bucket id, n_sub)
+    bucket_counts: dict[int, int] = {}
+    bid, fill = 0, 0
+    for q_val, n_s in zip(hist["q"].to_numpy(np.int64), hist["n"].to_numpy(np.int64)):
+        q_val, n_s = int(q_val), int(n_s)
+        if n_s > hot_factor * target:
+            if fill > 0:
+                bid, fill = bid + 1, 0
+            n_sub = -(-n_s // target)
+            hot_info[q_val] = (bid, n_sub)
+            bid += n_sub  # counts filled by the hot pass below
+        else:
+            score2bucket[q_val] = bid
+            bucket_counts[bid] = bucket_counts.get(bid, 0) + n_s
+            fill += n_s
+            if fill >= target:
+                bid, fill = bid + 1, 0
+    n_buckets_total = bid + (1 if fill > 0 else 0)
+
+    def _hot_bids(qv: np.ndarray, doc_ids: np.ndarray, hi: dict) -> np.ndarray:
+        # ascending doc-id value ranges: sub-bucket order == doc_id order
+        first = np.array([hi[int(x)][0] for x in qv], dtype=np.int64)
+        nsub = np.array([hi[int(x)][1] for x in qv], dtype=np.int64)
+        return first + (doc_ids - dmin) * nsub // dspan
+
+    if hot_info:
+        hot_ref = ray.put(hot_info)
+
+        def hot_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            hi = ray.get(hot_ref)
+            m = batch["q"].isin(list(hi))
+            if not m.any():
+                return pd.DataFrame(
+                    {"bid": pd.Series([], dtype=np.int64), "n": pd.Series([], dtype=np.int64)}
+                )
+            sub = batch.loc[m]
+            sub_bid = _hot_bids(
+                sub["q"].to_numpy(np.int64), sub["doc_id"].to_numpy(np.int64), hi
+            )
+            out = pd.DataFrame({"bid": sub_bid}).groupby("bid", as_index=False).size()
+            return out.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+        hot_counts = grouped_sums(
+            key_ds.map_batches(hot_partial, batch_format="pandas"), ["bid"], ["n"]
+        ).to_pandas()
+        for row in hot_counts.itertuples():
+            bucket_counts[int(row.bid)] = int(row.n)
+
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in range(n_buckets_total):
+        offsets[b] = acc
+        acc += bucket_counts.get(b, 0)
+    if acc != total:
+        raise RuntimeError(f"quality_rank bucket plan lost rows: {acc} != {total}")
+
+    plan_ref = ray.put((score2bucket, hot_info))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        s2b, hi = ray.get(plan_ref)
+        qs = pd.Series(batch["q"].to_numpy(np.int64))
+        d = batch["doc_id"].to_numpy(np.int64)
+        bid = qs.map(s2b).to_numpy(dtype=np.float64)  # NaN where score is hot
+        hm = np.isnan(bid)
+        if hm.any():
+            bid[hm] = _hot_bids(qs.to_numpy(np.int64)[hm], d[hm], hi)
+        return batch.assign(bid=bid.astype(np.int64))
+
+    off_ref = ray.put(offsets)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = group.sort_values(["q", "doc_id"], ascending=[False, True], kind="mergesort")
+        rank = off[int(g["bid"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "quality_ppm": g["q"].to_numpy(np.int64),
+                "curriculum_rank": rank,
+                "phase": rank // phase_size,
+            }
+        )
+
+    return (
+        key_ds.map_batches(assign, batch_format="pandas")
+        .groupby("bid")
+        .map_groups(fold, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+# stopword list hardcoded to match text.STOPWORDS / DOCS_QUALITY_SQL
+DOCS_QUALITY_RANK_SQL = f"""
+WITH q AS (
+    SELECT doc_id, CAST(FLOOR(
+        len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to')))::DOUBLE
+        / GREATEST(len(string_split(text, ' ')), 1) * 1000000 + 0.5) AS BIGINT) AS quality_ppm
+    FROM documents
+),
+r AS (
+    SELECT doc_id, quality_ppm,
+           CAST(ROW_NUMBER() OVER (ORDER BY quality_ppm DESC, doc_id) - 1 AS BIGINT)
+               AS curriculum_rank
+    FROM q
+)
+SELECT doc_id, quality_ppm, curriculum_rank, curriculum_rank // {RANK_PHASE} AS phase
+FROM r
+ORDER BY doc_id
+"""

@@ -64,6 +64,22 @@ ORDER BY lang
 """
 
 
+def _stop_ratio_ppm(n_stop: np.ndarray, n_tokens: np.ndarray) -> np.ndarray:
+    """Fixed-point stopword-ratio quality score — same IEEE divide + floor
+    both engines. Shared by ``docs_quality`` and the curriculum ranking op
+    so the two can never diverge on the score definition."""
+    return np.floor(n_stop / np.maximum(n_tokens, 1) * 1e6 + 0.5).astype(np.int64)
+
+
+def stop_ratio_ppm_kernel(texts: pd.Series) -> np.ndarray:
+    """Stopword-ratio score straight from text (one explode + fold)."""
+    texts = texts.reset_index(drop=True)
+    toks = texts.str.split(" ")
+    n_tokens = toks.str.len().to_numpy(np.int64)
+    n_stop = toks.explode().isin(STOPWORDS).groupby(level=0).sum().to_numpy(np.int64)
+    return _stop_ratio_ppm(n_stop, n_tokens)
+
+
 def docs_quality(sf_dir: str):
     """Per-document quality signals: token count, char count, stopword
     count, max token length (integer-exact for the SQL oracle; ratio views
@@ -85,10 +101,9 @@ def docs_quality(sf_dir: str):
                 "max_token_len": tok_len.groupby(level=0).max().astype(np.int64),
             }
         ).assign(
-            # fixed-point quality ratio: same IEEE divide + floor both engines
-            stop_ratio_ppm=lambda d: np.floor(
-                d["n_stopwords"].to_numpy() / np.maximum(d["n_tokens"].to_numpy(), 1) * 1e6 + 0.5
-            ).astype(np.int64)
+            stop_ratio_ppm=lambda d: _stop_ratio_ppm(
+                d["n_stopwords"].to_numpy(), d["n_tokens"].to_numpy()
+            )
         )
 
     return ds.map_batches(derive, batch_format="pandas").sort("doc_id")
@@ -430,6 +445,165 @@ SELECT token,
 FROM c
 ORDER BY n DESC, token ASC
 LIMIT {TOP_TOKENS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: corpus-wide bigram PMI top-k
+
+
+PMI_MIN_COUNT = 3  # bigrams below this never score (kills the rare-pair PMI explosion)
+PMI_TOP_K = 40
+
+
+def _bigram_counts_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch adjacent-token pair counts — the same explode/adjacency
+    kernel as the BPE pair counter, over document tokens. A hot pair
+    contributes one partial row per batch, not one per occurrence."""
+    batch = batch.reset_index(drop=True)
+    toks = batch["text"].str.split(" ")
+    lens = toks.str.len().to_numpy(np.int64)
+    flat = toks.explode().to_numpy(dtype=object)
+    didx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    adj = didx[:-1] == didx[1:]
+    pairs = pd.DataFrame({"left_token": flat[:-1][adj], "right_token": flat[1:][adj]})
+    out = pairs.groupby(["left_token", "right_token"], as_index=False, sort=False).size()
+    return out.rename(columns={"size": "n_ab"}).astype({"n_ab": np.int64})
+
+
+def docs_bigram_pmi(sf_dir: str, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K):
+    """Corpus-wide collocation mining: the k adjacent-token pairs with the
+    highest pointwise mutual information, ``pmi_ppm = floor(c_ab · N · 1e6
+    / (c_a · c_b))`` (N = total tokens) with ``c_ab ≥ min_count``. The
+    classic phrase-detection pass (word2vec-style) a pretraining pipeline
+    runs before tokenizer or n-gram feature decisions.
+
+    Scale shape — the corpus is read once and nothing corpus-sized
+    shuffles:
+
+    1. bigram and unigram counts as per-batch ``value_counts`` partials →
+       bucketed combines (partials bound the exchange to per-batch
+       vocabulary),
+    2. the ``min_count`` filter runs on the combined bigram table BEFORE
+       any join — PMI's pathological tail (count-1 pairs of rare words)
+       never reaches the join,
+    3. two hash-bucketed cogroup joins attach c_left / c_right from the
+       vocabulary table (both sides vocabulary-sized, never corpus-sized),
+    4. scoring + per-bucket top-k pruning inside the join output's blocks;
+       only ~k rows per block reach the final single-block ranking.
+
+    Exactness: the score is integer arithmetic over exact counts. numpy
+    has no int128 and ``c_ab·N·1e6`` overflows int64 at corpus scale, so
+    the scoring step uses Python-int arithmetic — but only ever over the
+    min_count-filtered candidate table (vocabulary-, not corpus-sized),
+    and the DuckDB twin does the identical math in HUGEINT."""
+    from .common import bucketed_group_agg, cogroup_join
+
+    docs = _docs(sf_dir, columns=["text"])
+    bg = bucketed_group_agg(
+        docs.map_batches(_bigram_counts_partial, batch_format="pandas"),
+        ["left_token", "right_token"],
+        {"n_ab": "sum"},
+    ).map_batches(lambda b: b[b["n_ab"] >= min_count], batch_format="pandas")
+
+    def tok_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)}
+        )
+
+    ug = bucketed_group_agg(
+        docs.map_batches(tok_partial, batch_format="pandas"), ["token"], {"n": "sum"}
+    ).materialize()  # vocabulary-sized; read three times (N + two joins)
+    n_total = int(
+        ug.map_batches(
+            lambda b: pd.DataFrame({"s": [b["n"].sum()]}), batch_format="pandas"
+        ).to_pandas()["s"].sum()
+    )
+
+    with_a = cogroup_join(
+        bg, ug, "left_token", "token",
+        ["left_token", "right_token", "n_ab"], ["n"],
+    ).map_batches(lambda b: b.rename(columns={"n": "n_a"}), batch_format="pandas")
+    with_ab = cogroup_join(
+        with_a, ug, "right_token", "token",
+        ["left_token", "right_token", "n_ab", "n_a"], ["n"],
+    ).map_batches(lambda b: b.rename(columns={"n": "n_b"}), batch_format="pandas")
+
+    def score_prune(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {
+                    "left_token": pd.Series([], dtype=object),
+                    "right_token": pd.Series([], dtype=object),
+                    "n_ab": pd.Series([], dtype=np.int64),
+                    "pmi_ppm": pd.Series([], dtype=np.int64),
+                }
+            )
+        ab = batch["n_ab"].astype(np.int64).tolist()
+        na = batch["n_a"].astype(np.int64).tolist()
+        nb_ = batch["n_b"].astype(np.int64).tolist()
+        pmi = [(a * n_total * 1_000_000) // (x * y) for a, x, y in zip(ab, na, nb_)]
+        out = pd.DataFrame(
+            {
+                "left_token": batch["left_token"].to_numpy(dtype=object),
+                "right_token": batch["right_token"].to_numpy(dtype=object),
+                "n_ab": np.asarray(ab, dtype=np.int64),
+                "pmi_ppm": np.asarray(pmi, dtype=np.int64),
+            }
+        )
+        return out.sort_values(
+            ["pmi_ppm", "left_token", "right_token"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.sort_values(
+                ["pmi_ppm", "left_token", "right_token"],
+                ascending=[False, True, True],
+                kind="mergesort",
+            )
+            .head(k)
+            .reset_index(drop=True)
+        )
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    # batch_size=None: finish must see the one repartitioned block whole
+    # (same reason as top_tokens_from)
+    return (
+        with_ab.map_batches(score_prune, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+    )
+
+
+DOCS_BIGRAM_PMI_SQL = f"""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS token FROM t),
+n_tot AS (SELECT COUNT(*) AS n FROM tok),
+ug AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+big AS (
+    SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pr
+    FROM t WHERE len(toks) >= 2
+),
+bg AS (
+    SELECT pr[1] AS l, pr[2] AS r, COUNT(*) AS n_ab
+    FROM big GROUP BY l, r HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+sc AS (
+    SELECT bg.l AS left_token, bg.r AS right_token, CAST(bg.n_ab AS BIGINT) AS n_ab,
+        CAST((CAST(bg.n_ab AS HUGEINT) * (SELECT n FROM n_tot) * 1000000)
+             // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS pmi_ppm
+    FROM bg JOIN ug a ON bg.l = a.token JOIN ug b ON bg.r = b.token
+)
+SELECT left_token, right_token, n_ab, pmi_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi_ppm DESC, left_token, right_token) AS BIGINT) AS rank
+FROM sc
+ORDER BY pmi_ppm DESC, left_token, right_token
+LIMIT {PMI_TOP_K}
 """
 
 

@@ -204,32 +204,41 @@ def _langid_decon_curation_query(sf_dir: str):
 
 
 def _quality_repetition_tfidf_query(sf_dir: str):
-    """Inverted index AND TF-IDF distinctive terms AND the Gopher
-    repetition signals AND the quality scorer in one driver slot. Forced
-    gates: ``docs_quality``, ``docs_repetition`` and ``docs_tfidf`` stay
+    """Bigram-PMI collocations AND the inverted index AND TF-IDF
+    distinctive terms AND the Gopher repetition signals AND the quality
+    scorer in one driver slot. Forced gates: ``docs_quality``,
+    ``docs_repetition``, ``docs_tfidf`` and ``docs_inverted_index`` stay
     fully hash-checked via in-query twin gates. RECORDED result:
-    ``docs_inverted_index`` — exact per-token document frequency + capped
-    postings head, built from mergeable per-batch partials (globally
-    distinct pairs ⇒ df sums; heads are partial minima), pinned to an
-    unnest/ROW_NUMBER DuckDB twin."""
+    ``docs_bigram_pmi`` — corpus-wide top-k adjacent-pair pointwise mutual
+    information (min-count filtered before any join; bucketed count
+    combines; two vocabulary-sized cogroup joins; integer scoring exact
+    against a HUGEINT DuckDB twin)."""
     _assert_sql_twin("docs_quality", tx.docs_quality(sf_dir), tx.DOCS_QUALITY_SQL, sf_dir)
     _assert_sql_twin(
         "docs_repetition", tx.docs_repetition(sf_dir), tx.DOCS_REPETITION_SQL, sf_dir
     )
     _assert_sql_twin("docs_tfidf", tx.docs_tfidf(sf_dir), tx.DOCS_TFIDF_SQL, sf_dir)
-    return tx.docs_inverted_index(sf_dir)
+    _assert_sql_twin(
+        "docs_inverted_index",
+        tx.docs_inverted_index(sf_dir),
+        tx.DOCS_INVERTED_INDEX_SQL,
+        sf_dir,
+    )
+    return tx.docs_bigram_pmi(sf_dir)
 
 
 def _bpe_mixture_pack_query(sf_dir: str):
-    """Deterministic GLOBAL shuffle AND sequence packing AND mixture
-    sampling AND the BPE-ish pretokenizer counts in one driver slot.
-    Forced gates: ``docs_pack_sequences``, ``docs_bpe_tokens`` and
-    ``docs_sample_mixture`` stay fully hash-checked via in-query twin
-    gates. RECORDED result: ``docs_global_shuffle`` — seeded
-    training-order shuffle via hash-range partitioning (no comparison
-    sort: uniform 60-bit keys make fixed value-range buckets balanced;
-    broadcast exclusive offsets; one narrow-table shuffle), pinned to a
-    ROW_NUMBER-over-md5 DuckDB twin."""
+    """Curriculum quality ranking AND the deterministic GLOBAL shuffle AND
+    sequence packing AND mixture sampling AND the BPE-ish pretokenizer
+    counts in one driver slot. Forced gates: ``docs_pack_sequences``,
+    ``docs_bpe_tokens``, ``docs_sample_mixture`` and
+    ``docs_global_shuffle`` stay fully hash-checked via in-query twin
+    gates. RECORDED result: ``docs_quality_rank`` — exact global rank
+    under (quality DESC, doc_id): the skewed-key complement of the
+    uniform-hash shuffle (exact bounded-domain score histogram → greedy
+    rank-order bucket packing → doc-range sub-buckets for hot tie groups
+    → broadcast exclusive offsets → one narrow shuffle), pinned to a
+    ROW_NUMBER DuckDB twin."""
     _assert_sql_twin("docs_bpe_tokens", tx.docs_bpe_tokens(sf_dir), tx.DOCS_BPE_TOKENS_SQL, sf_dir)
     _assert_sql_twin(
         "docs_sample_mixture", curate.docs_sample_mixture(sf_dir), curate.DOCS_MIXTURE_SQL, sf_dir
@@ -237,7 +246,13 @@ def _bpe_mixture_pack_query(sf_dir: str):
     _assert_sql_twin(
         "docs_pack_sequences", curate.docs_pack_sequences(sf_dir), curate.DOCS_PACK_SQL, sf_dir
     )
-    return curate.docs_global_shuffle(sf_dir)
+    _assert_sql_twin(
+        "docs_global_shuffle",
+        curate.docs_global_shuffle(sf_dir),
+        curate.DOCS_SHUFFLE_SQL,
+        sf_dir,
+    )
+    return curate.docs_quality_rank(sf_dir)
 
 
 def _running_bloom_query(sf_dir: str):
@@ -603,10 +618,10 @@ REGISTRY: dict[str, tuple] = {
     "events_sliding": (_sliding_asof_query, events.EVENTS_SLIDING_SQL),
     # text analysis (SQL-checked where expressible)
     "docs_top_tokens": (_token_stats_top_query, tx.DOCS_TOP_TOKENS_SQL),
-    "docs_inverted_index": (_quality_repetition_tfidf_query, tx.DOCS_INVERTED_INDEX_SQL),
+    "docs_bigram_pmi": (_quality_repetition_tfidf_query, tx.DOCS_BIGRAM_PMI_SQL),
     "docs_reservoir_sample": (_fingerprint_split_reservoir_query, curate.DOCS_RESERVOIR_SQL),
     "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),
-    "docs_global_shuffle": (_bpe_mixture_pack_query, curate.DOCS_SHUFFLE_SQL),
+    "docs_quality_rank": (_bpe_mixture_pack_query, curate.DOCS_QUALITY_RANK_SQL),
     "docs_dup_span_stats": (_exact_line_span_dedup_query, curate.DOCS_DUP_SPAN_SQL),
     # similarity search (SQL-checked)
     "emb_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_SQL),

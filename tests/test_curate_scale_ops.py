@@ -682,3 +682,109 @@ def test_bpe_regex_apply_equals_scan_merge(words, pair):
                 out.append(syms[i])
                 i += 1
         assert got == out
+
+
+# ---------------------------------------------------------------------------
+# bigram PMI collocations
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_bigram_pmi_matches_duckdb_twin(ray_session, sf):
+    eng = tx.docs_bigram_pmi(sf).to_pandas().reset_index(drop=True)
+    ora = _oracle(sf, tx.DOCS_BIGRAM_PMI_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+    assert len(eng) == tx.PMI_TOP_K
+    assert (eng["n_ab"] >= tx.PMI_MIN_COUNT).all()
+
+
+def test_bigram_pmi_matches_brute_force(ray_session):
+    """Independent single-process reference with exact Python-int PMI."""
+    from collections import Counter
+
+    sf = SFS[0]
+    docs = _docs_df(sf)
+    ug: Counter = Counter()
+    bg: Counter = Counter()
+    for t in docs["text"]:
+        toks = t.split(" ")
+        ug.update(toks)
+        bg.update(zip(toks[:-1], toks[1:]))
+    n_total = sum(ug.values())
+    scored = [
+        (
+            (c * n_total * 1_000_000) // (ug[l] * ug[r]),
+            l,
+            r,
+            c,
+        )
+        for (l, r), c in bg.items()
+        if c >= tx.PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+    want = pd.DataFrame(
+        {
+            "left_token": [s[1] for s in scored[: tx.PMI_TOP_K]],
+            "right_token": [s[2] for s in scored[: tx.PMI_TOP_K]],
+            "n_ab": np.array([s[3] for s in scored[: tx.PMI_TOP_K]], dtype=np.int64),
+            "pmi_ppm": np.array([s[0] for s in scored[: tx.PMI_TOP_K]], dtype=np.int64),
+            "rank": np.arange(1, min(tx.PMI_TOP_K, len(scored)) + 1, dtype=np.int64),
+        }
+    )
+    eng = tx.docs_bigram_pmi(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng, want, check_dtype=True)
+
+
+# ---------------------------------------------------------------------------
+# curriculum quality ranking (skewed-key exact distributed ORDER BY)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_quality_rank_matches_duckdb_twin(ray_session, sf):
+    eng = curate.docs_quality_rank(sf).to_pandas().reset_index(drop=True)
+    ora = _oracle(sf, curate.DOCS_QUALITY_RANK_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+    # dense total order: every rank appears exactly once
+    r = np.sort(eng["curriculum_rank"].to_numpy())
+    assert (r == np.arange(len(eng))).all()
+
+
+def test_quality_rank_is_plan_independent(ray_session):
+    """The rank must not depend on the bucket plan: forcing EVERY score
+    down the hot sub-bucket path vs forcing NONE (one giant threshold)
+    must produce identical frames — the resume/reproducibility property."""
+    sf = SFS[0]
+    all_hot = curate.docs_quality_rank(sf, n_buckets=3, hot_factor=0).to_pandas()
+    no_hot = curate.docs_quality_rank(sf, n_buckets=97, hot_factor=10**9).to_pandas()
+    pd.testing.assert_frame_equal(
+        all_hot.reset_index(drop=True), no_hot.reset_index(drop=True), check_dtype=True
+    )
+
+
+def test_quality_rank_single_tie_group(ray_session, tmp_path):
+    """Worst-case skew: every document has the SAME score — the whole
+    corpus is one tie group and must split across doc-range sub-buckets
+    while ranking purely by doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 40
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": np.arange(100, 100 + n, dtype=np.int64),
+                "text": ["the data of the row to a stream"] * n,
+                "lang": ["en"] * n,
+                "source": ["s"] * n,
+                "n_chars": np.full(n, 31, dtype=np.int64),
+            }
+        ),
+        tmp_path / "documents.parquet",
+        row_group_size=5,
+    )
+    eng = curate.docs_quality_rank(str(tmp_path), n_buckets=4, hot_factor=1).to_pandas()
+    assert (eng["curriculum_rank"].to_numpy() == np.arange(n)).all()
+    assert eng["quality_ppm"].nunique() == 1
+    ora = _oracle(str(tmp_path), curate.DOCS_QUALITY_RANK_SQL)
+    pd.testing.assert_frame_equal(eng.reset_index(drop=True), ora[eng.columns], check_dtype=True)
