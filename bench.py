@@ -67,6 +67,8 @@ OP_QUERIES = [
     "docs_bpe_train",
     "docs_bigram_pmi",
     "docs_quality_rank",
+    "docs_vocab_growth",
+    "events_funnel",
 ]
 
 
@@ -106,6 +108,8 @@ def _op_extra():
         "docs_bpe_train": _tx.docs_bpe_train,
         "docs_bigram_pmi": _tx.docs_bigram_pmi,
         "docs_quality_rank": _cu.docs_quality_rank,
+        "docs_vocab_growth": _tx.docs_vocab_growth,
+        "events_funnel": _ev.events_funnel,
     }
 
 

@@ -717,3 +717,136 @@ FROM events e JOIN hits h USING (user_id)
 GROUP BY e.user_id, h.bloom_hit
 ORDER BY e.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Funnel / sequence-pattern matching (ordered two-step within a window)
+
+
+FUNNEL_FROM = "click"
+FUNNEL_TO = "purchase"
+FUNNEL_WINDOW_US = 86_400 * 1_000_000  # 1 day: ~35% of purchases convert
+
+
+def funnel_scan(
+    k_c: np.ndarray, t_c: np.ndarray, k_p: np.ndarray, t_p: np.ndarray, window_us: int
+) -> np.ndarray:
+    """Pure kernel: for each probe (k_p[i], t_p[i]) return 1 iff a trigger
+    row with the same key exists in ``[t_p[i] - window_us, t_p[i]]``
+    (both bounds inclusive). One ``np.lexsort`` over the union — triggers
+    sort BEFORE probes at equal time, so a same-instant trigger counts —
+    then the most recent trigger index is carried forward and validated
+    against the probe's key segment (the asof_merge_scan idiom)."""
+    n_c, n_p = len(k_c), len(k_p)
+    key = np.concatenate([k_c, k_p])
+    t = np.concatenate([t_c, t_p])
+    side = np.concatenate([np.zeros(n_c, np.int8), np.ones(n_p, np.int8)])
+    srt = np.lexsort((side, t, key))
+    is_trig = np.concatenate([np.ones(n_c, bool), np.zeros(n_p, bool)])[srt]
+    ks, ts_ = key[srt], t[srt]
+    seg_new = np.ones(len(ks), bool)
+    seg_new[1:] = ks[1:] != ks[:-1]
+    seg_id = np.cumsum(seg_new) - 1
+    idx = np.arange(len(ks), dtype=np.int64)
+    last_trig = np.maximum.accumulate(np.where(is_trig, idx, np.int64(-1)))
+    safe = np.maximum(last_trig, 0)
+    same_seg = (last_trig >= 0) & (seg_id[safe] == seg_id)
+    recent = same_seg & (ts_[safe] >= ts_ - np.int64(window_us))
+    hit_sorted = (~is_trig) & recent
+    out = np.zeros(n_p, dtype=np.int64)
+    orig = np.concatenate(
+        [np.full(n_c, -1, np.int64), np.arange(n_p, dtype=np.int64)]
+    )[srt]
+    probe_mask = ~is_trig
+    out[orig[probe_mask]] = hit_sorted[probe_mask].astype(np.int64)
+    return out
+
+
+def events_funnel(sf_dir: str, window_us: int = FUNNEL_WINDOW_US):
+    """Funnel analysis — ordered sequence-pattern matching over the event
+    stream: per user, how many ``purchase`` events were preceded by a
+    ``click`` of the same user within the window (inclusive bounds; a
+    same-timestamp click counts). The two-step funnel every product /
+    training-telemetry pipeline runs; Ray Data has no ordered-pattern
+    primitive, so it composes the repo's bucketed-cogroup shape with one
+    vectorized merge-scan per bucket (``funnel_scan`` — no per-user loop,
+    no per-event search).
+
+    Scale shape: the read prunes to (user_id, ts, event_type) and filters
+    to the two step types map-side; ONE hash shuffle co-locates each
+    user's rows; the per-user rollup is completed inside the same bucket
+    task (a bucket holds all rows of its users), so only the KB-sized
+    per-user count table leaves the fold. Partitioning assumption: one
+    user's funnel rows fit in a group — salt hot keys at 100 TB."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .common import _default_buckets
+
+    nb = _default_buckets()
+    steps = pa.array([FUNNEL_FROM, FUNNEL_TO])
+
+    ev = _events(sf_dir, columns=["user_id", "ts", "event_type"]).map_batches(
+        lambda b: b.filter(pc.is_in(b["event_type"], steps)),
+        batch_format="pyarrow",
+    )
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "__b": (pd.util.hash_array(u) % nb).astype(np.int64),
+                "user_id": u,
+                "t_us": batch["ts"].astype("datetime64[us]").astype(np.int64),
+                "is_to": (batch["event_type"] == FUNNEL_TO).to_numpy(),
+            }
+        )
+
+    def solve_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        to_m = group["is_to"].to_numpy()
+        k_p = group["user_id"].to_numpy(np.int64)[to_m]
+        t_p = group["t_us"].to_numpy(np.int64)[to_m]
+        hits = funnel_scan(
+            group["user_id"].to_numpy(np.int64)[~to_m],
+            group["t_us"].to_numpy(np.int64)[~to_m],
+            k_p,
+            t_p,
+            window_us,
+        )
+        out = pd.DataFrame({"user_id": k_p, "n_conversions": hits})
+        out = out.groupby("user_id", as_index=False).agg(
+            n_purchases=("n_conversions", "size"), n_conversions=("n_conversions", "sum")
+        )
+        return out.astype(
+            {"user_id": np.int64, "n_purchases": np.int64, "n_conversions": np.int64}
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(solve_bucket, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH p AS (
+    SELECT user_id, ts FROM events WHERE event_type = '{FUNNEL_TO}'
+),
+conv AS (
+    SELECT p.user_id,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM events c
+               WHERE c.event_type = '{FUNNEL_FROM}' AND c.user_id = p.user_id
+                 AND c.ts <= p.ts
+                 AND c.ts >= p.ts - INTERVAL {FUNNEL_WINDOW_US // 1_000_000} SECONDS
+           ) THEN 1 ELSE 0 END AS hit
+    FROM p
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(hit) AS BIGINT) AS n_conversions
+FROM conv
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -1120,3 +1120,94 @@ def ref_bpe_merges(word_counts: dict, n_merges: int = BPE_MERGES) -> pd.DataFram
     return pd.DataFrame(merges, columns=["it", "left", "right", "cnt"]).astype(
         {"it": np.int64, "cnt": np.int64}
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law measurement)
+
+
+VOCAB_CHECKPOINT = 100  # docs per growth checkpoint
+
+
+def docs_vocab_growth(sf_dir: str, checkpoint: int = VOCAB_CHECKPOINT):
+    """Vocabulary growth curve — how many DISTINCT tokens exist after each
+    block of ``checkpoint`` documents in doc_id order (the Heaps'-law
+    measurement a tokenizer-budget decision reads). Every token is
+    attributed to the checkpoint of its FIRST occurrence, so the curve is
+    the running cumulative sum of per-checkpoint new-token counts.
+
+    The synthetic corpus has a ~31-token vocabulary that saturates inside
+    the first checkpoint, so (the repo's rendered-overlay recipe, cf.
+    ``docs_line_dedup``) each document contributes two deterministic
+    doc-id-derived tokens as well — both engines render the same overlay
+    analytically, and the curve stays non-trivial at every scale.
+
+    Scale shape: per-batch (token, min doc_id) partials → one bucketed
+    min combine (the exchange carries the per-batch vocabulary, not the
+    corpus) → map the vocabulary-sized first-occurrence table to
+    checkpoints → a checkpoint-count rollup that is at most
+    corpus/checkpoint rows → single-block cumulative sum. No sort of
+    anything corpus- or vocabulary-sized."""
+    from .common import bucketed_group_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        d = batch["doc_id"].to_numpy(np.int64)
+        text = (
+            batch["text"]
+            + " nv" + pd.Series(d % 37).astype(str)
+            + " nw" + pd.Series(d // 13).astype(str)
+        )
+        toks = text.str.split(" ")
+        flat = toks.explode()
+        first = pd.DataFrame(
+            {
+                "token": flat.to_numpy(dtype=object),
+                "first_doc": d[flat.index.to_numpy(np.int64)],
+            }
+        )
+        return first.groupby("token", as_index=False, sort=False)["first_doc"].min()
+
+    firsts = bucketed_group_agg(
+        _docs(sf_dir, columns=["doc_id", "text"]).map_batches(partial, batch_format="pandas"),
+        ["token"],
+        {"first_doc": "min"},
+    )
+
+    def to_ckpt(batch: pd.DataFrame) -> pd.DataFrame:
+        ck = batch["first_doc"].to_numpy(np.int64) // checkpoint
+        out = pd.DataFrame({"ckpt": ck}).groupby("ckpt", as_index=False).size()
+        return out.rename(columns={"size": "new_tokens"}).astype({"new_tokens": np.int64})
+
+    counts = bucketed_group_agg(
+        firsts.map_batches(to_ckpt, batch_format="pandas"), ["ckpt"], {"new_tokens": "sum"}
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.sort_values("ckpt").reset_index(drop=True)
+        out["vocab_size"] = out["new_tokens"].cumsum().astype(np.int64)
+        return out
+
+    # batch_size=None: the cumulative sum must see the ONE block whole
+    return counts.repartition(1).map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+DOCS_VOCAB_GROWTH_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           unnest(string_split(
+               text || ' nv' || CAST(doc_id % 37 AS VARCHAR)
+                    || ' nw' || CAST(doc_id // 13 AS VARCHAR), ' ')) AS token
+    FROM documents
+),
+f AS (SELECT token, MIN(doc_id) AS first_doc FROM t GROUP BY token),
+b AS (
+    SELECT first_doc // {VOCAB_CHECKPOINT} AS ckpt, COUNT(*) AS new_tokens
+    FROM f GROUP BY ckpt
+)
+SELECT CAST(ckpt AS BIGINT) AS ckpt,
+       CAST(new_tokens AS BIGINT) AS new_tokens,
+       CAST(SUM(new_tokens) OVER (ORDER BY ckpt) AS BIGINT) AS vocab_size
+FROM b
+ORDER BY ckpt
+"""

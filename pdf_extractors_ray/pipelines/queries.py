@@ -104,13 +104,14 @@ def _keyword_redact_query(sf_dir: str):
 
 
 def _fingerprint_split_reservoir_query(sf_dir: str):
-    """Deterministic per-source reservoir sampling AND the train/val/test
-    split AND the md5 fingerprint in one driver slot. Forced gates:
-    ``docs_fingerprint`` and ``docs_split_stratified`` stay fully
+    """Vocabulary growth curve AND deterministic per-source reservoir
+    sampling AND the train/val/test split AND the md5 fingerprint in one
+    driver slot. Forced gates: ``docs_fingerprint``,
+    ``docs_split_stratified`` and ``docs_reservoir_sample`` stay fully
     hash-checked via in-query twin gates. RECORDED result:
-    ``docs_reservoir_sample`` — exact-k-per-source hash-ranked sampling
-    (mergeable partial top-k, stable under re-partitioning), pinned to a
-    ROW_NUMBER DuckDB twin."""
+    ``docs_vocab_growth`` — the Heaps'-law measurement: per-token first
+    occurrence via one bucketed min combine, checkpoint rollup,
+    single-block cumulative sum; pinned to a MIN/window-SUM DuckDB twin."""
     _assert_sql_twin(
         "docs_fingerprint", tx.docs_fingerprint(sf_dir), tx.DOCS_FINGERPRINT_SQL, sf_dir
     )
@@ -120,7 +121,31 @@ def _fingerprint_split_reservoir_query(sf_dir: str):
         curate.DOCS_SPLIT_SQL,
         sf_dir,
     )
-    return curate.docs_reservoir_sample(sf_dir)
+    _assert_sql_twin(
+        "docs_reservoir_sample",
+        curate.docs_reservoir_sample(sf_dir),
+        curate.DOCS_RESERVOIR_SQL,
+        sf_dir,
+    )
+    return tx.docs_vocab_growth(sf_dir)
+
+
+def _sessionize_funnel_query(sf_dir: str):
+    """Funnel sequence-matching AND sessionization in one driver slot.
+    Forced gate: ``events_sessionize`` stays fully hash-checked via the
+    in-query twin gate. RECORDED result: ``events_funnel`` — per-user
+    count of purchases preceded by a click within the window (ordered
+    two-step pattern over the event stream: one hash shuffle, one
+    vectorized merge-scan per bucket, per-user rollup completed
+    in-bucket), pinned to an EXISTS DuckDB twin."""
+    _assert_sql_twin(
+        "events_sessionize",
+        events.events_sessionize(sf_dir),
+        events.EVENTS_SESSIONIZE_SQL,
+        sf_dir,
+        tables=("events",),
+    )
+    return events.events_funnel(sf_dir)
 
 
 def _token_stats_top_query(sf_dir: str):
@@ -612,14 +637,14 @@ REGISTRY: dict[str, tuple] = {
     "supplier_per_nation": (relational.supplier_per_nation, relational.SUPPLIER_PER_NATION_SQL),
     # event streams (SQL-checked)
     "events_hourly": (events.events_hourly, events.EVENTS_HOURLY_SQL),
-    "events_sessionize": (events.events_sessionize, events.EVENTS_SESSIONIZE_SQL),
+    "events_funnel": (_sessionize_funnel_query, events.EVENTS_FUNNEL_SQL),
     "events_props_k": (events.events_props_k, events.EVENTS_PROPS_K_SQL),
     "events_bloom_semijoin": (_running_bloom_query, events.EVENTS_BLOOM_SQL),
     "events_sliding": (_sliding_asof_query, events.EVENTS_SLIDING_SQL),
     # text analysis (SQL-checked where expressible)
     "docs_top_tokens": (_token_stats_top_query, tx.DOCS_TOP_TOKENS_SQL),
     "docs_bigram_pmi": (_quality_repetition_tfidf_query, tx.DOCS_BIGRAM_PMI_SQL),
-    "docs_reservoir_sample": (_fingerprint_split_reservoir_query, curate.DOCS_RESERVOIR_SQL),
+    "docs_vocab_growth": (_fingerprint_split_reservoir_query, tx.DOCS_VOCAB_GROWTH_SQL),
     "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),
     "docs_quality_rank": (_bpe_mixture_pack_query, curate.DOCS_QUALITY_RANK_SQL),
     "docs_dup_span_stats": (_exact_line_span_dedup_query, curate.DOCS_DUP_SPAN_SQL),

@@ -788,3 +788,46 @@ def test_quality_rank_single_tie_group(ray_session, tmp_path):
     assert eng["quality_ppm"].nunique() == 1
     ora = _oracle(str(tmp_path), curate.DOCS_QUALITY_RANK_SQL)
     pd.testing.assert_frame_equal(eng.reset_index(drop=True), ora[eng.columns], check_dtype=True)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth curve (Heaps' law)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_vocab_growth_matches_duckdb_twin(ray_session, sf):
+    eng = tx.docs_vocab_growth(sf).to_pandas().reset_index(drop=True)
+    ora = _oracle(sf, tx.DOCS_VOCAB_GROWTH_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+    # the overlay keeps the curve non-trivial and the cumsum monotone
+    assert len(eng) >= 2
+    assert (np.diff(eng["vocab_size"].to_numpy()) > 0).all()
+
+
+def test_vocab_growth_is_batch_invariant(ray_session, tmp_path):
+    """First-occurrence minima must be mergeable: tiny row groups (many
+    partials per token, tokens seen 'late' in some batch before 'early'
+    in another) must not change the curve."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = _docs_df(SFS[0])
+    # reverse order on disk: partials see high doc_ids first
+    docs = docs.sort_values("doc_id", ascending=False)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": docs["doc_id"].to_numpy(np.int64),
+                "text": docs["text"],
+                "lang": ["en"] * len(docs),
+                "source": docs["source"],
+                "n_chars": docs["text"].str.len().to_numpy(np.int64),
+            }
+        ),
+        tmp_path / "documents.parquet",
+        row_group_size=7,
+    )
+    eng = tx.docs_vocab_growth(str(tmp_path)).to_pandas().reset_index(drop=True)
+    ora = _oracle(str(tmp_path), tx.DOCS_VOCAB_GROWTH_SQL)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)

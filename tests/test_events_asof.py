@@ -158,3 +158,85 @@ def test_range_join_scan_property():
         assert got == want, (orders, events, window)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# funnel / ordered sequence-pattern matching
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+def test_funnel_matches_duckdb_twin(ray_session, sf):
+    eng = ev.events_funnel(sf).to_pandas().reset_index(drop=True)
+    con = _oracle(sf)
+    ora = con.sql(ev.EVENTS_FUNNEL_SQL).df()
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+    # the 1-day window genuinely discriminates: some but not all convert
+    assert 0 < eng["n_conversions"].sum() < eng["n_purchases"].sum()
+
+
+def test_funnel_scan_property():
+    """funnel_scan vs a brute-force double loop, including the inclusive
+    boundaries (same-instant click counts; click exactly window before
+    counts) and cross-user isolation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    trig = st.tuples(st.integers(0, 4), st.integers(0, 50))
+    probe = st.tuples(st.integers(0, 4), st.integers(0, 50))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(trig, max_size=30), st.lists(probe, max_size=30), st.integers(0, 10))
+    def run(trigs, probes, w):
+        k_c = np.array([t[0] for t in trigs], dtype=np.int64)
+        t_c = np.array([t[1] for t in trigs], dtype=np.int64)
+        k_p = np.array([p[0] for p in probes], dtype=np.int64)
+        t_p = np.array([p[1] for p in probes], dtype=np.int64)
+        got = ev.funnel_scan(k_c, t_c, k_p, t_p, w)
+        want = np.array(
+            [
+                int(any(kc == kp and tp - w <= tc <= tp for kc, tc in zip(k_c, t_c)))
+                for kp, tp in zip(k_p, t_p)
+            ],
+            dtype=np.int64,
+        )
+        assert (got == want).all()
+
+    run()
+
+
+def test_funnel_edge_semantics(ray_session, tmp_path):
+    """Hand-built edges: same-instant click counts, click one microsecond
+    past the window does not, other users' clicks never count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    w = ev.FUNNEL_WINDOW_US
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        # user 1: click at the exact window edge -> converts
+        (1, base - w, "click"), (1, base, "purchase"),
+        # user 2: click one us too early -> no conversion
+        (2, base - w - 1, "click"), (2, base, "purchase"),
+        # user 3: same-instant click -> converts
+        (3, base, "click"), (3, base, "purchase"),
+        # user 4: only another user's click in window -> no conversion
+        (5, base - 10, "click"), (4, base, "purchase"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = ev.events_funnel(str(tmp_path)).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_conversions"] == 1
+    assert out.loc[2, "n_conversions"] == 0
+    assert out.loc[3, "n_conversions"] == 1
+    assert out.loc[4, "n_conversions"] == 0
