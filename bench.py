@@ -84,6 +84,7 @@ def _op_extra():
     from pdf_extractors_ray.ops import text as _tx
 
     return {
+        "events_sessionize": _ev.events_sessionize,
         "events_asof_orders": _ev.events_asof_orders,
         "events_orders_range_join": _ev.events_orders_range_join,
         "events_kmv_distinct": _ev.events_kmv_distinct,
