@@ -69,6 +69,7 @@ OP_QUERIES = [
     "docs_quality_rank",
     "docs_vocab_growth",
     "events_funnel",
+    "emb_quality_centroid",
 ]
 
 
@@ -111,6 +112,8 @@ def _op_extra():
         "docs_quality_rank": _cu.docs_quality_rank,
         "docs_vocab_growth": _tx.docs_vocab_growth,
         "events_funnel": _ev.events_funnel,
+        "emb_knn_bruteforce": _sm.knn_bruteforce,
+        "emb_quality_centroid": _sm.emb_quality_centroid,
     }
 
 

@@ -574,3 +574,126 @@ SELECT s.vec_id, s.bucket,
 FROM sig s LEFT JOIN hits h ON h.vec_id = s.vec_id
 ORDER BY s.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-filtered per-source centroid: the big-big equi-join
+# (documents ⋈ embeddings on doc_id — both sides corpus-sized)
+
+
+CENTROID_MIN_QUALITY_PPM = 60_000  # ~median stopword ratio: keeps about half
+
+
+def emb_quality_centroid(sf_dir: str, min_quality_ppm: int = CENTROID_MIN_QUALITY_PPM):
+    """Per-source centroid of the embeddings of quality-filtered documents
+    — the enrichment join every curation pipeline runs: ``documents``
+    joined to ``embeddings`` on ``doc_id``, where BOTH sides are
+    corpus-sized (every other join in this repo has a broadcast-small or
+    vocabulary-sized side). The hash-bucketed cogroup join moves each
+    side exactly once; the quality filter runs map-side BEFORE the join
+    so the exchange carries only surviving (doc_id, source) pairs and
+    the matching vectors.
+
+    Determinism: each float32 component quantizes to ppm int64 (the
+    long-green KNN recipe), sums are exact integer partials combined per
+    (source, dim), and the mean uses TRUNCATING integer division —
+    DuckDB's ``//`` truncates toward zero while numpy floors, and
+    centroid sums go negative, so the engine matches DuckDB's semantics
+    explicitly."""
+    from .common import cogroup_join, grouped_sums
+    from .text import stop_ratio_ppm_kernel
+
+    def doc_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        q = stop_ratio_ppm_kernel(batch["text"])
+        keep = batch.loc[q >= min_quality_ppm, ["doc_id", "source"]]
+        return keep
+
+    from ..runtime import read_parquet_sized
+
+    docs = read_parquet_sized(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
+    ).map_batches(doc_filter, batch_format="pandas")
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
+
+    joined = cogroup_join(
+        docs, emb, "doc_id", "vec_id", ["source"], ["embedding"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "dim": pd.Series([], dtype=np.int64),
+                    "sum_ppm": pd.Series([], dtype=np.int64),
+                    "n_docs": pd.Series([], dtype=np.int64),
+                }
+            )
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float32) for e in batch["embedding"]]
+        ).astype(np.float64)
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        d = q.shape[1]
+        out = []
+        src = batch["source"].to_numpy(dtype=object)
+        for s in pd.unique(src):
+            m = src == s
+            out.append(
+                pd.DataFrame(
+                    {
+                        "source": s,
+                        "dim": np.arange(d, dtype=np.int64),
+                        "sum_ppm": q[m].sum(axis=0),
+                        "n_docs": np.int64(int(m.sum())),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    sums = grouped_sums(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["source", "dim"],
+        ["sum_ppm", "n_docs"],
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["sum_ppm"].to_numpy(np.int64)
+        n = batch["n_docs"].to_numpy(np.int64)
+        # truncating division toward zero == DuckDB's `//`
+        cent = (np.abs(s) // n) * np.sign(s)
+        return pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(dtype=object),
+                "dim": batch["dim"].to_numpy(np.int64),
+                "n_docs": n,
+                "centroid_ppm": cent,
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pandas").sort(["source", "dim"])
+
+
+EMB_CENTROID_SQL = f"""
+WITH q AS (
+    SELECT doc_id, source FROM documents
+    WHERE CAST(FLOOR(
+        len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to')))::DOUBLE
+        / GREATEST(len(string_split(text, ' ')), 1) * 1000000 + 0.5) AS BIGINT)
+        >= {CENTROID_MIN_QUALITY_PPM}
+),
+j AS (
+    SELECT q.source, e.embedding
+    FROM q JOIN embeddings e ON e.vec_id = q.doc_id
+),
+x AS (
+    SELECT source,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(FLOOR(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS v
+    FROM j
+)
+SELECT source, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(v) // COUNT(*) AS BIGINT) AS centroid_ppm
+FROM x GROUP BY source, dim
+ORDER BY source, dim
+"""

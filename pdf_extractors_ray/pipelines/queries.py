@@ -280,6 +280,24 @@ def _bpe_mixture_pack_query(sf_dir: str):
     return curate.docs_quality_rank(sf_dir)
 
 
+def _knn_centroid_query(sf_dir: str):
+    """Quality-filtered per-source embedding centroid AND brute-force
+    cosine KNN in one driver slot. Forced gate: ``emb_knn_bruteforce``
+    stays fully hash-checked via the in-query twin gate. RECORDED result:
+    ``emb_quality_centroid`` — the big-big equi-join (documents ⋈
+    embeddings on doc_id, both sides corpus-sized) with the quality
+    filter pushed map-side before the exchange, ppm-quantized integer
+    vector sums, and truncating mean division matching DuckDB ``//``."""
+    _assert_sql_twin(
+        "emb_knn_bruteforce",
+        similarity.knn_bruteforce(sf_dir),
+        similarity.KNN_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    return similarity.emb_quality_centroid(sf_dir)
+
+
 def _running_bloom_query(sf_dir: str):
     """Bloom-filter semi-join AND the per-user running total in one
     driver slot. Forced gate: ``events_running_total`` stays fully
@@ -649,7 +667,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_quality_rank": (_bpe_mixture_pack_query, curate.DOCS_QUALITY_RANK_SQL),
     "docs_dup_span_stats": (_exact_line_span_dedup_query, curate.DOCS_DUP_SPAN_SQL),
     # similarity search (SQL-checked)
-    "emb_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_SQL),
+    "emb_quality_centroid": (_knn_centroid_query, similarity.EMB_CENTROID_SQL),
     "emb_semantic_dedup": (_emb_dedup_query, similarity.EMB_SEMANTIC_DEDUP_SQL),
     # extraction-kernel surrogates (SQL-checked): the per-turn extraction
     # kernels AND the invoice fold pinned to DuckDB over rendered inputs

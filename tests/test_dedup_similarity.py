@@ -385,3 +385,41 @@ def test_semantic_dedup_matches_bruteforce(ray_session, tmp_path):
     assert gd.loc[13, "is_dup"] == 1 and gd.loc[13, "rep_id"] == 2
     assert gd.loc[44, "is_dup"] == 1 and gd.loc[44, "rep_id"] == 2
     assert gd.loc[45, "is_dup"] == 0  # anti-parallel never passes the cosine
+
+
+# ---------------------------------------------------------------------------
+# quality-filtered per-source centroid (the big-big documents ⋈ embeddings join)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_oracle(sf: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con.sql(similarity.EMB_CENTROID_SQL).df()
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_quality_centroid_matches_duckdb_twin(ray_session, sf):
+    eng = similarity.emb_quality_centroid(sf).to_pandas().reset_index(drop=True)
+    ora = _centroid_oracle(sf)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+    # the truncating-division fix is actually exercised: sums go negative
+    assert (eng["centroid_ppm"] < 0).any()
+
+
+def test_quality_centroid_partial_overlap(ray_session):
+    """At sf0.1 only doc_ids 0..1999 have embeddings — inner-join
+    semantics must drop quality docs without a vector, and the twin must
+    agree (negative centroids present here too)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.1"
+    eng = similarity.emb_quality_centroid(sf).to_pandas().reset_index(drop=True)
+    ora = _centroid_oracle(sf)
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+    n_emb = duckdb.sql(f"SELECT COUNT(*) FROM '{sf}/embeddings.parquet'").fetchone()[0]
+    per_source = eng.groupby("source")["n_docs"].first()
+    assert per_source.sum() <= n_emb
