@@ -70,6 +70,7 @@ OP_QUERIES = [
     "docs_vocab_growth",
     "events_funnel",
     "emb_quality_centroid",
+    "emb_kmeans",
 ]
 
 
@@ -114,6 +115,8 @@ def _op_extra():
         "events_funnel": _ev.events_funnel,
         "emb_knn_bruteforce": _sm.knn_bruteforce,
         "emb_quality_centroid": _sm.emb_quality_centroid,
+        # full iterative Lloyd loop; returns an eager pandas frame
+        "emb_kmeans": _sm.emb_kmeans,
     }
 
 

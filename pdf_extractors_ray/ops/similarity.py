@@ -697,3 +697,203 @@ SELECT source, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM x GROUP BY source, dim
 ORDER BY source, dim
 """
+
+
+# --- distributed k-means clustering (Lloyd) --------------------------------
+
+KMEANS_K = 8
+# unstructured (near-worst-case) synthetic embeddings converge in ~13
+# Lloyd rounds at test scale; real clustered corpora converge faster
+KMEANS_MAX_ITERS = 25
+
+
+def _quantize_ppm(batch: pd.DataFrame) -> np.ndarray:
+    """Embedding batch → exact ppm int64 matrix (the long-green centroid
+    recipe: float32 → float64 → floor(x*1e6+0.5))."""
+    mat = np.stack(
+        [np.asarray(e, dtype=np.float32) for e in batch["embedding"]]
+    ).astype(np.float64)
+    return np.floor(mat * 1e6 + 0.5).astype(np.int64)
+
+
+def kmeans_assign_kernel(q: np.ndarray, cents: np.ndarray):
+    """Nearest-centroid assignment in EXACT int64 arithmetic.
+
+    ``q`` (B×d) and ``cents`` (k×d) are ppm-quantized int64; squared
+    euclidean distance per pair is ≤ d·(2·2^21)^2 ≈ 2^46 — far inside
+    int64, so the argmin has no rounding ambiguity and ties break to the
+    LOWEST cluster id (np.argmin first occurrence == the DuckDB twin's
+    ``ORDER BY dist2, cluster`` row_number). Returns (labels, dist2)."""
+    qq = np.sum(q * q, axis=1, keepdims=True)
+    cc = np.sum(cents * cents, axis=1)
+    d2 = qq - 2 * (q @ cents.T) + cc
+    labels = d2.argmin(axis=1)
+    return labels.astype(np.int64), d2[np.arange(len(q)), labels]
+
+
+def _seed_centroids(emb, k: int) -> np.ndarray:
+    """Deterministic seeding: the quantized vectors of the k SMALLEST
+    vec_ids (cluster c = rank c in vec_id order). Distributed as a
+    per-batch partial top-k (each block contributes ≤k candidate rows)
+    folded once — no sort, no full materialization."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.nsmallest(k, "vec_id")
+
+    cand = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    seed = cand.nsmallest(k, "vec_id").reset_index(drop=True)
+    return _quantize_ppm(seed)
+
+
+def kmeans_assign(sf_dir: str, k: int = KMEANS_K):
+    """One exact Lloyd ASSIGNMENT step from the deterministic seed
+    centroids: every vector labelled with its nearest seed (int64
+    squared-euclidean over ppm-quantized components) — the step a DuckDB
+    twin can replay bit-for-bit (``EMB_KMEANS_ASSIGN_SQL``). The full
+    iterative loop is ``emb_kmeans``; this recorded step pins the
+    assignment kernel both feed."""
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
+    cents_ref = None
+
+    from .common import broadcast
+
+    cents_ref = broadcast(_seed_centroids(emb, k))
+
+    def assign(batch: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
+        import ray
+
+        cents = ray.get(_ref)
+        q = _quantize_ppm(batch)
+        labels, d2 = kmeans_assign_kernel(q, cents)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "cluster": labels,
+                "dist2": d2.astype(np.int64),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pandas").sort("vec_id")
+
+
+def emb_kmeans(sf_dir: str, k: int = KMEANS_K, max_iters: int = KMEANS_MAX_ITERS):
+    """Full distributed Lloyd k-means over the embedding corpus.
+
+    Shape (the iterative-refinement pattern): centroids are a k×d int64
+    matrix broadcast via ``ray.put`` each round; one streaming pass per
+    round assigns every vector and pre-aggregates per-cluster sufficient
+    statistics INSIDE ``map_batches`` (each batch emits ≤k rows: count,
+    inertia, and the d component sums), so the driver-side fold handles
+    k·n_blocks tiny rows — never the corpus. Centroid update is the
+    TRUNCATING integer mean (DuckDB ``//`` semantics, matching
+    ``emb_quality_centroid``); empty clusters keep their previous
+    centroid. Stops when the centroid matrix is unchanged — at that
+    point the assignment is a fixed point by construction — or after
+    ``max_iters``.
+
+    Invariants raised on violation (not just tested):
+      - exact-integer inertia may rise at most n·d per round (the
+        truncated mean is within 1 ppm unit per component of the true
+        mean: sum||v−c_trunc||² = sum||v−μ||² + n·||c_trunc−μ||² with
+        ||c_trunc−μ||² < d), so inertia[i+1] ≤ inertia[i] + n·d must
+        hold; a bigger jump means a broken assignment/update step.
+
+    Returns a per-cluster frame: (cluster, n_vecs, inertia, n_iters,
+    converged) — deterministic across runs and block orders."""
+    import ray
+
+    from .common import broadcast
+
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
+    cents = _seed_centroids(emb, k)
+    k = len(cents)
+    d = cents.shape[1]
+
+    def stats_pass(cents_ref):
+        def part(batch: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
+            c = ray.get(_ref)
+            q = _quantize_ppm(batch)
+            labels, d2 = kmeans_assign_kernel(q, c)
+            out = []
+            for cl in np.unique(labels):
+                m = labels == cl
+                row = {"cluster": int(cl), "n": int(m.sum()), "inertia": int(d2[m].sum())}
+                sums = q[m].sum(axis=0)
+                for j in range(d):
+                    row[f"s{j}"] = int(sums[j])
+                out.append(row)
+            return pd.DataFrame(out)
+
+        p = emb.map_batches(part, batch_format="pandas").to_pandas()
+        return p.groupby("cluster", sort=True).sum()
+
+    inertia_prev = None
+    n_total = None
+    iters = 0
+    converged = False
+    final = None
+    while iters < max_iters:
+        agg = stats_pass(broadcast(cents))
+        iters += 1
+        inertia = int(agg["inertia"].sum())
+        n_total = int(agg["n"].sum())
+        if inertia_prev is not None and inertia > inertia_prev + n_total * d:
+            raise RuntimeError(
+                f"emb_kmeans: inertia rose {inertia_prev} -> {inertia} "
+                f"beyond the truncation bound n*d={n_total * d} at iter {iters}"
+            )
+        inertia_prev = inertia
+        new_cents = cents.copy()
+        for cl, row in agg.iterrows():
+            n = int(row["n"])
+            s = row[[f"s{j}" for j in range(d)]].to_numpy(np.int64)
+            # truncating division toward zero == DuckDB `//` on negatives
+            new_cents[int(cl)] = (np.abs(s) // n) * np.sign(s)
+        final = agg
+        if np.array_equal(new_cents, cents):
+            converged = True
+            break
+        cents = new_cents
+
+    out = pd.DataFrame(
+        {
+            "cluster": final.index.to_numpy(np.int64),
+            "n_vecs": final["n"].to_numpy(np.int64),
+            "inertia": final["inertia"].to_numpy(np.int64),
+        }
+    )
+    out["n_iters"] = np.int64(iters)
+    out["converged"] = bool(converged)
+    return out
+
+
+# DuckDB twin of kmeans_assign: seed centroids are the k lowest vec_ids'
+# quantized vectors; distance is exact integer squared euclidean; ties in
+# dist2 break to the lowest cluster id on both engines.
+EMB_KMEANS_ASSIGN_SQL = f"""
+WITH init AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+    FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+),
+x AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(FLOOR(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS v
+    FROM embeddings
+),
+c AS (
+    SELECT i.cluster, x.dim, x.v FROM init i JOIN x ON x.vec_id = i.vec_id
+),
+d AS (
+    SELECT x.vec_id, c.cluster,
+           CAST(SUM((x.v - c.v) * (x.v - c.v)) AS BIGINT) AS dist2
+    FROM x JOIN c ON x.dim = c.dim
+    GROUP BY x.vec_id, c.cluster
+),
+r AS (
+    SELECT vec_id, cluster, dist2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+    FROM d
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
+FROM r WHERE rn = 1 ORDER BY vec_id
+"""

@@ -280,14 +280,18 @@ def _bpe_mixture_pack_query(sf_dir: str):
     return curate.docs_quality_rank(sf_dir)
 
 
-def _knn_centroid_query(sf_dir: str):
-    """Quality-filtered per-source embedding centroid AND brute-force
-    cosine KNN in one driver slot. Forced gate: ``emb_knn_bruteforce``
-    stays fully hash-checked via the in-query twin gate. RECORDED result:
-    ``emb_quality_centroid`` — the big-big equi-join (documents ⋈
-    embeddings on doc_id, both sides corpus-sized) with the quality
-    filter pushed map-side before the exchange, ppm-quantized integer
-    vector sums, and truncating mean division matching DuckDB ``//``."""
+def _knn_centroid_kmeans_query(sf_dir: str):
+    """Distributed k-means AND the quality-filtered per-source centroid
+    AND brute-force cosine KNN in one driver slot. Forced gates:
+    ``emb_knn_bruteforce`` and ``emb_quality_centroid`` stay fully
+    hash-checked via in-query twin gates, and the FULL iterative Lloyd
+    loop (``emb_kmeans``: per-round broadcast centroids, in-batch
+    sufficient-statistic pre-aggregation, truncating integer means,
+    exact-integer inertia monotonicity raised on violation) runs to
+    convergence-or-cap and must label every vector. RECORDED result:
+    ``emb_kmeans_assign`` — the exact int64 nearest-centroid assignment
+    step from the deterministic seed, bit-reproducible in DuckDB
+    (``EMB_KMEANS_ASSIGN_SQL``)."""
     _assert_sql_twin(
         "emb_knn_bruteforce",
         similarity.knn_bruteforce(sf_dir),
@@ -295,7 +299,22 @@ def _knn_centroid_query(sf_dir: str):
         sf_dir,
         tables=("embeddings",),
     )
-    return similarity.emb_quality_centroid(sf_dir)
+    _assert_sql_twin(
+        "emb_quality_centroid",
+        similarity.emb_quality_centroid(sf_dir),
+        similarity.EMB_CENTROID_SQL,
+        sf_dir,
+        tables=("documents", "embeddings"),
+    )
+    km = similarity.emb_kmeans(sf_dir)
+    assign = similarity.kmeans_assign(sf_dir)
+    n_assigned = assign.count()
+    if int(km["n_vecs"].sum()) != n_assigned:
+        raise RuntimeError(
+            f"emb_kmeans labelled {int(km['n_vecs'].sum())} vectors, "
+            f"corpus has {n_assigned}"
+        )
+    return assign
 
 
 def _running_bloom_query(sf_dir: str):
@@ -461,8 +480,14 @@ def _partitioned_metrics_query(sf_dir: str):
         raise RuntimeError(
             f"turn conservation violated: {first['n_turns'].sum()} != {meta_turns}"
         )
-    if sorted(first["part_id"]) != list(range(32)):
-        raise RuntimeError(f"partition cover violated: {sorted(first['part_id'])}")
+    # cover: part ids distinct and within range; combined with the
+    # conservation check above (every corpus turn accounted for by the
+    # recorded partitions) any ABSENT part id provably carried 0 turns —
+    # empty partitions emit no parquet/sidecar and no metrics row, which
+    # legitimately happens at tiny scale (120 convs over 32 md5 buckets)
+    pids = sorted(first["part_id"])
+    if len(set(pids)) != len(pids) or not set(pids) <= set(range(32)):
+        raise RuntimeError(f"partition cover violated: {pids}")
 
     second = partitioned_extract_all_tasks(path, out_root, n_parts=32)
     if not bool(second["resumed"].all()):
@@ -667,7 +692,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_quality_rank": (_bpe_mixture_pack_query, curate.DOCS_QUALITY_RANK_SQL),
     "docs_dup_span_stats": (_exact_line_span_dedup_query, curate.DOCS_DUP_SPAN_SQL),
     # similarity search (SQL-checked)
-    "emb_quality_centroid": (_knn_centroid_query, similarity.EMB_CENTROID_SQL),
+    "emb_kmeans_assign": (_knn_centroid_kmeans_query, similarity.EMB_KMEANS_ASSIGN_SQL),
     "emb_semantic_dedup": (_emb_dedup_query, similarity.EMB_SEMANTIC_DEDUP_SQL),
     # extraction-kernel surrogates (SQL-checked): the per-turn extraction
     # kernels AND the invoice fold pinned to DuckDB over rendered inputs

@@ -423,3 +423,93 @@ def test_quality_centroid_partial_overlap(ray_session):
     n_emb = duckdb.sql(f"SELECT COUNT(*) FROM '{sf}/embeddings.parquet'").fetchone()[0]
     per_source = eng.groupby("source")["n_docs"].first()
     assert per_source.sum() <= n_emb
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd): exact assignment kernel + iterative loop
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_assign_kernel_tie_breaks_low_cluster():
+    # a point equidistant to two centroids must take the LOWER cluster id
+    # (np.argmin first occurrence == the SQL twin's ORDER BY dist2, cluster)
+    cents = np.array([[0, 0], [2, 0], [1, 5]], dtype=np.int64)
+    q = np.array([[1, 0], [2, 0], [1, 4]], dtype=np.int64)
+    labels, d2 = similarity.kmeans_assign_kernel(q, cents)
+    assert labels.tolist() == [0, 1, 2]
+    assert d2.tolist() == [1, 0, 1]
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_kmeans_assign_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    eng = similarity.kmeans_assign(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(similarity.EMB_KMEANS_ASSIGN_SQL).df()
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+
+
+def test_kmeans_assign_matches_bruteforce(ray_session):
+    # single-process reference: quantize everything, seed = k lowest
+    # vec_ids, exact integer nearest-centroid
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/embeddings.parquet").to_pandas().sort_values("vec_id")
+    q = similarity._quantize_ppm(t.reset_index(drop=True))
+    cents = q[: similarity.KMEANS_K]
+    want_labels, want_d2 = similarity.kmeans_assign_kernel(q, cents)
+    got = similarity.kmeans_assign(sf).to_pandas()
+    assert (got["vec_id"].to_numpy() == t["vec_id"].to_numpy()).all()
+    assert (got["cluster"].to_numpy() == want_labels).all()
+    assert (got["dist2"].to_numpy() == want_d2).all()
+
+
+def test_kmeans_converges_and_is_deterministic(ray_session):
+    sf = "/root/testdata/sf0.001"
+    a = similarity.emb_kmeans(sf)
+    b = similarity.emb_kmeans(sf)
+    pd.testing.assert_frame_equal(a, b)
+    assert bool(a["converged"].iloc[0])
+    assert int(a["n_vecs"].sum()) == 500
+    # converged means the final assignment is a Lloyd fixed point: one
+    # more assignment from the final state must reproduce the sizes —
+    # covered by the loop's own stop condition (centroids unchanged)
+
+
+def test_kmeans_recovers_planted_clusters(ray_session, tmp_path):
+    # three tight, well-separated blobs; vec_ids 0/1/2 land one per blob
+    # so the lowest-id seeding starts with one seed in each
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[10.0] * 64, [-10.0] * 64, [10.0] * 32 + [-10.0] * 32])
+    sizes = [30, 20, 25]
+    rows, vid = [], 0
+    for rep in range(max(sizes)):
+        for b in range(3):
+            if rep < sizes[b]:
+                rows.append((vid, (centers[b] + 0.01 * rng.randn(64)).astype(np.float32), b))
+                vid += 1
+    df = pd.DataFrame(
+        {
+            "vec_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "embedding": [r[1] for r in rows],
+            "blob": [r[2] for r in rows],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df[["vec_id", "embedding"]]), str(tmp_path / "embeddings.parquet")
+    )
+    km = similarity.emb_kmeans(str(tmp_path), k=3)
+    assert bool(km["converged"].iloc[0])
+    assert sorted(km["n_vecs"].tolist()) == sorted(sizes)
+    # every vector sits with its blob: assignment from the seed already
+    # separates blobs (seeds are one per blob), and convergence keeps it
+    assign = similarity.kmeans_assign(str(tmp_path), k=3).to_pandas()
+    merged = assign.merge(df[["vec_id", "blob"]], on="vec_id")
+    assert (merged.groupby("blob")["cluster"].nunique() == 1).all()
+    assert merged["cluster"].nunique() == 3
