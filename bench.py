@@ -71,6 +71,7 @@ OP_QUERIES = [
     "events_funnel",
     "emb_quality_centroid",
     "emb_kmeans",
+    "docs_cross_source_overlap",
 ]
 
 
@@ -117,6 +118,7 @@ def _op_extra():
         "emb_quality_centroid": _sm.emb_quality_centroid,
         # full iterative Lloyd loop; returns an eager pandas frame
         "emb_kmeans": _sm.emb_kmeans,
+        "docs_cross_source_overlap": _cu.docs_cross_source_overlap,
     }
 
 

@@ -1259,3 +1259,117 @@ SELECT doc_id, quality_ppm, curriculum_rank, curriculum_rank // {RANK_PHASE} AS 
 FROM r
 ORDER BY doc_id
 """
+
+
+# --- cross-source duplicate-contamination matrix ---------------------------
+
+# fingerprints present in more sources than this are ubiquitous
+# boilerplate, not a contamination signal — dropped (standard shingle
+# practice); the SQL twin pins the same bound
+OVERLAP_MAX_SOURCES = 64
+
+
+def docs_cross_source_overlap(sf_dir: str, max_sources: int = OVERLAP_MAX_SOURCES):
+    """Cross-source duplicate-contamination matrix: for every unordered
+    source pair (a < b), the number of DISTINCT content fingerprints that
+    occur in at least one document of each — the "which feeds share
+    content" rollup a corpus audit runs before mixing sources.
+
+    The synthetic corpus has no cross-source duplicates, so each document
+    contributes the fingerprints of a deterministic paragraph overlay
+    rendered from ``doc_id`` residues (the repo's surrogate recipe; both
+    engines build the same strings analytically) alongside the
+    fingerprint of its own text: a 149-family shared paragraph (each
+    family lands in ≤4 of the 20 sources — a sparse matrix) and an
+    11-family "press release" on ``doc_id % 4 == 1`` rows only.
+
+    Distributed shape: per-batch DISTINCT (fp, source) partials → one
+    fp-hash-bucketed exchange → per-bucket distinct + per-fp sorted
+    source sets → pair emission (C(s,2) rows per fp, s ≤ ``max_sources``
+    by the ubiquity cap, so the emission is bounded per fingerprint) →
+    KB-sized grouped count per source pair. The only corpus-sized
+    exchange carries deduped (fp, source) rows. Partitioning assumption:
+    one fingerprint's sources fit one group — guaranteed by the cap."""
+    import hashlib
+    from itertools import combinations
+
+    from ..runtime import read_parquet_sized
+    from .common import _default_buckets, grouped_sums
+
+    docs = read_parquet_sized(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
+    )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        d = batch["doc_id"].to_numpy(np.int64)
+        src = batch["source"].to_numpy(dtype=object)
+        fps, srcs = [], []
+        for texts, s in (
+            (list(batch["text"]), src),  # the document's own content
+            (["shared paragraph " + str(i % 149) for i in d], src),
+            (["press release " + str(i % 11) for i in d[d % 4 == 1]], src[d % 4 == 1]),
+        ):
+            fps.extend(hashlib.md5(t.encode()).hexdigest()[:16] for t in texts)
+            srcs.extend(s)
+        return pd.DataFrame({"fp": fps, "source": srcs}).drop_duplicates()
+
+    nb = _default_buckets()
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__b"] = (
+            pd.util.hash_pandas_object(batch["fp"], index=False).to_numpy() % nb
+        ).astype(np.int64)
+        return batch
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop_duplicates(["fp", "source"])
+        a_out, b_out = [], []
+        for _fp, srcs in group.groupby("fp", sort=False)["source"]:
+            ss = sorted(srcs)
+            if 2 <= len(ss) <= max_sources:
+                for a, b in combinations(ss, 2):
+                    a_out.append(a)
+                    b_out.append(b)
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series(a_out, dtype=object),
+                "source_b": pd.Series(b_out, dtype=object),
+                "shared_fps": np.ones(len(a_out), dtype=np.int64),
+            }
+        )
+
+    pairs = (
+        docs.map_batches(explode, batch_format="pandas")
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+    return grouped_sums(pairs, ["source_a", "source_b"], ["shared_fps"]).sort(
+        ["source_a", "source_b"]
+    )
+
+
+DOCS_CROSS_SOURCE_SQL = f"""
+WITH fps AS (
+    SELECT DISTINCT fp, source FROM (
+        SELECT substr(md5(text), 1, 16) AS fp, source FROM documents
+        UNION ALL
+        SELECT substr(md5('shared paragraph ' || CAST(doc_id % 149 AS VARCHAR)), 1, 16),
+               source FROM documents
+        UNION ALL
+        SELECT substr(md5('press release ' || CAST(doc_id % 11 AS VARCHAR)), 1, 16),
+               source FROM documents WHERE doc_id % 4 = 1
+    )
+),
+keep AS (
+    SELECT fp FROM fps GROUP BY fp
+    HAVING COUNT(*) BETWEEN 2 AND {OVERLAP_MAX_SOURCES}
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM fps a JOIN fps b USING (fp) JOIN keep USING (fp)
+WHERE a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -195,19 +195,27 @@ def _token_stats_top_query(sf_dir: str):
 
 
 def _exact_line_span_dedup_query(sf_dir: str):
-    """Duplicated k-gram span stats AND line-level dedup AND
-    document-level exact dedup in one driver slot. Forced gates:
-    ``docs_exact_dedup`` (md5 → min doc_id per hash) and
+    """Cross-source overlap matrix AND duplicated k-gram span stats AND
+    line-level dedup AND document-level exact dedup in one driver slot.
+    Forced gates: ``docs_exact_dedup`` (md5 → min doc_id per hash),
     ``docs_line_dedup`` (first-occurrence-wins line dedup with document
-    reassembly) stay fully hash-checked via in-query twin gates.
-    RECORDED result: ``docs_dup_span_stats`` — the ExactSubstr signal at
-    k-token-window granularity, one gram-keyed shuffle, pinned to a
-    window-SQL DuckDB twin."""
+    reassembly) and ``docs_dup_span_stats`` (the ExactSubstr signal at
+    k-token-window granularity) stay fully hash-checked via in-query twin
+    gates. RECORDED result: ``docs_cross_source_overlap`` — the
+    which-feeds-share-content contamination matrix (distinct shared
+    fingerprints per source pair), one fp-bucketed exchange, pinned to a
+    self-join DuckDB twin."""
     _assert_sql_twin("docs_exact_dedup", dedup.exact_dedup(sf_dir), dedup.EXACT_DEDUP_SQL, sf_dir)
     _assert_sql_twin(
         "docs_line_dedup", curate.docs_line_dedup(sf_dir), curate.DOCS_LINE_DEDUP_SQL, sf_dir
     )
-    return curate.docs_dup_span_stats(sf_dir)
+    _assert_sql_twin(
+        "docs_dup_span_stats",
+        curate.docs_dup_span_stats(sf_dir),
+        curate.DOCS_DUP_SPAN_SQL,
+        sf_dir,
+    )
+    return curate.docs_cross_source_overlap(sf_dir)
 
 
 def _langid_decon_curation_query(sf_dir: str):
@@ -690,7 +698,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_vocab_growth": (_fingerprint_split_reservoir_query, tx.DOCS_VOCAB_GROWTH_SQL),
     "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),
     "docs_quality_rank": (_bpe_mixture_pack_query, curate.DOCS_QUALITY_RANK_SQL),
-    "docs_dup_span_stats": (_exact_line_span_dedup_query, curate.DOCS_DUP_SPAN_SQL),
+    "docs_cross_source_overlap": (_exact_line_span_dedup_query, curate.DOCS_CROSS_SOURCE_SQL),
     # similarity search (SQL-checked)
     "emb_kmeans_assign": (_knn_centroid_kmeans_query, similarity.EMB_KMEANS_ASSIGN_SQL),
     "emb_semantic_dedup": (_emb_dedup_query, similarity.EMB_SEMANTIC_DEDUP_SQL),

@@ -831,3 +831,91 @@ def test_vocab_growth_is_batch_invariant(ray_session, tmp_path):
     eng = tx.docs_vocab_growth(str(tmp_path)).to_pandas().reset_index(drop=True)
     ora = _oracle(str(tmp_path), tx.DOCS_VOCAB_GROWTH_SQL)
     pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplicate-contamination matrix
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_cross_source_overlap_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    got = curate.docs_cross_source_overlap(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(curate.DOCS_CROSS_SOURCE_SQL).df()
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=True)
+    # the overlay makes the matrix sparse AND non-trivial
+    assert 0 < len(got) < 190
+    assert (got["source_a"] < got["source_b"]).all()
+
+
+def test_cross_source_overlap_bruteforce(ray_session, tmp_path):
+    """Hand-built corpus with known sharing: pairwise set-intersection
+    reference over the same fingerprint derivation."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 12 docs, 4 sources; doc_ids chosen so the paragraph family
+    # (doc_id % 149) takes only values {0,1,2} — each family spans all
+    # 4 sources, giving known cross-source sharing
+    doc_ids = np.array([f + 149 * r for f in range(3) for r in range(4)], dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "text": [f"unique body {i}" for i in range(12)],
+            "lang": "en",
+            "source": [f"s{i % 4}" for i in range(12)],
+            "n_chars": np.int64(10),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    got = curate.docs_cross_source_overlap(str(tmp_path)).to_pandas()
+
+    fps: dict[str, set] = {}
+    for _, r in df.iterrows():
+        sets = [r["text"], "shared paragraph " + str(r["doc_id"] % 149)]
+        if r["doc_id"] % 4 == 1:
+            sets.append("press release " + str(r["doc_id"] % 11))
+        for s in sets:
+            fps.setdefault(hashlib.md5(s.encode()).hexdigest()[:16], set()).add(r["source"])
+    want: dict[tuple, int] = {}
+    for srcs in fps.values():
+        if 2 <= len(srcs) <= curate.OVERLAP_MAX_SOURCES:
+            ss = sorted(srcs)
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    want[(ss[i], ss[j])] = want.get((ss[i], ss[j]), 0) + 1
+    got_d = {(r.source_a, r.source_b): r.shared_fps for r in got.itertuples()}
+    assert got_d == want
+    # each paragraph family spans all 4 sources → all 6 source pairs
+    # present, each sharing ≥3 fingerprints (one per family)
+    assert len(want) == 6 and all(v >= 3 for v in want.values())
+
+
+def test_cross_source_overlap_ubiquity_cap(ray_session, tmp_path):
+    """A fingerprint present in MORE than max_sources sources is dropped
+    entirely (boilerplate, not contamination)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64) * 149,  # same paragraph family 0
+            "text": [f"body {i}" for i in range(6)],
+            "lang": "en",
+            "source": [f"s{i}" for i in range(6)],
+            "n_chars": np.int64(5),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    # all 6 sources share paragraph family 0 → with the cap at 3 the
+    # family is ubiquitous and must vanish; nothing else collides
+    got = curate.docs_cross_source_overlap(str(tmp_path), max_sources=3).to_pandas()
+    assert len(got) == 0
+    full = curate.docs_cross_source_overlap(str(tmp_path)).to_pandas()
+    assert len(full) == 15 and (full["shared_fps"] == 1).all()
