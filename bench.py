@@ -72,6 +72,7 @@ OP_QUERIES = [
     "emb_quality_centroid",
     "emb_kmeans",
     "docs_cross_source_overlap",
+    "docs_pagerank",
 ]
 
 
@@ -82,6 +83,7 @@ def _op_extra():
     from pdf_extractors_ray.ops import curate as _cu
     from pdf_extractors_ray.ops import dedup as _dd
     from pdf_extractors_ray.ops import events as _ev
+    from pdf_extractors_ray.ops import graph as _gr
     from pdf_extractors_ray.ops import relational as _rl
     from pdf_extractors_ray.ops import similarity as _sm
     from pdf_extractors_ray.ops import text as _tx
@@ -119,6 +121,7 @@ def _op_extra():
         # full iterative Lloyd loop; returns an eager pandas frame
         "emb_kmeans": _sm.emb_kmeans,
         "docs_cross_source_overlap": _cu.docs_cross_source_overlap,
+        "docs_pagerank": _gr.docs_pagerank,
     }
 
 

@@ -1,0 +1,162 @@
+"""Distributed graph analytics over the document corpus.
+
+The synthetic corpus has no explicit link column, so the graph is a
+deterministic overlay derived from ``doc_id`` (the repo's surrogate
+recipe, cf. ``ops/curate.py`` overlays): every document links to three
+targets ``(doc_id * A_j + C_j) % n_max``. Both engines build the same
+edges analytically, which keeps the whole iterative computation
+SQL-replicable.
+
+PageRank runs in INTEGER fixed point (scale 10^12) with floor division
+at every step — distributed float summation is order-dependent, but
+int64 sums are exact on both sides, so a 5-iteration chained-CTE DuckDB
+twin reproduces the Ray result bit-for-bit (same recipe as the repo's
+cents/ppm aggregates, ``ops/common.py`` module docstring).
+
+Reference-parity note: the reference repo (ShahzadAmjadKhan/
+pdf-extractors) has no graph operator; this is part of the
+training-data-pipeline operator family (link-graph quality signals for
+corpus curation, cf. Common-Crawl-style harmonic/PageRank centrality
+filtering).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..runtime import read_parquet_sized
+from .common import bucketed_group_agg
+
+# fixed fan-out overlay, three edges per node (constant outdeg → the
+# per-edge contribution is exactly rank // 3 in both engines). The rules
+# are deliberately NOT all bijections mod n_max — an affine map with
+# gcd(a, n)=1 permutes the id space, which makes the graph 3-regular and
+# every rank identical. Rule 1 is quadratic (2-to-1 collisions → skewed
+# in-degree; the inner % 46337 keeps the square < 2^31 so the arithmetic
+# never overflows int64 even at 10^12 ids), rule 2 is a mixing affine
+# map, rule 3 contracts by 7 (low-id hubs).
+_EDGE_PY = (
+    lambda d, m: ((d % 46337) * (d % 46337) + 1) % m,
+    lambda d, m: (d * 12289 + 7) % m,
+    lambda d, m: (d // 7) % m,
+)
+_EDGE_SQL = (
+    "((doc_id % 46337) * (doc_id % 46337) + 1) % {m}",
+    "(doc_id * 12289 + 7) % {m}",
+    "(doc_id // 7) % {m}",
+)
+N_EDGES = len(_EDGE_PY)
+PR_SCALE = 10**12  # rank fixed-point scale
+PR_DAMP_PCT = 85  # damping in percent (integer arithmetic)
+PR_ITERS = 5
+
+
+def docs_pagerank(sf_dir: str, iters: int = PR_ITERS):
+    """Distributed PageRank over the doc_id link overlay.
+
+    Semantics (integer fixed point, identical in the SQL twin):
+      rank_0[v]   = SCALE // N
+      contrib(u)  = rank[u] // N_EDGES            (per out-edge)
+      rank_k+1[v] = (15 * (SCALE // N)) // 100
+                    + (85 * sum_{u->v} contrib(u)) // 100
+
+    Contributions addressed to a non-existent doc_id (possible when ids
+    are not dense 0..N-1) are dropped by BOTH engines — the overlay is a
+    function of id values, membership is decided against the real node
+    set.
+
+    Distributed shape: one narrow pruned read for the node set; each
+    iteration is map-side edge emission (3 contrib rows + 1 node-marker
+    row per node, all derived from the rank table itself — the edge
+    table never materializes and never joins) followed by ONE
+    hash-bucketed grouped combine. ``iters`` shuffles total, each
+    carrying 4 int64 rows per node; no driver-side state beyond two
+    scalars (N, n_max). At 10^12 nodes each exchange is ~256 GB spread
+    over the cluster — the same shape as the repo's partitioned folds.
+    """
+    path = os.path.join(sf_dir, "documents.parquet")
+    nodes = read_parquet_sized(path, columns=["doc_id"])
+    # two scalars via distributed aggregates over the pruned column
+    n = nodes.count()
+    n_max = int(nodes.max("doc_id")) + 1
+    base = ((100 - PR_DAMP_PCT) * (PR_SCALE // n)) // 100
+
+    def init_ranks(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rank_scaled"] = np.int64(PR_SCALE // n)
+        return batch
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pandas")
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(np.int64)
+        r = batch["rank_scaled"].to_numpy(np.int64)
+        contrib = r // N_EDGES
+        dsts = [rule(d, n_max) for rule in _EDGE_PY]
+        return pd.DataFrame(
+            {
+                # one contribution row per out-edge + the node-marker row
+                "doc_id": np.concatenate(dsts + [d]),
+                "contrib": np.concatenate(
+                    [contrib] * N_EDGES + [np.zeros(len(d), np.int64)]
+                ),
+                "is_node": np.concatenate(
+                    [np.zeros(N_EDGES * len(d), np.int64), np.ones(len(d), np.int64)]
+                ),
+            }
+        )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["is_node"] == 1]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "rank_scaled": base + (PR_DAMP_PCT * batch["contrib"].to_numpy(np.int64)) // 100,
+            }
+        )
+
+    for _ in range(iters):
+        ranks = bucketed_group_agg(
+            ranks.map_batches(emit, batch_format="pandas"),
+            ["doc_id"],
+            {"contrib": "sum", "is_node": "max"},
+        ).map_batches(finish, batch_format="pandas")
+    return ranks.sort("doc_id")
+
+
+def _pagerank_sql(iters: int = PR_ITERS) -> str:
+    """Chained-CTE twin: one CTE per iteration, same integer arithmetic."""
+    edge_selects = "\n    UNION ALL ".join(
+        f"SELECT doc_id AS src, {expr.format(m='(SELECT nmax FROM params)')} AS dst"
+        " FROM documents"
+        for expr in _EDGE_SQL
+    )
+    base = f"(({100 - PR_DAMP_PCT} * ({PR_SCALE} // (SELECT n FROM params))) // 100)"
+    cte = [
+        f"""params AS (SELECT COUNT(*) AS n, MAX(doc_id)+1 AS nmax FROM documents),
+edges AS (
+    {edge_selects}
+),
+r0 AS (SELECT doc_id, CAST({PR_SCALE} // (SELECT n FROM params) AS BIGINT) AS rank
+       FROM documents)"""
+    ]
+    for k in range(1, iters + 1):
+        cte.append(
+            f"""r{k} AS (
+    SELECT n.doc_id,
+           CAST({base} + ({PR_DAMP_PCT} * COALESCE(SUM(r.rank // {N_EDGES}), 0)) // 100
+                AS BIGINT) AS rank
+    FROM documents n
+    LEFT JOIN edges e ON e.dst = n.doc_id
+    LEFT JOIN r{k - 1} r ON r.doc_id = e.src
+    GROUP BY n.doc_id)"""
+        )
+    return (
+        "WITH " + ",\n".join(cte) + f"\nSELECT doc_id, rank AS rank_scaled FROM r{iters} "
+        "ORDER BY doc_id"
+    )
+
+
+DOCS_PAGERANK_SQL = _pagerank_sql()

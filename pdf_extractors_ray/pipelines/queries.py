@@ -20,7 +20,7 @@ after.
 
 from __future__ import annotations
 
-from ..ops import curate, dedup, events, relational, similarity, surrogate
+from ..ops import curate, dedup, events, graph, relational, similarity, surrogate
 from ..ops import multimodal as mm
 from ..ops import text as tx
 from ..sources.transcripts import boxes_path_for_sf, transcripts_path_for_sf
@@ -673,6 +673,23 @@ def _hash_neardup_query(sf_dir: str):
     return dedup.dup_clusters(sf_dir, edges=exact)
 
 
+def _ngram_pagerank_query(sf_dir: str):
+    """Link-graph PageRank AND exact n-gram Jaccard groups in one driver
+    slot. Forced gate: ``docs_ngram_jaccard`` stays fully hash-checked via
+    the in-query twin gate. RECORDED result: ``docs_pagerank`` — 5
+    iterations of integer-fixed-point PageRank over the deterministic
+    doc_id link overlay (one bucketed exchange per iteration, edges
+    derived map-side, never materialized), pinned to a chained-CTE DuckDB
+    twin bit-for-bit."""
+    _assert_sql_twin(
+        "docs_ngram_jaccard",
+        dedup.ngram_jaccard_groups(sf_dir),
+        dedup.NGRAM_JACCARD_SQL,
+        sf_dir,
+    )
+    return graph.docs_pagerank(sf_dir)
+
+
 # name → (fn, oracle_sql | None); EXACTLY 50 entries (driver record cap)
 REGISTRY: dict[str, tuple] = {
     # relational core (SQL-checked)
@@ -747,7 +764,7 @@ REGISTRY: dict[str, tuple] = {
     # components-over-exact-edges result is hash-checked
     "docs_curation_pipeline": (_langid_decon_curation_query, curate.DOCS_CURATION_SQL),
     "docs_hash_neardup": (_hash_neardup_query, dedup.DUP_CLUSTERS_SQL),
-    "docs_ngram_jaccard": (dedup.ngram_jaccard_groups, dedup.NGRAM_JACCARD_SQL),
+    "docs_pagerank": (_ngram_pagerank_query, graph.DOCS_PAGERANK_SQL),
     "emb_ann_methods": (_ann_methods_query, similarity.ANN_LSH_SQL),
     # multimodal plumbing (stubbed decode kernel): decode → features →
     # thumbnail-resize → frame-sample exercised in one chained query

@@ -1,0 +1,112 @@
+"""Distributed PageRank over the doc_id link overlay (ops/graph.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_extractors_ray.ops import graph
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_pagerank_matches_duckdb_twin(ray_session, sf):
+    got = graph.docs_pagerank(sf).to_pandas().reset_index(drop=True)
+    want = _oracle(sf, graph.DOCS_PAGERANK_SQL)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=True, check_exact=True)
+    # the overlay is deliberately non-regular: ranks must actually vary
+    assert got["rank_scaled"].nunique() > len(got) // 10
+    assert (got["rank_scaled"] > 0).all()
+
+
+def _ref_pagerank(doc_ids: list[int], iters: int = graph.PR_ITERS) -> dict[int, int]:
+    """Single-process integer reference (python ints, no numpy)."""
+    n = len(doc_ids)
+    n_max = max(doc_ids) + 1
+    nodes = set(doc_ids)
+    ranks = {u: graph.PR_SCALE // n for u in doc_ids}
+    base = ((100 - graph.PR_DAMP_PCT) * (graph.PR_SCALE // n)) // 100
+    for _ in range(iters):
+        contrib: dict[int, int] = {}
+        for u in doc_ids:
+            c = ranks[u] // graph.N_EDGES
+            for rule in graph._EDGE_PY:
+                v = int(rule(u, n_max))
+                if v in nodes:  # mass to non-existent ids is dropped
+                    contrib[v] = contrib.get(v, 0) + c
+        ranks = {
+            v: base + (graph.PR_DAMP_PCT * contrib.get(v, 0)) // 100 for v in doc_ids
+        }
+    return ranks
+
+
+def test_pagerank_bruteforce_nondense_ids(ray_session, tmp_path):
+    """Non-dense doc_ids: some overlay edges target ids that do not exist
+    — both the engine and the reference must drop that mass."""
+    doc_ids = [3, 10, 11, 25, 31, 58, 59, 100, 101, 999]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array(doc_ids, dtype=np.int64),
+            "text": [f"body {i}" for i in doc_ids],
+            "lang": "en",
+            "source": "s0",
+            "n_chars": np.int64(6),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    got = graph.docs_pagerank(str(tmp_path)).to_pandas()
+    want = _ref_pagerank(doc_ids)
+    assert {int(r.doc_id): int(r.rank_scaled) for r in got.itertuples()} == want
+    # the dropped-mass path was actually exercised: at least one edge of
+    # the overlay points outside the id set
+    n_max = max(doc_ids) + 1
+    outside = sum(
+        1 for u in doc_ids for rule in graph._EDGE_PY if int(rule(u, n_max)) not in set(doc_ids)
+    )
+    assert outside > 0
+    # and the SQL twin agrees on the same fixture
+    want_sql = _oracle(str(tmp_path), graph.DOCS_PAGERANK_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want_sql[got.columns], check_dtype=True, check_exact=True
+    )
+
+
+def test_pagerank_batch_invariant(ray_session, tmp_path):
+    """Result is independent of input block layout (the bucketed combine
+    is associative in int64)."""
+    import ray.data as rd
+
+    n = 200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64) * 3,  # non-dense
+            "text": "t",
+            "lang": "en",
+            "source": "s0",
+            "n_chars": np.int64(1),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    a = graph.docs_pagerank(str(tmp_path)).to_pandas()
+
+    # same computation over a deliberately fragmented layout
+    pq.write_table(
+        pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"), row_group_size=7
+    )
+    b = graph.docs_pagerank(str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
+    assert rd is not None
