@@ -73,6 +73,7 @@ OP_QUERIES = [
     "emb_kmeans",
     "docs_cross_source_overlap",
     "docs_pagerank",
+    "events_retention",
 ]
 
 
@@ -122,6 +123,7 @@ def _op_extra():
         "emb_kmeans": _sm.emb_kmeans,
         "docs_cross_source_overlap": _cu.docs_cross_source_overlap,
         "docs_pagerank": _gr.docs_pagerank,
+        "events_retention": _ev.events_retention,
     }
 
 

@@ -850,3 +850,83 @@ FROM conv
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# --- cohort retention matrix ------------------------------------------------
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention: users grouped by their first-activity DAY
+    (cohort), counted as retained on each later day they were active —
+    the classic product-analytics triangle, here as a training-data-era
+    "activity coverage by ingest cohort" rollup.
+
+    Output: (cohort_day, offset_days, users) — ``users`` = DISTINCT
+    users of that cohort active ``offset_days`` after their first day.
+
+    Distributed shape: per-batch DISTINCT (user, day) partials → ONE
+    user-hash-bucketed exchange; per bucket the cohort (min day) and the
+    per-user offsets come from one vectorized sort + boundary slicing —
+    each user's rows are already distinct days, so the (cohort, offset,
+    user) rows emitted are unique per user and the final matrix count is
+    exactly COUNT(DISTINCT user). The second exchange carries user-day
+    rows (already deduped) into a KB-sized grouped count. Partitioning
+    assumption: one user's activity days fit a group."""
+    from .common import _default_buckets
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    nb = _default_buckets()
+
+    def day_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(np.int64),
+                "day": batch["ts"].dt.floor("D").astype("datetime64[us]"),
+            }
+        ).drop_duplicates()
+        out["__b"] = (pd.util.hash_array(out["user_id"].to_numpy(np.int64)) % nb).astype(
+            np.int64
+        )
+        return out
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy("datetime64[us]")
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(uid) != 0) + 1, [len(uid)])
+        )
+        # cohort = each user's first (minimum) day, repeated over the
+        # user's rows via the boundary slices
+        cohort = np.repeat(day[bounds[:-1]], np.diff(bounds))
+        return pd.DataFrame(
+            {
+                "cohort_day": cohort,
+                "offset_days": (day - cohort).astype("timedelta64[D]").astype(np.int64),
+                "users": np.ones(len(g), dtype=np.int64),
+            }
+        )
+
+    mat = (
+        ds.map_batches(day_rows, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(fold_bucket, batch_format="pandas")
+    )
+    mat = grouped_sums(mat, ["cohort_day", "offset_days"], ["users"])
+    return cast_us(mat, ["cohort_day"]).sort(["cohort_day", "offset_days"])
+
+
+EVENTS_RETENTION_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events
+),
+c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, ud.day) AS BIGINT) AS offset_days,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -673,6 +673,23 @@ def _hash_neardup_query(sf_dir: str):
     return dedup.dup_clusters(sf_dir, edges=exact)
 
 
+def _props_retention_query(sf_dir: str):
+    """Cohort retention AND JSON props extraction in one driver slot.
+    Forced gate: ``events_props_k`` stays fully hash-checked via the
+    in-query twin gate. RECORDED result: ``events_retention`` — the
+    first-activity-cohort × day-offset distinct-user matrix (one
+    user-bucketed exchange + one KB-sized grouped count), pinned to a
+    MIN/date_diff DuckDB twin."""
+    _assert_sql_twin(
+        "events_props_k",
+        events.events_props_k(sf_dir),
+        events.EVENTS_PROPS_K_SQL,
+        sf_dir,
+        tables=("events",),
+    )
+    return events.events_retention(sf_dir)
+
+
 def _ngram_pagerank_query(sf_dir: str):
     """Link-graph PageRank AND exact n-gram Jaccard groups in one driver
     slot. Forced gate: ``docs_ngram_jaccard`` stays fully hash-checked via
@@ -706,7 +723,7 @@ REGISTRY: dict[str, tuple] = {
     # event streams (SQL-checked)
     "events_hourly": (events.events_hourly, events.EVENTS_HOURLY_SQL),
     "events_funnel": (_sessionize_funnel_query, events.EVENTS_FUNNEL_SQL),
-    "events_props_k": (events.events_props_k, events.EVENTS_PROPS_K_SQL),
+    "events_retention": (_props_retention_query, events.EVENTS_RETENTION_SQL),
     "events_bloom_semijoin": (_running_bloom_query, events.EVENTS_BLOOM_SQL),
     "events_sliding": (_sliding_asof_query, events.EVENTS_SLIDING_SQL),
     # text analysis (SQL-checked where expressible)

@@ -240,3 +240,70 @@ def test_funnel_edge_semantics(ray_session, tmp_path):
     assert out.loc[2, "n_conversions"] == 0
     assert out.loc[3, "n_conversions"] == 1
     assert out.loc[4, "n_conversions"] == 0
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_retention_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    got = ev.events_retention(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+        want = con.execute(ev.EVENTS_RETENTION_SQL).fetchdf()
+    finally:
+        con.close()
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=True, check_exact=True)
+    # offset 0 rows exist for every cohort (each user is active on their
+    # own first day), and offsets are non-negative
+    day0 = got[got["offset_days"] == 0]
+    assert set(day0["cohort_day"]) == set(got["cohort_day"])
+    assert (got["offset_days"] >= 0).all()
+
+
+def test_retention_bruteforce(ray_session, tmp_path):
+    """Hand-built events: multi-day users, a single-day user, and
+    same-day duplicate events (must not double-count)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        # user 1: first day D0, active D0 (twice) and D2
+        (1, "2024-01-01 08:00:00"),
+        (1, "2024-01-01 23:59:59"),
+        (1, "2024-01-03 00:00:00"),
+        # user 2: same cohort D0, active only D0
+        (2, "2024-01-01 12:00:00"),
+        # user 3: cohort D1, active D1 and D2
+        (3, "2024-01-02 01:00:00"),
+        (3, "2024-01-03 13:00:00"),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+    got = ev.events_retention(str(tmp_path)).to_pandas()
+    want = pd.DataFrame(
+        {
+            "cohort_day": pd.to_datetime(
+                ["2024-01-01", "2024-01-01", "2024-01-02", "2024-01-02"]
+            ).astype("datetime64[us]"),
+            "offset_days": np.array([0, 2, 0, 1], dtype=np.int64),
+            "users": np.array([2, 1, 1, 1], dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=True, check_exact=True
+    )
