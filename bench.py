@@ -74,6 +74,7 @@ OP_QUERIES = [
     "docs_cross_source_overlap",
     "docs_pagerank",
     "events_retention",
+    "docs_chunk_windows",
 ]
 
 
@@ -124,6 +125,7 @@ def _op_extra():
         "docs_cross_source_overlap": _cu.docs_cross_source_overlap,
         "docs_pagerank": _gr.docs_pagerank,
         "events_retention": _ev.events_retention,
+        "docs_chunk_windows": _cu.docs_chunk_windows,
     }
 
 

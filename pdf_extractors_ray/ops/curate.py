@@ -1373,3 +1373,67 @@ WHERE a.source < b.source
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# --- context-window chunking ------------------------------------------------
+
+CHUNK_SEQ_LEN = 32  # tokens per training window
+CHUNK_STRIDE = 24  # window start stride (seq_len - stride = 8-token overlap)
+
+
+def docs_chunk_windows(sf_dir: str, seq_len: int = CHUNK_SEQ_LEN, stride: int = CHUNK_STRIDE):
+    """Sliding context-window chunking: each document becomes
+    ``ceil(n_tokens / stride)`` training windows of up to ``seq_len``
+    tokens starting every ``stride`` tokens (the fixed-context training
+    sample generator; overlapping tails included). Output carries each
+    window's start offset, its token count, and its first token — the
+    text is genuinely indexed, not just counted.
+
+    Distributed shape: map-only explode (the output is BIGGER than the
+    input — inherent to chunking — and streams block by block; nothing
+    shuffles, nothing aggregates). The per-window arithmetic is
+    np.repeat/arange vectorized; the only per-row Python is one list
+    index per OUTPUT window (C-level list getitem). Tokenization is the
+    repo's single-space convention (== ``string_split(text, ' ')``)."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        text = batch["text"]
+        n = (text.str.count(" ") + 1).to_numpy(np.int64)
+        counts = (n + stride - 1) // stride  # windows per doc
+        total = int(counts.sum())
+        # window_idx within each doc: global arange minus each doc's
+        # exclusive prefix of window counts
+        widx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        start = widx * stride
+        n_rep = np.repeat(n, counts)
+        splits = text.str.split(" ").to_numpy(dtype=object)
+        head = [sp[s] for sp, s in zip(np.repeat(splits, counts), start)]
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), counts),
+                "window_idx": widx,
+                "start_tok": start,
+                "head_tok": pd.Series(head, dtype=object),
+                "n_window_tokens": np.minimum(seq_len, n_rep - start),
+            }
+        )
+
+    return docs.map_batches(explode, batch_format="pandas").sort(["doc_id", "window_idx"])
+
+
+DOCS_CHUNK_SQL = f"""
+WITH d AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n, text FROM documents
+)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS BIGINT) AS window_idx,
+       CAST(s AS BIGINT) AS start_tok,
+       string_split(text, ' ')[CAST(s + 1 AS BIGINT)] AS head_tok,
+       CAST(LEAST({CHUNK_SEQ_LEN}, n - s) AS BIGINT) AS n_window_tokens
+FROM d, LATERAL UNNEST(generate_series(0, CAST(n - 1 AS BIGINT), {CHUNK_STRIDE})) AS t(s)
+ORDER BY doc_id, window_idx
+"""

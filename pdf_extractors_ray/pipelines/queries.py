@@ -94,13 +94,16 @@ def _assert_sql_twin(name: str, ds, sql: str, sf_dir: str, tables=("documents",)
 
 
 def _keyword_redact_query(sf_dir: str):
-    """PII redaction AND the regex keyword extractor in one driver slot.
-    Forced gate: ``docs_keyword`` stays fully hash-checked via the
-    in-query twin gate (same canon as the driver's). RECORDED result:
-    ``docs_redact`` — rendered PII overlay → ordered RE2 count+replace
-    chain, byte-identical to ``DOCS_REDACT_SQL`` (both engines are RE2)."""
+    """Context-window chunking AND PII redaction AND the regex keyword
+    extractor in one driver slot. Forced gates: ``docs_keyword`` and
+    ``docs_pii_redact`` stay fully hash-checked via in-query twin gates
+    (same canon as the driver's). RECORDED result:
+    ``docs_chunk_windows`` — the sliding training-window explode (map
+    only, output bigger than input, streams), pinned to a LATERAL
+    generate_series DuckDB twin including each window's first token."""
     _assert_sql_twin("docs_keyword", tx.docs_keyword(sf_dir), tx.DOCS_KEYWORD_SQL, sf_dir)
-    return curate.docs_redact(sf_dir)
+    _assert_sql_twin("docs_pii_redact", curate.docs_redact(sf_dir), curate.DOCS_REDACT_SQL, sf_dir)
+    return curate.docs_chunk_windows(sf_dir)
 
 
 def _fingerprint_split_reservoir_query(sf_dir: str):
@@ -730,7 +733,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_top_tokens": (_token_stats_top_query, tx.DOCS_TOP_TOKENS_SQL),
     "docs_bigram_pmi": (_quality_repetition_tfidf_query, tx.DOCS_BIGRAM_PMI_SQL),
     "docs_vocab_growth": (_fingerprint_split_reservoir_query, tx.DOCS_VOCAB_GROWTH_SQL),
-    "docs_pii_redact": (_keyword_redact_query, curate.DOCS_REDACT_SQL),
+    "docs_chunk_windows": (_keyword_redact_query, curate.DOCS_CHUNK_SQL),
     "docs_quality_rank": (_bpe_mixture_pack_query, curate.DOCS_QUALITY_RANK_SQL),
     "docs_cross_source_overlap": (_exact_line_span_dedup_query, curate.DOCS_CROSS_SOURCE_SQL),
     # similarity search (SQL-checked)

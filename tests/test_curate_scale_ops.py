@@ -919,3 +919,67 @@ def test_cross_source_overlap_ubiquity_cap(ray_session, tmp_path):
     assert len(got) == 0
     full = curate.docs_cross_source_overlap(str(tmp_path)).to_pandas()
     assert len(full) == 15 and (full["shared_fps"] == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_chunk_windows_matches_duckdb_twin(ray_session, sf):
+    got = curate.docs_chunk_windows(sf).to_pandas().reset_index(drop=True)
+    want = _oracle(sf, curate.DOCS_CHUNK_SQL)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=True, check_exact=True)
+    # overlapping tails exist (docs longer than one stride)
+    assert (got["window_idx"] > 0).any()
+
+
+def test_chunk_windows_bruteforce(ray_session, tmp_path):
+    """Hand-built docs covering: empty-ish text (1 token), exactly one
+    stride, exactly seq_len tokens, a long doc with a short tail."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = {
+        0: "solo",  # 1 token → one window of 1
+        1: " ".join(f"t{i}" for i in range(24)),  # == stride → 1 window
+        2: " ".join(f"u{i}" for i in range(32)),  # == seq_len → 2 windows (tail at 24)
+        3: " ".join(f"v{i}" for i in range(75)),  # 4 windows, tail of 3
+    }
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array(sorted(texts), dtype=np.int64),
+            "text": [texts[k] for k in sorted(texts)],
+            "lang": "en",
+            "source": "s0",
+            "n_chars": np.int64(1),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    got = curate.docs_chunk_windows(str(tmp_path)).to_pandas()
+
+    rows = []
+    for did in sorted(texts):
+        toks = texts[did].split(" ")
+        s = 0
+        w = 0
+        while s < len(toks):
+            rows.append((did, w, s, toks[s], min(32, len(toks) - s)))
+            s += 24
+            w += 1
+    want = pd.DataFrame(
+        rows, columns=["doc_id", "window_idx", "start_tok", "head_tok", "n_window_tokens"]
+    ).astype(
+        {
+            "doc_id": np.int64,
+            "window_idx": np.int64,
+            "start_tok": np.int64,
+            "n_window_tokens": np.int64,
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=True, check_exact=True
+    )
+    # per-doc window counts: ceil(n/stride)
+    assert got.groupby("doc_id").size().tolist() == [1, 1, 2, 4]
