@@ -75,6 +75,7 @@ OP_QUERIES = [
     "docs_pagerank",
     "events_retention",
     "docs_chunk_windows",
+    "emb_kcenter",
 ]
 
 
@@ -126,6 +127,7 @@ def _op_extra():
         "docs_pagerank": _gr.docs_pagerank,
         "events_retention": _ev.events_retention,
         "docs_chunk_windows": _cu.docs_chunk_windows,
+        "emb_kcenter": _sm.emb_kcenter,
     }
 
 

@@ -897,3 +897,166 @@ r AS (
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
 FROM r WHERE rn = 1 ORDER BY vec_id
 """
+
+
+# --- greedy k-center diversity coreset --------------------------------------
+
+KCENTER_K = 8
+_KC_SCALE = 1048576.0  # ×2^20, the ANN path's exact power-of-two quantization
+
+
+def _kc_quantize(batch: pd.DataFrame) -> np.ndarray:
+    """Integer-quantized embedding matrix (exact: |q| < 2^21, so a 64-dim
+    squared L2 distance is < 2^48 — exact int64, no rounding ambiguity,
+    bit-reproducible in DuckDB)."""
+    return np.floor(_matrix(batch) * _KC_SCALE + 0.5).astype(np.int64)
+
+
+def kcenter_block_best(
+    q: np.ndarray, ids: np.ndarray, centers: np.ndarray, selected: set
+) -> tuple[int, int, np.ndarray] | None:
+    """Pure per-block kernel: (max min-distance-to-centers, min vec_id
+    among the argmax rows, that row's quantized vector), excluding
+    already-selected ids. None when the block holds no candidate. The
+    vector rides along so the driver never re-scans the corpus to fetch
+    a selected center."""
+    dmin = ((q[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+    mask = np.array([i not in selected for i in ids])
+    if not mask.any():
+        return None
+    dmin = np.where(mask, dmin, -1)
+    best = int(dmin.max())
+    if best < 0:
+        return None
+    hit = (dmin == best) & mask
+    row = int(np.flatnonzero(hit)[ids[hit].argmin()])
+    return best, int(ids[row]), q[row]
+
+
+def emb_kcenter(sf_dir: str, k: int = KCENTER_K):
+    """Greedy k-center diversity coreset (Gonzalez 2-approximation — the
+    facility-location selection a curation pipeline uses to pick a
+    maximally spread training subset): start from the min vec_id, then
+    repeatedly select the vector farthest from the selected set
+    (exact integer squared L2 over ×2^20-quantized embeddings; ties by
+    min vec_id). Output: every vector assigned to its nearest of the k
+    centers (ties by min center id) with the exact distance.
+
+    Distributed shape: k rounds, each ONE streaming map pass (distances
+    against the ≤k broadcast centers, k×dim int64 — trivially small)
+    emitting one candidate row per BLOCK, plus a driver reduce over
+    those ~n_blocks rows; then one final assignment pass. Nothing
+    corpus-sized is ever collected or shuffled — the k-pass recompute
+    (instead of pinning a materialized quantized copy) is deliberate:
+    at 100 TB the object store cannot hold the corpus, and the read is
+    pruned to two columns. Driver state: k ids + a k×dim int matrix."""
+    ds = _emb(sf_dir, columns=["vec_id", "embedding"])
+
+    # seed: the min-vec_id row — one pass emitting each block's min row,
+    # driver keeps the global min (id + quantized vector)
+    def block_min(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(np.int64)
+        row = int(ids.argmin())
+        return pd.DataFrame(
+            {"vec_id": [np.int64(ids[row])], "q": [_kc_quantize(batch)[row].tolist()]}
+        )
+
+    seeds = ds.map_batches(block_min, batch_format="pandas").to_pandas()
+    seed = seeds.sort_values("vec_id").iloc[0]
+    selected = [int(seed["vec_id"])]
+    centers = np.asarray([seed["q"]], dtype=np.int64)
+
+    while len(selected) < k:
+        sel_set = set(selected)
+        cmat = centers
+
+        def block_best(batch: pd.DataFrame) -> pd.DataFrame:
+            got = kcenter_block_best(
+                _kc_quantize(batch), batch["vec_id"].to_numpy(np.int64), cmat, sel_set
+            )
+            if got is None:
+                return pd.DataFrame(
+                    {
+                        "d": pd.Series([], dtype=np.int64),
+                        "vec_id": pd.Series([], dtype=np.int64),
+                        "q": pd.Series([], dtype=object),
+                    }
+                )
+            return pd.DataFrame(
+                {"d": [np.int64(got[0])], "vec_id": [np.int64(got[1])], "q": [got[2].tolist()]}
+            )
+
+        part = ds.map_batches(block_best, batch_format="pandas").to_pandas()
+        if part.empty:
+            break  # fewer than k distinct vectors
+        top = part.sort_values(["d", "vec_id"], ascending=[False, True]).iloc[0]
+        selected.append(int(top["vec_id"]))
+        centers = np.vstack([centers, np.asarray(top["q"], dtype=np.int64)])
+
+    cid = np.array(selected, dtype=np.int64)
+    cmat = centers
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        q = _kc_quantize(batch)
+        d = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        # nearest center; ties by MIN center id — order columns by id first
+        order = np.argsort(cid, kind="stable")
+        d_ord = d[:, order]
+        pick = d_ord.argmin(axis=1)  # argmin takes the FIRST (lowest id) tie
+        rows = np.arange(len(q))
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "center_id": cid[order][pick],
+                "dist_sq": d_ord[rows, pick],
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas").sort("vec_id")
+
+
+def _kcenter_sql(k: int = KCENTER_K) -> str:
+    """Chained-CTE twin: the same greedy selection, one CTE per round."""
+    parts = [
+        f"""x AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+           CAST(FLOOR(unnest(embedding)::DOUBLE * {_KC_SCALE} + 0.5) AS BIGINT) AS v
+    FROM embeddings
+),
+dists AS MATERIALIZED (
+    -- materialized: referenced by every selection round below; the
+    -- unnest+dim-join shape beats per-pair list lambdas ~100x here
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+    FROM x a JOIN x b ON a.dim = b.dim
+    GROUP BY a.vec_id, b.vec_id
+),
+s0 AS (SELECT MIN(vec_id) AS c FROM embeddings)"""
+    ]
+    for i in range(1, k):
+        # each round's center set is MATERIALIZED: s(i) references
+        # s(i-1) three times, so an inlined chain re-expands 3^k ways
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+    SELECT c FROM s{i - 1}
+    UNION ALL
+    SELECT va FROM (
+        SELECT va, MIN(d2) AS dmin FROM dists
+        WHERE vb IN (SELECT c FROM s{i - 1}) AND va NOT IN (SELECT c FROM s{i - 1})
+        GROUP BY va ORDER BY dmin DESC, va ASC LIMIT 1))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT va AS vec_id, vb AS center_id, d2 AS dist_sq
+FROM (
+    SELECT va, vb, d2,
+           ROW_NUMBER() OVER (PARTITION BY va ORDER BY d2 ASC, vb ASC) AS rn
+    FROM dists WHERE vb IN (SELECT c FROM s{k - 1})
+) WHERE rn = 1
+ORDER BY vec_id"""
+    )
+
+
+EMB_KCENTER_SQL = _kcenter_sql()

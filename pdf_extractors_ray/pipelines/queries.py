@@ -365,12 +365,14 @@ def _month_quantiles_query(sf_dir: str):
 
 
 def _emb_dedup_query(sf_dir: str):
-    """SemDeDup-style semantic dedup AND the exact quadratic dup-pair scan
-    in one driver slot. Forced gate: ``emb_dup_pairs`` (block-pair cosine
-    ≥ threshold) stays fully hash-checked via the in-query twin gate.
-    RECORDED result: ``emb_semantic_dedup`` — LSH-bucketed
-    first-occurrence-wins embedding dedup with integer-quantized bucket
-    assignment, pinned to its own DuckDB twin."""
+    """Greedy k-center coreset AND SemDeDup-style semantic dedup AND the
+    exact quadratic dup-pair scan in one driver slot. Forced gates:
+    ``emb_dup_pairs`` (block-pair cosine ≥ threshold) and
+    ``emb_semantic_dedup`` (LSH-bucketed first-occurrence-wins dedup)
+    stay fully hash-checked via in-query twin gates. RECORDED result:
+    ``emb_kcenter`` — the Gonzalez greedy diversity selection with exact
+    integer quantized distances (k one-pass rounds + block-candidate
+    driver reduce), pinned to a chained materialized-CTE DuckDB twin."""
     _assert_sql_twin(
         "emb_dup_pairs",
         similarity.emb_dup_pairs(sf_dir),
@@ -378,7 +380,14 @@ def _emb_dedup_query(sf_dir: str):
         sf_dir,
         tables=("embeddings",),
     )
-    return similarity.emb_semantic_dedup(sf_dir)
+    _assert_sql_twin(
+        "emb_semantic_dedup",
+        similarity.emb_semantic_dedup(sf_dir),
+        similarity.EMB_SEMANTIC_DEDUP_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    return similarity.emb_kcenter(sf_dir)
 
 
 def _custbal_antijoin_query(sf_dir: str):
@@ -738,7 +747,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_cross_source_overlap": (_exact_line_span_dedup_query, curate.DOCS_CROSS_SOURCE_SQL),
     # similarity search (SQL-checked)
     "emb_kmeans_assign": (_knn_centroid_kmeans_query, similarity.EMB_KMEANS_ASSIGN_SQL),
-    "emb_semantic_dedup": (_emb_dedup_query, similarity.EMB_SEMANTIC_DEDUP_SQL),
+    "emb_kcenter": (_emb_dedup_query, similarity.EMB_KCENTER_SQL),
     # extraction-kernel surrogates (SQL-checked): the per-turn extraction
     # kernels AND the invoice fold pinned to DuckDB over rendered inputs
     # (ops/surrogate.py)

@@ -513,3 +513,110 @@ def test_kmeans_recovers_planted_clusters(ray_session, tmp_path):
     merged = assign.merge(df[["vec_id", "blob"]], on="vec_id")
     assert (merged.groupby("blob")["cluster"].nunique() == 1).all()
     assert merged["cluster"].nunique() == 3
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center diversity coreset
+# ---------------------------------------------------------------------------
+
+
+def _emb_twin(sf: str, sql: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_kcenter_matches_duckdb_twin(ray_session, sf):
+    got = similarity.emb_kcenter(sf).to_pandas().reset_index(drop=True)
+    want = _emb_twin(sf, similarity.EMB_KCENTER_SQL)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=True, check_exact=True)
+    centers = got.loc[got["vec_id"].isin(got["center_id"].unique())]
+    # every center is assigned to itself at distance 0
+    self_rows = centers[centers["vec_id"] == centers["center_id"]]
+    assert len(self_rows) == similarity.KCENTER_K and (self_rows["dist_sq"] == 0).all()
+
+
+def _ref_greedy_kcenter(q: np.ndarray, ids: np.ndarray, k: int):
+    """Single-process greedy reference (python loop, exact ints)."""
+    sel = [int(ids[ids.argmin()])]
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    while len(sel) < k:
+        cm = np.stack([q[id_to_row[c]] for c in sel])
+        dmin = ((q[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        cand = [(int(-dmin[r]), int(ids[r])) for r in range(len(ids)) if int(ids[r]) not in sel]
+        if not cand:
+            break
+        cand.sort()
+        sel.append(cand[0][1])
+    return sel
+
+
+def test_kcenter_planted_geometry(ray_session, tmp_path):
+    """4 tight blobs in 8-dim space, k=4 effective coverage: greedy must
+    pick one point from each blob after the seed (matches the reference
+    greedy exactly), and the covering radius is within-blob scale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    dim, per = 8, 25
+    blobs = []
+    for b in range(4):
+        center = np.zeros(dim)
+        center[b] = 0.4  # well-separated corners
+        blobs.append(center + rng.uniform(-0.01, 0.01, size=(per, dim)))
+    m = np.concatenate(blobs)
+    ids = np.arange(len(m), dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [row.astype(np.float32).tolist() for row in m],
+            "label": np.int32(0),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "embeddings.parquet"))
+    got = similarity.emb_kcenter(str(tmp_path), k=4).to_pandas()
+
+    q = np.floor(m * 1048576.0 + 0.5).astype(np.int64)
+    want_sel = _ref_greedy_kcenter(q, ids, 4)
+    assert sorted(got["center_id"].unique().tolist()) == sorted(want_sel)
+    # one center per blob (greedy 2-approximation on separated blobs)
+    assert sorted(c // per for c in want_sel) == [0, 1, 2, 3]
+    # every point is assigned within its own blob's radius, far below the
+    # inter-blob distance (~0.4*sqrt(2) quantized)
+    within = (0.05 * 1048576) ** 2
+    assert (got["dist_sq"] < within).all()
+    # full assignment: nearest-center ties broken by min center id
+    cm = np.stack([q[c] for c in want_sel])
+    d = ((q[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+    order = np.argsort(np.array(want_sel))
+    pick = d[:, order].argmin(axis=1)
+    assert (got.sort_values("vec_id")["center_id"].to_numpy()
+            == np.array(want_sel)[order][pick]).all()
+
+
+def test_kcenter_fewer_points_than_k(ray_session, tmp_path):
+    """n < k: selection stops early, every point becomes its own center."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = np.eye(3, 8, dtype=np.float64) * 0.3
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(3, dtype=np.int64) + 10,
+            "embedding": [row.astype(np.float32).tolist() for row in m],
+            "label": np.int32(0),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "embeddings.parquet"))
+    got = similarity.emb_kcenter(str(tmp_path), k=8).to_pandas()
+    assert sorted(got["center_id"].tolist()) == [10, 11, 12]
+    assert (got["dist_sq"] == 0).all()
