@@ -76,6 +76,7 @@ OP_QUERIES = [
     "events_retention",
     "docs_chunk_windows",
     "emb_kcenter",
+    "docs_mixture_budget",
 ]
 
 
@@ -128,6 +129,8 @@ def _op_extra():
         "events_retention": _ev.events_retention,
         "docs_chunk_windows": _cu.docs_chunk_windows,
         "emb_kcenter": _sm.emb_kcenter,
+        # returns an eager pandas frame (bounded allocation table)
+        "docs_mixture_budget": _cu.docs_mixture_budget,
     }
 
 

@@ -1437,3 +1437,106 @@ SELECT doc_id,
 FROM d, LATERAL UNNEST(generate_series(0, CAST(n - 1 AS BIGINT), {CHUNK_STRIDE})) AS t(s)
 ORDER BY doc_id, window_idx
 """
+
+
+# --- mixture budget allocation (epochs-capped water filling) ----------------
+
+BUDGET_HALF_DENOM = 2  # training budget = total corpus tokens // 2
+BUDGET_ROUNDS = 8  # fixed water-filling rounds (both engines run exactly these)
+
+
+def docs_mixture_budget(sf_dir: str, rounds: int = BUDGET_ROUNDS):
+    """Epochs-capped uniform mixture budgeting (the UniMax shape): split a
+    token budget (half the corpus) equally across sources, cap each
+    source at its available tokens, and redistribute the freed budget to
+    the still-uncapped sources — ``rounds`` fixed integer water-filling
+    rounds (floor division throughout, so the DuckDB twin replays the
+    allocation bit-for-bit; leftover budget after the fixed rounds stays
+    unallocated identically on both sides).
+
+    Output per source: available tokens, allocated tokens, and the
+    realized epoch rate in ppm (alloc*1e6 // avail).
+
+    Distributed shape: ONE corpus-scale rollup (per-batch token-count
+    partials → bucketed grouped sum → n_sources rows); the allocation
+    loop runs over that bounded driver-sized table (sources are a
+    catalog-scale set — 20 here, thousands at worst — the same
+    "sketch + closed form" split as the KMV estimator)."""
+    ds = _docs(sf_dir, columns=["source", "text"])
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": batch["source"],
+                "avail_tokens": (batch["text"].str.count(" ") + 1).astype(np.int64),
+            }
+        )
+
+    from .common import grouped_sums
+
+    per_source = (
+        grouped_sums(ds.map_batches(counts, batch_format="pandas"), ["source"], ["avail_tokens"])
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    avail = per_source["avail_tokens"].to_numpy(np.int64)
+    alloc = np.zeros(len(avail), dtype=np.int64)
+    budget = int(avail.sum()) // BUDGET_HALF_DENOM
+    remaining = budget
+    for _ in range(rounds):
+        active = avail > alloc
+        n_active = int(active.sum())
+        if n_active == 0 or remaining <= 0:
+            break
+        fair = remaining // n_active
+        add = np.where(active, np.minimum(fair, avail - alloc), 0)
+        alloc += add
+        remaining -= int(add.sum())
+    return pd.DataFrame(
+        {
+            "source": per_source["source"],
+            "avail_tokens": avail,
+            "alloc_tokens": alloc,
+            "epoch_ppm": alloc * 1_000_000 // np.maximum(avail, 1),
+        }
+    )
+
+
+def _mixture_budget_sql(rounds: int = BUDGET_ROUNDS) -> str:
+    parts = [
+        """counts AS MATERIALIZED (
+    SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+    FROM documents GROUP BY source
+),
+b AS (SELECT SUM(avail) // 2 AS budget FROM counts),
+r0 AS (SELECT source, avail, CAST(0 AS BIGINT) AS alloc FROM counts)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+    -- CAST keeps alloc BIGINT: SUM(BIGINT) is HUGEINT in DuckDB and
+    -- would otherwise promote every later round (and the fetched dtype)
+    SELECT source, avail,
+           CAST(alloc + CASE WHEN avail > alloc
+                        AND (SELECT COUNT(*) FROM {p} WHERE avail > alloc) > 0
+                        AND (SELECT budget FROM b) - (SELECT SUM(alloc) FROM {p}) > 0
+               THEN LEAST(
+                   ((SELECT budget FROM b) - (SELECT SUM(alloc) FROM {p}))
+                       // (SELECT COUNT(*) FROM {p} WHERE avail > alloc),
+                   avail - alloc)
+               ELSE 0 END AS BIGINT) AS alloc
+    FROM {p})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT source, avail AS avail_tokens, alloc AS alloc_tokens,
+       CAST(alloc * 1000000 // GREATEST(avail, 1) AS BIGINT) AS epoch_ppm
+FROM r{rounds} ORDER BY source"""
+    )
+
+
+DOCS_MIXTURE_BUDGET_SQL = _mixture_budget_sql()

@@ -264,17 +264,16 @@ def _quality_repetition_tfidf_query(sf_dir: str):
 
 
 def _bpe_mixture_pack_query(sf_dir: str):
-    """Curriculum quality ranking AND the deterministic GLOBAL shuffle AND
-    sequence packing AND mixture sampling AND the BPE-ish pretokenizer
-    counts in one driver slot. Forced gates: ``docs_pack_sequences``,
+    """Mixture token budgeting AND curriculum quality ranking AND the
+    deterministic GLOBAL shuffle AND sequence packing AND mixture
+    sampling AND the BPE-ish pretokenizer counts in one driver slot.
+    Forced gates: ``docs_quality_rank``, ``docs_pack_sequences``,
     ``docs_bpe_tokens``, ``docs_sample_mixture`` and
     ``docs_global_shuffle`` stay fully hash-checked via in-query twin
-    gates. RECORDED result: ``docs_quality_rank`` — exact global rank
-    under (quality DESC, doc_id): the skewed-key complement of the
-    uniform-hash shuffle (exact bounded-domain score histogram → greedy
-    rank-order bucket packing → doc-range sub-buckets for hot tie groups
-    → broadcast exclusive offsets → one narrow shuffle), pinned to a
-    ROW_NUMBER DuckDB twin."""
+    gates. RECORDED result: ``docs_mixture_budget`` — UniMax-style
+    epochs-capped integer water filling of a half-corpus token budget
+    across sources (one corpus-scale rollup, bounded driver allocation),
+    pinned to a chained materialized-CTE DuckDB twin."""
     _assert_sql_twin("docs_bpe_tokens", tx.docs_bpe_tokens(sf_dir), tx.DOCS_BPE_TOKENS_SQL, sf_dir)
     _assert_sql_twin(
         "docs_sample_mixture", curate.docs_sample_mixture(sf_dir), curate.DOCS_MIXTURE_SQL, sf_dir
@@ -288,7 +287,13 @@ def _bpe_mixture_pack_query(sf_dir: str):
         curate.DOCS_SHUFFLE_SQL,
         sf_dir,
     )
-    return curate.docs_quality_rank(sf_dir)
+    _assert_sql_twin(
+        "docs_quality_rank",
+        curate.docs_quality_rank(sf_dir),
+        curate.DOCS_QUALITY_RANK_SQL,
+        sf_dir,
+    )
+    return curate.docs_mixture_budget(sf_dir)
 
 
 def _knn_centroid_kmeans_query(sf_dir: str):
@@ -743,7 +748,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_bigram_pmi": (_quality_repetition_tfidf_query, tx.DOCS_BIGRAM_PMI_SQL),
     "docs_vocab_growth": (_fingerprint_split_reservoir_query, tx.DOCS_VOCAB_GROWTH_SQL),
     "docs_chunk_windows": (_keyword_redact_query, curate.DOCS_CHUNK_SQL),
-    "docs_quality_rank": (_bpe_mixture_pack_query, curate.DOCS_QUALITY_RANK_SQL),
+    "docs_mixture_budget": (_bpe_mixture_pack_query, curate.DOCS_MIXTURE_BUDGET_SQL),
     "docs_cross_source_overlap": (_exact_line_span_dedup_query, curate.DOCS_CROSS_SOURCE_SQL),
     # similarity search (SQL-checked)
     "emb_kmeans_assign": (_knn_centroid_kmeans_query, similarity.EMB_KMEANS_ASSIGN_SQL),

@@ -983,3 +983,72 @@ def test_chunk_windows_bruteforce(ray_session, tmp_path):
     )
     # per-doc window counts: ceil(n/stride)
     assert got.groupby("doc_id").size().tolist() == [1, 1, 2, 4]
+
+
+# ---------------------------------------------------------------------------
+# mixture budget water filling
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_mixture_budget_matches_duckdb_twin(ray_session, sf):
+    got = curate.docs_mixture_budget(sf).reset_index(drop=True)
+    want = _oracle(sf, curate.DOCS_MIXTURE_BUDGET_SQL)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=True)
+    # invariants: caps respected, budget never exceeded
+    assert (got["alloc_tokens"] <= got["avail_tokens"]).all()
+    assert got["alloc_tokens"].sum() <= got["avail_tokens"].sum() // curate.BUDGET_HALF_DENOM
+
+
+def _ref_water_fill(avail: list[int], budget: int, rounds: int) -> list[int]:
+    alloc = [0] * len(avail)
+    remaining = budget
+    for _ in range(rounds):
+        active = [i for i in range(len(avail)) if avail[i] > alloc[i]]
+        if not active or remaining <= 0:
+            break
+        fair = remaining // len(active)
+        for i in active:
+            add = min(fair, avail[i] - alloc[i])
+            alloc[i] += add
+            remaining -= add
+    return alloc
+
+
+def test_mixture_budget_skewed_capping(ray_session, tmp_path):
+    """Skewed sources force multi-round redistribution: small sources cap
+    out and their freed budget flows to the large ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # token counts per doc are len(split); build docs with exact counts
+    sizes = {"s_tiny": 10, "s_small": 40, "s_big": 2000, "s_huge": 6000}
+    rows = []
+    did = 0
+    for src, n in sizes.items():
+        # split across docs of ≤500 tokens to exercise the rollup
+        left = n
+        while left > 0:
+            take = min(500, left)
+            rows.append((did, " ".join(["w"] * take), src))
+            did += 1
+            left -= take
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"]).astype({"doc_id": np.int64})
+    df["lang"] = "en"
+    df["n_chars"] = np.int64(1)
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    got = curate.docs_mixture_budget(str(tmp_path)).set_index("source")
+    avail = [sizes[s] for s in sorted(sizes)]
+    budget = sum(avail) // curate.BUDGET_HALF_DENOM
+    want = _ref_water_fill(avail, budget, curate.BUDGET_ROUNDS)
+    assert got.loc[sorted(sizes), "alloc_tokens"].tolist() == want
+    # tiny and small sources fully consumed (epoch 1.0), huge one partial
+    assert got.loc["s_tiny", "epoch_ppm"] == 1_000_000
+    assert got.loc["s_small", "epoch_ppm"] == 1_000_000
+    assert got.loc["s_huge", "epoch_ppm"] < 1_000_000
+    # and the SQL twin reproduces the same allocation on this fixture
+    want_sql = _oracle(str(tmp_path), curate.DOCS_MIXTURE_BUDGET_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index()[want_sql.columns.tolist()], want_sql, check_dtype=True
+    )
