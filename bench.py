@@ -77,6 +77,7 @@ OP_QUERIES = [
     "docs_chunk_windows",
     "emb_kcenter",
     "docs_mixture_budget",
+    "emb_pq_codes",
 ]
 
 
@@ -131,6 +132,7 @@ def _op_extra():
         "emb_kcenter": _sm.emb_kcenter,
         # returns an eager pandas frame (bounded allocation table)
         "docs_mixture_budget": _cu.docs_mixture_budget,
+        "emb_pq_codes": _sm.emb_pq_codes,
     }
 
 

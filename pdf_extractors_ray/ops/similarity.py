@@ -1060,3 +1060,89 @@ ORDER BY vec_id"""
 
 
 EMB_KCENTER_SQL = _kcenter_sql()
+
+
+# --- product quantization codes ----------------------------------------------
+
+PQ_SUBS = 8  # subspaces (64-dim → 8 × 8-dim)
+PQ_K = 16  # codewords per subspace → 4 bits/code, 32-bit packed vector code
+
+
+def emb_pq_codes(sf_dir: str, n_subs: int = PQ_SUBS, k: int = PQ_K):
+    """Product-quantization encoding: split each embedding into
+    ``n_subs`` contiguous subspaces and code each against that
+    subspace's ``k`` seed codewords (the deterministic k-smallest-vec_id
+    seeds — the same convention as ``kmeans_assign``), packing the codes
+    into one integer (4 bits per subspace at k=16) plus the total exact
+    int64 quantization error. PQ is the memory-scale path for ANN at
+    10^12 vectors: 64 float32 dims (256 B) compress to a 4-byte code
+    against a broadcast 16×64 codebook.
+
+    Distributed shape: one tiny seed fold (per-block ≤k candidates),
+    codebook broadcast once via the object store, then ONE streaming
+    assignment pass (vectorized (n, k, subs) distance tensor per batch).
+    Exact integer ppm distances → the DuckDB twin replays codes and
+    error bit-for-bit (ties by lowest codeword index in both engines)."""
+    import ray
+
+    from .common import broadcast
+
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
+    cents_ref = broadcast(_seed_centroids(emb, k))
+
+    def encode(batch: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
+        cents = ray.get(_ref)  # (k, dim) ppm ints
+        q = _quantize_ppm(batch)  # (n, dim)
+        n, dim = q.shape
+        sub_dim = dim // n_subs
+        qs = q.reshape(n, n_subs, sub_dim)
+        cs = cents.reshape(k, n_subs, sub_dim)
+        # (n, k, n_subs) exact int64 squared distances per subspace
+        d = ((qs[:, None, :, :] - cs[None, :, :, :]) ** 2).sum(axis=3)
+        code = d.argmin(axis=1)  # first minimum = lowest codeword index
+        rows = np.arange(n)[:, None]
+        dmin = d[rows, code, np.arange(n_subs)[None, :]]
+        shifts = (4 * np.arange(n_subs, dtype=np.int64))[None, :]
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "pq_code": (code.astype(np.int64) << shifts).sum(axis=1),
+                "dist2_total": dmin.sum(axis=1).astype(np.int64),
+            }
+        )
+
+    return emb.map_batches(encode, batch_format="pandas").sort("vec_id")
+
+
+EMB_PQ_SQL = f"""
+WITH init AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+    FROM embeddings ORDER BY vec_id LIMIT {PQ_K}
+),
+x AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(FLOOR(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS v
+    FROM embeddings
+),
+xs AS (SELECT vec_id, dim // 8 AS sub, dim, v FROM x),
+c AS (
+    SELECT i.cluster, xs.sub, xs.dim, xs.v FROM init i JOIN xs ON xs.vec_id = i.vec_id
+),
+d AS (
+    -- dim equality implies same subspace, so the join needs no sub key
+    SELECT xs.vec_id, xs.sub, c.cluster,
+           CAST(SUM((xs.v - c.v) * (xs.v - c.v)) AS BIGINT) AS dist2
+    FROM xs JOIN c ON xs.dim = c.dim
+    GROUP BY 1, 2, 3
+),
+r AS (
+    SELECT vec_id, sub, cluster, dist2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cluster) AS rn
+    FROM d
+)
+SELECT vec_id,
+       CAST(SUM(cluster << CAST(4 * sub AS INTEGER)) AS BIGINT) AS pq_code,
+       CAST(SUM(dist2) AS BIGINT) AS dist2_total
+FROM r WHERE rn = 1
+GROUP BY vec_id ORDER BY vec_id
+"""

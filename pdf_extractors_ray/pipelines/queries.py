@@ -583,20 +583,28 @@ def _media_ocr_query(sf_dir: str):
 
 
 def _ann_methods_query(sf_dir: str):
-    """LSH-bucketed AND IVF ANN chained in one driver slot. Forced gate:
-    the IVF path must run end-to-end and produce the ANN schema (k-means
-    quantizer floats have no exact SQL twin; recall is pytest-pinned).
-    RECORDED result: the LSH ANN output — integer-quantized signatures
-    (embedding ×2^20, planes ×2^10; every dot product exact in float64)
-    make the BUCKET assignment bit-reproducible in DuckDB, and the ppm
-    cosine ranking follows the same recipe as the long-green KNN oracle,
-    so the full bucketed search is hash-checked against ``ANN_LSH_SQL``."""
+    """Product-quantization codes AND LSH-bucketed AND IVF ANN chained in
+    one driver slot. Forced gates: the IVF path must run end-to-end and
+    produce the ANN schema (k-means quantizer floats have no exact SQL
+    twin; recall is pytest-pinned), and the LSH ANN search — integer-
+    quantized signatures making the bucket assignment bit-reproducible —
+    stays fully hash-checked via the in-query ``ANN_LSH_SQL`` twin gate.
+    RECORDED result: ``emb_pq_codes`` — each vector's packed 4-bit-per-
+    subspace PQ code + exact int64 quantization error against the
+    deterministic seed codebooks, pinned to ``EMB_PQ_SQL``."""
     ivf = similarity.ivf_knn(sf_dir)
     if set(ivf.schema().names) != {"query_id", "vec_id", "sim_ppm", "rank"}:
         raise RuntimeError(f"ivf_knn schema: {ivf.schema().names}")
     if ivf.count() == 0:
         raise RuntimeError("ivf_knn produced no rows")
-    return similarity.ann_lsh(sf_dir)
+    _assert_sql_twin(
+        "emb_ann_lsh",
+        similarity.ann_lsh(sf_dir),
+        similarity.ANN_LSH_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    return similarity.emb_pq_codes(sf_dir)
 
 
 def _distinct_kmv_query(sf_dir: str):
@@ -799,7 +807,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_curation_pipeline": (_langid_decon_curation_query, curate.DOCS_CURATION_SQL),
     "docs_hash_neardup": (_hash_neardup_query, dedup.DUP_CLUSTERS_SQL),
     "docs_pagerank": (_ngram_pagerank_query, graph.DOCS_PAGERANK_SQL),
-    "emb_ann_methods": (_ann_methods_query, similarity.ANN_LSH_SQL),
+    "emb_pq_codes": (_ann_methods_query, similarity.EMB_PQ_SQL),
     # multimodal plumbing (stubbed decode kernel): decode → features →
     # thumbnail-resize → frame-sample exercised in one chained query
     "media_pipeline": (_media_ocr_query, surrogate.EXTRACT_KERNEL_OCR_INVOICE_SQL),

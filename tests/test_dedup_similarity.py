@@ -620,3 +620,60 @@ def test_kcenter_fewer_points_than_k(ray_session, tmp_path):
     got = similarity.emb_kcenter(str(tmp_path), k=8).to_pandas()
     assert sorted(got["center_id"].tolist()) == [10, 11, 12]
     assert (got["dist_sq"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# product quantization codes
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_pq_codes_match_duckdb_twin(ray_session, sf):
+    got = similarity.emb_pq_codes(sf).to_pandas().reset_index(drop=True)
+    want = _emb_twin(sf, similarity.EMB_PQ_SQL)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=True, check_exact=True)
+    # the seed vectors encode themselves exactly (error 0); codes fit 32 bits
+    assert (got["dist2_total"] >= 0).all()
+    assert (got.nsmallest(similarity.PQ_K, "vec_id")["dist2_total"] == 0).all()
+    assert got["pq_code"].max() < (1 << (4 * similarity.PQ_SUBS))
+
+
+def test_pq_codes_bruteforce(ray_session, tmp_path):
+    """Single-process reference: per-subspace nearest seed codeword with
+    lowest-index tie-break, on a crafted corpus where different subspaces
+    pick DIFFERENT codewords."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    n, dim = 40, 64
+    m = rng.uniform(-0.5, 0.5, size=(n, dim))
+    m[25] = m[0]  # an exact duplicate of seed 0 → identical code, error 0
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [r.astype(np.float32).tolist() for r in m],
+            "label": np.int32(0),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "embeddings.parquet"))
+    got = similarity.emb_pq_codes(str(tmp_path)).to_pandas().set_index("vec_id")
+
+    qm = np.floor(np.stack([np.asarray(r, dtype=np.float32) for r in df["embedding"]])
+                  .astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    cents = qm[:16]
+    codes = np.zeros((n, 8), dtype=np.int64)
+    errs = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        for s in range(8):
+            d = ((cents[:, s * 8:(s + 1) * 8] - qm[i, s * 8:(s + 1) * 8]) ** 2).sum(axis=1)
+            codes[i, s] = int(d.argmin())  # first min = lowest index
+            errs[i] += int(d.min())
+    packed = (codes << (4 * np.arange(8, dtype=np.int64))[None, :]).sum(axis=1)
+    assert got["pq_code"].to_numpy().tolist() == packed.tolist()
+    assert got["dist2_total"].to_numpy().tolist() == errs.tolist()
+    # the planted duplicate copies seed 0's code at zero error
+    assert got.loc[25, "pq_code"] == got.loc[0, "pq_code"]
+    assert got.loc[25, "dist2_total"] == 0
+    # subspace codes genuinely differ somewhere (not a degenerate packing)
+    assert (codes.std(axis=1) > 0).any()
