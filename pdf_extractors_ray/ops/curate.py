@@ -1493,12 +1493,20 @@ def docs_mixture_budget(sf_dir: str, rounds: int = BUDGET_ROUNDS):
         add = np.where(active, np.minimum(fair, avail - alloc), 0)
         alloc += add
         remaining -= int(add.sum())
+    # ppm via Python ints (arbitrary precision): numpy `alloc * 1_000_000`
+    # wraps int64 above ~9.2e12 allocated tokens — real at trillion-token
+    # budgets — while the quotient itself is always ≤ 1e6; the table is
+    # n_sources rows, so the object round-trip is free
+    ppm = np.array(
+        [a * 1_000_000 // max(v, 1) for a, v in zip(alloc.tolist(), avail.tolist())],
+        dtype=np.int64,
+    )
     return pd.DataFrame(
         {
             "source": per_source["source"],
             "avail_tokens": avail,
             "alloc_tokens": alloc,
-            "epoch_ppm": alloc * 1_000_000 // np.maximum(avail, 1),
+            "epoch_ppm": ppm,
         }
     )
 
@@ -1534,7 +1542,9 @@ r0 AS (SELECT source, avail, CAST(0 AS BIGINT) AS alloc FROM counts)"""
         + ",\n".join(parts)
         + f"""
 SELECT source, avail AS avail_tokens, alloc AS alloc_tokens,
-       CAST(alloc * 1000000 // GREATEST(avail, 1) AS BIGINT) AS epoch_ppm
+       -- HUGEINT intermediate: BIGINT alloc*1e6 overflows above ~9.2e12
+       -- tokens; the quotient is always ≤ 1e6
+       CAST(CAST(alloc AS HUGEINT) * 1000000 // GREATEST(avail, 1) AS BIGINT) AS epoch_ppm
 FROM r{rounds} ORDER BY source"""
     )
 

@@ -7,8 +7,9 @@ targets ``(doc_id * A_j + C_j) % n_max``. Both engines build the same
 edges analytically, which keeps the whole iterative computation
 SQL-replicable.
 
-PageRank runs in INTEGER fixed point (scale 10^12) with floor division
-at every step — distributed float summation is order-dependent, but
+PageRank runs in INTEGER fixed point (scale max(10^12, n·10^4), so the
+per-node resolution never collapses as the corpus grows) with floor
+division at every step — distributed float summation is order-dependent, but
 int64 sums are exact on both sides, so a 5-iteration chained-CTE DuckDB
 twin reproduces the Ray result bit-for-bit (same recipe as the repo's
 cents/ppm aggregates, ``ops/common.py`` module docstring).
@@ -49,9 +50,19 @@ _EDGE_SQL = (
     "(doc_id // 7) % {m}",
 )
 N_EDGES = len(_EDGE_PY)
-PR_SCALE = 10**12  # rank fixed-point scale
+PR_SCALE = 10**12  # rank fixed-point scale FLOOR (see _pr_scale)
 PR_DAMP_PCT = 85  # damping in percent (integer arithmetic)
 PR_ITERS = 5
+# per-node fixed-point resolution when the corpus outgrows the floor:
+# a fixed 10^12 scale collapses to rank 0 at ~10^12 nodes, so the scale
+# grows as n·10^4 — total mass stays ≤ max(10^12, n·10^4), and the worst
+# single-node incoming sum is bounded by that mass, so the damping
+# multiply (85 × sum) stays inside int64 for any n ≤ 10^13
+PR_PER_NODE = 10**4
+
+
+def _pr_scale(n: int) -> int:
+    return max(PR_SCALE, n * PR_PER_NODE)
 
 
 def docs_pagerank(sf_dir: str, iters: int = PR_ITERS):
@@ -82,10 +93,11 @@ def docs_pagerank(sf_dir: str, iters: int = PR_ITERS):
     # two scalars via distributed aggregates over the pruned column
     n = nodes.count()
     n_max = int(nodes.max("doc_id")) + 1
-    base = ((100 - PR_DAMP_PCT) * (PR_SCALE // n)) // 100
+    scale = _pr_scale(n)
+    base = ((100 - PR_DAMP_PCT) * (scale // n)) // 100
 
     def init_ranks(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["rank_scaled"] = np.int64(PR_SCALE // n)
+        batch["rank_scaled"] = np.int64(scale // n)
         return batch
 
     ranks = nodes.map_batches(init_ranks, batch_format="pandas")
@@ -133,13 +145,16 @@ def _pagerank_sql(iters: int = PR_ITERS) -> str:
         " FROM documents"
         for expr in _EDGE_SQL
     )
-    base = f"(({100 - PR_DAMP_PCT} * ({PR_SCALE} // (SELECT n FROM params))) // 100)"
+    scale = (
+        f"GREATEST({PR_SCALE}, (SELECT n FROM params) * {PR_PER_NODE})"
+    )
+    base = f"(({100 - PR_DAMP_PCT} * ({{s}} // (SELECT n FROM params))) // 100)".format(s=scale)
     cte = [
         f"""params AS (SELECT COUNT(*) AS n, MAX(doc_id)+1 AS nmax FROM documents),
 edges AS (
     {edge_selects}
 ),
-r0 AS (SELECT doc_id, CAST({PR_SCALE} // (SELECT n FROM params) AS BIGINT) AS rank
+r0 AS (SELECT doc_id, CAST({scale} // (SELECT n FROM params) AS BIGINT) AS rank
        FROM documents)"""
     ]
     for k in range(1, iters + 1):

@@ -921,7 +921,8 @@ def kcenter_block_best(
     vector rides along so the driver never re-scans the corpus to fetch
     a selected center."""
     dmin = ((q[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).min(axis=1)
-    mask = np.array([i not in selected for i in ids])
+    # vectorized exclusion — this kernel streams the whole corpus k times
+    mask = ~np.isin(ids, np.fromiter(selected, np.int64, len(selected)))
     if not mask.any():
         return None
     dmin = np.where(mask, dmin, -1)
@@ -1082,10 +1083,18 @@ def emb_pq_codes(sf_dir: str, n_subs: int = PQ_SUBS, k: int = PQ_K):
     codebook broadcast once via the object store, then ONE streaming
     assignment pass (vectorized (n, k, subs) distance tensor per batch).
     Exact integer ppm distances → the DuckDB twin replays codes and
-    error bit-for-bit (ties by lowest codeword index in both engines)."""
+    error bit-for-bit (ties by lowest codeword index in both engines).
+    ``EMB_PQ_SQL`` pins the DEFAULTS (8 subspaces × 8 dims, k=16, 4-bit
+    shifts); non-default calls are engine-only and guarded (k ≤ 16,
+    dim divisible by n_subs)."""
     import ray
 
     from .common import broadcast
+
+    if k > 16:
+        # 4-bit shifts are hardcoded (and pinned by EMB_PQ_SQL); codewords
+        # ≥16 would bleed into the next subspace's bit field silently
+        raise ValueError(f"emb_pq_codes packs 4 bits per subspace; k={k} > 16")
 
     emb = _emb(sf_dir, columns=["vec_id", "embedding"])
     cents_ref = broadcast(_seed_centroids(emb, k))
@@ -1094,6 +1103,8 @@ def emb_pq_codes(sf_dir: str, n_subs: int = PQ_SUBS, k: int = PQ_K):
         cents = ray.get(_ref)  # (k, dim) ppm ints
         q = _quantize_ppm(batch)  # (n, dim)
         n, dim = q.shape
+        if dim % n_subs:
+            raise ValueError(f"dim {dim} not divisible by n_subs {n_subs}")
         sub_dim = dim // n_subs
         qs = q.reshape(n, n_subs, sub_dim)
         cs = cents.reshape(k, n_subs, sub_dim)

@@ -585,7 +585,10 @@ def test_kcenter_planted_geometry(ray_session, tmp_path):
     pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "embeddings.parquet"))
     got = similarity.emb_kcenter(str(tmp_path), k=4).to_pandas()
 
-    q = np.floor(m * 1048576.0 + 0.5).astype(np.int64)
+    # quantize what the ENGINE sees: the float32 values round-tripped
+    # through parquet, not the original float64 matrix (they differ by
+    # ±1 quantum on a few cells)
+    q = np.floor(m.astype(np.float32).astype(np.float64) * 1048576.0 + 0.5).astype(np.int64)
     want_sel = _ref_greedy_kcenter(q, ids, 4)
     assert sorted(got["center_id"].unique().tolist()) == sorted(want_sel)
     # one center per blob (greedy 2-approximation on separated blobs)
