@@ -78,6 +78,7 @@ OP_QUERIES = [
     "emb_kcenter",
     "docs_mixture_budget",
     "emb_pq_codes",
+    "emb_outliers",
 ]
 
 
@@ -133,6 +134,7 @@ def _op_extra():
         # returns an eager pandas frame (bounded allocation table)
         "docs_mixture_budget": _cu.docs_mixture_budget,
         "emb_pq_codes": _sm.emb_pq_codes,
+        "emb_outliers": _sm.emb_outliers,
     }
 
 

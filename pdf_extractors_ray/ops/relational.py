@@ -689,3 +689,94 @@ FROM no_ord
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+def exact_grouped_quantile_int(ds, group_col: str, col: str, q_ppm: int,
+                               n_bins: int = 1024):
+    """PER-GROUP exact quantile selection over an int64 column — the
+    grouped generalization of ``exact_quantiles_int``: every still-active
+    group's candidate range is histogrammed in the same pass (per-batch
+    numpy ``bincount`` partials keyed by group, bucketed tiny combine),
+    so total scans stay ≤ ceil(log_B(domain width)) regardless of group
+    count. Groups must be a BOUNDED set (clusters, sources — not a
+    corpus-scale key): the driver holds one (lo, hi, k) triple per group.
+
+    Rank semantics: k-th smallest (1-based), k = (q_ppm*n + 999999) //
+    1e6 — the integer ceil, so the SQL twin can use the same formula
+    without float CEIL ambiguity. Returns {group: (n, rank, value)}.
+    """
+    from .common import grouped_sums
+
+    def mm(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(group_col, sort=False)[col].agg(["count", "min", "max"])
+        return pd.DataFrame(
+            {
+                group_col: g.index.to_numpy(),
+                "n": g["count"].to_numpy(np.int64),
+                "lo": g["min"].to_numpy(np.int64),
+                "hi": g["max"].to_numpy(np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(mm, batch_format="pandas")
+        .to_pandas()
+        .groupby(group_col)
+        .agg({"n": "sum", "lo": "min", "hi": "max"})
+    )
+    state = {
+        int(gk): {
+            "lo": int(r["lo"]),
+            "hi": int(r["hi"]) + 1,
+            "k": (q_ppm * int(r["n"]) + 999_999) // 1_000_000,
+            "n": int(r["n"]),
+            "val": None,
+        }
+        for gk, r in parts.iterrows()
+    }
+
+    while any(s["val"] is None for s in state.values()):
+        ranges = {
+            gk: (s["lo"], s["hi"], max(1, -(-(s["hi"] - s["lo"]) // n_bins)))
+            for gk, s in state.items()
+            if s["val"] is None
+        }
+
+        def hist(batch: pd.DataFrame) -> pd.DataFrame:
+            gv = batch[group_col].to_numpy(np.int64)
+            v = batch[col].to_numpy(np.int64)
+            gs, bins, cnts = [], [], []
+            for gk, (rlo, rhi, width) in ranges.items():
+                m = v[(gv == gk) & (v >= rlo) & (v < rhi)]
+                if len(m) == 0:
+                    continue
+                bc = np.bincount((m - rlo) // width, minlength=1)
+                nz = np.nonzero(bc)[0]
+                gs.append(np.full(len(nz), gk, dtype=np.int64))
+                bins.append(nz.astype(np.int64))
+                cnts.append(bc[nz].astype(np.int64))
+            if not gs:
+                return pd.DataFrame({"g": [], "bin": [], "cnt": []}).astype(np.int64)
+            return pd.DataFrame(
+                {"g": np.concatenate(gs), "bin": np.concatenate(bins),
+                 "cnt": np.concatenate(cnts)}
+            )
+
+        combined = grouped_sums(
+            ds.map_batches(hist, batch_format="pandas"), ["g", "bin"], ["cnt"]
+        ).to_pandas()
+        for gk, (rlo, rhi, width) in ranges.items():
+            s = state[gk]
+            rows = combined[combined["g"] == gk].sort_values("bin")
+            cum = rows["cnt"].cumsum().to_numpy()
+            pos = int(np.searchsorted(cum, s["k"]))
+            b = int(rows["bin"].iloc[pos])
+            s["k"] -= int(cum[pos - 1]) if pos > 0 else 0
+            s["lo"], s["hi"] = rlo + b * width, min(rhi, rlo + (b + 1) * width)
+            if s["hi"] - s["lo"] == 1:
+                s["val"] = s["lo"]
+
+    return {
+        gk: (s["n"], (q_ppm * s["n"] + 999_999) // 1_000_000, s["val"])
+        for gk, s in state.items()
+    }

@@ -1157,3 +1157,63 @@ SELECT vec_id,
 FROM r WHERE rn = 1
 GROUP BY vec_id ORDER BY vec_id
 """
+
+
+# --- embedding outlier detection ---------------------------------------------
+
+OUTLIER_Q_PPM = 950_000  # per-cluster p95 distance threshold
+
+
+def emb_outliers(sf_dir: str, q_ppm: int = OUTLIER_Q_PPM):
+    """Embedding anomaly detection: every vector flagged against its
+    CLUSTER's p95 distance threshold — the curation pass that drops
+    corrupt/off-manifold embeddings before training. Cluster = the
+    deterministic-seed nearest-centroid assignment (``kmeans_assign``);
+    threshold = the exact k-th smallest dist2 within the cluster,
+    k = integer-ceil(q·n_c) — found by the repo's distributed counting
+    selection, generalized per group (``exact_grouped_quantile_int``:
+    one histogram pass narrows EVERY cluster's range ~1024×, nothing
+    but (cluster, bin, count) rows leave the workers).
+
+    Distributed shape: assignment map pass → ≤ ceil(log1024(domain))
+    counting passes → one final flag pass with the KB-sized threshold
+    table in the closure. No sort, no corpus-sized shuffle anywhere."""
+    from .relational import exact_grouped_quantile_int
+
+    assigned = kmeans_assign(sf_dir)
+    thr = exact_grouped_quantile_int(assigned, "cluster", "dist2", q_ppm)
+    thr_map = {gk: v for gk, (_n, _k, v) in thr.items()}
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["cluster"].map(thr_map).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "cluster": batch["cluster"].to_numpy(np.int64),
+                "dist2": batch["dist2"].to_numpy(np.int64),
+                "thr_dist2": t,
+                "is_outlier": (batch["dist2"].to_numpy(np.int64) > t).astype(np.int64),
+            }
+        )
+
+    return assigned.map_batches(flag, batch_format="pandas").sort("vec_id")
+
+
+EMB_OUTLIERS_SQL = f"""
+WITH a AS ({EMB_KMEANS_ASSIGN_SQL}),
+r AS (
+    SELECT vec_id, cluster, dist2,
+           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY dist2, vec_id) AS rn,
+           COUNT(*) OVER (PARTITION BY cluster) AS cnt
+    FROM a
+),
+t AS (
+    -- integer ceil rank: same formula as the engine, no float CEIL
+    SELECT cluster, dist2 AS thr FROM r
+    WHERE rn = ({OUTLIER_Q_PPM} * cnt + 999999) // 1000000
+)
+SELECT a.vec_id, a.cluster, a.dist2, t.thr AS thr_dist2,
+       CAST(a.dist2 > t.thr AS BIGINT) AS is_outlier
+FROM a JOIN t USING (cluster)
+ORDER BY a.vec_id
+"""

@@ -297,17 +297,18 @@ def _bpe_mixture_pack_query(sf_dir: str):
 
 
 def _knn_centroid_kmeans_query(sf_dir: str):
-    """Distributed k-means AND the quality-filtered per-source centroid
-    AND brute-force cosine KNN in one driver slot. Forced gates:
-    ``emb_knn_bruteforce`` and ``emb_quality_centroid`` stay fully
+    """Embedding outlier detection AND distributed k-means AND the
+    quality-filtered per-source centroid AND brute-force cosine KNN in
+    one driver slot. Forced gates: ``emb_knn_bruteforce``,
+    ``emb_quality_centroid`` and ``emb_kmeans_assign`` stay fully
     hash-checked via in-query twin gates, and the FULL iterative Lloyd
     loop (``emb_kmeans``: per-round broadcast centroids, in-batch
     sufficient-statistic pre-aggregation, truncating integer means,
     exact-integer inertia monotonicity raised on violation) runs to
     convergence-or-cap and must label every vector. RECORDED result:
-    ``emb_kmeans_assign`` — the exact int64 nearest-centroid assignment
-    step from the deterministic seed, bit-reproducible in DuckDB
-    (``EMB_KMEANS_ASSIGN_SQL``)."""
+    ``emb_outliers`` — per-cluster p95 distance flags via the grouped
+    distributed counting selection (``exact_grouped_quantile_int``),
+    pinned to ``EMB_OUTLIERS_SQL``."""
     _assert_sql_twin(
         "emb_knn_bruteforce",
         similarity.knn_bruteforce(sf_dir),
@@ -330,7 +331,14 @@ def _knn_centroid_kmeans_query(sf_dir: str):
             f"emb_kmeans labelled {int(km['n_vecs'].sum())} vectors, "
             f"corpus has {n_assigned}"
         )
-    return assign
+    _assert_sql_twin(
+        "emb_kmeans_assign",
+        assign,
+        similarity.EMB_KMEANS_ASSIGN_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    return similarity.emb_outliers(sf_dir)
 
 
 def _running_bloom_query(sf_dir: str):
@@ -759,7 +767,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_mixture_budget": (_bpe_mixture_pack_query, curate.DOCS_MIXTURE_BUDGET_SQL),
     "docs_cross_source_overlap": (_exact_line_span_dedup_query, curate.DOCS_CROSS_SOURCE_SQL),
     # similarity search (SQL-checked)
-    "emb_kmeans_assign": (_knn_centroid_kmeans_query, similarity.EMB_KMEANS_ASSIGN_SQL),
+    "emb_outliers": (_knn_centroid_kmeans_query, similarity.EMB_OUTLIERS_SQL),
     "emb_kcenter": (_emb_dedup_query, similarity.EMB_KCENTER_SQL),
     # extraction-kernel surrogates (SQL-checked): the per-turn extraction
     # kernels AND the invoice fold pinned to DuckDB over rendered inputs

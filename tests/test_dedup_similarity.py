@@ -680,3 +680,50 @@ def test_pq_codes_bruteforce(ray_session, tmp_path):
     assert got.loc[25, "dist2_total"] == 0
     # subspace codes genuinely differ somewhere (not a degenerate packing)
     assert (codes.std(axis=1) > 0).any()
+
+
+# ---------------------------------------------------------------------------
+# embedding outlier detection (grouped exact quantile)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_emb_outliers_matches_duckdb_twin(ray_session, sf):
+    got = similarity.emb_outliers(sf).to_pandas().reset_index(drop=True)
+    want = _emb_twin(sf, similarity.EMB_OUTLIERS_SQL)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=True, check_exact=True)
+    # non-degenerate: some outliers, but at most ~5% + cluster-count slack
+    n_out = int(got["is_outlier"].sum())
+    assert 0 < n_out <= int(0.05 * len(got)) + got["cluster"].nunique()
+    # threshold semantics: within each cluster, no more than 5% exceed
+    for _c, g in got.groupby("cluster"):
+        assert (g["dist2"] > g["thr_dist2"].iloc[0]).sum() <= np.ceil(0.05 * len(g))
+
+
+def test_grouped_quantile_kernel_vs_sorted_selection(ray_session):
+    """The grouped narrowing selection == per-group numpy sorted rank
+    selection, on adversarial groups: ties, skew, singleton, negatives."""
+    import ray.data as rd
+
+    from pdf_extractors_ray.ops.relational import exact_grouped_quantile_int
+
+    rng = np.random.RandomState(11)
+    frames = []
+    # group 0: heavy ties; group 1: power-law skew; group 2: singleton;
+    # group 3: negatives and a huge outlier
+    frames.append(pd.DataFrame({"g": 0, "v": np.repeat([5, 5, 7, 7, 7, 9], 40)}))
+    frames.append(pd.DataFrame({"g": 1, "v": (rng.pareto(1.2, size=300) * 1000).astype(np.int64)}))
+    frames.append(pd.DataFrame({"g": 2, "v": [42]}))
+    frames.append(pd.DataFrame({"g": 3, "v": np.concatenate([
+        -(rng.randint(1, 10**9, size=97)), [10**15, -5, 0]]).astype(np.int64)}))
+    df = pd.concat(frames, ignore_index=True).astype({"g": np.int64, "v": np.int64})
+    ds = rd.from_pandas(df).repartition(7)
+
+    for q_ppm in (500_000, 950_000, 990_000):
+        got = exact_grouped_quantile_int(ds, "g", "v", q_ppm, n_bins=16)
+        for gk, sub in df.groupby("g"):
+            v = np.sort(sub["v"].to_numpy())
+            k = (q_ppm * len(v) + 999_999) // 1_000_000
+            n, rank, val = got[int(gk)]
+            assert (n, rank) == (len(v), k)
+            assert val == int(v[k - 1]), (gk, q_ppm)
