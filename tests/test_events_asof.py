@@ -307,3 +307,46 @@ def test_retention_bruteforce(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want, check_dtype=True, check_exact=True
     )
+
+
+def test_retention_random_bruteforce(ray_session, tmp_path):
+    """Randomized differential: engine == a dict-based single-process
+    cohort fold over random sparse activity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(31)
+    n = 400
+    users = rng.randint(0, 40, size=n)
+    days = rng.randint(0, 15, size=n)
+    secs = rng.randint(0, 86400, size=n)
+    ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(days, unit="D") + pd.to_timedelta(
+        secs, unit="s"
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": users.astype(np.int64),
+            "event_type": "view",
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+    got = ev.events_retention(str(tmp_path)).to_pandas()
+
+    ud = {}
+    for u, d in zip(users, days):
+        ud.setdefault(int(u), set()).add(int(d))
+    want: dict[tuple, int] = {}
+    for u, ds_ in ud.items():
+        c = min(ds_)
+        for d in ds_:
+            want[(c, d - c)] = want.get((c, d - c), 0) + 1
+    base = pd.Timestamp("2024-03-01")
+    got_d = {
+        (int((r.cohort_day - base).days), int(r.offset_days)): int(r.users)
+        for r in got.itertuples()
+    }
+    assert got_d == want
