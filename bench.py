@@ -79,6 +79,7 @@ OP_QUERIES = [
     "docs_mixture_budget",
     "emb_pq_codes",
     "emb_outliers",
+    "docs_priority_sample",
 ]
 
 
@@ -135,6 +136,7 @@ def _op_extra():
         "docs_mixture_budget": _cu.docs_mixture_budget,
         "emb_pq_codes": _sm.emb_pq_codes,
         "emb_outliers": _sm.emb_outliers,
+        "docs_priority_sample": _cu.docs_priority_sample,
     }
 
 

@@ -1550,3 +1550,67 @@ FROM r{rounds} ORDER BY source"""
 
 
 DOCS_MIXTURE_BUDGET_SQL = _mixture_budget_sql()
+
+
+# --- weighted priority sampling ----------------------------------------------
+
+PRIORITY_K = 50
+PRIORITY_SALT = "prio-v1:"
+
+
+def docs_priority_sample(sf_dir: str, k: int = PRIORITY_K):
+    """Weighted sampling without replacement (the Duffield-Lund-Thorup
+    priority-sample shape, integer-discretized): each document draws the
+    deterministic salted-md5 60-bit hash and its priority is
+    ``hash // weight`` with weight = token count — heavier documents get
+    systematically smaller priorities, so the k smallest priorities form
+    a weight-biased sample. Unlike ``docs_reservoir_sample`` (uniform
+    per source) the inclusion odds scale with document SIZE — the
+    token-budget-aware sample a corpus audit actually wants.
+
+    Deterministic, resume/partition stable, and MERGEABLE: each block's
+    k smallest priorities provably contain the global k smallest (the
+    KMV partial-minima argument), so the shuffle moves ≤ k rows per
+    block into one tiny final fold. Output ranked by (priority, doc_id).
+    """
+    ds = _docs(sf_dir, columns=["doc_id", "source", "text"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        w = (batch["text"].str.count(" ") + 1).to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "source": batch["source"],
+                "weight_tokens": w,
+                "priority": _md5_hash15(batch["doc_id"], PRIORITY_SALT) // w,
+            }
+        )
+        # per-block prune: only each block's k smallest can win globally
+        return out.nsmallest(k, ["priority", "doc_id"])
+
+    pruned = ds.map_batches(derive, batch_format="pandas")
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.nsmallest(k, ["priority", "doc_id"]).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    # the pruned partials are ≤ k·n_blocks tiny rows — one-block fold
+    return pruned.repartition(1).map_batches(fold, batch_format="pandas")
+
+
+DOCS_PRIORITY_SQL = f"""
+WITH w AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS weight_tokens,
+           CAST(('0x' || substr(md5('{PRIORITY_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                // len(string_split(text, ' ')) AS BIGINT) AS priority
+    FROM documents
+)
+SELECT doc_id, source, weight_tokens, priority,
+       CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rank
+FROM w
+ORDER BY priority, doc_id
+LIMIT {PRIORITY_K}
+"""

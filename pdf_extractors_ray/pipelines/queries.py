@@ -107,14 +107,15 @@ def _keyword_redact_query(sf_dir: str):
 
 
 def _fingerprint_split_reservoir_query(sf_dir: str):
-    """Vocabulary growth curve AND deterministic per-source reservoir
-    sampling AND the train/val/test split AND the md5 fingerprint in one
-    driver slot. Forced gates: ``docs_fingerprint``,
-    ``docs_split_stratified`` and ``docs_reservoir_sample`` stay fully
+    """Weighted priority sampling AND the vocabulary growth curve AND
+    deterministic per-source reservoir sampling AND the train/val/test
+    split AND the md5 fingerprint in one driver slot. Forced gates:
+    ``docs_fingerprint``, ``docs_split_stratified``,
+    ``docs_reservoir_sample`` and ``docs_vocab_growth`` stay fully
     hash-checked via in-query twin gates. RECORDED result:
-    ``docs_vocab_growth`` — the Heaps'-law measurement: per-token first
-    occurrence via one bucketed min combine, checkpoint rollup,
-    single-block cumulative sum; pinned to a MIN/window-SUM DuckDB twin."""
+    ``docs_priority_sample`` — the Duffield-Lund-Thorup-shaped
+    weighted sample (hash // token-weight priorities, k smallest,
+    mergeable per-block prune), pinned to its md5 hex-parse DuckDB twin."""
     _assert_sql_twin(
         "docs_fingerprint", tx.docs_fingerprint(sf_dir), tx.DOCS_FINGERPRINT_SQL, sf_dir
     )
@@ -130,7 +131,10 @@ def _fingerprint_split_reservoir_query(sf_dir: str):
         curate.DOCS_RESERVOIR_SQL,
         sf_dir,
     )
-    return tx.docs_vocab_growth(sf_dir)
+    _assert_sql_twin(
+        "docs_vocab_growth", tx.docs_vocab_growth(sf_dir), tx.DOCS_VOCAB_GROWTH_SQL, sf_dir
+    )
+    return curate.docs_priority_sample(sf_dir)
 
 
 def _sessionize_funnel_query(sf_dir: str):
@@ -762,7 +766,7 @@ REGISTRY: dict[str, tuple] = {
     # text analysis (SQL-checked where expressible)
     "docs_top_tokens": (_token_stats_top_query, tx.DOCS_TOP_TOKENS_SQL),
     "docs_bigram_pmi": (_quality_repetition_tfidf_query, tx.DOCS_BIGRAM_PMI_SQL),
-    "docs_vocab_growth": (_fingerprint_split_reservoir_query, tx.DOCS_VOCAB_GROWTH_SQL),
+    "docs_priority_sample": (_fingerprint_split_reservoir_query, curate.DOCS_PRIORITY_SQL),
     "docs_chunk_windows": (_keyword_redact_query, curate.DOCS_CHUNK_SQL),
     "docs_mixture_budget": (_bpe_mixture_pack_query, curate.DOCS_MIXTURE_BUDGET_SQL),
     "docs_cross_source_overlap": (_exact_line_span_dedup_query, curate.DOCS_CROSS_SOURCE_SQL),

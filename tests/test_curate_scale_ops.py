@@ -1072,3 +1072,61 @@ def test_mixture_budget_waterfill_property(ray_session):
             # equal-share fairness: uncapped sources differ by at most
             # one fair-share quantum per round
             assert max(uncapped) - min(uncapped) <= curate.BUDGET_ROUNDS
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_priority_sample_matches_duckdb_twin(ray_session, sf):
+    got = curate.docs_priority_sample(sf).to_pandas().reset_index(drop=True)
+    want = _oracle(sf, curate.DOCS_PRIORITY_SQL)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=True)
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    assert got["priority"].is_monotonic_increasing
+
+
+def test_priority_sample_weight_bias_and_stability(ray_session, tmp_path):
+    """Heavier docs are sampled preferentially, and the winning set is
+    stable under re-partitioning (mergeability)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 1000
+    # half tiny (1 token), half heavy (200 tokens)
+    texts = ["x"] * (n // 2) + [" ".join(["y"] * 200)] * (n // 2)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "s0",
+            "n_chars": np.int64(1),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    got = curate.docs_priority_sample(str(tmp_path)).to_pandas()
+    heavy = (got["doc_id"] >= n // 2).sum()
+    # expected heavy share ≈ 200/201; binomial floor at k=50: ≥ 40
+    assert heavy >= 40
+    # brute-force winners over the same derivation
+    import hashlib
+
+    pr = np.array(
+        [
+            int(hashlib.md5((curate.PRIORITY_SALT + str(i)).encode()).hexdigest()[:15], 16)
+            // (1 if i < n // 2 else 200)
+            for i in range(n)
+        ],
+        dtype=np.int64,
+    )
+    order = np.lexsort((np.arange(n), pr))[: curate.PRIORITY_K]
+    assert sorted(got["doc_id"].tolist()) == sorted(order.tolist())
+    # partition stability: tiny row groups → same winners, same ranks
+    pq.write_table(
+        pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"), row_group_size=17
+    )
+    again = curate.docs_priority_sample(str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(got, again, check_dtype=True)
