@@ -80,6 +80,7 @@ OP_QUERIES = [
     "emb_pq_codes",
     "emb_outliers",
     "docs_priority_sample",
+    "docs_graph_triangles",
 ]
 
 
@@ -137,6 +138,7 @@ def _op_extra():
         "emb_pq_codes": _sm.emb_pq_codes,
         "emb_outliers": _sm.emb_outliers,
         "docs_priority_sample": _cu.docs_priority_sample,
+        "docs_graph_triangles": _gr.docs_graph_triangles,
     }
 
 

@@ -175,3 +175,132 @@ r0 AS (SELECT doc_id, CAST({scale} // (SELECT n FROM params) AS BIGINT) AS rank
 
 
 DOCS_PAGERANK_SQL = _pagerank_sql()
+
+
+# --- directed triangle counting ---------------------------------------------
+
+
+def docs_graph_triangles(sf_dir: str):
+    """Per-node directed 3-cycle participation over the doc_id link
+    overlay — the distributed multi-way self-join (the motif-counting /
+    clustering-coefficient building block). A directed 3-cycle u→v→w→u
+    is enumerated once per ROTATION (each corner starts it once), so a
+    node's ``n_cycles3`` is 3 × the distinct cycles through it; edges
+    are the deduped overlay rules with self-loops and dangling targets
+    removed, so distinctness of the corners is automatic.
+
+    Distributed shape: edges derive map-side (per-source dedup is
+    batch-local-complete since all of a node's edges emit from its own
+    row); ONE cogroup semi-join drops dangling targets; the 3-cycle
+    closure is TWO more hash-bucketed cogroup joins (paths u→v→w keyed
+    on the middle node, then closure keyed on w with the ≤3 out-edges of
+    w filtered against u); corners explode and one bucketed combine
+    against per-node zero markers yields every node's count. Skew note
+    (documented assumption): wedge fan-out at a node v is in(v)·out(v)
+    with out ≤ 3; the quadratic overlay rule concentrates in-degree at
+    large corpus scale — the mitigation is chunking a hub's in-edge
+    list before the wedge join (same hot-key salting lever as the
+    extraction folds)."""
+    from .common import cogroup_join, grouped_sums
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    nodes = read_parquet_sized(path, columns=["doc_id"])
+    n_max = int(nodes.max("doc_id")) + 1
+
+    def emit_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "src": np.concatenate([d] * N_EDGES),
+                "dst": np.concatenate([rule(d, n_max) for rule in _EDGE_PY]),
+            }
+        ).drop_duplicates()
+        return out[out["src"] != out["dst"]]
+
+    edges0 = nodes.map_batches(emit_edges, batch_format="pandas")
+    # semi-join: keep edges whose target exists (non-dense id sets)
+    edges = cogroup_join(
+        edges0, nodes, "dst", "doc_id", ["src", "dst"], ["doc_id"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"src": b["src"].astype(np.int64), "dst": b["dst"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+    # paths u→v→w: join on the middle node (right side renamed — the
+    # cogroup helper emits both sides under their own column names, so a
+    # self-join needs disjoint names)
+    edges_mid = edges.map_batches(
+        lambda b: pd.DataFrame({"mid": b["src"], "w": b["dst"]}), batch_format="pandas"
+    )
+    paths = cogroup_join(
+        edges, edges_mid, "dst", "mid", ["src", "dst"], ["mid", "w"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "u": b["src"].astype(np.int64),
+                "v": b["dst"].astype(np.int64),
+                "w": b["w"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    # closure: out-edges of w that land back on u
+    closed = cogroup_join(
+        paths, edges, "w", "src", ["u", "v", "w"], ["src", "dst"]
+    ).map_batches(
+        lambda b: b[b["dst"].astype(np.int64) == b["u"].astype(np.int64)][["u", "v", "w"]],
+        batch_format="pandas",
+    )
+
+    def corners(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate(
+            [
+                batch["u"].to_numpy(np.int64),
+                batch["v"].to_numpy(np.int64),
+                batch["w"].to_numpy(np.int64),
+            ]
+        )
+        return pd.DataFrame({"doc_id": ids, "n_cycles3": np.ones(len(ids), np.int64)})
+
+    zeros = nodes.map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(np.int64),
+             "n_cycles3": np.zeros(len(b), np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    both = closed.map_batches(corners, batch_format="pandas").union(zeros)
+    return grouped_sums(both, ["doc_id"], ["n_cycles3"]).sort("doc_id")
+
+
+DOCS_TRIANGLES_SQL = "\n".join(
+    [
+        "WITH params AS (SELECT MAX(doc_id)+1 AS nmax FROM documents),",
+        "e0 AS (",
+        "    SELECT DISTINCT src, dst FROM (",
+        "    "
+        + "\n    UNION ALL ".join(
+            f"SELECT doc_id AS src, {expr.format(m='(SELECT nmax FROM params)')} AS dst"
+            " FROM documents"
+            for expr in _EDGE_SQL
+        ),
+        "    ) WHERE src <> dst",
+        "),",
+        "e AS (SELECT e0.src, e0.dst FROM e0 JOIN documents n ON n.doc_id = e0.dst),",
+        "tri AS (",
+        "    SELECT e1.src AS u, e2.src AS v, e2.dst AS w",
+        "    FROM e e1 JOIN e e2 ON e2.src = e1.dst",
+        "    JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src",
+        "),",
+        "corners AS (",
+        "    SELECT u AS doc_id FROM tri UNION ALL SELECT v FROM tri",
+        "    UNION ALL SELECT w FROM tri",
+        ")",
+        "SELECT n.doc_id, CAST(COUNT(c.doc_id) AS BIGINT) AS n_cycles3",
+        "FROM documents n LEFT JOIN corners c ON c.doc_id = n.doc_id",
+        "GROUP BY n.doc_id ORDER BY n.doc_id",
+    ]
+)

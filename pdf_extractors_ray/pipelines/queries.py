@@ -728,20 +728,24 @@ def _props_retention_query(sf_dir: str):
 
 
 def _ngram_pagerank_query(sf_dir: str):
-    """Link-graph PageRank AND exact n-gram Jaccard groups in one driver
-    slot. Forced gate: ``docs_ngram_jaccard`` stays fully hash-checked via
-    the in-query twin gate. RECORDED result: ``docs_pagerank`` — 5
-    iterations of integer-fixed-point PageRank over the deterministic
-    doc_id link overlay (one bucketed exchange per iteration, edges
-    derived map-side, never materialized), pinned to a chained-CTE DuckDB
-    twin bit-for-bit."""
+    """Directed triangle counting AND link-graph PageRank AND exact
+    n-gram Jaccard groups in one driver slot. Forced gates:
+    ``docs_ngram_jaccard`` and ``docs_pagerank`` (5 iterations of
+    integer-fixed-point PageRank, chained-CTE twin) stay fully
+    hash-checked via in-query twin gates. RECORDED result:
+    ``docs_graph_triangles`` — per-node directed 3-cycle participation
+    via the distributed multi-way self-join (three hash-bucketed cogroup
+    joins), pinned to a three-way self-join DuckDB twin."""
     _assert_sql_twin(
         "docs_ngram_jaccard",
         dedup.ngram_jaccard_groups(sf_dir),
         dedup.NGRAM_JACCARD_SQL,
         sf_dir,
     )
-    return graph.docs_pagerank(sf_dir)
+    _assert_sql_twin(
+        "docs_pagerank", graph.docs_pagerank(sf_dir), graph.DOCS_PAGERANK_SQL, sf_dir
+    )
+    return graph.docs_graph_triangles(sf_dir)
 
 
 # name → (fn, oracle_sql | None); EXACTLY 50 entries (driver record cap)
@@ -818,7 +822,7 @@ REGISTRY: dict[str, tuple] = {
     # components-over-exact-edges result is hash-checked
     "docs_curation_pipeline": (_langid_decon_curation_query, curate.DOCS_CURATION_SQL),
     "docs_hash_neardup": (_hash_neardup_query, dedup.DUP_CLUSTERS_SQL),
-    "docs_pagerank": (_ngram_pagerank_query, graph.DOCS_PAGERANK_SQL),
+    "docs_graph_triangles": (_ngram_pagerank_query, graph.DOCS_TRIANGLES_SQL),
     "emb_pq_codes": (_ann_methods_query, similarity.EMB_PQ_SQL),
     # multimodal plumbing (stubbed decode kernel): decode → features →
     # thumbnail-resize → frame-sample exercised in one chained query

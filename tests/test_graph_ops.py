@@ -110,3 +110,66 @@ def test_pagerank_batch_invariant(ray_session, tmp_path):
     b = graph.docs_pagerank(str(tmp_path)).to_pandas()
     pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
     assert rd is not None
+
+
+# ---------------------------------------------------------------------------
+# directed triangle counting
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_triangles_match_duckdb_twin(ray_session, sf):
+    got = graph.docs_graph_triangles(sf).to_pandas().reset_index(drop=True)
+    want = _oracle(sf, graph.DOCS_TRIANGLES_SQL)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=True, check_exact=True)
+    # every node appears exactly once, and real cycles exist
+    assert len(got) == len(got["doc_id"].unique())
+    assert got["n_cycles3"].sum() > 0
+    assert got["n_cycles3"].sum() % 3 == 0  # 3 corners per rotation
+
+
+def _ref_triangles(doc_ids: list[int]) -> dict[int, int]:
+    """Brute-force reference over the same overlay derivation."""
+    n_max = max(doc_ids) + 1
+    nodes = set(doc_ids)
+    adj: dict[int, set] = {u: set() for u in doc_ids}
+    for u in doc_ids:
+        for rule in graph._EDGE_PY:
+            v = int(rule(u, n_max))
+            if v != u and v in nodes:
+                adj[u].add(v)
+    counts = {u: 0 for u in doc_ids}
+    for u in doc_ids:
+        for v in adj[u]:
+            for w in adj[v]:
+                if u in adj[w]:
+                    counts[u] += 1
+                    counts[v] += 1
+                    counts[w] += 1
+    # rotation semantics (matches the op): every starting corner
+    # enumerates the cycle once, so each corner ends at 3 × cycles
+    return counts
+
+
+def test_triangles_bruteforce_nondense(ray_session, tmp_path):
+    """Non-dense ids (dangling targets dropped) against a brute-force
+    adjacency walk."""
+    doc_ids = sorted(set(list(range(0, 60)) + [149, 150, 298, 500, 999]))
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array(doc_ids, dtype=np.int64),
+            "text": "t",
+            "lang": "en",
+            "source": "s0",
+            "n_chars": np.int64(1),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    got = graph.docs_graph_triangles(str(tmp_path)).to_pandas()
+    want = _ref_triangles(doc_ids)
+    assert {int(r.doc_id): int(r.n_cycles3) for r in got.itertuples()} == want
+    # and the SQL twin agrees on the same fixture
+    want_sql = _oracle(str(tmp_path), graph.DOCS_TRIANGLES_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want_sql[got.columns], check_dtype=True, check_exact=True
+    )
