@@ -81,6 +81,7 @@ OP_QUERIES = [
     "emb_outliers",
     "docs_priority_sample",
     "docs_graph_triangles",
+    "events_wau",
 ]
 
 
@@ -139,6 +140,7 @@ def _op_extra():
         "emb_outliers": _sm.emb_outliers,
         "docs_priority_sample": _cu.docs_priority_sample,
         "docs_graph_triangles": _gr.docs_graph_triangles,
+        "events_wau": _ev.events_wau,
     }
 
 

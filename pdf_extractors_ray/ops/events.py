@@ -930,3 +930,75 @@ FROM ud JOIN c USING (user_id)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# --- windowed distinct actives (WAU) -----------------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def events_wau(sf_dir: str, window_days: int = WAU_WINDOW_DAYS):
+    """Trailing-window distinct active users per day (the DAU/WAU/MAU
+    rollup): a user active on day d counts as active for every window
+    ending on d..d+6.
+
+    Distributed shape: per-batch DISTINCT (user, day) partials →
+    map-side ×window explode to (user, window_end) coverage rows → one
+    user-hash-bucketed exchange where per-bucket dedup collapses
+    multi-day activity inside a window (exact because one user's rows
+    co-locate) → KB-sized grouped count per window end. The only
+    corpus-scale exchange carries deduped user-day×window rows — the
+    same two-exchange shape as ``events_retention``."""
+    from .common import _default_buckets
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    nb = _default_buckets()
+
+    def cover(batch: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(np.int64),
+                "day": batch["ts"].dt.floor("D").astype("datetime64[us]"),
+            }
+        ).drop_duplicates()
+        u = np.tile(base["user_id"].to_numpy(np.int64), window_days)
+        w = np.concatenate(
+            [base["day"].to_numpy("datetime64[us]") + np.timedelta64(g, "D")
+             for g in range(window_days)]
+        )
+        out = pd.DataFrame({"user_id": u, "wend": w}).drop_duplicates()
+        out["__b"] = (pd.util.hash_array(out["user_id"].to_numpy(np.int64)) % nb).astype(
+            np.int64
+        )
+        return out
+
+    def dedup_count(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["user_id", "wend"])
+        counts = g.groupby("wend", sort=False).size()
+        return pd.DataFrame(
+            {
+                "window_end": counts.index.to_numpy("datetime64[us]"),
+                "active_users": counts.to_numpy(np.int64),
+            }
+        )
+
+    mat = (
+        ds.map_batches(cover, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(dedup_count, batch_format="pandas")
+    )
+    mat = grouped_sums(mat, ["window_end"], ["active_users"])
+    return cast_us(mat, ["window_end"]).sort("window_end")
+
+
+EVENTS_WAU_SQL = f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events
+),
+cov AS (
+    SELECT DISTINCT user_id, day + g * INTERVAL '1 day' AS wend
+    FROM ud, LATERAL UNNEST(generate_series(0, {WAU_WINDOW_DAYS - 1})) t(g)
+)
+SELECT wend AS window_end, CAST(COUNT(*) AS BIGINT) AS active_users
+FROM cov GROUP BY 1 ORDER BY 1
+"""

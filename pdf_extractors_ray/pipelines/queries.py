@@ -729,16 +729,25 @@ def _hash_neardup_query(sf_dir: str):
 
 
 def _props_retention_query(sf_dir: str):
-    """Cohort retention AND JSON props extraction in one driver slot.
-    Forced gate: ``events_props_k`` stays fully hash-checked via the
-    in-query twin gate. RECORDED result: ``events_retention`` — the
-    first-activity-cohort × day-offset distinct-user matrix (one
-    user-bucketed exchange + one KB-sized grouped count), pinned to a
-    MIN/date_diff DuckDB twin."""
+    """Cohort retention AND trailing-window distinct actives AND JSON
+    props extraction in one driver slot. Forced gates:
+    ``events_props_k`` and ``events_wau`` (the 7-day windowed
+    distinct-active rollup — coverage explode + in-bucket exact dedup)
+    stay fully hash-checked via in-query twin gates. RECORDED result:
+    ``events_retention`` — the first-activity-cohort × day-offset
+    distinct-user matrix (one user-bucketed exchange + one KB-sized
+    grouped count), pinned to a MIN/date_diff DuckDB twin."""
     _assert_sql_twin(
         "events_props_k",
         events.events_props_k(sf_dir),
         events.EVENTS_PROPS_K_SQL,
+        sf_dir,
+        tables=("events",),
+    )
+    _assert_sql_twin(
+        "events_wau",
+        events.events_wau(sf_dir),
+        events.EVENTS_WAU_SQL,
         sf_dir,
         tables=("events",),
     )
