@@ -82,6 +82,7 @@ OP_QUERIES = [
     "docs_priority_sample",
     "docs_graph_triangles",
     "events_wau",
+    "part_type_revenue",
 ]
 
 
@@ -141,6 +142,7 @@ def _op_extra():
         "docs_priority_sample": _cu.docs_priority_sample,
         "docs_graph_triangles": _gr.docs_graph_triangles,
         "events_wau": _ev.events_wau,
+        "part_type_revenue": _rl.part_type_revenue,
     }
 
 

@@ -870,3 +870,79 @@ def count_below(sf_dir: str, threshold_cents: int) -> int:
         return pd.DataFrame({"n": [np.int64((c < threshold_cents).sum())]})
 
     return int(orders.map_batches(part, batch_format="pandas").to_pandas()["n"].sum())
+
+
+def part_type_revenue(sf_dir: str):
+    """Revenue share by part type (the TPC-H Q14 shape generalized):
+    lineitem joined to ``part`` on partkey with per-type revenue, item
+    counts and the integer ppm share of total revenue.
+
+    Scale shape — pre-aggregate BEFORE the join: lineitem first reduces
+    to one (partkey, cents, n) row per part via the bucketed combine, so
+    the corpus-sized table never enters the join; the cogroup join then
+    moves two part-cardinality sides (both ~|part|, the honest big-big
+    exchange — ``part`` scales with the corpus and is NOT
+    broadcast-small at 100 TB), and the final rollup is a handful of
+    type rows. The ppm share is computed in Python ints on the tiny
+    final table (int64 `cents * 1e6` would overflow at trillion-cent
+    revenue; same lesson as ``docs_mixture_budget``)."""
+    from .common import cogroup_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def li_rev(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = cents(batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy()))
+        return pd.DataFrame(
+            {"l_partkey": batch["l_partkey"], "cents": rev, "n_items": np.int64(1)}
+        )
+
+    per_part = grouped_sums(
+        li.map_batches(li_rev, batch_format="pandas"), ["l_partkey"], ["cents", "n_items"]
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    joined = cogroup_join(
+        per_part, part, "l_partkey", "p_partkey", ["cents", "n_items"], ["p_type"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "p_type": b["p_type"],
+                "revenue_cents": b["cents"].to_numpy(np.int64),
+                "n_items": b["n_items"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    agg = (
+        grouped_sums(joined, ["p_type"], ["revenue_cents", "n_items"])
+        .to_pandas()
+        .sort_values("p_type")
+        .reset_index(drop=True)
+    )
+    total = int(agg["revenue_cents"].sum())
+    agg["share_ppm"] = np.array(
+        [int(c) * 1_000_000 // total for c in agg["revenue_cents"]], dtype=np.int64
+    )
+    import ray.data as rd
+
+    return rd.from_pandas(agg)
+
+
+PART_TYPE_REVENUE_SQL = """
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_partkey
+),
+t AS (
+    SELECT p.p_type,
+           CAST(SUM(r.cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(r.n) AS BIGINT) AS n_items
+    FROM rev r JOIN part p ON p.p_partkey = r.l_partkey
+    GROUP BY p.p_type
+),
+tot AS (SELECT SUM(revenue_cents) AS tc FROM t)
+SELECT p_type, revenue_cents, n_items,
+       CAST(CAST(revenue_cents AS HUGEINT) * 1000000 // (SELECT tc FROM tot) AS BIGINT) AS share_ppm
+FROM t ORDER BY p_type
+"""

@@ -728,6 +728,24 @@ def _hash_neardup_query(sf_dir: str):
     return dedup.dup_clusters(sf_dir, edges=exact)
 
 
+def _supplier_parttype_query(sf_dir: str):
+    """Part-type revenue share AND the supplier-per-nation broadcast join
+    in one driver slot. Forced gate: ``supplier_per_nation`` stays fully
+    hash-checked via the in-query twin gate. RECORDED result:
+    ``part_type_revenue`` — the Q14-shaped lineitem↔part join with
+    pre-aggregation BEFORE the join (the corpus table reduces to
+    part-cardinality first), integer ppm revenue shares; pinned to
+    ``PART_TYPE_REVENUE_SQL``."""
+    _assert_sql_twin(
+        "supplier_per_nation",
+        relational.supplier_per_nation(sf_dir),
+        relational.SUPPLIER_PER_NATION_SQL,
+        sf_dir,
+        tables=("supplier", "nation"),
+    )
+    return relational.part_type_revenue(sf_dir)
+
+
 def _props_retention_query(sf_dir: str):
     """Cohort retention AND trailing-window distinct actives AND JSON
     props extraction in one driver slot. Forced gates:
@@ -787,7 +805,7 @@ REGISTRY: dict[str, tuple] = {
     "events_distinct_users": (_distinct_kmv_query, relational.EVENTS_DISTINCT_SQL),
     "orders_price_quantiles": (_month_quantiles_query, relational.ORDERS_QUANTILES_SQL),
     "q22_antijoin_nation": (_custbal_antijoin_query, relational.Q22_SQL),
-    "supplier_per_nation": (relational.supplier_per_nation, relational.SUPPLIER_PER_NATION_SQL),
+    "part_type_revenue": (_supplier_parttype_query, relational.PART_TYPE_REVENUE_SQL),
     # event streams (SQL-checked)
     "events_hourly": (events.events_hourly, events.EVENTS_HOURLY_SQL),
     "events_funnel": (_sessionize_funnel_query, events.EVENTS_FUNNEL_SQL),

@@ -1130,3 +1130,28 @@ def test_priority_sample_weight_bias_and_stability(ray_session, tmp_path):
     )
     again = curate.docs_priority_sample(str(tmp_path)).to_pandas()
     pd.testing.assert_frame_equal(got, again, check_dtype=True)
+
+
+# ---------------------------------------------------------------------------
+# part-type revenue share (Q14 shape)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_part_type_revenue_matches_duckdb_twin(ray_session, sf):
+    from pdf_extractors_ray.ops import relational as rl
+
+    got = rl.part_type_revenue(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    try:
+        for t in ("lineitem", "part"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        want = con.sql(rl.PART_TYPE_REVENUE_SQL).df()
+    finally:
+        con.close()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=True)
+    # shares are a partition of total revenue (floor rounding loses ≤1 ppm
+    # per type) and every lineitem lands in exactly one type
+    assert 1_000_000 - len(got) <= got["share_ppm"].sum() <= 1_000_000
+    n_li = duckdb.sql(f"SELECT COUNT(*) FROM '{sf}/lineitem.parquet'").df().iloc[0, 0]
+    assert got["n_items"].sum() == n_li
