@@ -1002,3 +1002,149 @@ cov AS (
 SELECT wend AS window_end, CAST(COUNT(*) AS BIGINT) AS active_users
 FROM cov GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (registers + integer-exact estimate)
+
+
+HLL_P = 8  # 2^p = 256 registers
+HLL_M = 1 << HLL_P
+HLL_WBITS = 60 - HLL_P  # md5-hash15 is 60-bit; low p bits pick the register
+HLL_RHO_CAP = HLL_WBITS + 1  # rho for w == 0
+# alpha_256 = 0.7213 / (1 + 1.079/256), fixed-point ppm — shared literal
+# with the SQL twin so the estimate is integer-exact on both sides
+HLL_ALPHA_PPM = 718274
+
+
+def _hll_ln_ppm_table() -> list[int]:
+    """round(1e6 · ln(m / v_zero)) for v_zero in 1..m — the linear-counting
+    log, precomputed as a shared integer literal so neither engine depends
+    on its runtime libm rounding at the floor boundary."""
+    import math
+
+    return [round(1_000_000 * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
+
+
+_HLL_LN_PPM = _hll_ln_ppm_table()
+
+
+def hll_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-block register partial: ≤ m rows of (register, max rho).
+    Hash is the repo's shared md5-hash15 construct (DuckDB-mirrorable);
+    rho = trailing zeros of the 52-bit suffix + 1 via the low-bit
+    isolation trick (w & -w is an exact power of two, so log2 on float64
+    is exact up to 2^52)."""
+    from .curate import _md5_hash15
+
+    uniq = np.unique(batch["user_id"].to_numpy(dtype=np.int64))
+    hv = _md5_hash15(uniq, "hll:")
+    reg = hv % HLL_M
+    w = hv >> HLL_P
+    low = w & -w
+    rho = np.where(
+        w == 0, np.int64(HLL_RHO_CAP), np.log2(np.maximum(low, 1)).astype(np.int64) + 1
+    )
+    df = pd.DataFrame({"register": reg, "rho": rho})
+    out = df.groupby("register", as_index=False, sort=False)["rho"].max()
+    return out.rename(columns={"rho": "max_rho"})
+
+
+def hll_estimate(max_rho_by_register: dict[int, int]) -> tuple[int, int, int]:
+    """(v_nonzero, s_scaled, estimate) from merged registers, all-integer.
+
+    Raw HLL: alpha·m²/Σ2^-rho with Σ carried as S/2^wbits+1 (S ≤ m·2^53
+    fits int64; the division runs in unbounded Python ints). Small-range
+    correction: raw ≤ 2.5m with empty registers → linear counting
+    m·ln(m/v_zero) via the shared ppm table."""
+    rhos = [int(max_rho_by_register.get(j, 0)) for j in range(HLL_M)]
+    v_nonzero = sum(1 for r in rhos if r > 0)
+    s_scaled = sum(1 << (HLL_RHO_CAP - r) for r in rhos)
+    raw = (HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_RHO_CAP)) // (s_scaled * 1_000_000)
+    v_zero = HLL_M - v_nonzero
+    if raw <= (5 * HLL_M) // 2 and v_zero > 0:
+        est = (HLL_M * _HLL_LN_PPM[v_zero - 1]) // 1_000_000
+    else:
+        est = raw
+    return v_nonzero, s_scaled, est
+
+
+def events_hll_distinct(sf_dir: str):
+    """Approximate distinct ``user_id`` via a HyperLogLog sketch — the
+    fixed-size mergeable companion to ``events_kmv_distinct``: per-block
+    partials are ≤ m=256 (register, max_rho) rows regardless of block
+    size, the merge is a grouped MAX (register-wise max is associative
+    and idempotent, so re-execution / lineage replay cannot corrupt the
+    sketch), and the estimate is a closed-form integer function of the
+    merged registers. At 100 TB the exchange carries n_blocks·256 tiny
+    rows — constant per block where KMV carries k rows — and the same
+    registers merge across days/partitions for free (union = max).
+
+    Estimate is bit-reproducible in DuckDB (``EVENTS_HLL_SQL``): md5
+    register/rho derivation, HUGEINT harmonic sum, shared ppm-literal
+    linear-counting correction."""
+    ds = _events(sf_dir, columns=["user_id"])
+    from .common import bucketed_group_agg
+
+    regs = bucketed_group_agg(
+        ds.map_batches(hll_partial, batch_format="pandas"),
+        ["register"],
+        {"max_rho": "max"},
+    ).to_pandas()
+    merged = dict(zip(regs["register"].astype(int), regs["max_rho"].astype(int)))
+    v_nonzero, s_scaled, est = hll_estimate(merged)
+
+    import ray.data
+
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "m": [np.int64(HLL_M)],
+                "v_nonzero": [np.int64(v_nonzero)],
+                "s_scaled": [np.int64(s_scaled)],
+                "estimate": [np.int64(est)],
+            }
+        )
+    )
+
+
+def _hll_ln_values_sql() -> str:
+    return ", ".join(f"({v}, {p})" for v, p in zip(range(1, HLL_M + 1), _HLL_LN_PPM))
+
+
+EVENTS_HLL_SQL = f"""
+WITH h AS (
+    SELECT DISTINCT ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+),
+rr AS (
+    SELECT hv % {HLL_M} AS register,
+           CASE WHEN hv // {HLL_M} = 0 THEN {HLL_RHO_CAP}
+                ELSE bit_count(((hv // {HLL_M}) & -(hv // {HLL_M})) - 1) + 1 END AS rho
+    FROM h
+),
+regs AS (SELECT register, MAX(rho) AS max_rho FROM rr GROUP BY register),
+filled AS (
+    SELECT gs.j AS register, COALESCE(regs.max_rho, 0) AS max_rho
+    FROM generate_series(0, {HLL_M - 1}) gs(j) LEFT JOIN regs ON regs.register = gs.j
+),
+agg AS (
+    SELECT COUNT(*) FILTER (WHERE max_rho > 0) AS v_nonzero,
+           SUM(CAST(1 AS HUGEINT) << ({HLL_RHO_CAP} - max_rho)) AS s_scaled
+    FROM filled
+),
+est AS (
+    SELECT v_nonzero, s_scaled,
+           (CAST({HLL_ALPHA_PPM} AS HUGEINT) * {HLL_M} * {HLL_M} * (CAST(1 AS HUGEINT) << {HLL_RHO_CAP}))
+               // (s_scaled * 1000000) AS raw
+    FROM agg
+)
+SELECT CAST({HLL_M} AS BIGINT) AS m,
+       CAST(v_nonzero AS BIGINT) AS v_nonzero,
+       CAST(s_scaled AS BIGINT) AS s_scaled,
+       CAST(CASE WHEN raw <= {(5 * HLL_M) // 2} AND v_nonzero < {HLL_M}
+                 THEN ({HLL_M} * (SELECT ppm FROM (VALUES {_hll_ln_values_sql()}) ln(vz, ppm)
+                                  WHERE vz = {HLL_M} - v_nonzero)) // 1000000
+                 ELSE raw END AS BIGINT) AS estimate
+FROM est
+"""

@@ -638,13 +638,23 @@ def _ann_methods_query(sf_dir: str):
 
 
 def _distinct_kmv_query(sf_dir: str):
-    """Exact distinct users AND the KMV distinct-count sketch in one
-    driver slot. Forced gate: the mergeable k-minimum-values sketch must
-    run end-to-end and its estimate land inside the KMV error envelope of
-    the exact total (or equal it exactly below k distinct); pytest pins
-    the sketch bit-for-bit to a DuckDB md5 twin and its mergeability by
-    property test. RECORDED result: the exact per-type distinct counts,
-    hash-checked as before."""
+    """Exact distinct users AND the KMV distinct-count sketch AND the
+    HyperLogLog sketch in one driver slot. Forced gates: the mergeable
+    k-minimum-values sketch must run end-to-end and its estimate land
+    inside the KMV error envelope of the exact total (or equal it exactly
+    below k distinct); the HLL register sketch (fixed 256-register
+    partials, idempotent grouped-MAX merge, integer-exact estimate with
+    shared-ppm-literal linear-counting correction) stays fully
+    hash-checked via an in-query twin gate — pytest additionally pins
+    both sketches' mergeability by property test. RECORDED result: the
+    exact per-type distinct counts, hash-checked as before."""
+    _assert_sql_twin(
+        "events_hll_distinct",
+        events.events_hll_distinct(sf_dir),
+        events.EVENTS_HLL_SQL,
+        sf_dir,
+        tables=("events",),
+    )
     exact_ds = relational.events_distinct_users(sf_dir)
     sketch = events.events_kmv_distinct(sf_dir).to_pandas()
     est, n_kept = int(sketch["estimate"][0]), int(sketch["n_kept"][0])
