@@ -1211,3 +1211,133 @@ SELECT CAST(ckpt AS BIGINT) AS ckpt,
 FROM b
 ORDER BY ckpt
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: fixed-size frequency summary + hard-bounded estimates
+
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # columns per row
+CMS_TOP_K = TOP_TOKENS_K  # estimates reported for the exact top-k tokens
+
+
+def _md5_hash15_str(tokens, salt: str) -> np.ndarray:
+    """String variant of the repo's shared 60-bit md5-hash15 construct
+    (curate._md5_hash15): first 15 hex chars of md5(salt + token) over
+    UTF-8 bytes — bit-identical to DuckDB
+    ``('0x' || substr(md5(salt || token), 1, 15))::BIGINT``."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5((salt + t).encode("utf-8")).hexdigest()[:15], 16) for t in tokens),
+        dtype=np.int64,
+        count=len(tokens),
+    )
+
+
+def cms_grid_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-block CMS grid partial from (token, n) count rows: ≤ d·w cells
+    of (row_i, col, cnt). Each distinct token hashes d times (salted
+    md5), its count adds into one cell per row; cell-wise SUM is the
+    mergeable combine (counter addition is associative), so re-blocking
+    never changes the grid."""
+    toks = batch["token"].to_numpy(dtype=object)
+    n = batch["n"].to_numpy(np.int64)
+    frames = []
+    for i in range(CMS_D):
+        col = _md5_hash15_str(toks, f"cms{i}:") % CMS_W
+        frames.append(pd.DataFrame({"row_i": np.int64(i), "col": col, "cnt": n}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.groupby(["row_i", "col"], as_index=False, sort=False)["cnt"].sum()
+
+
+def docs_cms_topk(sf_dir: str):
+    """Count-Min-sketch estimates for the exact top-k tokens, with the
+    CMS lower-bound theorem enforced: est = min_i grid[i, h_i(token)] is
+    ALWAYS ≥ the true count (every occurrence lands in the counted cell;
+    collisions only add). Distributed shape: per-batch vocabulary counts
+    (the same skew-bounding partial as ``docs_top_tokens``) → d·w-cell
+    grid partials → bucketed cell sums — the grid is a fixed
+    4×1024-cell summary regardless of corpus size, the CMS point at
+    100 TB: frequency queries over an unbounded vocabulary served from
+    32 KB of mergeable state. Estimates are derived driver-side from the
+    merged grid (KB-sized) for the exact top-k and verified ≥ true.
+
+    Bit-reproducible in DuckDB (``DOCS_CMS_SQL``): same salted-md5
+    column derivation, same integer cell sums, same min-over-rows."""
+    from .common import bucketed_group_agg
+
+    ds = _docs(sf_dir, columns=["text"])
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)}
+        )
+
+    counts = ds.map_batches(count_partial, batch_format="pandas")
+    grid = bucketed_group_agg(
+        counts.map_batches(cms_grid_partial, batch_format="pandas"),
+        ["row_i", "col"],
+        {"cnt": "sum"},
+    ).to_pandas()
+    cells = {(int(r), int(c)): int(v) for r, c, v in
+             zip(grid["row_i"], grid["col"], grid["cnt"])}
+
+    top = docs_top_tokens(sf_dir).to_pandas()
+    toks = top["token"].to_numpy(dtype=object)
+    ests = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(CMS_D):
+        cols = _md5_hash15_str(toks, f"cms{i}:") % CMS_W
+        row_est = np.array([cells.get((i, int(c)), 0) for c in cols], dtype=np.int64)
+        ests = np.minimum(ests, row_est)
+
+    true = top["n"].to_numpy(np.int64)
+    if (ests < true).any():
+        bad = toks[ests < true]
+        raise RuntimeError(f"CMS lower-bound theorem violated for {bad[:5]!r}")
+
+    import ray.data
+
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "token": toks,
+                "n": true,
+                "rank": top["rank"].to_numpy(np.int64),
+                "cms_est": ests,
+            }
+        )
+    )
+
+
+DOCS_CMS_SQL = f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+grid AS (
+    SELECT r.i AS row_i,
+           ('0x' || substr(md5('cms' || r.i || ':' || c.token), 1, 15))::BIGINT % {CMS_W} AS col,
+           SUM(c.n) AS cnt
+    FROM c CROSS JOIN (VALUES (0), (1), (2), (3)) r(i)
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+    FROM c ORDER BY n DESC, token ASC LIMIT {CMS_TOP_K}
+),
+tcols AS (
+    SELECT top.token, top.n, top.rank, r.i,
+           ('0x' || substr(md5('cms' || r.i || ':' || top.token), 1, 15))::BIGINT % {CMS_W} AS col
+    FROM top CROSS JOIN (VALUES (0), (1), (2), (3)) r(i)
+),
+est AS (
+    SELECT tcols.token, MIN(tcols.n) AS n, MIN(tcols.rank) AS rank,
+           MIN(grid.cnt) AS cms_est
+    FROM tcols JOIN grid ON grid.row_i = tcols.i AND grid.col = tcols.col
+    GROUP BY tcols.token
+)
+SELECT token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
+       CAST(cms_est AS BIGINT) AS cms_est
+FROM est ORDER BY rank
+"""

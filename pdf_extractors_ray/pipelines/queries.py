@@ -156,19 +156,22 @@ def _sessionize_funnel_query(sf_dir: str):
 
 
 def _token_stats_top_query(sf_dir: str):
-    """Vocabulary top-k AND per-language token stats AND the MG sketch AND
-    the distributed BPE tokenizer trainer in one driver slot. Forced
-    gates: ``docs_token_stats`` and ``docs_bpe_word_counts`` stay fully
-    hash-checked via in-query twin gates; ``docs_bpe_train`` must equal
-    the textbook single-process BPE fed from DuckDB word counts; the MG
-    sketch must satisfy its theorem bound vs the exact top-k. RECORDED
-    result: ``docs_top_tokens`` — exact global token counts with
-    per-batch partials, bucketed sums, per-bucket top-k prune,
-    deterministic (count DESC, token ASC) ranking; MG bound: every top-k
-    token present with est ≤ true ≤ est + n/(m+1)."""
+    """Vocabulary top-k AND per-language token stats AND the MG + CMS
+    sketches AND the distributed BPE tokenizer trainer in one driver
+    slot. Forced gates: ``docs_token_stats``, ``docs_bpe_word_counts``
+    and ``docs_cms_topk`` (Count-Min grid sums + min-over-rows
+    estimates, with the est ≥ true theorem raised on internally) stay
+    fully hash-checked via in-query twin gates; ``docs_bpe_train`` must
+    equal the textbook single-process BPE fed from DuckDB word counts;
+    the MG sketch must satisfy its theorem bound vs the exact top-k.
+    RECORDED result: ``docs_top_tokens`` — exact global token counts
+    with per-batch partials, bucketed sums, per-bucket top-k prune,
+    deterministic (count DESC, token ASC) ranking; MG bound: every
+    top-k token present with est ≤ true ≤ est + n/(m+1)."""
     _assert_sql_twin(
         "docs_token_stats", tx.docs_token_stats(sf_dir), tx.DOCS_TOKEN_STATS_SQL, sf_dir
     )
+    _assert_sql_twin("docs_cms_topk", tx.docs_cms_topk(sf_dir), tx.DOCS_CMS_SQL, sf_dir)
     wc = _assert_sql_twin(
         "docs_bpe_word_counts", tx.bpe_word_counts(sf_dir), tx.BPE_WORD_COUNTS_SQL, sf_dir
     )

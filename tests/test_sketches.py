@@ -426,3 +426,70 @@ def test_hll_estimate_accuracy():
     sm = dict(zip(small["register"].astype(int), small["max_rho"].astype(int)))
     v, _, est_small = ev.hll_estimate(sm)
     assert v <= 20 and abs(est_small - 20) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_matches_duckdb_twin(ray_session):
+    from pdf_extractors_ray.ops import text as tx
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eng = tx.docs_cms_topk(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        ora = con.sql(tx.DOCS_CMS_SQL).df()
+        pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+        assert (eng["cms_est"] >= eng["n"]).all()
+
+
+def test_cms_theorem_bound_under_forced_collisions():
+    """With w clamped to 4 columns every cell collides heavily; the CMS
+    guarantees must still hold on random streams: est ≥ true for every
+    token, and est ≤ true + (N - true) (total colliding mass). Also the
+    mergeable-grid invariant: partials over any split sum to the
+    single-pass grid."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractors_ray.ops import text as tx
+
+    @given(
+        st.lists(st.integers(0, 40), min_size=1, max_size=300),
+        st.integers(1, 5),
+    )
+    @settings(max_examples=100, deadline=None)
+    def run(vals, n_blocks):
+        from collections import Counter
+
+        import unittest.mock as mock
+
+        toks = [f"t{v}" for v in vals]
+        true = Counter(toks)
+        with mock.patch.object(tx, "CMS_W", 4):
+            def grid_of(counter):
+                df = pd.DataFrame(
+                    {"token": list(counter), "n": list(counter.values())}
+                ).astype({"n": np.int64})
+                g = tx.cms_grid_partial(df)
+                return {(int(r), int(c)): int(v)
+                        for r, c, v in zip(g["row_i"], g["col"], g["cnt"])}
+
+            merged: dict = {}
+            for ch in np.array_split(np.array(toks, dtype=object), n_blocks):
+                if len(ch) == 0:
+                    continue
+                for k, v in grid_of(Counter(ch)).items():
+                    merged[k] = merged.get(k, 0) + v
+            assert merged == grid_of(true)
+
+            n_total = len(toks)
+            for tok, cnt in true.items():
+                cols = [int(tx._md5_hash15_str([tok], f"cms{i}:")[0]) % tx.CMS_W
+                        for i in range(tx.CMS_D)]
+                est = min(merged.get((i, c), 0) for i, c in zip(range(tx.CMS_D), cols))
+                assert cnt <= est <= cnt + (n_total - cnt), (tok, cnt, est)
+
+    run()
