@@ -449,10 +449,23 @@ def _custbal_antijoin_query(sf_dir: str):
 def _invoice_query(sf_dir: str):
     """Invoice fold — runs BOTH the plain grouped fold and the salted
     hot-conversation variant (M27 precedence + cross-window LOCF) and
-    raises unless they emit identical rows."""
+    raises unless they emit identical rows. Forced gate:
+    ``transcript_hygiene`` — the order-sensitive per-conversation role
+    digest (md5 over role initials in turn order) hash-checked against a
+    DuckDB ``string_agg(... ORDER BY turn_idx)`` twin over the SAME
+    Parquet files, pinning the shuffle-then-restore ordering invariant
+    the north rule requires in the driver record itself."""
+    from ..ops import transcript as _tr
     from ..stages.salted import extract_invoice_salted
 
     path = transcripts_path_for_sf(sf_dir)
+    _assert_sql_twin(
+        "transcript_hygiene",
+        _tr.transcript_hygiene(path),
+        _tr.transcript_hygiene_sql(path),
+        sf_dir,
+        tables=(),
+    )
     plain = extract.extract_invoice(path)
     salted = extract_invoice_salted(path)
     # return the compared frame — the caller would otherwise execute the

@@ -1,0 +1,65 @@
+"""Transcript hygiene digest: DuckDB parity + order sensitivity."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extractors_ray.ops import transcript as tr
+
+
+def test_hygiene_matches_duckdb_twin(ray_session):
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    p = transcripts_path_for_sf("/root/testdata/sf0.001")
+    eng = tr.transcript_hygiene(p).to_pandas().reset_index(drop=True)
+    ora = duckdb.sql(tr.transcript_hygiene_sql(p)).df()
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+    assert len(eng) > 0 and eng["conv_id"].is_unique
+
+
+def _frame(rows):
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int64)
+    df["ts"] = pd.to_datetime(df["ts"], unit="s").astype("datetime64[us]")
+    return df
+
+
+def test_hygiene_digest_is_order_sensitive():
+    """Transposing two turns' indices flips the conversation digest —
+    the property that makes the hash a check of ordering restore, not
+    just of membership."""
+    base = _frame(
+        [("c", 0, "user", 10), ("c", 1, "assistant", 20), ("c", 2, "tool", 30)]
+    )
+    swapped = _frame(
+        [("c", 2, "user", 10), ("c", 1, "assistant", 20), ("c", 0, "tool", 30)]
+    )
+    h1 = tr.conv_hygiene_frame(base)
+    h2 = tr.conv_hygiene_frame(swapped)
+    assert h1["role_seq_hash"][0] != h2["role_seq_hash"][0]
+    # membership-only stats agree
+    for c in ("n_turns", "n_tool_turns", "ts_span_us"):
+        assert h1[c][0] == h2[c][0]
+    assert h1["role_seq_hash"][0] == tr._md5_seq_hash("uat")
+    assert h2["role_seq_hash"][0] == tr._md5_seq_hash("tau")
+
+
+def test_hygiene_arrival_order_invariance():
+    """Any row shuffle of the input partition produces identical output —
+    the restore is the operator's job, not the reader's."""
+    rng = np.random.RandomState(3)
+    rows = []
+    for ci in range(7):
+        for ti in range(rng.randint(1, 9)):
+            rows.append((f"c{ci}", ti, ["user", "assistant", "tool"][(ci + ti) % 3],
+                         100 * ci + ti))
+    df = _frame(rows)
+    want = tr.conv_hygiene_frame(df).sort_values("conv_id").reset_index(drop=True)
+    for _ in range(5):
+        got = (
+            tr.conv_hygiene_frame(df.sample(frac=1, random_state=rng).reset_index(drop=True))
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
