@@ -83,6 +83,9 @@ OP_QUERIES = [
     "docs_graph_triangles",
     "events_wau",
     "part_type_revenue",
+    "events_hll_distinct",
+    "docs_cms_topk",
+    "transcript_hygiene",
 ]
 
 
@@ -143,7 +146,17 @@ def _op_extra():
         "docs_graph_triangles": _gr.docs_graph_triangles,
         "events_wau": _ev.events_wau,
         "part_type_revenue": _rl.part_type_revenue,
+        "events_hll_distinct": _ev.events_hll_distinct,
+        "docs_cms_topk": _tx.docs_cms_topk,
+        "transcript_hygiene": _transcript_hygiene_sf,
     }
+
+
+def _transcript_hygiene_sf(sf_dir: str):
+    from pdf_extractors_ray.ops.transcript import transcript_hygiene
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    return transcript_hygiene(transcripts_path_for_sf(sf_dir))
 
 
 def _warm_cache(paths: list[str]) -> None:

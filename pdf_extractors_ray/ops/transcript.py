@@ -35,6 +35,16 @@ def conv_hygiene_frame(group: pd.DataFrame) -> pd.DataFrame:
     from ..stages.fold import conv_boundaries
     from .text import _md5_hash15_str
 
+    if len(group) == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=object),
+                "n_turns": pd.Series([], dtype=np.int64),
+                "n_tool_turns": pd.Series([], dtype=np.int64),
+                "role_seq_hash": pd.Series([], dtype=np.int64),
+                "ts_span_us": pd.Series([], dtype=np.int64),
+            }
+        )
     conv = np.asarray(group["conv_id"], dtype=object)
     tidx = np.asarray(group["turn_idx"], dtype=np.int64)
     role = np.asarray(group["role"], dtype=object)
