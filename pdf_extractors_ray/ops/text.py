@@ -1341,3 +1341,143 @@ SELECT token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
        CAST(cms_est AS BIGINT) AS cms_est
 FROM est ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM coverage scoring (the perplexity-filter shape, integer-exact)
+
+
+LM_MIN_COUNT = PMI_MIN_COUNT  # a bigram is "in the LM" at ≥ this corpus count
+
+
+def docs_lm_coverage(sf_dir: str, min_count: int = LM_MIN_COUNT):
+    """Per-document fluency proxy: the fraction of a document's adjacent
+    bigram positions whose bigram clears a corpus-frequency floor — the
+    integer-exact stand-in for the perplexity filter every pretraining
+    pipeline runs (train a small LM on the corpus, score each doc, drop
+    the tail). Two corpus passes, nothing corpus-sized on the driver:
+
+    1. LM "training": bigram counts as per-batch partials → bucketed
+       sums → ``min_count`` filter (the same skew-bounded kernel as
+       ``docs_bigram_pmi``); the surviving model is vocabulary-sized.
+    2. Scoring: per-doc bigram occurrence rows join the model via a
+       hash-bucketed cogroup on the composite key (tokens cannot contain
+       the join delimiter — they were split on it), counts summed per
+       doc; per-doc totals come straight from the map side (no join).
+
+    Documents with no bigram (≤1 token) score 1e6 (vacuously fluent) —
+    the filter's job is to catch ACTIVELY unusual token sequences.
+    Bit-exact in DuckDB (``DOCS_LM_COVERAGE_SQL``)."""
+    from .common import bucketed_group_agg, cogroup_join
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    lm = bucketed_group_agg(
+        docs.map_batches(_bigram_counts_partial, batch_format="pandas"),
+        ["left_token", "right_token"],
+        {"n_ab": "sum"},
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"bigram": b.loc[b["n_ab"] >= min_count, "left_token"].str.cat(
+                b.loc[b["n_ab"] >= min_count, "right_token"], sep=" "
+            ).to_numpy(dtype=object)}
+        ).assign(_known=np.int64(1)),
+        batch_format="pandas",
+    )
+
+    def doc_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        toks = batch["text"].str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy(dtype=object)
+        didx = np.repeat(batch["doc_id"].to_numpy(np.int64), lens)
+        adj = didx[:-1] == didx[1:]
+        pairs = pd.DataFrame(
+            {
+                "doc_id": didx[:-1][adj],
+                "bigram": pd.Series(flat[:-1][adj]).str.cat(
+                    pd.Series(flat[1:][adj]), sep=" "
+                ).to_numpy(dtype=object),
+            }
+        )
+        out = pairs.groupby(["doc_id", "bigram"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
+
+    def doc_totals(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok = batch["text"].str.split(" ").str.len().to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "n_bigrams": np.maximum(n_tok - 1, 0),
+            }
+        )
+
+    known = cogroup_join(
+        docs.map_batches(doc_bigrams, batch_format="pandas"),
+        lm,
+        "bigram",
+        "bigram",
+        ["doc_id", "cnt"],
+        ["_known"],
+    )
+    known_per_doc = bucketed_group_agg(
+        known.map_batches(
+            lambda b: pd.DataFrame(
+                {"doc_id": b["doc_id"].astype(np.int64), "n_known": b["cnt"].astype(np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["doc_id"],
+        {"n_known": "sum"},
+    )
+    totals = bucketed_group_agg(
+        docs.map_batches(doc_totals, batch_format="pandas"), ["doc_id"], {"n_bigrams": "sum"}
+    )
+
+    joined = cogroup_join(
+        totals, known_per_doc, "doc_id", "doc_id",
+        ["doc_id", "n_bigrams"], ["n_known"], how="left",
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        nb = batch["n_bigrams"].astype(np.int64).to_numpy()
+        nk = batch["n_known"].fillna(0).astype(np.int64).to_numpy()
+        cov = np.where(nb == 0, np.int64(1_000_000), (nk * 1_000_000) // np.maximum(nb, 1))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_bigrams": nb,
+                "n_known": nk,
+                "coverage_ppm": cov.astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
+DOCS_LM_COVERAGE_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+big AS (
+    SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pr
+    FROM t WHERE len(toks) >= 2
+),
+db AS (SELECT doc_id, pr[1] AS l, pr[2] AS r FROM big),
+bg AS (
+    SELECT l, r, COUNT(*) AS n_ab FROM db GROUP BY l, r
+    HAVING COUNT(*) >= {LM_MIN_COUNT}
+),
+per AS (
+    SELECT db.doc_id, COUNT(*) AS n_bigrams,
+           SUM(CASE WHEN bg.l IS NOT NULL THEN 1 ELSE 0 END) AS n_known
+    FROM db LEFT JOIN bg ON db.l = bg.l AND db.r = bg.r
+    GROUP BY db.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(per.n_known, 0) AS BIGINT) AS n_known,
+       CAST(CASE WHEN COALESCE(per.n_bigrams, 0) = 0 THEN 1000000
+                 ELSE (COALESCE(per.n_known, 0) * 1000000) // per.n_bigrams
+            END AS BIGINT) AS coverage_ppm
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""

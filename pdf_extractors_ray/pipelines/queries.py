@@ -249,8 +249,10 @@ def _langid_decon_curation_query(sf_dir: str):
 def _quality_repetition_tfidf_query(sf_dir: str):
     """Bigram-PMI collocations AND the inverted index AND TF-IDF
     distinctive terms AND the Gopher repetition signals AND the quality
-    scorer in one driver slot. Forced gates: ``docs_quality``,
-    ``docs_repetition``, ``docs_tfidf`` and ``docs_inverted_index`` stay
+    scorer AND the LM-coverage fluency filter in one driver slot. Forced
+    gates: ``docs_quality``, ``docs_repetition``, ``docs_tfidf``,
+    ``docs_inverted_index`` and ``docs_lm_coverage`` (bigram-LM train
+    pass → bucketed cogroup scoring join, integer coverage ppm) stay
     fully hash-checked via in-query twin gates. RECORDED result:
     ``docs_bigram_pmi`` — corpus-wide top-k adjacent-pair pointwise mutual
     information (min-count filtered before any join; bucketed count
@@ -266,6 +268,9 @@ def _quality_repetition_tfidf_query(sf_dir: str):
         tx.docs_inverted_index(sf_dir),
         tx.DOCS_INVERTED_INDEX_SQL,
         sf_dir,
+    )
+    _assert_sql_twin(
+        "docs_lm_coverage", tx.docs_lm_coverage(sf_dir), tx.DOCS_LM_COVERAGE_SQL, sf_dir
     )
     return tx.docs_bigram_pmi(sf_dir)
 

@@ -1155,3 +1155,60 @@ def test_part_type_revenue_matches_duckdb_twin(ray_session, sf):
     assert 1_000_000 - len(got) <= got["share_ppm"].sum() <= 1_000_000
     n_li = duckdb.sql(f"SELECT COUNT(*) FROM '{sf}/lineitem.parquet'").df().iloc[0, 0]
     assert got["n_items"].sum() == n_li
+
+
+# ---------------------------------------------------------------------------
+# LM coverage (bigram-frequency fluency filter)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_coverage_matches_duckdb_twin(ray_session):
+    import duckdb
+
+    from pdf_extractors_ray.ops import text as tx
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eng = tx.docs_lm_coverage(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        ora = con.sql(tx.DOCS_LM_COVERAGE_SQL).df()
+        pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+        assert eng["doc_id"].is_unique and len(eng) == 500
+
+
+def test_lm_coverage_discriminates_rare_bigrams(ray_session, tmp_path):
+    """Hand-built corpus where the filter must separate fluent from
+    garbled docs: 'a b' appears in 5 docs (known at min_count=3); each
+    garbled doc carries unique bigrams (count 1 → unknown). Includes a
+    single-token doc (vacuous 1e6) and an empty-text doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import text as tx
+
+    rows = []
+    for i in range(5):
+        rows.append((i, "a b a b"))           # all bigrams known
+    for i in range(5, 8):
+        rows.append((i, f"x{i} y{i} a b"))    # 1 of 3 bigram positions known
+    rows.append((8, "solo"))                   # no bigram → 1e6
+    rows.append((9, ""))                       # one empty token → no bigram
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["t"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = tx.docs_lm_coverage(str(tmp_path)).to_pandas().set_index("doc_id")
+    for i in range(5):
+        assert got.loc[i, "coverage_ppm"] == 1_000_000
+    for i in range(5, 8):
+        # 3 bigram positions, only 'a b' known (x_i y_i, y_i a unique)
+        assert got.loc[i, "n_bigrams"] == 3 and got.loc[i, "n_known"] == 1
+        assert got.loc[i, "coverage_ppm"] == 333_333
+    assert got.loc[8, "coverage_ppm"] == 1_000_000 and got.loc[8, "n_bigrams"] == 0
+    assert got.loc[9, "coverage_ppm"] == 1_000_000 and got.loc[9, "n_bigrams"] == 0
