@@ -86,6 +86,8 @@ OP_QUERIES = [
     "events_hll_distinct",
     "docs_cms_topk",
     "transcript_hygiene",
+    "docs_lm_coverage",
+    "emb_zorder",
 ]
 
 
@@ -149,6 +151,8 @@ def _op_extra():
         "events_hll_distinct": _ev.events_hll_distinct,
         "docs_cms_topk": _tx.docs_cms_topk,
         "transcript_hygiene": _transcript_hygiene_sf,
+        "docs_lm_coverage": _tx.docs_lm_coverage,
+        "emb_zorder": _sm.emb_zorder,
     }
 
 

@@ -642,7 +642,17 @@ def _ann_methods_query(sf_dir: str):
     stays fully hash-checked via the in-query ``ANN_LSH_SQL`` twin gate.
     RECORDED result: ``emb_pq_codes`` — each vector's packed 4-bit-per-
     subspace PQ code + exact int64 quantization error against the
-    deterministic seed codebooks, pinned to ``EMB_PQ_SQL``."""
+    deterministic seed codebooks, pinned to ``EMB_PQ_SQL``. Additional
+    forced gate: ``emb_zorder`` — the Morton space-filling-curve
+    clustering key (integer interleave over ppm-quantized cells, the
+    locality-ordered write layout) hash-checked via its in-query twin."""
+    _assert_sql_twin(
+        "emb_zorder",
+        similarity.emb_zorder(sf_dir),
+        similarity.EMB_ZORDER_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
     ivf = similarity.ivf_knn(sf_dir)
     if set(ivf.schema().names) != {"query_id", "vec_id", "sim_ppm", "rank"}:
         raise RuntimeError(f"ivf_knn schema: {ivf.schema().names}")

@@ -727,3 +727,58 @@ def test_grouped_quantile_kernel_vs_sorted_selection(ray_session):
             n, rank, val = got[int(gk)]
             assert (n, rank) == (len(v), k)
             assert val == int(v[k - 1]), (gk, q_ppm)
+
+
+# ---------------------------------------------------------------------------
+# Z-order locality key
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_matches_duckdb_twin(ray_session):
+    import duckdb
+
+    from pdf_extractors_ray.ops import similarity as sm
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eng = sm.emb_zorder(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+        ora = con.sql(sm.EMB_ZORDER_SQL).df()
+        pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+        # the key sort is the clustering contract
+        assert (np.diff(eng["zkey"].to_numpy(np.int64)) >= 0).all()
+
+
+def test_zorder_interleave_bijective():
+    """decode(key(q)) == q for random 10-bit cells — no bit collides or
+    is dropped by the interleave."""
+    from pdf_extractors_ray.ops import similarity as sm
+
+    rng = np.random.RandomState(11)
+    q = rng.randint(0, 1 << sm.ZORDER_BITS, size=(5000, sm.ZORDER_DIMS)).astype(np.int64)
+    z = sm.zorder_key(q)
+    assert (sm.zorder_decode(z) == q).all()
+    # distinct cells → distinct keys
+    uq = np.unique(q, axis=0)
+    assert len(np.unique(sm.zorder_key(uq))) == len(uq)
+
+
+def test_zorder_bucket_locality_bound():
+    """Theorem: two points in the same zbucket share the top 4 bits of
+    every dim's cell coordinate, so their per-dim cell distance is
+    < 2^(ZORDER_BITS-4). Verified over random points, plus the converse
+    sanity that far-apart points split buckets."""
+    from pdf_extractors_ray.ops import similarity as sm
+
+    rng = np.random.RandomState(13)
+    q = rng.randint(0, 1 << sm.ZORDER_BITS, size=(4000, sm.ZORDER_DIMS)).astype(np.int64)
+    z = sm.zorder_key(q)
+    buckets = z >> sm.ZORDER_BUCKET_SHIFT
+    lim = 1 << (sm.ZORDER_BITS - 4)
+    for b in np.unique(buckets)[:50]:
+        cells = q[buckets == b]
+        spread = cells.max(axis=0) - cells.min(axis=0)
+        assert (spread < lim).all(), (b, spread)
+    far = np.array([[0, 0, 0], [1023, 1023, 1023]], dtype=np.int64)
+    fz = sm.zorder_key(far) >> sm.ZORDER_BUCKET_SHIFT
+    assert fz[0] != fz[1]
