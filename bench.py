@@ -88,6 +88,7 @@ OP_QUERIES = [
     "transcript_hygiene",
     "docs_lm_coverage",
     "emb_zorder",
+    "events_mad_anomaly",
 ]
 
 
@@ -153,6 +154,7 @@ def _op_extra():
         "transcript_hygiene": _transcript_hygiene_sf,
         "docs_lm_coverage": _tx.docs_lm_coverage,
         "emb_zorder": _sm.emb_zorder,
+        "events_mad_anomaly": _ev.events_mad_anomaly,
     }
 
 

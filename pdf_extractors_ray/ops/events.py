@@ -1148,3 +1148,138 @@ SELECT CAST({HLL_M} AS BIGINT) AS m,
                  ELSE raw END AS BIGINT) AS estimate
 FROM est
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) anomaly flags over the hourly rollup
+
+
+MAD_SIGMA_X = 6  # flag when |cnt - median| > MAD_SIGMA_X · max(MAD, 1)
+
+
+def events_mad_anomaly(sf_dir: str):
+    """Per-event-type robust anomaly detection over hourly volumes:
+    median + median-absolute-deviation in exact integer arithmetic, flag
+    hours whose deviation exceeds ``MAD_SIGMA_X · max(MAD, 1)`` — the
+    monitoring pass a streaming ingest runs over its own throughput
+    rollups, with MAD instead of stddev so the anomalies being hunted
+    cannot poison the threshold (a 50% breakdown point vs mean/σ's 0%).
+
+    Distributed shape: ONE corpus-scale pass builds the hourly count
+    rollup (per-batch partials + bucketed sums — the ``events_hourly``
+    kernel); both medians then run as ``exact_grouped_quantile_int``
+    histogram-narrowing selections over the ROLLUP (hours × types — time-
+    bounded, not corpus-bounded), every type narrowed in the same pass;
+    thresholds broadcast back as a tiny per-type map. No sort anywhere.
+
+    Exactness: counts, medians, deviations and the flag are all int64;
+    the rank is k = ceil(0.5·n) (the kernel's shared ceil formula), so
+    the DuckDB twin selects the identical order statistic."""
+    from .relational import exact_grouped_quantile_int
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour": batch["ts"].dt.floor("h").astype("datetime64[us]"),
+                "event_type": batch["event_type"],
+                "n": np.int64(1),
+            }
+        )
+
+    hourly = cast_us(
+        grouped_sums(ds.map_batches(derive, batch_format="pandas"),
+                     ["hour", "event_type"], ["n"]),
+        ["hour"],
+    ).materialize()  # rollup-sized; read by two quantile passes + the flag pass
+
+    # bounded type set → stable integer group ids (sorted for determinism)
+    types = sorted(
+        hourly.map_batches(
+            lambda b: b[["event_type"]].drop_duplicates(), batch_format="pandas"
+        ).to_pandas()["event_type"].unique()
+    )
+    t2i = {t: i for i, t in enumerate(types)}
+
+    def with_gid(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "gid": batch["event_type"].map(t2i).to_numpy(np.int64),
+                "cnt": batch["n"].to_numpy(np.int64),
+            }
+        )
+
+    gds = hourly.map_batches(with_gid, batch_format="pandas")
+    med = {g: v for g, (_n, _k, v) in
+           exact_grouped_quantile_int(gds, "gid", "cnt", 500_000).items()}
+
+    def with_dev(batch: pd.DataFrame) -> pd.DataFrame:
+        gid = batch["event_type"].map(t2i).to_numpy(np.int64)
+        cnt = batch["n"].to_numpy(np.int64)
+        m = np.array([med[int(g)] for g in gid], dtype=np.int64)
+        return pd.DataFrame({"gid": gid, "cnt": np.abs(cnt - m)})
+
+    devs = hourly.map_batches(with_dev, batch_format="pandas")
+    mad = {g: v for g, (_n, _k, v) in
+           exact_grouped_quantile_int(devs, "gid", "cnt", 500_000).items()}
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        gid = batch["event_type"].map(t2i).to_numpy(np.int64)
+        cnt = batch["n"].to_numpy(np.int64)
+        m = np.array([med[int(g)] for g in gid], dtype=np.int64)
+        d = np.array([mad[int(g)] for g in gid], dtype=np.int64)
+        dev = np.abs(cnt - m)
+        return pd.DataFrame(
+            {
+                "hour": batch["hour"],
+                "event_type": batch["event_type"],
+                "cnt": cnt,
+                "med": m,
+                "mad": d,
+                "is_anomaly": (dev > MAD_SIGMA_X * np.maximum(d, 1)).astype(np.int64),
+            }
+        )
+
+    return cast_us(hourly.map_batches(flag, batch_format="pandas"), ["hour"]).sort(
+        ["event_type", "hour"]
+    )
+
+
+EVENTS_MAD_SQL = f"""
+WITH h AS (
+    SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+medsel AS (
+    SELECT event_type, cnt,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM h
+),
+med AS (
+    SELECT event_type, cnt AS med FROM medsel
+    WHERE rn = (500000 * n + 999999) // 1000000
+),
+dev AS (
+    SELECT h.event_type, h.hour, h.cnt, med.med, ABS(h.cnt - med.med) AS dv
+    FROM h JOIN med USING (event_type)
+),
+madsel AS (
+    SELECT event_type, dv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+),
+mad AS (
+    SELECT event_type, dv AS mad FROM madsel
+    WHERE rn = (500000 * n + 999999) // 1000000
+)
+SELECT dev.hour, dev.event_type, CAST(dev.cnt AS BIGINT) AS cnt,
+       CAST(dev.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+       CAST(CASE WHEN dev.dv > {MAD_SIGMA_X} * GREATEST(mad.mad, 1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM dev JOIN mad USING (event_type)
+ORDER BY dev.event_type, dev.hour
+"""

@@ -834,6 +834,23 @@ def _ngram_pagerank_query(sf_dir: str):
     return graph.docs_graph_triangles(sf_dir)
 
 
+def _hourly_mad_query(sf_dir: str):
+    """Hourly rollup AND the robust anomaly pass in one driver slot.
+    Forced gate: ``events_mad_anomaly`` (median + MAD over the hourly
+    counts via the grouped histogram-narrowing quantile kernel, integer
+    thresholds, 50%-breakdown-point robustness) stays fully hash-checked
+    via its in-query twin gate. RECORDED result: ``events_hourly``,
+    hash-checked as before."""
+    _assert_sql_twin(
+        "events_mad_anomaly",
+        events.events_mad_anomaly(sf_dir),
+        events.EVENTS_MAD_SQL,
+        sf_dir,
+        tables=("events",),
+    )
+    return events.events_hourly(sf_dir)
+
+
 # name → (fn, oracle_sql | None); EXACTLY 50 entries (driver record cap)
 REGISTRY: dict[str, tuple] = {
     # relational core (SQL-checked)
@@ -848,7 +865,7 @@ REGISTRY: dict[str, tuple] = {
     "q22_antijoin_nation": (_custbal_antijoin_query, relational.Q22_SQL),
     "part_type_revenue": (_supplier_parttype_query, relational.PART_TYPE_REVENUE_SQL),
     # event streams (SQL-checked)
-    "events_hourly": (events.events_hourly, events.EVENTS_HOURLY_SQL),
+    "events_hourly": (_hourly_mad_query, events.EVENTS_HOURLY_SQL),
     "events_funnel": (_sessionize_funnel_query, events.EVENTS_FUNNEL_SQL),
     "events_retention": (_props_retention_query, events.EVENTS_RETENTION_SQL),
     "events_bloom_semijoin": (_running_bloom_query, events.EVENTS_BLOOM_SQL),

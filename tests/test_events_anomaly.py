@@ -1,0 +1,62 @@
+"""MAD anomaly flags: DuckDB parity + planted-spike detection."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_extractors_ray.ops import events as ev
+
+
+def test_mad_matches_duckdb_twin(ray_session):
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eng = ev.events_mad_anomaly(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        ora = con.sql(ev.EVENTS_MAD_SQL).df()
+        pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+
+
+def _write_events(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+
+def test_mad_flags_planted_spike_and_resists_poisoning(ray_session, tmp_path):
+    """100 quiet hours at ~10 events, one 200-event spike: the spike is
+    flagged, the quiet hours are not — and because median/MAD have a 50%
+    breakdown point, adding 20 more spike hours (17% of the sample)
+    still cannot drag the threshold up to mask the original spike."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(100):
+        for i in range(10 + (h % 3)):  # 10-12 events/hour
+            rows.append((base + dt.timedelta(hours=h, minutes=i % 60), "click"))
+    for i in range(200):  # the spike hour
+        rows.append((base + dt.timedelta(hours=200, minutes=i % 60), "click"))
+    _write_events(tmp_path, rows)
+    got = ev.events_mad_anomaly(str(tmp_path)).to_pandas()
+    flagged = got[got["is_anomaly"] == 1]
+    assert len(flagged) == 1 and int(flagged["cnt"].iloc[0]) == 200
+    assert got["med"].iloc[0] in (10, 11, 12) and got["mad"].iloc[0] <= 2
+
+    # poison: 20 additional spike hours — still a minority, flags survive
+    for h in range(300, 320):
+        for i in range(200):
+            rows.append((base + dt.timedelta(hours=h, minutes=i % 60), "click"))
+    _write_events(tmp_path, rows)
+    got2 = ev.events_mad_anomaly(str(tmp_path)).to_pandas()
+    assert (got2.loc[got2["cnt"] >= 200, "is_anomaly"] == 1).all()
+    assert (got2.loc[got2["cnt"] <= 12, "is_anomaly"] == 0).all()
