@@ -89,6 +89,7 @@ OP_QUERIES = [
     "docs_lm_coverage",
     "emb_zorder",
     "events_mad_anomaly",
+    "transcript_conv_dedup",
 ]
 
 
@@ -155,6 +156,7 @@ def _op_extra():
         "docs_lm_coverage": _tx.docs_lm_coverage,
         "emb_zorder": _sm.emb_zorder,
         "events_mad_anomaly": _ev.events_mad_anomaly,
+        "transcript_conv_dedup": _transcript_conv_dedup_sf,
     }
 
 
@@ -163,6 +165,13 @@ def _transcript_hygiene_sf(sf_dir: str):
     from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
 
     return transcript_hygiene(transcripts_path_for_sf(sf_dir))
+
+
+def _transcript_conv_dedup_sf(sf_dir: str):
+    from pdf_extractors_ray.ops.transcript import transcript_conv_dedup
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    return transcript_conv_dedup(transcripts_path_for_sf(sf_dir))
 
 
 def _warm_cache(paths: list[str]) -> None:

@@ -125,3 +125,128 @@ FROM per ORDER BY conv_id
 def _md5_seq_hash(seq: str) -> int:
     """Reference single-string digest (tests): first 15 hex of md5."""
     return int(hashlib.md5(seq.encode("utf-8")).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# conversation-level exact dedup (order-sensitive full-transcript digest)
+
+
+CONV_SEP = "\x1f"  # unit separator: cannot appear in synthesized turn text
+
+
+def conv_digest_frame(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-conversation content digest for one co-located partition:
+    the FULL 128-bit md5 hex over the turn texts joined with
+    ``CONV_SEP`` in turn order — a string digest on purpose: it rides
+    exactly through joins (int64 digests truncated by the cogroup
+    join's null-interleaved float64 promotion), and 60-bit keys
+    birthday-collide at the 10^12-conversation scale this op targets
+    while 128 bits do not. Two conversations collide only if their
+    full turn sequences are byte-identical (the separator is absent
+    from turn text, FIXTURES.md; DuckDB mirror:
+    ``md5(string_agg(text, chr(31) ORDER BY turn_idx))``)."""
+    from ..stages.fold import conv_boundaries
+
+    if len(group) == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=object),
+                "conv_digest": pd.Series([], dtype=object),
+                "n_turns": pd.Series([], dtype=np.int64),
+            }
+        )
+    conv = np.asarray(group["conv_id"], dtype=object)
+    tidx = np.asarray(group["turn_idx"], dtype=np.int64)
+    text = np.asarray(group["text"], dtype=object)
+    order, bounds = conv_boundaries(conv, tidx)
+    cv, tx = conv[order], text[order]
+    n = len(bounds) - 1
+    conv_ids = np.empty(n, dtype=object)
+    digests = np.empty(n, dtype=object)
+    n_turns = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        conv_ids[i] = cv[lo]
+        seq = CONV_SEP.join("" if t is None else t for t in tx[lo:hi])
+        digests[i] = hashlib.md5(seq.encode("utf-8")).hexdigest()
+        n_turns[i] = hi - lo
+    return pd.DataFrame(
+        {
+            "conv_id": conv_ids,
+            "conv_digest": digests,
+            "n_turns": n_turns,
+        }
+    )
+
+
+def transcript_conv_dedup(path: str, n_parts: int | None = None):
+    """Exact duplicate-CONVERSATION detection: order-sensitive full-text
+    digest per conversation → group by digest → representative = minimum
+    conv_id → Dataset(conv_id, conv_digest, rep_conv_id, is_dup), sorted
+    by conv_id.
+
+    The transcript-corpus twin of ``exact_dedup`` over documents, with
+    the digest doing what per-doc md5 cannot: two conversations whose
+    turns arrive in different physical orders but restore to the same
+    logical sequence dedup together, while a turn swap keeps them apart.
+    Shape: the fold exchange (part_id co-location) builds digests; one
+    digest-bucketed grouped MIN picks representatives; a cogroup join
+    broadcasts nothing and ships only (digest, rep) pairs — all
+    conversation-cardinality."""
+    from ..sources.transcripts import read_transcripts
+    from ..stages.fold import _default_n_parts
+    from ..state.lineage import append_part_id
+    from .common import bucketed_group_agg, cogroup_join
+
+    n_parts = n_parts or _default_n_parts()
+    ds = read_transcripts(path, columns=["conv_id", "turn_idx", "text"])
+    ds = ds.map_batches(
+        lambda b: append_part_id(b, n_parts), batch_format="pyarrow", zero_copy_batch=True
+    )
+    digests = ds.groupby("part_id").map_groups(
+        conv_digest_frame, batch_format="pandas"
+    ).materialize()  # conversation-cardinality; read by both sides of the join
+
+    reps = bucketed_group_agg(
+        digests.map_batches(
+            lambda b: pd.DataFrame(
+                {"conv_digest": b["conv_digest"].astype(object),
+                 "rep_conv_id": b["conv_id"].astype(object)}
+            ),
+            batch_format="pandas",
+        ),
+        ["conv_digest"],
+        {"rep_conv_id": "min"},
+    )
+    joined = cogroup_join(
+        digests, reps, "conv_digest", "conv_digest",
+        ["conv_id", "conv_digest"], ["rep_conv_id"],
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"].astype(object),
+                "conv_digest": batch["conv_digest"].astype(object),
+                "rep_conv_id": batch["rep_conv_id"].astype(object),
+                "is_dup": (batch["conv_id"] != batch["rep_conv_id"]).astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas").sort("conv_id")
+
+
+def transcript_conv_dedup_sql(path: str) -> str:
+    return f"""
+WITH d AS (
+    SELECT conv_id,
+           md5(string_agg(COALESCE(text, ''), chr(31) ORDER BY turn_idx)) AS conv_digest
+    FROM read_parquet('{path}/*.parquet')
+    GROUP BY conv_id
+),
+r AS (SELECT conv_digest, MIN(conv_id) AS rep_conv_id FROM d GROUP BY conv_digest)
+SELECT d.conv_id, d.conv_digest, r.rep_conv_id,
+       CAST(CASE WHEN d.conv_id != r.rep_conv_id THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM d JOIN r USING (conv_digest)
+ORDER BY d.conv_id
+"""

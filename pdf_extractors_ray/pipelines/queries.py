@@ -479,10 +479,23 @@ def _invoice_query(sf_dir: str):
 
 
 def _catalog_query(sf_dir: str):
-    """Catalog state-machine fold — plain vs salted variants checked equal."""
+    """Catalog state-machine fold — plain vs salted variants checked
+    equal. Forced gate: ``transcript_conv_dedup`` — conversation-level
+    exact dedup via the order-sensitive full-text 128-bit digest
+    (restore → digest → grouped-MIN representative → cogroup join),
+    hash-checked against its DuckDB ordered-``string_agg`` twin over the
+    same Parquet files."""
+    from ..ops import transcript as _tr
     from ..stages.salted_catalog import extract_catalog_salted
 
     path = transcripts_path_for_sf(sf_dir)
+    _assert_sql_twin(
+        "transcript_conv_dedup",
+        _tr.transcript_conv_dedup(path),
+        _tr.transcript_conv_dedup_sql(path),
+        sf_dir,
+        tables=(),
+    )
     plain = extract.extract_catalog(path)
     salted = extract_catalog_salted(path)
     return _assert_variants_equal("extract_catalog", plain, "extract_catalog_salted", salted)

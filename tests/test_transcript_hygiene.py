@@ -63,3 +63,53 @@ def test_hygiene_arrival_order_invariance():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# conversation-level exact dedup
+# ---------------------------------------------------------------------------
+
+
+def test_conv_dedup_matches_duckdb_twin(ray_session):
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    p = transcripts_path_for_sf("/root/testdata/sf0.001")
+    eng = tr.transcript_conv_dedup(p).to_pandas().reset_index(drop=True)
+    ora = duckdb.sql(tr.transcript_conv_dedup_sql(p)).df()
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+
+
+def test_conv_dedup_planted_duplicates(ray_session, tmp_path):
+    """Three logical copies of one conversation written in three
+    DIFFERENT physical row orders dedup together; a fourth with two
+    turns swapped stays distinct; unrelated convs untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    turns = ["hello", "hi there", "bye"]
+    rows = []
+    for cid, order in (("a-1", [0, 1, 2]), ("a-2", [2, 0, 1]), ("a-3", [1, 2, 0])):
+        for ti in order:
+            rows.append((cid, ti, turns[ti]))
+    rows += [("b-swap", 0, turns[1]), ("b-swap", 1, turns[0]), ("b-swap", 2, turns[2])]
+    rows += [("c-other", 0, "unrelated")]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows)),
+            "text": pa.array([r[2] for r in rows]),
+            "tool": pa.array(["t"] * len(rows)),
+            "ts": pa.array([1000 * i for i in range(len(rows))], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "part-0.parquet")
+    got = tr.transcript_conv_dedup(str(tmp_path)).to_pandas().set_index("conv_id")
+    assert got.loc["a-1", "is_dup"] == 0 and got.loc["a-1", "rep_conv_id"] == "a-1"
+    for cid in ("a-2", "a-3"):
+        assert got.loc[cid, "is_dup"] == 1 and got.loc[cid, "rep_conv_id"] == "a-1"
+    assert got.loc["b-swap", "is_dup"] == 0  # order-sensitive: swap ≠ dup
+    assert got.loc["c-other", "is_dup"] == 0
+    # twin agrees on the planted corpus too
+    ora = duckdb.sql(tr.transcript_conv_dedup_sql(str(tmp_path))).df().set_index("conv_id")
+    assert (ora["is_dup"] == got["is_dup"].reindex(ora.index)).all()
