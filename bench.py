@@ -90,6 +90,7 @@ OP_QUERIES = [
     "emb_zorder",
     "events_mad_anomaly",
     "transcript_conv_dedup",
+    "docs_source_percentile",
 ]
 
 
@@ -157,6 +158,7 @@ def _op_extra():
         "emb_zorder": _sm.emb_zorder,
         "events_mad_anomaly": _ev.events_mad_anomaly,
         "transcript_conv_dedup": _transcript_conv_dedup_sf,
+        "docs_source_percentile": _cu.docs_source_percentile,
     }
 
 

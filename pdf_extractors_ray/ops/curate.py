@@ -1614,3 +1614,122 @@ FROM w
 ORDER BY priority, doc_id
 LIMIT {PRIORITY_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source percentile normalization (cross-source quality calibration)
+
+
+_SCORE_SQL = """CAST(FLOOR(
+    len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to')))::DOUBLE
+    / GREATEST(len(string_split(text, ' ')), 1) * 1000000 + 0.5) AS BIGINT)"""
+
+
+def docs_source_percentile(sf_dir: str):
+    """Per-SOURCE percentile rank of each document's quality score —
+    the calibration step that makes quality thresholds comparable across
+    heterogeneous sources (a web crawl's p50 and a books corpus's p50
+    sit at very different raw ratios, so "drop the worst decile" must be
+    a within-source statement). ``pctl_ppm = strict_below · 1e6 //
+    n_source`` with strict_below = docs in the same source with a
+    strictly lower score — identical to SQL ``RANK() − 1`` partitioned
+    by source, which is what the twin uses.
+
+    Scale shape — no per-group sort, no corpus-sized exchange:
+
+    1. one corpus pass renders (doc_id, source, score) — score is the
+       shared stopword-ratio ppm (``text.stop_ratio_ppm_kernel``),
+    2. the (source, score) histogram rolls up via bucketed sums — the
+       score domain is bounded (ppm ∈ [0, 1e6]), so this is ≤ |sources|
+       × 1e6 rows regardless of corpus size (the same bounded-domain
+       argument ``docs_quality_rank`` rests on),
+    3. the driver computes per-source exclusive prefix sums over the
+       ≤1e6-row histogram (the distributed prefix-offset shape of
+       ``events_running_total``, degenerate here because the reduced
+       table is domain-bounded),
+    4. below-counts ship BACK by a hash-bucketed cogroup join on the
+       composite (source, score) key — never broadcast: at |sources| ×
+       1e6 entries the map is megabytes today but source-count scales
+       with corpus curation, and the join is free next to the render
+       pass."""
+    from .common import bucketed_group_agg, cogroup_join, grouped_sums
+    from .text import stop_ratio_ppm_kernel
+
+    SEP = "\x1f"
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "source": batch["source"].to_numpy(dtype=object),
+                "q": stop_ratio_ppm_kernel(batch["text"]),
+            }
+        )
+
+    keys = _docs(sf_dir, columns=["doc_id", "source", "text"]).map_batches(
+        keyed, batch_format="pandas"
+    ).materialize()  # 3 narrow columns; read by histogram + join passes
+
+    hist = (
+        grouped_sums(keys, ["source", "q"], [], count_alias="n")
+        .to_pandas()
+        .sort_values(["source", "q"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    grp = hist.groupby("source", sort=False)
+    hist["below"] = grp["n"].cumsum() - hist["n"]
+    hist["n_source"] = grp["n"].transform("sum").astype(np.int64)
+    below = pd.DataFrame(
+        {
+            "sk": hist["source"].str.cat(hist["q"].astype(str), sep=SEP).to_numpy(object),
+            "below": hist["below"].astype(np.int64),
+            "n_source": hist["n_source"].astype(np.int64),
+        }
+    )
+
+    import ray.data
+
+    joined = cogroup_join(
+        keys.map_batches(
+            lambda b: b.assign(
+                sk=b["source"].str.cat(b["q"].astype(str), sep=SEP).astype(object)
+            ),
+            batch_format="pandas",
+        ),
+        ray.data.from_pandas(below),
+        "sk",
+        "sk",
+        ["doc_id", "source", "q"],
+        ["below", "n_source"],
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        bl = batch["below"].astype(np.int64).to_numpy()
+        ns = batch["n_source"].astype(np.int64).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "source": batch["source"].astype(object),
+                "q": batch["q"].astype(np.int64),
+                "below": bl,
+                "n_source": ns,
+                "pctl_ppm": (bl * 1_000_000) // np.maximum(ns, 1),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
+DOCS_SOURCE_PCTL_SQL = f"""
+WITH q AS (SELECT doc_id, source, {_SCORE_SQL} AS q FROM documents),
+per AS (
+    SELECT doc_id, source, q,
+           COUNT(*) OVER (PARTITION BY source) AS n_source,
+           RANK() OVER (PARTITION BY source ORDER BY q) - 1 AS below
+    FROM q
+)
+SELECT doc_id, source, CAST(q AS BIGINT) AS q, CAST(below AS BIGINT) AS below,
+       CAST(n_source AS BIGINT) AS n_source,
+       CAST((below * 1000000) // n_source AS BIGINT) AS pctl_ppm
+FROM per ORDER BY doc_id
+"""

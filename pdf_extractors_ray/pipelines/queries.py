@@ -230,9 +230,11 @@ def _exact_line_span_dedup_query(sf_dir: str):
 
 def _langid_decon_curation_query(sf_dir: str):
     """The composed curation pipeline AND benchmark decontamination AND
-    language-ID in one driver slot. Forced gates: ``docs_langid`` and
-    ``docs_decontaminate`` stay fully hash-checked via in-query twin
-    gates. RECORDED result: ``docs_curation_pipeline`` — quality filter →
+    language-ID AND per-source quality calibration in one driver slot.
+    Forced gates: ``docs_langid``, ``docs_decontaminate`` and
+    ``docs_source_percentile`` (within-source percentile normalization
+    via the bounded-domain histogram prefix sum + cogroup join-back)
+    stay fully hash-checked via in-query twin gates. RECORDED result: ``docs_curation_pipeline`` — quality filter →
     opening-fingerprint dedup → LangId tag → split → (pred_lang, split)
     token accounting, fused into one streaming DAG with a single
     corpus-bearing shuffle, pinned to a composed DuckDB twin."""
@@ -241,6 +243,12 @@ def _langid_decon_curation_query(sf_dir: str):
         "docs_decontaminate",
         curate.docs_decontaminate(sf_dir),
         curate.DOCS_DECONTAMINATE_SQL,
+        sf_dir,
+    )
+    _assert_sql_twin(
+        "docs_source_percentile",
+        curate.docs_source_percentile(sf_dir),
+        curate.DOCS_SOURCE_PCTL_SQL,
         sf_dir,
     )
     return curate.docs_curation_pipeline(sf_dir)

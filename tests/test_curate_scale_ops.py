@@ -1212,3 +1212,41 @@ def test_lm_coverage_discriminates_rare_bigrams(ray_session, tmp_path):
         assert got.loc[i, "coverage_ppm"] == 333_333
     assert got.loc[8, "coverage_ppm"] == 1_000_000 and got.loc[8, "n_bigrams"] == 0
     assert got.loc[9, "coverage_ppm"] == 1_000_000 and got.loc[9, "n_bigrams"] == 0
+
+
+# ---------------------------------------------------------------------------
+# per-source percentile calibration
+# ---------------------------------------------------------------------------
+
+
+def test_source_percentile_matches_duckdb_twin(ray_session):
+    import duckdb
+
+    from pdf_extractors_ray.ops import curate as cu
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eng = cu.docs_source_percentile(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        ora = con.sql(cu.DOCS_SOURCE_PCTL_SQL).df()
+        pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+
+
+def test_source_percentile_semantics_bruteforce(ray_session):
+    """Within every source: below == strict-below count (ties share a
+    rank), pctl monotone in score, 0 for each source's minimum."""
+    from pdf_extractors_ray.ops import curate as cu
+
+    got = cu.docs_source_percentile("/root/testdata/sf0.001").to_pandas()
+    for src, g in got.groupby("source"):
+        q = g["q"].to_numpy()
+        for row in g.itertuples():
+            assert row.below == int((q < row.q).sum())
+            assert row.n_source == len(g)
+        gm = g.sort_values("q")
+        assert gm["below"].iloc[0] == 0
+        assert (np.diff(gm["pctl_ppm"].to_numpy()) >= 0).all()
+    # calibration property: every source's minimum normalizes to 0 even
+    # though raw score floors differ across sources
+    mins = got.groupby("source")["pctl_ppm"].min()
+    assert (mins == 0).all()
