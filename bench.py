@@ -91,6 +91,7 @@ OP_QUERIES = [
     "events_mad_anomaly",
     "transcript_conv_dedup",
     "docs_source_percentile",
+    "emb_ann_recall",
 ]
 
 
@@ -159,6 +160,7 @@ def _op_extra():
         "events_mad_anomaly": _ev.events_mad_anomaly,
         "transcript_conv_dedup": _transcript_conv_dedup_sf,
         "docs_source_percentile": _cu.docs_source_percentile,
+        "emb_ann_recall": _sm.emb_ann_recall,
     }
 
 

@@ -1318,3 +1318,65 @@ SELECT vec_id, CAST(zkey AS BIGINT) AS zkey,
        CAST(zkey >> {ZORDER_BUCKET_SHIFT} AS BIGINT) AS zbucket
 FROM z ORDER BY zkey, vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH search vs exact KNN
+
+
+def emb_ann_recall(sf_dir: str, k: int = 5, n_queries: int = 10):
+    """Recall@k of the LSH-bucketed ANN search against the exact
+    brute-force top-k — retrieval-quality evaluation AS a pipeline, the
+    loop every production ANN deployment runs before trading exactness
+    for sublinear search. Both result sets are (n_queries × k)-bounded
+    BY CONSTRUCTION at any corpus size (the corpus-scale work happens
+    inside the two underlying ops), so the hit join is a driver-side
+    merge over parameter-sized frames — this is the documented
+    small-result exception, not a corpus materialization.
+
+    ``recall_ppm = n_hit · 1e6 // n_exact`` per query; queries whose LSH
+    bucket surfaced nothing count 0. Bit-exact in DuckDB
+    (``EMB_ANN_RECALL_SQL`` composes the two ops' own twins)."""
+    exact = knn_bruteforce(sf_dir, k=k, n_queries=n_queries).to_pandas()
+    approx = ann_lsh(sf_dir, k=k, n_queries=n_queries).to_pandas()
+    hits = exact.merge(approx[["query_id", "vec_id"]], on=["query_id", "vec_id"])
+    per = (
+        exact.groupby("query_id")
+        .size()
+        .rename("n_exact")
+        .to_frame()
+        .join(approx.groupby("query_id").size().rename("n_approx"))
+        .join(hits.groupby("query_id").size().rename("n_hit"))
+        .fillna(0)
+        .astype(np.int64)
+        .reset_index()
+    )
+    per["recall_ppm"] = (per["n_hit"] * 1_000_000) // np.maximum(per["n_exact"], 1)
+    per = per.sort_values("query_id").reset_index(drop=True)
+
+    import ray.data
+
+    return ray.data.from_pandas(per)
+
+
+EMB_ANN_RECALL_SQL = f"""
+WITH exact AS ({KNN_SQL}),
+approx AS ({ANN_LSH_SQL}),
+hit AS (
+    SELECT exact.query_id, COUNT(*) AS n_hit
+    FROM exact JOIN approx USING (query_id, vec_id)
+    GROUP BY exact.query_id
+),
+per AS (
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           (SELECT COUNT(*) FROM approx a WHERE a.query_id = e.query_id) AS n_approx,
+           COALESCE(MIN(hit.n_hit), 0) AS n_hit
+    FROM exact e LEFT JOIN hit ON hit.query_id = e.query_id
+    GROUP BY e.query_id
+)
+SELECT query_id, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_approx AS BIGINT) AS n_approx, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST((n_hit * 1000000) // GREATEST(n_exact, 1) AS BIGINT) AS recall_ppm
+FROM per ORDER BY query_id
+"""

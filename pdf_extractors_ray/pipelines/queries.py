@@ -674,6 +674,13 @@ def _ann_methods_query(sf_dir: str):
         sf_dir,
         tables=("embeddings",),
     )
+    _assert_sql_twin(
+        "emb_ann_recall",
+        similarity.emb_ann_recall(sf_dir),
+        similarity.EMB_ANN_RECALL_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
     ivf = similarity.ivf_knn(sf_dir)
     if set(ivf.schema().names) != {"query_id", "vec_id", "sim_ppm", "rank"}:
         raise RuntimeError(f"ivf_knn schema: {ivf.schema().names}")

@@ -782,3 +782,36 @@ def test_zorder_bucket_locality_bound():
     far = np.array([[0, 0, 0], [1023, 1023, 1023]], dtype=np.int64)
     fz = sm.zorder_key(far) >> sm.ZORDER_BUCKET_SHIFT
     assert fz[0] != fz[1]
+
+
+def test_ann_recall_matches_duckdb_twin(ray_session):
+    import duckdb
+
+    from pdf_extractors_ray.ops import similarity as sm
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eng = sm.emb_ann_recall(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+        ora = con.sql(sm.EMB_ANN_RECALL_SQL).df()
+        pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+        # recall invariants: bounded, hits within both result sets
+        assert (eng["recall_ppm"].between(0, 1_000_000)).all()
+        assert (eng["n_hit"] <= np.minimum(eng["n_exact"], eng["n_approx"])).all()
+        assert len(eng) == 10  # one row per query, bucket-empty queries included
+
+
+def test_ann_recall_against_recomputation(ray_session):
+    """The recall join recomputed naively from the two ops' own outputs
+    (set intersection per query) must agree with the op."""
+    from pdf_extractors_ray.ops import similarity as sm
+
+    sf = "/root/testdata/sf0.001"
+    exact = sm.knn_bruteforce(sf).to_pandas()
+    approx = sm.ann_lsh(sf).to_pandas()
+    got = sm.emb_ann_recall(sf).to_pandas().set_index("query_id")
+    for qid, g in exact.groupby("query_id"):
+        a = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        e = set(g["vec_id"])
+        assert got.loc[qid, "n_hit"] == len(a & e)
+        assert got.loc[qid, "recall_ppm"] == len(a & e) * 1_000_000 // len(e)
