@@ -92,6 +92,7 @@ OP_QUERIES = [
     "transcript_conv_dedup",
     "docs_source_percentile",
     "emb_ann_recall",
+    "events_hll_by_type",
 ]
 
 
@@ -161,6 +162,7 @@ def _op_extra():
         "transcript_conv_dedup": _transcript_conv_dedup_sf,
         "docs_source_percentile": _cu.docs_source_percentile,
         "emb_ann_recall": _sm.emb_ann_recall,
+        "events_hll_by_type": _ev.events_hll_by_type,
     }
 
 

@@ -1283,3 +1283,88 @@ SELECT dev.hour, dev.event_type, CAST(dev.cnt AS BIGINT) AS cnt,
 FROM dev JOIN mad USING (event_type)
 ORDER BY dev.event_type, dev.hour
 """
+
+
+def events_hll_by_type(sf_dir: str):
+    """Per-event-type approximate distinct users — the grouped HLL:
+    partials key registers by (event_type, register), the combine stays
+    one bucketed grouped MAX, and each type's 256-register slice feeds
+    the same closed-form integer estimate as the global sketch. The
+    per-key cardinality rollup (distinct users per product surface /
+    per day / per cohort) that exact DISTINCT makes corpus-priced and
+    the sketch makes |keys|·m-priced. Bit-exact DuckDB twin
+    (``EVENTS_HLL_BY_TYPE_SQL``)."""
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+    from .common import bucketed_group_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for et, g in batch.groupby("event_type", sort=False):
+            p = hll_partial(g)
+            p.insert(0, "event_type", et)
+            frames.append(p)
+        return pd.concat(frames, ignore_index=True)
+
+    regs = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "register"],
+        {"max_rho": "max"},
+    ).to_pandas()
+
+    rows = []
+    for et, g in regs.groupby("event_type", sort=True):
+        merged = dict(zip(g["register"].astype(int), g["max_rho"].astype(int)))
+        v, s, est = hll_estimate(merged)
+        rows.append((et, v, s, est))
+    out = pd.DataFrame(rows, columns=["event_type", "v_nonzero", "s_scaled", "estimate"])
+    out[["v_nonzero", "s_scaled", "estimate"]] = out[
+        ["v_nonzero", "s_scaled", "estimate"]
+    ].astype(np.int64)
+
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+EVENTS_HLL_BY_TYPE_SQL = f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+),
+rr AS (
+    SELECT event_type, hv % {HLL_M} AS register,
+           CASE WHEN hv // {HLL_M} = 0 THEN {HLL_RHO_CAP}
+                ELSE bit_count(((hv // {HLL_M}) & -(hv // {HLL_M})) - 1) + 1 END AS rho
+    FROM h
+),
+regs AS (
+    SELECT event_type, register, MAX(rho) AS max_rho FROM rr GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events),
+filled AS (
+    SELECT t.event_type, gs.j AS register, COALESCE(regs.max_rho, 0) AS max_rho
+    FROM types t CROSS JOIN generate_series(0, {HLL_M - 1}) gs(j)
+    LEFT JOIN regs ON regs.event_type = t.event_type AND regs.register = gs.j
+),
+agg AS (
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE max_rho > 0) AS v_nonzero,
+           SUM(CAST(1 AS HUGEINT) << ({HLL_RHO_CAP} - max_rho)) AS s_scaled
+    FROM filled GROUP BY event_type
+),
+est AS (
+    SELECT event_type, v_nonzero, s_scaled,
+           (CAST({HLL_ALPHA_PPM} AS HUGEINT) * {HLL_M} * {HLL_M} * (CAST(1 AS HUGEINT) << {HLL_RHO_CAP}))
+               // (s_scaled * 1000000) AS raw
+    FROM agg
+)
+SELECT event_type,
+       CAST(v_nonzero AS BIGINT) AS v_nonzero,
+       CAST(s_scaled AS BIGINT) AS s_scaled,
+       CAST(CASE WHEN raw <= {(5 * HLL_M) // 2} AND v_nonzero < {HLL_M}
+                 THEN ({HLL_M} * (SELECT ppm FROM (VALUES {_hll_ln_values_sql()}) ln(vz, ppm)
+                                  WHERE vz = {HLL_M} - v_nonzero)) // 1000000
+                 ELSE raw END AS BIGINT) AS estimate
+FROM est ORDER BY event_type
+"""

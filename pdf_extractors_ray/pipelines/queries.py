@@ -714,6 +714,13 @@ def _distinct_kmv_query(sf_dir: str):
         sf_dir,
         tables=("events",),
     )
+    _assert_sql_twin(
+        "events_hll_by_type",
+        events.events_hll_by_type(sf_dir),
+        events.EVENTS_HLL_BY_TYPE_SQL,
+        sf_dir,
+        tables=("events",),
+    )
     exact_ds = relational.events_distinct_users(sf_dir)
     sketch = events.events_kmv_distinct(sf_dir).to_pandas()
     est, n_kept = int(sketch["estimate"][0]), int(sketch["n_kept"][0])

@@ -493,3 +493,22 @@ def test_cms_theorem_bound_under_forced_collisions():
                 assert cnt <= est <= cnt + (n_total - cnt), (tok, cnt, est)
 
     run()
+
+
+def test_hll_by_type_matches_duckdb_twin_and_accuracy(ray_session):
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eng = ev.events_hll_by_type(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        ora = con.sql(ev.EVENTS_HLL_BY_TYPE_SQL).df()
+        pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+        exact = con.sql(
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events GROUP BY 1 ORDER BY 1"
+        ).df()
+        merged = eng.merge(exact, on="event_type")
+        # every type's estimate within the HLL envelope (4 sigma, floor 3)
+        sigma = 1.04 / np.sqrt(ev.HLL_M)
+        err_ok = (merged["estimate"] - merged["n"]).abs() <= np.maximum(
+            4 * sigma * merged["n"], 3
+        )
+        assert err_ok.all(), merged
