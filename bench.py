@@ -93,6 +93,7 @@ OP_QUERIES = [
     "docs_source_percentile",
     "emb_ann_recall",
     "events_hll_by_type",
+    "transcript_context_tails",
 ]
 
 
@@ -163,6 +164,7 @@ def _op_extra():
         "docs_source_percentile": _cu.docs_source_percentile,
         "emb_ann_recall": _sm.emb_ann_recall,
         "events_hll_by_type": _ev.events_hll_by_type,
+        "transcript_context_tails": _transcript_context_tails_sf,
     }
 
 
@@ -178,6 +180,13 @@ def _transcript_conv_dedup_sf(sf_dir: str):
     from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
 
     return transcript_conv_dedup(transcripts_path_for_sf(sf_dir))
+
+
+def _transcript_context_tails_sf(sf_dir: str):
+    from pdf_extractors_ray.ops.transcript import transcript_context_tails
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    return transcript_context_tails(transcripts_path_for_sf(sf_dir))
 
 
 def _warm_cache(paths: list[str]) -> None:

@@ -250,3 +250,88 @@ SELECT d.conv_id, d.conv_digest, r.rep_conv_id,
 FROM d JOIN r USING (conv_digest)
 ORDER BY d.conv_id
 """
+
+
+# ---------------------------------------------------------------------------
+# context-tail assembly (last-K turns rendered per conversation)
+
+
+CTX_TAIL_K = 4
+
+
+def context_tail_frame(group: pd.DataFrame, k: int = CTX_TAIL_K) -> pd.DataFrame:
+    """Per-conversation rendered tail for one co-located partition: the
+    last ``k`` turns in restored order, rendered ``role: text`` and
+    newline-joined — the context-window assembly an inference or
+    eval-harness pipeline runs per conversation."""
+    from ..stages.fold import conv_boundaries
+
+    if len(group) == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=object),
+                "n_turns": pd.Series([], dtype=np.int64),
+                "n_ctx": pd.Series([], dtype=np.int64),
+                "context": pd.Series([], dtype=object),
+            }
+        )
+    conv = np.asarray(group["conv_id"], dtype=object)
+    tidx = np.asarray(group["turn_idx"], dtype=np.int64)
+    role = np.asarray(group["role"], dtype=object)
+    text = np.asarray(group["text"], dtype=object)
+    order, bounds = conv_boundaries(conv, tidx)
+    cv, rl, tx = conv[order], role[order], text[order]
+    n = len(bounds) - 1
+    conv_ids = np.empty(n, dtype=object)
+    n_turns = np.empty(n, dtype=np.int64)
+    n_ctx = np.empty(n, dtype=np.int64)
+    ctx = np.empty(n, dtype=object)
+    for i in range(n):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        s = max(lo, hi - k)
+        conv_ids[i] = cv[lo]
+        n_turns[i] = hi - lo
+        n_ctx[i] = hi - s
+        ctx[i] = "\n".join(
+            f"{rl[j]}: {'' if tx[j] is None else tx[j]}" for j in range(s, hi)
+        )
+    return pd.DataFrame(
+        {"conv_id": conv_ids, "n_turns": n_turns, "n_ctx": n_ctx, "context": ctx}
+    )
+
+
+def transcript_context_tails(path: str, n_parts: int | None = None):
+    """Rendered last-``CTX_TAIL_K``-turn context per conversation →
+    Dataset(conv_id, n_turns, n_ctx, context), sorted by conv_id. Same
+    one-exchange fold co-location as the other transcript ops; output is
+    conversation-cardinality with k-turn-bounded strings."""
+    from ..sources.transcripts import read_transcripts
+    from ..stages.fold import _default_n_parts
+    from ..state.lineage import append_part_id
+
+    n_parts = n_parts or _default_n_parts()
+    ds = read_transcripts(path, columns=["conv_id", "turn_idx", "role", "text"])
+    ds = ds.map_batches(
+        lambda b: append_part_id(b, n_parts), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        ds.groupby("part_id")
+        .map_groups(context_tail_frame, batch_format="pandas")
+        .sort("conv_id")
+    )
+
+
+def transcript_context_tails_sql(path: str, k: int = CTX_TAIL_K) -> str:
+    return f"""
+WITH t AS (
+    SELECT conv_id, turn_idx, role, text,
+           COUNT(*) OVER (PARTITION BY conv_id) AS n,
+           ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+    FROM read_parquet('{path}/*.parquet')
+)
+SELECT conv_id, CAST(MIN(n) AS BIGINT) AS n_turns,
+       CAST(COUNT(*) AS BIGINT) AS n_ctx,
+       string_agg(role || ': ' || COALESCE(text, ''), chr(10) ORDER BY turn_idx) AS context
+FROM t WHERE rn > n - {k}
+GROUP BY conv_id ORDER BY conv_id
+"""

@@ -511,8 +511,20 @@ def _catalog_query(sf_dir: str):
 
 def _layout_query(sf_dir: str):
     """Layout binning — grouped fold vs header-broadcast variants checked
-    equal (ST4's two scale regimes)."""
+    equal (ST4's two scale regimes). Forced gate:
+    ``transcript_context_tails`` — the last-K-turn rendered context
+    assembly (ordered tail slice per conversation), hash-checked against
+    its DuckDB windowed ``string_agg`` twin over the same Parquet."""
+    from ..ops import transcript as _tr
+
     path = transcripts_path_for_sf(sf_dir)
+    _assert_sql_twin(
+        "transcript_context_tails",
+        _tr.transcript_context_tails(path),
+        _tr.transcript_context_tails_sql(path),
+        sf_dir,
+        tables=(),
+    )
     grouped = extract.extract_layout(path)
     broadcast = extract.extract_layout_broadcast(path)
     return _assert_variants_equal("extract_layout", grouped, "extract_layout_broadcast", broadcast)

@@ -113,3 +113,36 @@ def test_conv_dedup_planted_duplicates(ray_session, tmp_path):
     # twin agrees on the planted corpus too
     ora = duckdb.sql(tr.transcript_conv_dedup_sql(str(tmp_path))).df().set_index("conv_id")
     assert (ora["is_dup"] == got["is_dup"].reindex(ora.index)).all()
+
+
+# ---------------------------------------------------------------------------
+# context-tail assembly
+# ---------------------------------------------------------------------------
+
+
+def test_context_tails_match_duckdb_twin(ray_session):
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    p = transcripts_path_for_sf("/root/testdata/sf0.001")
+    eng = tr.transcript_context_tails(p).to_pandas().reset_index(drop=True)
+    ora = duckdb.sql(tr.transcript_context_tails_sql(p)).df()
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+    assert (eng["n_ctx"] <= tr.CTX_TAIL_K).all()
+    assert (eng["n_ctx"] == np.minimum(eng["n_turns"], tr.CTX_TAIL_K)).all()
+
+
+def test_context_tails_semantics():
+    """Hand-built conv: tail is the LAST k turns in turn order, rendered
+    role: text — and short convs keep everything."""
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 6 + ["d"],
+            "turn_idx": np.array([5, 0, 2, 4, 1, 3, 0], dtype=np.int64),
+            "role": ["assistant", "user", "user", "tool", "assistant", "user", "user"],
+            "text": ["f", "a", "c", "e", "b", "d", "solo"],
+        }
+    )
+    got = tr.context_tail_frame(df).set_index("conv_id")
+    assert got.loc["c", "context"] == "user: c\nuser: d\ntool: e\nassistant: f"
+    assert got.loc["c", "n_ctx"] == 4 and got.loc["c", "n_turns"] == 6
+    assert got.loc["d", "context"] == "user: solo" and got.loc["d", "n_ctx"] == 1
