@@ -94,6 +94,7 @@ OP_QUERIES = [
     "emb_ann_recall",
     "events_hll_by_type",
     "transcript_context_tails",
+    "docs_winnow_fingerprints",
 ]
 
 
@@ -165,6 +166,7 @@ def _op_extra():
         "emb_ann_recall": _sm.emb_ann_recall,
         "events_hll_by_type": _ev.events_hll_by_type,
         "transcript_context_tails": _transcript_context_tails_sf,
+        "docs_winnow_fingerprints": _dd.docs_winnow_fingerprints,
     }
 
 

@@ -1002,3 +1002,101 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
         )
 
     return out.map_batches(project, batch_format="pandas").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS): guaranteed-detection sparse gram selection
+
+
+WINNOW_K = 5  # tokens per gram
+WINNOW_W = 4  # window of consecutive gram hashes per selection
+
+
+def winnow_select(h: np.ndarray, w: int = WINNOW_W) -> np.ndarray:
+    """Selected positions for one document's gram-hash sequence: the
+    RIGHTMOST minimal hash of every length-``w`` window (the standard
+    winnowing tie rule), deduplicated. Guarantee (Schleimer-Wilkerson-
+    Aiken): any shared token run of length ≥ w + k − 1 yields at least
+    one shared selected fingerprint."""
+    n = len(h)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n <= w:
+        rev = h[::-1]
+        return np.array([n - 1 - int(np.argmin(rev))], dtype=np.int64)
+    wins = np.lib.stride_tricks.sliding_window_view(h, w)
+    rev = wins[:, ::-1]
+    sel = (w - 1 - np.argmin(rev, axis=1)) + np.arange(len(wins), dtype=np.int64)
+    return np.unique(sel.astype(np.int64))
+
+
+def docs_winnow_fingerprints(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Winnowed document fingerprints: token ``k``-gram md5 hashes,
+    sparsified by rightmost-min selection over every ``w`` consecutive
+    grams → Dataset(doc_id, pos, gram_hash), sorted.
+
+    The MOSS selection layer the full-window ops (``docs_dup_span_stats``)
+    don't have: storage/exchange drops to ~2/(w+1) of the gram stream
+    while any match of length ≥ w+k−1 tokens is still guaranteed to
+    surface — the index you actually persist at 100 TB. Derivation is
+    MAP-ONLY (per-doc numpy window argmin); the terminal sort is the
+    output contract. Hash is the shared md5-hash15 construct, so the
+    DuckDB twin replays selection exactly (windowed ROW_NUMBER with the
+    (hash ASC, pos DESC) tie rule)."""
+    from .common import _default_buckets  # noqa: F401  (family consistency)
+    from .text import _md5_hash15_str
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        doc_out, pos_out, hash_out = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_numpy(np.int64), batch["text"]):
+            toks = text.split(" ")
+            n = len(toks) - k + 1
+            if n <= 0:
+                continue
+            grams = [" ".join(toks[i : i + k]) for i in range(n)]
+            h = _md5_hash15_str(grams, "win:")
+            sel = winnow_select(h, w)
+            doc_out.extend([doc_id] * len(sel))
+            pos_out.extend(int(p) for p in sel)
+            hash_out.extend(int(h[p]) for p in sel)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(doc_out, dtype=np.int64),
+                "pos": np.array(pos_out, dtype=np.int64),
+                "gram_hash": np.array(hash_out, dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pandas").sort(["doc_id", "pos"])
+
+
+DOCS_WINNOW_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+    SELECT doc_id, gs.i - 1 AS pos,
+           ('0x' || substr(md5('win:' || array_to_string(toks[gs.i:gs.i + {WINNOW_K} - 1], ' ')), 1, 15))::BIGINT AS h,
+           len(toks) - {WINNOW_K} + 1 AS n_grams
+    FROM t, LATERAL UNNEST(generate_series(1, len(toks) - {WINNOW_K} + 1)) gs(i)
+    WHERE len(toks) >= {WINNOW_K}
+),
+wins AS (
+    -- window starts; short docs (< w grams) form one window at 0
+    SELECT doc_id, pos, h,
+           gs.j AS ws
+    FROM g, LATERAL UNNEST(generate_series(
+        GREATEST(pos - {WINNOW_W} + 1, 0),
+        LEAST(pos, GREATEST(n_grams - {WINNOW_W}, 0))
+    )) gs(j)
+),
+sel AS (
+    SELECT doc_id, pos, h,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, ws ORDER BY h ASC, pos DESC) AS rn
+    FROM wins
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(h AS BIGINT) AS gram_hash
+FROM sel WHERE rn = 1
+ORDER BY doc_id, pos
+"""

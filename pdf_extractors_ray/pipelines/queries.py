@@ -803,7 +803,17 @@ def _hash_neardup_query(sf_dir: str):
     EXACT within-source Jaccard edge set — the same distributed components
     kernel, but with an edge derivation DuckDB can replicate, so the
     components kernel itself is hash-checked against a recursive-CTE
-    transitive-closure oracle (``DUP_CLUSTERS_SQL``)."""
+    transitive-closure oracle (``DUP_CLUSTERS_SQL``). Additional forced
+    gate: ``docs_winnow_fingerprints`` — the MOSS winnowing selection
+    (rightmost-min over gram-hash windows, the sparse fingerprint index
+    with the w+k−1 detection guarantee) hash-checked via its in-query
+    twin."""
+    _assert_sql_twin(
+        "docs_winnow_fingerprints",
+        dedup.docs_winnow_fingerprints(sf_dir),
+        dedup.DOCS_WINNOW_SQL,
+        sf_dir,
+    )
     mh = dedup.minhash_lsh_pairs(sf_dir)
     if set(mh.schema().names) != {"a", "b", "jaccard_ppm"}:
         raise RuntimeError(f"minhash_lsh_pairs schema: {mh.schema().names}")

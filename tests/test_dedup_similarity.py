@@ -815,3 +815,71 @@ def test_ann_recall_against_recomputation(ray_session):
         e = set(g["vec_id"])
         assert got.loc[qid, "n_hit"] == len(a & e)
         assert got.loc[qid, "recall_ppm"] == len(a & e) * 1_000_000 // len(e)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_matches_duckdb_twin(ray_session):
+    import duckdb
+
+    from pdf_extractors_ray.ops import dedup as dd
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eng = dd.docs_winnow_fingerprints(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        ora = con.sql(dd.DOCS_WINNOW_SQL).df()
+        pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+
+
+def test_winnow_selection_rules():
+    """Rightmost-min tie rule + dedup of adjacent windows + short-seq
+    single selection."""
+    from pdf_extractors_ray.ops import dedup as dd
+
+    # ties: equal minima at 1 and 3 → window picks the RIGHTMOST
+    sel = dd.winnow_select(np.array([5, 1, 7, 1], dtype=np.int64), w=4)
+    assert sel.tolist() == [3]
+    # shorter than w: one global selection
+    assert dd.winnow_select(np.array([9, 2], dtype=np.int64), w=4).tolist() == [1]
+    assert dd.winnow_select(np.empty(0, dtype=np.int64), w=4).tolist() == []
+    # density: over random hashes the selected fraction ≈ 2/(w+1)
+    rng = np.random.RandomState(3)
+    h = rng.randint(0, 1 << 60, size=20000).astype(np.int64)
+    frac = len(dd.winnow_select(h, w=4)) / len(h)
+    assert 0.3 < frac < 0.5  # 2/(w+1) = 0.4
+
+
+def test_winnow_guarantee_property():
+    """Schleimer-Wilkerson-Aiken: two sequences sharing a token run of
+    length ≥ w + k − 1 share at least one selected (hash, offset-aligned)
+    fingerprint. Planted shared substrings at random offsets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractors_ray.ops import dedup as dd
+    from pdf_extractors_ray.ops.text import _md5_hash15_str
+
+    k, w = dd.WINNOW_K, dd.WINNOW_W
+
+    def fingerprints(tokens):
+        n = len(tokens) - k + 1
+        if n <= 0:
+            return set()
+        grams = [" ".join(tokens[i : i + k]) for i in range(n)]
+        h = _md5_hash15_str(grams, "win:")
+        return {int(h[p]) for p in dd.winnow_select(h, w)}
+
+    @given(st.integers(0, 2**32 - 1), st.integers(0, 6), st.integers(0, 6))
+    @settings(max_examples=60, deadline=None)
+    def run(seed, pre_a, pre_b):
+        rng = np.random.RandomState(seed % (2**31))
+        shared = [f"s{rng.randint(1000)}" for _ in range(w + k - 1)]
+        a = [f"a{i}" for i in range(pre_a)] + shared + [f"a{i+100}" for i in range(3)]
+        b = [f"b{i}" for i in range(pre_b)] + shared + [f"b{i+100}" for i in range(3)]
+        assert fingerprints(a) & fingerprints(b), (a, b)
+
+    run()
