@@ -95,6 +95,7 @@ OP_QUERIES = [
     "events_hll_by_type",
     "transcript_context_tails",
     "docs_winnow_fingerprints",
+    "docs_reject_reasons",
 ]
 
 
@@ -167,6 +168,7 @@ def _op_extra():
         "events_hll_by_type": _ev.events_hll_by_type,
         "transcript_context_tails": _transcript_context_tails_sf,
         "docs_winnow_fingerprints": _dd.docs_winnow_fingerprints,
+        "docs_reject_reasons": _cu.docs_reject_reasons,
     }
 
 

@@ -1733,3 +1733,114 @@ SELECT doc_id, source, CAST(q AS BIGINT) AS q, CAST(below AS BIGINT) AS below,
        CAST((below * 1000000) // n_source AS BIGINT) AS pctl_ppm
 FROM per ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# rejection-reason bitmap (the curation audit trail)
+
+
+REJECT_MIN_TOKENS = 5
+REJECT_STOP_PPM = 20_000
+REJECT_MAX_TOKEN_LEN = 20
+REJECT_DUP_PPM = 940_000
+REJECT_BIGRAM_PPM = 250_000
+
+REJECT_BITS = (
+    ("too_few_tokens", 1),
+    ("low_stopword_ratio", 2),
+    ("overlong_token", 4),
+    ("repeated_tokens", 8),
+    ("dominant_bigram", 16),
+)
+
+
+def docs_reject_reasons(sf_dir: str):
+    """Per-document quality-filter REASON bitmap — not just the keep/drop
+    bit but which Gopher-style rule(s) fired: the audit trail a curation
+    pipeline needs to tune thresholds and explain corpus composition
+    drift (every production filter ships with per-rule rejection stats).
+    One map-only pass composes the shared integer signals (token/stop
+    counts from ``docs_quality``'s kernel, repetition ppms from
+    ``repetition_frame``); ``reasons`` is the OR of the per-rule bits,
+    ``accept`` its zero test. Bit meanings in ``REJECT_BITS``;
+    thresholds are calibrated to the synthetic corpus's own score
+    distributions so the bitmap DISCRIMINATES (a filter rejecting ~all
+    or ~nothing audits nothing).
+    Bit-exact in DuckDB (``DOCS_REJECT_SQL``)."""
+    from .text import STOPWORDS, _stop_ratio_ppm, repetition_frame
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        rep = repetition_frame(batch)
+        toks = batch["text"].str.split(" ")
+        n_tokens = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode()
+        n_stop = flat.isin(STOPWORDS).groupby(level=0).sum().to_numpy(np.int64)
+        max_len = flat.str.len().astype(np.int64).groupby(level=0).max().to_numpy(np.int64)
+        stop_ppm = _stop_ratio_ppm(n_stop, n_tokens)
+        reasons = (
+            np.where(n_tokens < REJECT_MIN_TOKENS, 1, 0)
+            | np.where(stop_ppm < REJECT_STOP_PPM, 2, 0)
+            | np.where(max_len > REJECT_MAX_TOKEN_LEN, 4, 0)
+            | np.where(rep["dup_tokens_ppm"].to_numpy(np.int64) > REJECT_DUP_PPM, 8, 0)
+            | np.where(rep["top_bigram_ppm"].to_numpy(np.int64) > REJECT_BIGRAM_PPM, 16, 0)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "reasons": reasons,
+                "accept": (reasons == 0).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pandas").sort("doc_id")
+
+
+DOCS_REJECT_SQL = f"""
+WITH q AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(FLOOR(
+               len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to')))::DOUBLE
+               / GREATEST(len(string_split(text, ' ')), 1) * 1000000 + 0.5) AS BIGINT) AS stop_ppm,
+           list_max(list_transform(string_split(text, ' '), w -> len(w))) AS max_token_len
+    FROM documents
+),
+toks AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+dup AS (
+    SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_toks
+    FROM tc GROUP BY doc_id
+),
+bg AS (
+    SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+),
+bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+top2 AS (
+    SELECT doc_id, MAX(c) AS c FROM bc GROUP BY doc_id
+),
+sel AS (
+    SELECT q.doc_id,
+           CASE WHEN q.n_tokens < {REJECT_MIN_TOKENS} THEN 1 ELSE 0 END
+         + CASE WHEN q.stop_ppm < {REJECT_STOP_PPM} THEN 2 ELSE 0 END
+         + CASE WHEN q.max_token_len > {REJECT_MAX_TOKEN_LEN} THEN 4 ELSE 0 END
+         + CASE WHEN CAST(FLOOR(COALESCE(dup.dup_toks, 0)::DOUBLE
+                     / GREATEST(q.n_tokens, 1) * 1000000 + 0.5) AS BIGINT)
+                > {REJECT_DUP_PPM} THEN 8 ELSE 0 END
+         + CASE WHEN q.n_tokens > 1 AND CAST(FLOOR(COALESCE(top2.c, 0)::DOUBLE
+                     / GREATEST(q.n_tokens - 1, 1) * 1000000 + 0.5) AS BIGINT)
+                > {REJECT_BIGRAM_PPM} THEN 16 ELSE 0 END AS reasons
+    FROM q LEFT JOIN dup USING (doc_id) LEFT JOIN top2 USING (doc_id)
+)
+SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
+       CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS accept
+FROM sel ORDER BY doc_id
+"""

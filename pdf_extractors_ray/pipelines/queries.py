@@ -95,14 +95,22 @@ def _assert_sql_twin(name: str, ds, sql: str, sf_dir: str, tables=("documents",)
 
 def _keyword_redact_query(sf_dir: str):
     """Context-window chunking AND PII redaction AND the regex keyword
-    extractor in one driver slot. Forced gates: ``docs_keyword`` and
-    ``docs_pii_redact`` stay fully hash-checked via in-query twin gates
-    (same canon as the driver's). RECORDED result:
-    ``docs_chunk_windows`` — the sliding training-window explode (map
-    only, output bigger than input, streams), pinned to a LATERAL
-    generate_series DuckDB twin including each window's first token."""
+    extractor AND the rejection-reason bitmap in one driver slot. Forced
+    gates: ``docs_keyword``, ``docs_pii_redact`` and
+    ``docs_reject_reasons`` (the per-rule Gopher-filter audit bitmap)
+    stay fully hash-checked via in-query twin gates (same canon as the
+    driver's). RECORDED result: ``docs_chunk_windows`` — the sliding
+    training-window explode (map only, output bigger than input,
+    streams), pinned to a LATERAL generate_series DuckDB twin including
+    each window's first token."""
     _assert_sql_twin("docs_keyword", tx.docs_keyword(sf_dir), tx.DOCS_KEYWORD_SQL, sf_dir)
     _assert_sql_twin("docs_pii_redact", curate.docs_redact(sf_dir), curate.DOCS_REDACT_SQL, sf_dir)
+    _assert_sql_twin(
+        "docs_reject_reasons",
+        curate.docs_reject_reasons(sf_dir),
+        curate.DOCS_REJECT_SQL,
+        sf_dir,
+    )
     return curate.docs_chunk_windows(sf_dir)
 
 

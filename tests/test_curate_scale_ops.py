@@ -1250,3 +1250,65 @@ def test_source_percentile_semantics_bruteforce(ray_session):
     # though raw score floors differ across sources
     mins = got.groupby("source")["pctl_ppm"].min()
     assert (mins == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# rejection-reason bitmap
+# ---------------------------------------------------------------------------
+
+
+def test_reject_reasons_match_duckdb_twin(ray_session):
+    import duckdb
+
+    from pdf_extractors_ray.ops import curate as cu
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eng = cu.docs_reject_reasons(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        ora = con.sql(cu.DOCS_REJECT_SQL).df()
+        pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+        # the bitmap must DISCRIMINATE on the natural corpus
+        assert 0.2 < eng["accept"].mean() < 0.95
+
+
+def test_reject_reasons_each_bit_fires(ray_session, tmp_path):
+    """Crafted docs exercise every rule bit independently and in
+    combination; a clean doc passes all rules."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import curate as cu
+
+    clean = "the cat and a dog walked to the busy market of laughter today now"
+    docs = [
+        (0, clean, 0),
+        # 2 tokens, no stopwords, and its single bigram is dominant
+        (1, "tiny doc", 1 | 2 | 16),
+        (2, "zebra quartz jumps over nine lazy brown foxes wildly", 2),  # no stopwords
+        (3, clean + " " + "x" * 30, 4),                           # overlong token
+        # 20/21 duplicated tokens and a 95% bigram
+        (4, "the " + " ".join(["spam"] * 20), 8 | 16),
+        (5, "z " + "y" * 25, 1 | 2 | 4 | 16),                      # combo
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["t"] * len(docs)),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = cu.docs_reject_reasons(str(tmp_path)).to_pandas().set_index("doc_id")
+    for doc_id, _text, want in docs:
+        assert got.loc[doc_id, "reasons"] == want, (doc_id, got.loc[doc_id, "reasons"], want)
+    assert got.loc[0, "accept"] == 1 and (got.loc[1:, "accept"] == 0).all()
+    # twin agrees on the crafted corpus
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    ora = con.sql(cu.DOCS_REJECT_SQL).df().set_index("doc_id")
+    assert (ora["reasons"] == got["reasons"].reindex(ora.index)).all()
