@@ -96,6 +96,7 @@ OP_QUERIES = [
     "transcript_context_tails",
     "docs_winnow_fingerprints",
     "docs_reject_reasons",
+    "transcript_tool_latency",
 ]
 
 
@@ -169,6 +170,7 @@ def _op_extra():
         "transcript_context_tails": _transcript_context_tails_sf,
         "docs_winnow_fingerprints": _dd.docs_winnow_fingerprints,
         "docs_reject_reasons": _cu.docs_reject_reasons,
+        "transcript_tool_latency": _transcript_tool_latency_sf,
     }
 
 
@@ -191,6 +193,13 @@ def _transcript_context_tails_sf(sf_dir: str):
     from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
 
     return transcript_context_tails(transcripts_path_for_sf(sf_dir))
+
+
+def _transcript_tool_latency_sf(sf_dir: str):
+    from pdf_extractors_ray.ops.transcript import transcript_tool_latency
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    return transcript_tool_latency(transcripts_path_for_sf(sf_dir))
 
 
 def _warm_cache(paths: list[str]) -> None:

@@ -369,3 +369,124 @@ SELECT conv_id, CAST(MIN(n) AS BIGINT) AS n_turns,
 FROM t WHERE rn > n - {k}
 GROUP BY conv_id ORDER BY conv_id
 """
+
+
+# ---------------------------------------------------------------------------
+# turn-gap latency telemetry (per tool family × role, exact quantiles)
+
+
+_ROLE_IDS = {"user": 0, "assistant": 1, "tool": 2}
+
+
+def transcript_tool_latency(path: str, n_parts: int | None = None):
+    """Exact p50/p95 of the turn-to-turn time gap, grouped by (tool
+    family, role of the later turn) — the latency telemetry an agent
+    platform reads off its own transcripts (how long do tool turns take
+    vs assistant turns, per pipeline family).
+
+    Shape: the fold exchange restores turn order and emits the narrow
+    (gid, gap_us) table (one int pair per non-first turn), materialized
+    like ``docs_quality_rank``'s key table; both quantiles then run as
+    ``exact_grouped_quantile_int`` histogram-narrowing selections —
+    (tool × role) is a BOUNDED group set, every group narrowed in the
+    same pass, no sort. Rank semantics k = ceil(q·n) shared with the
+    kernel, so the DuckDB twin (LAG + windowed rank selection) is
+    bit-exact."""
+    from ..sources.transcripts import read_transcripts
+    from ..stages.fold import _default_n_parts, conv_boundaries
+    from ..state.lineage import append_part_id
+    from .relational import exact_grouped_quantile_int
+
+    n_parts = n_parts or _default_n_parts()
+    ds = read_transcripts(path, columns=["conv_id", "turn_idx", "role", "tool", "ts"])
+    ds = ds.map_batches(
+        lambda b: append_part_id(b, n_parts), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # bounded tool-family set → stable integer gids (sorted for determinism)
+    tools = sorted(
+        read_transcripts(path, columns=["tool"])
+        .map_batches(lambda b: b.drop_duplicates(["tool"]), batch_format="pandas")
+        .to_pandas()["tool"].unique()
+    )
+    t2i = {t: i for i, t in enumerate(tools)}
+
+    def gaps(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame(
+                {"gid": pd.Series([], dtype=np.int64), "gap_us": pd.Series([], dtype=np.int64)}
+            )
+        conv = np.asarray(group["conv_id"], dtype=object)
+        tidx = np.asarray(group["turn_idx"], dtype=np.int64)
+        role = np.asarray(group["role"], dtype=object)
+        tool = np.asarray(group["tool"], dtype=object)
+        ts = np.asarray(group["ts"], dtype="datetime64[us]").astype(np.int64)
+        order, bounds = conv_boundaries(conv, tidx)
+        rl, tl, t = role[order], tool[order], ts[order]
+        gid_out, gap_out = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if hi - lo < 2:
+                continue
+            g = t[lo + 1 : hi] - t[lo : hi - 1]
+            gids = np.array(
+                [t2i[x] * 4 + _ROLE_IDS[r] for x, r in zip(tl[lo + 1 : hi], rl[lo + 1 : hi])],
+                dtype=np.int64,
+            )
+            gid_out.append(gids)
+            gap_out.append(g)
+        if not gid_out:
+            return pd.DataFrame(
+                {"gid": pd.Series([], dtype=np.int64), "gap_us": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"gid": np.concatenate(gid_out), "gap_us": np.concatenate(gap_out)}
+        )
+
+    gap_ds = ds.groupby("part_id").map_groups(gaps, batch_format="pandas").materialize()
+
+    p50 = exact_grouped_quantile_int(gap_ds, "gid", "gap_us", 500_000)
+    p95 = exact_grouped_quantile_int(gap_ds, "gid", "gap_us", 950_000)
+    rows = []
+    for gid in sorted(p50):
+        n, _k, v50 = p50[gid]
+        _n, _k95, v95 = p95[gid]
+        rows.append((tools[gid // 4], ["user", "assistant", "tool"][gid % 4], n, v50, v95))
+    out = pd.DataFrame(rows, columns=["tool", "role", "n", "p50_us", "p95_us"])
+    out[["n", "p50_us", "p95_us"]] = out[["n", "p50_us", "p95_us"]].astype(np.int64)
+
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def transcript_tool_latency_sql(path: str) -> str:
+    return f"""
+WITH s AS (
+    SELECT tool, role, ts,
+           LAG(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pts
+    FROM read_parquet('{path}/*.parquet')
+),
+g AS (
+    SELECT tool, role, epoch_us(ts) - epoch_us(pts) AS gap
+    FROM s WHERE pts IS NOT NULL
+),
+r AS (
+    SELECT tool, role, gap,
+           ROW_NUMBER() OVER (PARTITION BY tool, role ORDER BY gap) AS rn,
+           COUNT(*) OVER (PARTITION BY tool, role) AS n
+    FROM g
+),
+p50 AS (
+    SELECT tool, role, MIN(n) AS n, MIN(gap) AS p50_us FROM r
+    WHERE rn = (500000 * n + 999999) // 1000000 GROUP BY tool, role
+),
+p95 AS (
+    SELECT tool, role, MIN(gap) AS p95_us FROM r
+    WHERE rn = (950000 * n + 999999) // 1000000 GROUP BY tool, role
+)
+SELECT p50.tool, p50.role, CAST(p50.n AS BIGINT) AS n,
+       CAST(p50.p50_us AS BIGINT) AS p50_us, CAST(p95.p95_us AS BIGINT) AS p95_us
+FROM p50 JOIN p95 USING (tool, role)
+ORDER BY p50.tool, p50.role
+"""

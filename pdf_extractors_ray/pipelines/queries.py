@@ -561,8 +561,21 @@ def _table_grid_query(sf_dir: str):
     """KNR table fold AND Mancini grid cleanup over the real transcript
     corpus in one driver slot (both folds are SQL-pinned at pipeline level
     by extract_kernel_{table,grid}_fold; the grid family must produce rows
-    before the table result is returned)."""
+    before the table result is returned). Forced gate:
+    ``transcript_tool_latency`` — exact p50/p95 turn-gap telemetry per
+    (tool family, role) via the grouped histogram-narrowing quantile
+    kernel, hash-checked against a LAG + windowed-rank DuckDB twin over
+    the same Parquet."""
+    from ..ops import transcript as _tr
+
     path = transcripts_path_for_sf(sf_dir)
+    _assert_sql_twin(
+        "transcript_tool_latency",
+        _tr.transcript_tool_latency(path),
+        _tr.transcript_tool_latency_sql(path),
+        sf_dir,
+        tables=(),
+    )
     grid = extract.EXTRACTORS["grid"](path)
     if grid.count() == 0:
         raise RuntimeError("extract_grid produced no rows")

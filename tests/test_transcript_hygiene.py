@@ -146,3 +146,60 @@ def test_context_tails_semantics():
     assert got.loc["c", "context"] == "user: c\nuser: d\ntool: e\nassistant: f"
     assert got.loc["c", "n_ctx"] == 4 and got.loc["c", "n_turns"] == 6
     assert got.loc["d", "context"] == "user: solo" and got.loc["d", "n_ctx"] == 1
+
+
+# ---------------------------------------------------------------------------
+# tool-latency quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_tool_latency_matches_duckdb_twin(ray_session):
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    p = transcripts_path_for_sf("/root/testdata/sf0.001")
+    eng = tr.transcript_tool_latency(p).to_pandas()
+    ora = duckdb.sql(tr.transcript_tool_latency_sql(p)).df()
+    ec = eng.sort_values(["tool", "role"]).reset_index(drop=True)
+    oc = ora.sort_values(["tool", "role"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ec, oc[ec.columns], check_dtype=False)
+    assert len(eng) > 0 and (eng["p95_us"] >= eng["p50_us"]).all()
+
+
+def test_tool_latency_crafted_gaps(ray_session, tmp_path):
+    """Varied gaps with known order statistics, rows written shuffled:
+    p50/p95 must be the exact rank-ceil order statistics per (tool,
+    role), proving the restore + grouped selection."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []  # one conv, gaps 1s,2s,...,10s attributed to alternating roles
+    ts = 0
+    rows.append(("c", 0, "user", "fam", ts))
+    for i in range(1, 11):
+        ts += i * 1_000_000
+        rows.append(("c", i, ["assistant", "user"][i % 2], "fam", ts))
+    rng = np.random.RandomState(5)
+    order = rng.permutation(len(rows))
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([rows[i][0] for i in order]),
+            "turn_idx": pa.array([rows[i][1] for i in order], pa.int32()),
+            "role": pa.array([rows[i][2] for i in order]),
+            "text": pa.array(["t"] * len(rows)),
+            "tool": pa.array([rows[i][3] for i in order]),
+            "ts": pa.array([rows[i][4] for i in order], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "part-0.parquet")
+    got = tr.transcript_tool_latency(str(tmp_path)).to_pandas().set_index("role")
+    # turn i (gap = i s) has role [assistant, user][i % 2]: odd i → user
+    # gets 1,3,5,7,9 s; even i → assistant gets 2,4,6,8,10 s
+    assert got.loc["assistant", "n"] == 5
+    assert got.loc["assistant", "p50_us"] == 6_000_000   # k=ceil(.5*5)=3 → 6s
+    assert got.loc["assistant", "p95_us"] == 10_000_000  # k=ceil(.95*5)=5 → 10s
+    assert got.loc["user", "p50_us"] == 5_000_000
+    assert got.loc["user", "p95_us"] == 9_000_000
+    # twin agrees on the crafted corpus
+    ora = duckdb.sql(tr.transcript_tool_latency_sql(str(tmp_path))).df().set_index("role")
+    assert (ora["p50_us"] == got["p50_us"].reindex(ora.index)).all()
+    assert (ora["p95_us"] == got["p95_us"].reindex(ora.index)).all()
