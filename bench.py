@@ -97,6 +97,7 @@ OP_QUERIES = [
     "docs_winnow_fingerprints",
     "docs_reject_reasons",
     "transcript_tool_latency",
+    "events_cusum",
 ]
 
 
@@ -171,6 +172,7 @@ def _op_extra():
         "docs_winnow_fingerprints": _dd.docs_winnow_fingerprints,
         "docs_reject_reasons": _cu.docs_reject_reasons,
         "transcript_tool_latency": _transcript_tool_latency_sf,
+        "events_cusum": _ev.events_cusum,
     }
 
 

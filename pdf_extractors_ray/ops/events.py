@@ -1368,3 +1368,153 @@ SELECT event_type,
                  ELSE raw END AS BIGINT) AS estimate
 FROM est ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection over the hourly rollup
+
+
+CUSUM_SLACK_X = 3  # slack = CUSUM_SLACK_X · max(MAD, 1)
+CUSUM_THR_X = 6  # alarm when S_t > CUSUM_THR_X · max(MAD, 1)
+
+
+def events_cusum(sf_dir: str):
+    """One-sided CUSUM drift detector per event type: S_t = max(0,
+    S_{t-1} + x_t − med − slack) over the hourly counts, alarm when S_t
+    exceeds the threshold — the SEQUENTIAL complement of the pointwise
+    MAD flags (``events_mad_anomaly`` catches single spiked hours; CUSUM
+    accumulates small sustained shifts that never individually spike).
+    Reference level and scale are the same robust integers (median, MAD
+    via the grouped histogram-narrowing kernel).
+
+    Distributed shape: the corpus-scale pass is the hourly rollup; the
+    recursion is inherently sequential PER TYPE, so it folds inside one
+    ``map_groups`` per event type over the ROLLUP (time-bounded rows) —
+    the bounded-sequential-tail pattern: at 10^12 events the rollup is
+    still hours×types, and each type's fold is a few thousand integer
+    steps. DuckDB twin replays the recursion as a recursive CTE."""
+    from .relational import exact_grouped_quantile_int
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour": batch["ts"].dt.floor("h").astype("datetime64[us]"),
+                "event_type": batch["event_type"],
+                "n": np.int64(1),
+            }
+        )
+
+    hourly = cast_us(
+        grouped_sums(ds.map_batches(derive, batch_format="pandas"),
+                     ["hour", "event_type"], ["n"]),
+        ["hour"],
+    ).materialize()
+
+    types = sorted(
+        hourly.map_batches(
+            lambda b: b[["event_type"]].drop_duplicates(), batch_format="pandas"
+        ).to_pandas()["event_type"].unique()
+    )
+    t2i = {t: i for i, t in enumerate(types)}
+
+    def with_gid(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "gid": batch["event_type"].map(t2i).to_numpy(np.int64),
+                "cnt": batch["n"].to_numpy(np.int64),
+            }
+        )
+
+    gds = hourly.map_batches(with_gid, batch_format="pandas")
+    med = {g: v for g, (_n, _k, v) in
+           exact_grouped_quantile_int(gds, "gid", "cnt", 500_000).items()}
+
+    def with_dev(batch: pd.DataFrame) -> pd.DataFrame:
+        gid = batch["event_type"].map(t2i).to_numpy(np.int64)
+        cnt = batch["n"].to_numpy(np.int64)
+        m = np.array([med[int(g)] for g in gid], dtype=np.int64)
+        return pd.DataFrame({"gid": gid, "cnt": np.abs(cnt - m)})
+
+    mad = {g: v for g, (_n, _k, v) in
+           exact_grouped_quantile_int(
+               hourly.map_batches(with_dev, batch_format="pandas"), "gid", "cnt", 500_000
+           ).items()}
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("hour", kind="mergesort").reset_index(drop=True)
+        et = g["event_type"].iloc[0]
+        gid = t2i[et]
+        m, d = med[gid], max(mad[gid], 1)
+        slack, thr = CUSUM_SLACK_X * d, CUSUM_THR_X * d
+        cnt = g["n"].to_numpy(np.int64)
+        s = np.zeros(len(g), dtype=np.int64)
+        acc = 0
+        for i in range(len(g)):
+            acc = max(0, acc + int(cnt[i]) - m - slack)
+            s[i] = acc
+        return pd.DataFrame(
+            {
+                "hour": g["hour"],
+                "event_type": et,
+                "cnt": cnt,
+                "cusum": s,
+                "alarm": (s > thr).astype(np.int64),
+            }
+        )
+
+    out = hourly.groupby("event_type").map_groups(fold, batch_format="pandas")
+    return cast_us(out, ["hour"]).sort(["event_type", "hour"])
+
+
+EVENTS_CUSUM_SQL = f"""
+WITH RECURSIVE h AS (
+    SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+medsel AS (
+    SELECT event_type, cnt,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM h
+),
+med AS (
+    SELECT event_type, cnt AS med FROM medsel
+    WHERE rn = (500000 * n + 999999) // 1000000
+),
+madsel AS (
+    SELECT h.event_type, ABS(h.cnt - med.med) AS dv,
+           ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY ABS(h.cnt - med.med)) AS rn,
+           COUNT(*) OVER (PARTITION BY h.event_type) AS n
+    FROM h JOIN med USING (event_type)
+),
+par AS (
+    SELECT med.event_type, med.med,
+           {CUSUM_SLACK_X} * GREATEST(mad.mad, 1) AS slack,
+           {CUSUM_THR_X} * GREATEST(mad.mad, 1) AS thr
+    FROM med JOIN (
+        SELECT event_type, dv AS mad FROM madsel
+        WHERE rn = (500000 * n + 999999) // 1000000
+    ) mad USING (event_type)
+),
+seq AS (
+    SELECT h.*, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS rn FROM h
+),
+c AS (
+    SELECT s.event_type, s.hour, s.rn, s.cnt,
+           GREATEST(CAST(0 AS BIGINT), s.cnt - p.med - p.slack) AS cusum
+    FROM seq s JOIN par p USING (event_type) WHERE s.rn = 1
+    UNION ALL
+    SELECT s.event_type, s.hour, s.rn, s.cnt,
+           GREATEST(CAST(0 AS BIGINT), c.cusum + s.cnt - p.med - p.slack)
+    FROM c JOIN seq s ON s.event_type = c.event_type AND s.rn = c.rn + 1
+    JOIN par p ON p.event_type = s.event_type
+)
+SELECT c.hour, c.event_type, CAST(c.cnt AS BIGINT) AS cnt,
+       CAST(c.cusum AS BIGINT) AS cusum,
+       CAST(CASE WHEN c.cusum > p.thr THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM c JOIN par p USING (event_type)
+ORDER BY c.event_type, c.hour
+"""

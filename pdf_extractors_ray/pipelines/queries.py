@@ -926,6 +926,13 @@ def _hourly_mad_query(sf_dir: str):
         sf_dir,
         tables=("events",),
     )
+    _assert_sql_twin(
+        "events_cusum",
+        events.events_cusum(sf_dir),
+        events.EVENTS_CUSUM_SQL,
+        sf_dir,
+        tables=("events",),
+    )
     return events.events_hourly(sf_dir)
 
 

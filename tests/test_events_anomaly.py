@@ -60,3 +60,51 @@ def test_mad_flags_planted_spike_and_resists_poisoning(ray_session, tmp_path):
     got2 = ev.events_mad_anomaly(str(tmp_path)).to_pandas()
     assert (got2.loc[got2["cnt"] >= 200, "is_anomaly"] == 1).all()
     assert (got2.loc[got2["cnt"] <= 12, "is_anomaly"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_matches_duckdb_twin(ray_session):
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eng = ev.events_cusum(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        ora = con.sql(ev.EVENTS_CUSUM_SQL).df()
+        pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+
+
+def test_cusum_catches_sustained_drift_mad_misses(ray_session, tmp_path):
+    """A +4/hour level shift over the last 30 hours: no single hour is a
+    6-MAD spike (MAD flags nothing in the shifted window), but the CUSUM
+    accumulates and alarms — the two detectors are complementary, not
+    redundant."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for h in range(100):
+        for i in range(10 + (h % 2)):  # quiet: 10-11 events/hour
+            rows.append((base + dt.timedelta(hours=h, minutes=i % 60), "click"))
+    for h in range(100, 130):
+        for i in range(15):  # sustained small shift: 15/hour
+            rows.append((base + dt.timedelta(hours=h, minutes=i % 60), "click"))
+    _write_events(tmp_path, rows)
+    mad = ev.events_mad_anomaly(str(tmp_path)).to_pandas()
+    assert int(mad["is_anomaly"].sum()) == 0  # pointwise detector blind
+    cu = ev.events_cusum(str(tmp_path)).to_pandas().sort_values("hour")
+    assert int(cu["alarm"].sum()) > 0
+    # alarms only inside/after the shifted window, never in the quiet prefix
+    first_alarm_hour = cu.loc[cu["alarm"] == 1, "hour"].min()
+    assert first_alarm_hour >= pd.Timestamp(base + dt.timedelta(hours=100))
+    # twin agrees on the crafted corpus
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    ora = con.sql(ev.EVENTS_CUSUM_SQL).df().sort_values(["event_type", "hour"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        cu.sort_values(["event_type", "hour"]).reset_index(drop=True),
+        ora[cu.columns],
+        check_dtype=False,
+    )
