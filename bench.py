@@ -98,6 +98,7 @@ OP_QUERIES = [
     "docs_reject_reasons",
     "transcript_tool_latency",
     "events_cusum",
+    "transcript_role_transitions",
 ]
 
 
@@ -173,6 +174,7 @@ def _op_extra():
         "docs_reject_reasons": _cu.docs_reject_reasons,
         "transcript_tool_latency": _transcript_tool_latency_sf,
         "events_cusum": _ev.events_cusum,
+        "transcript_role_transitions": _transcript_role_transitions_sf,
     }
 
 
@@ -202,6 +204,13 @@ def _transcript_tool_latency_sf(sf_dir: str):
     from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
 
     return transcript_tool_latency(transcripts_path_for_sf(sf_dir))
+
+
+def _transcript_role_transitions_sf(sf_dir: str):
+    from pdf_extractors_ray.ops.transcript import transcript_role_transitions
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    return transcript_role_transitions(transcripts_path_for_sf(sf_dir))
 
 
 def _warm_cache(paths: list[str]) -> None:

@@ -490,3 +490,85 @@ SELECT p50.tool, p50.role, CAST(p50.n AS BIGINT) AS n,
 FROM p50 JOIN p95 USING (tool, role)
 ORDER BY p50.tool, p50.role
 """
+
+
+# ---------------------------------------------------------------------------
+# role-transition matrix (Markov counts over restored turn order)
+
+
+def transcript_role_transitions(path: str, n_parts: int | None = None):
+    """Corpus-wide (previous role → role) transition counts over
+    RESTORED turn order, plus per-transition conversation counts — the
+    Markov structure audit of a dialogue corpus (does `tool` ever
+    follow `user`? how often does `assistant` self-transition?). Another
+    ordering-sensitive aggregate: a row-order bug reshuffles mass
+    between cells, and the LAG-based DuckDB twin recomputes the matrix
+    independently.
+
+    Shape: the fold exchange; per-partition vectorized boundary-masked
+    shift (the bigram kernel's shape over roles instead of tokens);
+    KB-sized grouped sums (≤ 9 cells)."""
+    from ..sources.transcripts import read_transcripts
+    from ..stages.fold import _default_n_parts, conv_boundaries
+    from ..state.lineage import append_part_id
+    from .common import grouped_sums
+
+    n_parts = n_parts or _default_n_parts()
+    ds = read_transcripts(path, columns=["conv_id", "turn_idx", "role"])
+    ds = ds.map_batches(
+        lambda b: append_part_id(b, n_parts), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame(
+                {
+                    "prev_role": pd.Series([], dtype=object),
+                    "role": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                    "n_convs": pd.Series([], dtype=np.int64),
+                }
+            )
+        conv = np.asarray(group["conv_id"], dtype=object)
+        tidx = np.asarray(group["turn_idx"], dtype=np.int64)
+        role = np.asarray(group["role"], dtype=object)
+        order, bounds = conv_boundaries(conv, tidx)
+        cv, rl = conv[order], role[order]
+        same = np.zeros(len(cv) - 1, dtype=bool) if len(cv) > 1 else np.zeros(0, dtype=bool)
+        if len(cv) > 1:
+            starts = np.zeros(len(cv), dtype=bool)
+            starts[bounds[:-1]] = True
+            same = ~starts[1:]
+        df = pd.DataFrame(
+            {
+                "prev_role": rl[:-1][same],
+                "role": rl[1:][same],
+                "conv": cv[1:][same],
+            }
+        )
+        out = df.groupby(["prev_role", "role"], as_index=False).agg(
+            n=("conv", "size"), n_convs=("conv", "nunique")
+        )
+        out[["n", "n_convs"]] = out[["n", "n_convs"]].astype(np.int64)
+        return out
+
+    per_part = ds.groupby("part_id").map_groups(pairs, batch_format="pandas")
+    # conversations never span partitions (part_id is a function of
+    # conv_id), so per-partition nunique sums are exact global nuniques
+    mat = grouped_sums(per_part, ["prev_role", "role"], ["n", "n_convs"])
+    return mat.sort(["prev_role", "role"])
+
+
+def transcript_role_transitions_sql(path: str) -> str:
+    return f"""
+WITH s AS (
+    SELECT conv_id, role,
+           LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+    FROM read_parquet('{path}/*.parquet')
+)
+SELECT prev_role, role, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM s WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+ORDER BY prev_role, role
+"""

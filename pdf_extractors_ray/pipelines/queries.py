@@ -592,14 +592,25 @@ def _partitioned_metrics_query(sf_dir: str):
     row count from parquet METADATA, an independent source), exact
     partition cover (part_ids are 0..n_parts-1 once each), and resume
     stability (a second run must resume every partition and reproduce
-    every content_hash byte-for-byte)."""
+    every content_hash byte-for-byte). Additional forced gate with a
+    REAL SQL twin in this otherwise rows-only slot:
+    ``transcript_role_transitions`` — the ordered Markov transition
+    matrix, hash-checked against a LAG twin over the same Parquet."""
     import glob as _glob
 
     import pyarrow.parquet as _pq
 
+    from ..ops import transcript as _tr
     from ..state.lineage import partitioned_extract_all_tasks
 
     path = transcripts_path_for_sf(sf_dir)
+    _assert_sql_twin(
+        "transcript_role_transitions",
+        _tr.transcript_role_transitions(path),
+        _tr.transcript_role_transitions_sql(path),
+        sf_dir,
+        tables=(),
+    )
     out_root = path.rstrip("/") + "_extracted"
     first = partitioned_extract_all_tasks(path, out_root, n_parts=32)
 

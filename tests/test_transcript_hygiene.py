@@ -203,3 +203,64 @@ def test_tool_latency_crafted_gaps(ray_session, tmp_path):
     ora = duckdb.sql(tr.transcript_tool_latency_sql(str(tmp_path))).df().set_index("role")
     assert (ora["p50_us"] == got["p50_us"].reindex(ora.index)).all()
     assert (ora["p95_us"] == got["p95_us"].reindex(ora.index)).all()
+
+
+# ---------------------------------------------------------------------------
+# role-transition matrix
+# ---------------------------------------------------------------------------
+
+
+def test_role_transitions_match_duckdb_twin(ray_session):
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    p = transcripts_path_for_sf("/root/testdata/sf0.001")
+    eng = tr.transcript_role_transitions(p).to_pandas().reset_index(drop=True)
+    ora = duckdb.sql(tr.transcript_role_transitions_sql(p)).df()
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+    assert (eng["n_convs"] <= eng["n"]).all()
+
+
+def test_role_transitions_crafted_matrix(ray_session, tmp_path):
+    """Crafted convs with known transitions, rows shuffled: full matrix
+    with exact counts AND per-transition conversation counts; boundary
+    pairs across conversations never count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    seqs = {
+        "c1": ["user", "assistant", "user", "assistant"],  # u→a ×2, a→u ×1
+        "c2": ["user", "user", "tool"],                    # u→u, u→t
+        "c3": ["assistant", "user"],                       # a→u
+    }
+    rows = []
+    for cid, rls in seqs.items():
+        for i, r in enumerate(rls):
+            rows.append((cid, i, r))
+    rng = np.random.RandomState(7)
+    order = rng.permutation(len(rows))
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([rows[i][0] for i in order]),
+            "turn_idx": pa.array([rows[i][1] for i in order], pa.int32()),
+            "role": pa.array([rows[i][2] for i in order]),
+            "text": pa.array(["t"] * len(rows)),
+            "tool": pa.array(["f"] * len(rows)),
+            "ts": pa.array(list(range(len(rows))), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "part-0.parquet")
+    got = tr.transcript_role_transitions(str(tmp_path)).to_pandas()
+    want = pd.DataFrame(
+        [
+            ("assistant", "user", 2, 2),   # c1 once, c3 once
+            ("user", "assistant", 2, 1),   # both in c1
+            ("user", "tool", 1, 1),
+            ("user", "user", 1, 1),
+        ],
+        columns=["prev_role", "role", "n", "n_convs"],
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["prev_role", "role"]).reset_index(drop=True),
+        want.sort_values(["prev_role", "role"]).reset_index(drop=True),
+        check_dtype=False,
+    )
