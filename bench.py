@@ -99,6 +99,7 @@ OP_QUERIES = [
     "transcript_tool_latency",
     "events_cusum",
     "transcript_role_transitions",
+    "docs_setsim_join",
 ]
 
 
@@ -115,6 +116,9 @@ def _op_extra():
     from pdf_extractors_ray.ops import text as _tx
 
     return {
+        # the registry slot chains MAD+CUSUM twin gates (DuckDB runs
+        # inside) — time the raw hourly rollup, as for every gated slot
+        "events_hourly": _ev.events_hourly,
         "events_sessionize": _ev.events_sessionize,
         "events_asof_orders": _ev.events_asof_orders,
         "events_orders_range_join": _ev.events_orders_range_join,
@@ -175,6 +179,7 @@ def _op_extra():
         "transcript_tool_latency": _transcript_tool_latency_sf,
         "events_cusum": _ev.events_cusum,
         "transcript_role_transitions": _transcript_role_transitions_sf,
+        "docs_setsim_join": _dd.docs_setsim_join,
     }
 
 

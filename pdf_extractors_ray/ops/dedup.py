@@ -1100,3 +1100,218 @@ SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(h AS BIGINT) AS gram_ha
 FROM sel WHERE rn = 1
 ORDER BY doc_id, pos
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join via prefix filtering (the PPJoin family:
+# Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et
+# al., "Efficient Similarity Joins for Near Duplicate Detection", WWW'08).
+# The EXACT counterpart to the MinHash/SimHash paths above: every pair with
+# Jaccard >= tau is emitted, no probabilistic recall — the candidate space
+# is bounded by the prefix-filter lemma instead of by hashing.
+
+_SS_L = 24          # tokens per rendered doc (constant-size sets)
+_SS_P = 10037       # prime, p % 3 == 2  =>  x -> x^3 mod p is injective
+_SS_JOFF = _SS_P    # junk-token offset: junk ids sit above every cube
+_SS_JMOD = 503
+_SS_TAU = (1, 2)    # jaccard threshold as an exact rational: 1/2
+
+
+def setsim_fams(n_docs: int) -> int:
+    """Family count for the rendered overlay — grows with the corpus so
+    family size (and with it the quadratic same-family pair volume) stays
+    bounded at ~12 docs regardless of scale."""
+    return max(40, n_docs // 12)
+
+
+def setsim_tokens(doc_ids, fams: int) -> np.ndarray:
+    """(n, 24) int64 token matrix; each row is a DISTINCT-valued set.
+
+    Deterministic near-dup-family overlay (the repo's surrogate recipe —
+    both engines derive the same sets analytically from doc_id): doc d in
+    family f = d % fams carries the family's base tokens cube(f*24+i+1)
+    mod p at positions i, except positions where (i + d//fams) % (3 + d%5)
+    == 0, which are replaced by doc-specific junk p + (d*31+i) % 503.
+    Same-family docs share most base tokens (J ~ 0.5-0.72, splitting
+    around tau); cross-family sets are disjoint by construction — the
+    cube map is injective below p and the per-family x-ranges are
+    disjoint, which is exactly what the first (affine) cut of this overlay
+    violated: translate-structured token sets made some family PAIRS
+    near-identical. Junk ids are distinct within a doc (31 is a unit mod
+    503) and sit in a range disjoint from every cube.
+    """
+    d = np.asarray(doc_ids, dtype=np.int64).reshape(-1, 1)
+    i = np.arange(_SS_L, dtype=np.int64).reshape(1, -1)
+    mutated = (i + d // fams) % (3 + d % 5) == 0
+    x = (d % fams) * _SS_L + i + 1
+    w = (x * x % _SS_P) * x % _SS_P
+    junk = _SS_JOFF + (d * 31 + i) % _SS_JMOD
+    return np.where(mutated, junk, w)
+
+
+def docs_setsim_join(sf_dir: str):
+    """Exact all-pairs Jaccard >= 1/2 self-join via prefix filtering.
+
+    Distributed PPJoin decomposition (one map-only explode, two KB-to-
+    vocab-sized exchanges, one pair exchange — never an all-pairs pass):
+
+    1. token explode (map-only: 24 ``(doc, tok)`` rows per doc),
+    2. global token document-frequency via bucketed partial combine
+       (``bucketed_group_agg`` — the canonical order must be GLOBAL),
+    3. DF attached back through one tok-bucketed cogroup join (vocab-sized
+       right side; joined, not broadcast — at web scale the vocabulary
+       does not fit a driver map),
+    4. per-doc prefix selection inside doc-hash buckets: sort each doc's
+       tokens rarest-first, keep the first L - ceil(tau*L) + 1 = 13 —
+       the prefix-filter lemma says two sets with overlap >= alpha share
+       a token within their first ``|.| - alpha + 1`` tokens under ANY
+       global total order, and J >= tau forces alpha >= ceil(tau*|A|),
+       so candidate generation over prefix tokens has NO false negatives;
+       rarest-first ordering minimizes the candidate volume,
+    5. candidate pairs per prefix token (vectorized triu inside tok-hash
+       buckets; prefix tokens are each doc's globally rarest, so buckets
+       stay small — measured max 11 docs/token at sf0.1),
+    6. cross-token pair dedup as a bucketed min,
+    7. EXACT verification: both docs' token sets re-rendered from doc_id
+       (deterministic overlay; a real corpus would join texts back via
+       the two-cogroup pattern ``minhash_lsh_pairs`` step 3 demonstrates)
+       and intersected with ONE vectorized row-sort per batch — rows are
+       distinct-valued, so adjacent equality after sorting the
+       concatenated (n, 48) matrix counts |A ∩ B| exactly.
+
+    All sizes are L=24 by construction, so PPJoin's length filter
+    (tau*|B| <= |A|) is vacuous here and elided. Threshold compares as
+    integers (den*inter >= num*(2L - inter)) — no float boundary.
+    Output: ``(a, b, jaccard_ppm)`` sorted, a < b.
+    """
+    import math
+
+    from .common import bucketed_group_agg, cogroup_join, _default_buckets
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    fams = setsim_fams(ds.count())
+    num, den = _SS_TAU
+    pfx = _SS_L - math.ceil(num * _SS_L / den) + 1
+    nb = _default_buckets()
+
+    def tok_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, _SS_L),
+                "tok": setsim_tokens(ids, fams).reshape(-1),
+                "n": np.int64(1),
+            }
+        )
+
+    toks = ds.map_batches(tok_rows, batch_format="pandas")
+    df_tbl = bucketed_group_agg(toks.drop_columns(["doc_id"]), ["tok"], {"n": "sum"})
+    with_df = cogroup_join(
+        toks.drop_columns(["n"]), df_tbl, "tok", "tok", ["doc_id", "tok"], ["n"]
+    )
+
+    def doc_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.util.hash_array(batch["doc_id"].to_numpy(np.int64)) % nb
+        return batch.assign(__db=b.astype(np.int64))
+
+    def prefix_rows(group: pd.DataFrame) -> pd.DataFrame:
+        doc = group["doc_id"].to_numpy(np.int64)
+        tok = group["tok"].to_numpy(np.int64)
+        df = group["n"].to_numpy(np.int64)
+        order = np.lexsort((tok, df, doc))  # by doc, then rarest-first
+        doc_s, tok_s = doc[order], tok[order]
+        # rank within doc: position minus the doc run's start offset
+        starts = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
+        run_id = np.cumsum(np.r_[False, doc_s[1:] != doc_s[:-1]])
+        rank = np.arange(len(doc_s)) - starts[run_id]
+        keep = rank < pfx
+        return pd.DataFrame({"tok": tok_s[keep], "doc_id": doc_s[keep]})
+
+    prefixes = (
+        with_df.map_batches(doc_bucket, batch_format="pandas")
+        .groupby("__db")
+        .map_groups(prefix_rows, batch_format="pandas")
+    )
+
+    def tok_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.util.hash_array(batch["tok"].to_numpy(np.int64)) % nb
+        return batch.assign(__tb=b.astype(np.int64))
+
+    def emit_pairs(group: pd.DataFrame):
+        doc = group["doc_id"].to_numpy(np.int64)
+        tok = group["tok"].to_numpy(np.int64)
+        order = np.lexsort((doc, tok))
+        doc_s, tok_s = doc[order], tok[order]
+        bounds = np.flatnonzero(np.r_[True, tok_s[1:] != tok_s[:-1], True])
+        outs_a, outs_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            outs_a.append(doc_s[s:e][ia])
+            outs_b.append(doc_s[s:e][ib])
+        if not outs_a:
+            return _pair_table([], [], c=[])
+        return _pair_table(
+            np.concatenate(outs_a), np.concatenate(outs_b),
+            c=np.ones(sum(len(x) for x in outs_a), dtype=np.int64),
+        )
+
+    cand = (
+        prefixes.map_batches(tok_bucket, batch_format="pandas")
+        .groupby("__tb")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+    deduped = bucketed_group_agg(cand, ["a", "b"], {"c": "min"})
+
+    def verify(batch: pd.DataFrame):
+        if not len(batch):
+            return _pair_table([], [], jaccard_ppm=[])
+        a = batch["a"].to_numpy(np.int64)
+        b = batch["b"].to_numpy(np.int64)
+        m = np.concatenate(
+            [setsim_tokens(a, fams), setsim_tokens(b, fams)], axis=1
+        )
+        s = np.sort(m, axis=1)
+        inter = (s[:, 1:] == s[:, :-1]).sum(axis=1).astype(np.int64)
+        union = 2 * _SS_L - inter
+        keep = den * inter >= num * union
+        jp = np.floor(
+            inter[keep] / union[keep].astype(np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        return _pair_table(a[keep], b[keep], jaccard_ppm=jp)
+
+    return deduped.map_batches(verify, batch_format="pandas").sort(["a", "b"])
+
+
+# DuckDB twin of docs_setsim_join: the identical token render (cube map,
+# junk mutation rule, fams derived from COUNT(*) with the same formula),
+# exact |A∩B| via a token self-join, the integer threshold and the ppm
+# rounding in the engine's operation order. The twin needs no prefix
+# machinery — prefix filtering changes only WHERE candidate pairs come
+# from, never the verified output.
+DOCS_SETSIM_SQL = r"""
+WITH f AS (SELECT GREATEST(40, COUNT(*) // 12) AS fams FROM documents),
+tok AS (
+    SELECT d.doc_id AS doc_id,
+           CASE WHEN (g.i + d.doc_id // f.fams) % (3 + d.doc_id % 5) = 0
+                THEN 10037 + (d.doc_id * 31 + g.i) % 503
+                ELSE ((((d.doc_id % f.fams) * 24 + g.i + 1)
+                       * ((d.doc_id % f.fams) * 24 + g.i + 1)) % 10037)
+                     * ((d.doc_id % f.fams) * 24 + g.i + 1) % 10037
+           END AS tok
+    FROM documents d, f, UNNEST(generate_series(0, 23)) AS g(i)
+),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS cnt
+    FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT a, b,
+       CAST(floor((CAST(cnt AS DOUBLE) / (48 - cnt)) * 1e6 + 0.5) AS BIGINT)
+           AS jaccard_ppm
+FROM inter
+WHERE 2 * cnt >= 48 - cnt
+ORDER BY a, b
+"""

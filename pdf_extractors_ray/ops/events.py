@@ -1469,7 +1469,7 @@ def events_cusum(sf_dir: str):
 
 
 EVENTS_CUSUM_SQL = f"""
-WITH RECURSIVE h AS (
+WITH RECURSIVE h AS MATERIALIZED (
     SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
            COUNT(*) AS cnt
     FROM events GROUP BY 1, 2
@@ -1490,7 +1490,7 @@ madsel AS (
            COUNT(*) OVER (PARTITION BY h.event_type) AS n
     FROM h JOIN med USING (event_type)
 ),
-par AS (
+par AS MATERIALIZED (
     SELECT med.event_type, med.med,
            {CUSUM_SLACK_X} * GREATEST(mad.mad, 1) AS slack,
            {CUSUM_THR_X} * GREATEST(mad.mad, 1) AS thr
@@ -1499,7 +1499,7 @@ par AS (
         WHERE rn = (500000 * n + 999999) // 1000000
     ) mad USING (event_type)
 ),
-seq AS (
+seq AS MATERIALIZED (
     SELECT h.*, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS rn FROM h
 ),
 c AS (

@@ -839,11 +839,20 @@ def _hash_neardup_query(sf_dir: str):
     gate: ``docs_winnow_fingerprints`` — the MOSS winnowing selection
     (rightmost-min over gram-hash windows, the sparse fingerprint index
     with the w+k−1 detection guarantee) hash-checked via its in-query
-    twin."""
+    twin. Additional forced gate: ``docs_setsim_join`` — the EXACT
+    all-pairs Jaccard join via prefix filtering (PPJoin), the
+    zero-false-negative counterpart to the LSH paths, hash-checked via
+    its own DuckDB twin."""
     _assert_sql_twin(
         "docs_winnow_fingerprints",
         dedup.docs_winnow_fingerprints(sf_dir),
         dedup.DOCS_WINNOW_SQL,
+        sf_dir,
+    )
+    _assert_sql_twin(
+        "docs_setsim_join",
+        dedup.docs_setsim_join(sf_dir),
+        dedup.DOCS_SETSIM_SQL,
         sf_dir,
     )
     mh = dedup.minhash_lsh_pairs(sf_dir)

@@ -883,3 +883,103 @@ def test_winnow_guarantee_property():
         assert fingerprints(a) & fingerprints(b), (a, b)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def test_setsim_matches_duckdb_twin(ray_session):
+    import duckdb
+
+    from pdf_extractors_ray.ops import dedup as dd
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eng = dd.docs_setsim_join(sf).to_pandas().reset_index(drop=True)
+        assert len(eng) > 0
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        ora = con.sql(dd.DOCS_SETSIM_SQL).df()
+        pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=False)
+
+
+def test_setsim_exactness_vs_bruteforce(ray_session):
+    """The whole point of prefix filtering over LSH: ZERO false negatives.
+    Engine output must equal the brute-force all-pairs scan — every pair
+    with J >= 1/2, none missed, ppm exact."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    got = dd.docs_setsim_join(sf).to_pandas().reset_index(drop=True).astype("int64")
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    fams = dd.setsim_fams(len(ids))
+    toks = dd.setsim_tokens(ids, fams)
+    sets = {int(d): frozenset(toks[i]) for i, d in enumerate(ids)}
+    ref = []
+    for ii, a in enumerate(sd := sorted(sets)):
+        sa = sets[a]
+        for b in sd[ii + 1 :]:
+            inter = len(sa & sets[b])
+            union = len(sa | sets[b])
+            if 2 * inter >= union:
+                ref.append((a, b, int(np.floor(inter / union * 1e6 + 0.5))))
+    refdf = pd.DataFrame(ref, columns=["a", "b", "jaccard_ppm"]).astype("int64")
+    pd.testing.assert_frame_equal(got, refdf)
+
+
+def test_setsim_prefix_lemma_on_corpus():
+    """Every qualifying pair shares a token within BOTH docs' rarest-first
+    prefixes of length L - ceil(tau*L) + 1 — the lemma the candidate stage
+    relies on, checked directly against the rendered corpus (no Ray)."""
+    import math
+    from collections import Counter
+
+    from pdf_extractors_ray.ops import dedup as dd
+
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    fams = dd.setsim_fams(n)
+    toks = dd.setsim_tokens(ids, fams)
+    sets = {int(d): frozenset(toks[i]) for i, d in enumerate(ids)}
+    freq = Counter(t for s in sets.values() for t in s)
+    p = dd._SS_L - math.ceil(dd._SS_L / 2) + 1
+
+    def prefix(s):
+        return set(sorted(s, key=lambda t: (freq[t], t))[:p])
+
+    pfx = {d: prefix(s) for d, s in sets.items()}
+    checked = 0
+    for ii, a in enumerate(sd := sorted(sets)):
+        sa = sets[a]
+        for b in sd[ii + 1 :]:
+            inter = len(sa & sets[b])
+            if 2 * inter >= len(sa | sets[b]):
+                assert pfx[a] & pfx[b], (a, b)
+                checked += 1
+    assert checked > 1000
+
+
+def test_setsim_render_invariants():
+    """Rendered rows are 24-distinct-token sets; junk and cube ranges are
+    disjoint; same-family structure holds at multiple corpus sizes."""
+    from pdf_extractors_ray.ops import dedup as dd
+
+    for n in (40, 500, 5000):
+        fams = dd.setsim_fams(n)
+        toks = dd.setsim_tokens(np.arange(n, dtype=np.int64), fams)
+        assert toks.shape == (n, dd._SS_L)
+        # all 24 tokens distinct within every row
+        s = np.sort(toks, axis=1)
+        assert not (s[:, 1:] == s[:, :-1]).any()
+        # cube tokens below the junk offset, junk at/above it
+        assert toks.min() >= 0
+        cube = toks[toks < dd._SS_JOFF]
+        junk = toks[toks >= dd._SS_JOFF]
+        assert cube.max() < dd._SS_P and len(cube) and len(junk)
+        assert junk.max() < dd._SS_JOFF + dd._SS_JMOD
+        # cross-family sets are disjoint (cube injectivity + disjoint
+        # x-ranges): doc 0 and doc 1 share no cube token
+        assert not (set(toks[0]) & set(toks[1])) & set(cube.tolist())
