@@ -283,7 +283,8 @@ def _pair_table(a, b, **extra):
 
 
 def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
-                      max_bucket: int = _MAX_BUCKET, num_partitions: int | None = None):
+                      max_bucket: int = _MAX_BUCKET, num_partitions: int | None = None,
+                      ds=None):
     """Near-dup pairs via MinHash-LSH, verified by exact shingle Jaccard.
 
     100 TB shape (nothing corpus-sized ever reaches the driver), with the
@@ -322,7 +323,8 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
 
     from .common import cogroup_join
 
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    if ds is None:
+        ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -616,11 +618,12 @@ def _simhash_rows(batch: pd.DataFrame) -> pd.DataFrame:
     return simhash_rows(batch, _TOKEN_CACHE)
 
 
-def simhash_docs(sf_dir: str):
+def simhash_docs(sf_dir: str, ds=None):
     """Per-document 64-bit simhash (hex) + its 4 16-bit band keys.
     Elastic tasks with a per-worker-process token-hash cache (same
     cross-batch reuse as an actor pool, no pool startup per query)."""
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    if ds is None:
+        ds = _docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(_simhash_rows, batch_format="pandas").sort("doc_id")
 
 
@@ -651,14 +654,15 @@ def _hamming_pairs_chunked(ids: np.ndarray, hashes: np.ndarray, max_hamming: int
     return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64), "hamming": dd.astype(np.int64)})
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = _MAX_BUCKET):
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = _MAX_BUCKET,
+                  ds=None):
     """SimHash near-dup pairs: 4x16-bit band buckets → candidate pairs →
     exact Hamming verification (near-dups must share ≥1 band when
     distance ≤ 3 by pigeonhole over 4 bands). Verification is vectorized
     (chunked XOR + popcount); buckets beyond ``max_bucket`` verify each
     member only against the bucket minimum (star cap, same policy as
     MinHash-LSH — O(m) instead of O(m^2) for one viral cluster)."""
-    ds = simhash_docs(sf_dir)
+    ds = simhash_docs(sf_dir, ds=ds)
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -1313,5 +1317,238 @@ SELECT a, b,
            AS jaccard_ppm
 FROM inter
 WHERE 2 * cnt >= 48 - cnt
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL-twinned hash-signature near-dup: the MinHash-LSH and SimHash pipelines
+# run UNCHANGED over a deterministic near-dup text overlay, and the WHOLE
+# signature machinery — md5 little-endian 64-bit shingle/token hashes, the
+# exact Mersenne affine family (a*h + b) mod 2^61-1, the polynomial band-key
+# mix, band-bucket candidate generation, exact-Jaccard / Hamming
+# verification, exact-collapse and member expansion — is replayed bit-exactly
+# in DuckDB (HUGEINT gives the 128-bit headroom the numpy side builds from
+# 32-bit limbs). The raw corpus has no duplicate or near-duplicate texts at
+# test scale, so the overlay (the repo's surrogate recipe: both engines
+# derive the same text analytically from doc_id) is what makes the twin
+# non-vacuous: each 4-doc family plants an exact duplicate (v3 == v0, which
+# exercises collapse, within-cluster pairs and member expansion), a
+# near-duplicate above the Jaccard threshold (v1: every 11th token replaced)
+# and a below-threshold decoy (v2: every 3rd token replaced — banded
+# occasionally, always rejected by exact verification).
+
+def neardup_overlay_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id) -> (doc_id, text): deterministic near-dup family overlay.
+
+    Family f = doc_id // 4, variant v = doc_id % 4, n = 24 + (f % 7) * 5
+    tokens. Base token i is ``w{f}_{(7i + i^2) % 997}`` — every token
+    carries the family id, so cross-family shingle sets are DISJOINT by
+    construction (the setsim overlay's lesson: affine/translate-structured
+    overlays make some cross-family pairs near-identical). v0 and v3 are
+    byte-identical; v1 replaces positions i % 11 == 3 (stays above Jaccard
+    1/2 on 3-gram shingles); v2 replaces positions i % 3 == 1 (falls well
+    below). Single-space joined — matches both ``str.split()`` and the
+    twin's ``string_split(text, ' ')``."""
+    ids = batch["doc_id"].to_numpy(np.int64)
+    texts = []
+    for d in ids:
+        f, v = int(d) // 4, int(d) % 4
+        n = 24 + (f % 7) * 5
+        toks = []
+        for i in range(n):
+            if v == 1 and i % 11 == 3:
+                toks.append(f"u{f}_{i}")
+            elif v == 2 and i % 3 == 1:
+                toks.append(f"z{f}_{i}")
+            else:
+                toks.append(f"w{f}_{(7 * i + i * i) % 997}")
+        texts.append(" ".join(toks))
+    return pd.DataFrame({"doc_id": ids, "text": texts})
+
+
+def _overlay_ds(sf_dir: str):
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(
+        neardup_overlay_rows, batch_format="pandas"
+    )
+
+
+def docs_minhash_neardup(sf_dir: str):
+    """The PRODUCTION ``minhash_lsh_pairs`` path over the rendered overlay
+    corpus — every stage identical to the raw-corpus run; only the input
+    dataset is injected. Pinned bit-exactly to ``DOCS_MINHASH_SQL``."""
+    return minhash_lsh_pairs(sf_dir, ds=_overlay_ds(sf_dir))
+
+
+def docs_simhash_neardup(sf_dir: str):
+    """The PRODUCTION ``simhash_pairs`` path over the rendered overlay
+    corpus. Pinned bit-exactly to ``DOCS_SIMHASH_SQL``."""
+    return simhash_pairs(sf_dir, ds=_overlay_ds(sf_dir))
+
+
+# little-endian uint64 of the first 8 md5 digest bytes, as the repo's
+# Python kernels compute it (``_md5_64``): reassemble the hex pairs in
+# reverse byte order and parse — verified equal to the numpy value.
+_MD5_LE64 = ("('0x' || substr({m},15,2) || substr({m},13,2) || substr({m},11,2)"
+             " || substr({m},9,2) || substr({m},7,2) || substr({m},5,2)"
+             " || substr({m},3,2) || substr({m},1,2))::UBIGINT")
+
+# the deterministic overlay, rendered in SQL from the same closed forms
+_OVERLAY_CTE = """
+ov AS (
+    SELECT doc_id, doc_id // 4 AS f, doc_id % 4 AS v,
+           24 + ((doc_id // 4) % 7) * 5 AS n
+    FROM documents
+),
+otok AS MATERIALIZED (
+    SELECT o.doc_id AS doc_id, g.i AS i,
+           CASE WHEN o.v = 1 AND g.i % 11 = 3 THEN 'u' || o.f || '_' || g.i
+                WHEN o.v = 2 AND g.i % 3 = 1 THEN 'z' || o.f || '_' || g.i
+                ELSE 'w' || o.f || '_' || ((7 * g.i + g.i * g.i) % 997)
+           END AS t
+    FROM ov o, UNNEST(generate_series(0, o.n - 1)) AS g(i)
+)
+"""
+
+_P61_INT = int(_P61)
+_BAND_R_INT = int(_BAND_R)
+_PARAMS_VALUES = ", ".join(
+    f"({j}, {int(a)}, {int(b)})" for j, (a, b) in enumerate(zip(_A, _B))
+)
+
+# Bit-exact DuckDB replay of minhash_lsh_pairs over the overlay. Overlay
+# texts always have >= 24 tokens, so the short-text single-shingle branch
+# of word_shingles and the has_tok gate are vacuously satisfied; the
+# oversized-bucket star cap (32768) is never reached at gate scale, so the
+# twin's all-pairs candidate join is the same set the engine emits. The
+# float expression mirrors the engine's rounding sequence exactly:
+# (inter / union) correctly-rounded DOUBLE, then * 1e6, + 0.5, floor.
+DOCS_MINHASH_SQL = f"""
+WITH {_OVERLAY_CTE.strip()},
+params(j, a, b) AS (VALUES {_PARAMS_VALUES}),
+txt AS MATERIALIZED (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text FROM otok GROUP BY 1),
+grp AS MATERIALIZED (SELECT doc_id, md5(text) AS h FROM txt),
+rep AS (SELECT h, MIN(doc_id) AS rep_id FROM grp GROUP BY 1),
+member AS MATERIALIZED (SELECT g.doc_id AS doc_id, r.rep_id AS rep_id FROM grp g JOIN rep r USING (h)),
+within AS (
+    SELECT g1.doc_id AS a, g2.doc_id AS b, CAST(1000000 AS BIGINT) AS jaccard_ppm
+    FROM grp g1 JOIN grp g2 ON g2.h = g1.h AND g1.doc_id < g2.doc_id
+),
+reps AS (SELECT DISTINCT rep_id AS doc_id FROM member),
+sh0 AS (
+    SELECT a.doc_id AS doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+    FROM otok a
+    JOIN otok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN otok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    WHERE a.doc_id IN (SELECT doc_id FROM reps)
+),
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh0),
+hsh AS MATERIALIZED (
+    SELECT doc_id,
+           CAST({_MD5_LE64.format(m='m')} % 2305843009213693952 AS BIGINT) AS h
+    FROM (SELECT doc_id, md5(s) AS m FROM shd)
+),
+sigmin AS MATERIALIZED (
+    SELECT h.doc_id AS doc_id, p.j AS j,
+           MIN(CAST((CAST(p.a AS HUGEINT) * h.h + p.b) % {_P61_INT} AS BIGINT)) AS s
+    FROM hsh h CROSS JOIN params p
+    GROUP BY 1, 2
+),
+bk4 AS (
+    SELECT doc_id, j // 4 AS band,
+           MAX(CASE WHEN j % 4 = 0 THEN s END) AS s0,
+           MAX(CASE WHEN j % 4 = 1 THEN s END) AS s1,
+           MAX(CASE WHEN j % 4 = 2 THEN s END) AS s2,
+           MAX(CASE WHEN j % 4 = 3 THEN s END) AS s3
+    FROM sigmin GROUP BY 1, 2
+),
+keys AS MATERIALIZED (
+    SELECT doc_id, band,
+           CAST(((((CAST(s0 AS HUGEINT) * {_BAND_R_INT} + s1) % {_P61_INT})
+                    * {_BAND_R_INT} + s2) % {_P61_INT}
+                    * {_BAND_R_INT} + s3) % {_P61_INT} AS BIGINT) AS bkey
+    FROM bk4
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS ra, y.doc_id AS rb
+    FROM keys x JOIN keys y
+      ON y.band = x.band AND y.bkey = x.bkey AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shd GROUP BY 1),
+inter AS (
+    SELECT c.ra AS ra, c.rb AS rb, COUNT(*) AS cnt
+    FROM cand c
+    JOIN shd sa ON sa.doc_id = c.ra
+    JOIN shd sb ON sb.doc_id = c.rb AND sb.s = sa.s
+    GROUP BY 1, 2
+),
+ver AS (
+    SELECT i.ra AS ra, i.rb AS rb,
+           CAST(floor(CAST(i.cnt AS DOUBLE) / (za.nsh + zb.nsh - i.cnt)
+                      * 1000000.0 + 0.5) AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.ra
+    JOIN sizes zb ON zb.doc_id = i.rb
+    WHERE 2 * i.cnt >= za.nsh + zb.nsh - i.cnt
+),
+expanded AS (
+    SELECT LEAST(ma.doc_id, mb.doc_id) AS a,
+           GREATEST(ma.doc_id, mb.doc_id) AS b,
+           v.jaccard_ppm AS jaccard_ppm
+    FROM ver v
+    JOIN member ma ON ma.rep_id = v.ra
+    JOIN member mb ON mb.rep_id = v.rb
+)
+SELECT a, b, jaccard_ppm FROM expanded
+UNION ALL
+SELECT a, b, jaccard_ppm FROM within
+ORDER BY a, b
+"""
+
+# Bit-exact DuckDB replay of simhash_pairs over the overlay: md5-LE64 token
+# hashes WITH multiplicity, per-bit sign accumulation (acc > 0 sets the
+# bit), 4 x 16-bit band buckets, pigeonhole candidates, exact Hamming via
+# per-band XOR popcounts. The engine's cross-band pair dedup (bucketed min
+# over an invariant hamming) collapses to DISTINCT here.
+DOCS_SIMHASH_SQL = f"""
+WITH {_OVERLAY_CTE.strip()},
+tokh AS (
+    SELECT doc_id, {_MD5_LE64.format(m='m')} AS h
+    FROM (SELECT doc_id, md5(t) AS m FROM otok)
+),
+bits AS (
+    SELECT doc_id, b.j AS bit,
+           SUM(CASE WHEN (h >> CAST(b.j AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+    FROM tokh, UNNEST(generate_series(0, 63)) AS b(j)
+    GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, bit // 16 AS band,
+           CAST(SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(bit % 16 AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS bval
+    FROM bits GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y
+      ON y.band = x.band AND y.bval = x.bval AND x.doc_id < y.doc_id
+),
+full4 AS (
+    SELECT doc_id,
+           MAX(CASE WHEN band = 0 THEN bval END) AS b0,
+           MAX(CASE WHEN band = 1 THEN bval END) AS b1,
+           MAX(CASE WHEN band = 2 THEN bval END) AS b2,
+           MAX(CASE WHEN band = 3 THEN bval END) AS b3
+    FROM bands GROUP BY 1
+)
+SELECT c.a AS a, c.b AS b,
+       CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+          + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3))
+          AS BIGINT) AS hamming
+FROM cand c
+JOIN full4 fa ON fa.doc_id = c.a
+JOIN full4 fb ON fb.doc_id = c.b
+WHERE bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+    + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) <= 3
 ORDER BY a, b
 """

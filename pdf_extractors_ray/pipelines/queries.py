@@ -829,9 +829,14 @@ def _sliding_asof_query(sf_dir: str):
 
 def _hash_neardup_query(sf_dir: str):
     """The hash-based near-dup paths in one driver slot. Forced gates:
-    MinHash-LSH pairs and SimHash pairs (pinned by planted-dup / recall
-    tests in pytest; dup_clusters over simhash edges is pinned by the
-    union-find reference test). RECORDED result: cluster labels over the
+    ``docs_minhash_neardup`` and ``docs_simhash_neardup`` — the PRODUCTION
+    MinHash-LSH and SimHash pipelines run over the deterministic near-dup
+    overlay (planted exact dups, above- and below-threshold near-dups) and
+    pinned BIT-EXACTLY to DuckDB twins that replay the whole signature
+    machinery (md5-LE64 hashes, Mersenne affine mins, polynomial band
+    keys, band-bucket candidates, exact verification, member expansion)
+    in HUGEINT; dup_clusters over simhash edges is pinned by the
+    union-find reference test. RECORDED result: cluster labels over the
     EXACT within-source Jaccard edge set — the same distributed components
     kernel, but with an edge derivation DuckDB can replicate, so the
     components kernel itself is hash-checked against a recursive-CTE
@@ -855,14 +860,18 @@ def _hash_neardup_query(sf_dir: str):
         dedup.DOCS_SETSIM_SQL,
         sf_dir,
     )
-    mh = dedup.minhash_lsh_pairs(sf_dir)
-    if set(mh.schema().names) != {"a", "b", "jaccard_ppm"}:
-        raise RuntimeError(f"minhash_lsh_pairs schema: {mh.schema().names}")
-    mh.count()  # force full execution of the LSH path
-    sim = dedup.simhash_pairs(sf_dir)
-    if set(sim.schema().names) != {"a", "b", "hamming"}:
-        raise RuntimeError(f"simhash_pairs schema: {sim.schema().names}")
-    sim.count()  # force full execution of the SimHash path
+    _assert_sql_twin(
+        "docs_minhash_neardup",
+        dedup.docs_minhash_neardup(sf_dir),
+        dedup.DOCS_MINHASH_SQL,
+        sf_dir,
+    )
+    _assert_sql_twin(
+        "docs_simhash_neardup",
+        dedup.docs_simhash_neardup(sf_dir),
+        dedup.DOCS_SIMHASH_SQL,
+        sf_dir,
+    )
     exact = dedup.ngram_jaccard_groups(sf_dir).select_columns(["a", "b"])
     return dedup.dup_clusters(sf_dir, edges=exact)
 

@@ -983,3 +983,82 @@ def test_setsim_render_invariants():
         # cross-family sets are disjoint (cube injectivity + disjoint
         # x-ranges): doc 0 and doc 1 share no cube token
         assert not (set(toks[0]) & set(toks[1])) & set(cube.tolist())
+
+
+# ---------------------------------------------------------------------------
+# SQL-twinned hash-signature near-dup (MinHash-LSH + SimHash over the
+# deterministic overlay)
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_overlay_twins_match(ray_session):
+    """The PRODUCTION MinHash-LSH and SimHash pipelines over the rendered
+    overlay are BIT-EXACT against DuckDB twins that replay the entire
+    signature machinery (md5-LE64 hashes, exact Mersenne affine family,
+    polynomial band keys, band buckets, verification, expansion)."""
+    import duckdb
+
+    from pdf_extractors_ray.ops import dedup as dd
+
+    for sf in ("/root/testdata/sf0.001",):
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        for fn, sql in ((dd.docs_minhash_neardup, dd.DOCS_MINHASH_SQL),
+                        (dd.docs_simhash_neardup, dd.DOCS_SIMHASH_SQL)):
+            eng = fn(sf).to_pandas().reset_index(drop=True)
+            assert len(eng) > 0
+            ora = con.sql(sql).df()
+            pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+        con.close()
+
+
+def test_neardup_overlay_structure(ray_session):
+    """Planted-family expectations: exact-dup (v0, v3) pairs surface in
+    BOTH pipelines (ppm exactly 1e6 / hamming exactly 0), every emitted
+    pair is same-family (cross-family shingle sets are disjoint by
+    construction), no below-threshold v2 doc survives MinHash
+    verification, and every ppm clears the 1/2 threshold."""
+    from pdf_extractors_ray.ops import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    mh = dd.docs_minhash_neardup(sf).to_pandas()
+    sh = dd.docs_simhash_neardup(sf).to_pandas()
+
+    fams = set(range(125))  # doc_ids 0..499 -> 125 complete 4-doc families
+    # exact duplicates v0 == v3
+    mh_pairs = set(zip(mh["a"], mh["b"]))
+    sh_pairs = set(zip(sh["a"], sh["b"]))
+    for f in fams:
+        assert (4 * f, 4 * f + 3) in mh_pairs
+        assert (4 * f, 4 * f + 3) in sh_pairs
+    exact = mh.set_index(["a", "b"])["jaccard_ppm"]
+    for f in fams:
+        assert exact.loc[(4 * f, 4 * f + 3)] == 1_000_000
+    shx = sh.set_index(["a", "b"])["hamming"]
+    for f in fams:
+        assert shx.loc[(4 * f, 4 * f + 3)] == 0
+
+    assert (mh["a"] // 4 == mh["b"] // 4).all()
+    assert (sh["a"] // 4 == sh["b"] // 4).all()
+    assert (mh["jaccard_ppm"] >= 500_000).all()
+    # v2 (every 3rd token replaced) sits well below Jaccard 1/2
+    assert not ((mh["a"] % 4 == 2) | (mh["b"] % 4 == 2)).any()
+
+
+def test_neardup_overlay_minhash_ppm_vs_bruteforce(ray_session):
+    """Every emitted MinHash pair's ppm equals the brute-force shingle
+    Jaccard of the rendered texts (verification is exact; only candidate
+    RECALL is probabilistic), and the engine misses no exact-dup pair."""
+    import pandas as pd
+
+    from pdf_extractors_ray.ops import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    ids = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+    texts = dd.neardup_overlay_rows(ids).set_index("doc_id")["text"]
+    got = dd.docs_minhash_neardup(sf).to_pandas()
+    for a, b, ppm in got.itertuples(index=False):
+        sa, sb = dd.word_shingles(texts[a]), dd.word_shingles(texts[b])
+        j = len(sa & sb) / len(sa | sb)
+        assert int(np.floor(j * 1e6 + 0.5)) == ppm
+        assert 2 * len(sa & sb) >= len(sa | sb)
