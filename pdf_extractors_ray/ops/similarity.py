@@ -1380,3 +1380,82 @@ SELECT query_id, CAST(n_exact AS BIGINT) AS n_exact,
        CAST((n_hit * 1000000) // GREATEST(n_exact, 1) AS BIGINT) AS recall_ppm
 FROM per ORDER BY query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact second-moment (Gram) matrix: the sufficient statistics for PCA /
+# whitening / covariance over the embedding column, computed as ONE
+# streaming pass of mergeable integer partials — the textbook "sufficient
+# statistics, not data movement" decomposition: each block contributes its
+# d x d integer Q^T Q (one int64 matmul), per-dimension sums and a row
+# count; only KB-sized partial tables (d*(d+1)/2 upper-triangle rows per
+# block) ever shuffle. No corpus-sized exchange, no driver materialization
+# of vectors, trivially resumable per block.
+
+
+def emb_covariance(sf_dir: str):
+    """Upper-triangle exact moments over ×2^20-quantized embeddings.
+
+    Output per (i <= j): ``i, j, n, sum_i, sum_j, sum_ij`` — all exact
+    int64; covariance/correlation derive downstream as
+    (n*sum_ij - sum_i*sum_j) / n^2 without touching the corpus again.
+    Quantization is the long-green ANN construct (float32 -> DOUBLE ->
+    floor(x * 2^20 + 0.5)), bit-identical in DuckDB. int64 headroom:
+    |q| <~ 2^21 for unit-norm-ish inputs, so a block's sum_ij grows as
+    ~2^42 * block_rows — the partial kernel raises past 2^20 rows per
+    block rather than wrapping silently (numpy wraps where DuckDB's
+    HUGEINT keeps going — the documented engine/twin divergence class)."""
+    from .common import grouped_sums
+
+    emb = _emb(sf_dir, columns=["embedding"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64)
+                 for c in ("i", "j", "n", "sum_i", "sum_j", "sum_ij")}
+            )
+        if len(batch) > (1 << 20):
+            raise ValueError(
+                f"emb_covariance: {len(batch)} rows in one block exceeds the "
+                "int64 partial-sum headroom (2^20); lower the block size"
+            )
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float32) for e in batch["embedding"]]
+        ).astype(np.float64)
+        q = np.floor(mat * 1048576.0 + 0.5).astype(np.int64)
+        d = q.shape[1]
+        gram = q.T @ q  # int64 matmul: exact
+        s = q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {
+                "i": iu.astype(np.int64),
+                "j": ju.astype(np.int64),
+                "n": np.int64(len(q)),
+                "sum_i": s[iu],
+                "sum_j": s[ju],
+                "sum_ij": gram[iu, ju],
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pandas")
+    return grouped_sums(parts, ["i", "j"], ["n", "sum_i", "sum_j", "sum_ij"]).sort(["i", "j"])
+
+
+EMB_COVARIANCE_SQL = """
+WITH q AS MATERIALIZED (
+    SELECT vec_id, g.i - 1 AS dim,
+           CAST(FLOOR(e[g.i] * 1048576.0 + 0.5) AS BIGINT) AS v
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) t,
+         UNNEST(generate_series(1, len(e))) AS g(i)
+)
+SELECT a.dim AS i, b.dim AS j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a.v) AS BIGINT) AS sum_i,
+       CAST(SUM(b.v) AS BIGINT) AS sum_j,
+       CAST(SUM(a.v * b.v) AS BIGINT) AS sum_ij
+FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

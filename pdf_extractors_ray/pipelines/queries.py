@@ -428,7 +428,10 @@ def _emb_dedup_query(sf_dir: str):
     exact quadratic dup-pair scan in one driver slot. Forced gates:
     ``emb_dup_pairs`` (block-pair cosine ≥ threshold) and
     ``emb_semantic_dedup`` (LSH-bucketed first-occurrence-wins dedup)
-    stay fully hash-checked via in-query twin gates. RECORDED result:
+    and ``emb_covariance`` (the exact integer second-moment matrix — the
+    PCA/whitening sufficient statistics as one pass of mergeable d×d
+    partials) stay fully hash-checked via in-query twin gates. RECORDED
+    result:
     ``emb_kcenter`` — the Gonzalez greedy diversity selection with exact
     integer quantized distances (k one-pass rounds + block-candidate
     driver reduce), pinned to a chained materialized-CTE DuckDB twin."""
@@ -443,6 +446,13 @@ def _emb_dedup_query(sf_dir: str):
         "emb_semantic_dedup",
         similarity.emb_semantic_dedup(sf_dir),
         similarity.EMB_SEMANTIC_DEDUP_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    _assert_sql_twin(
+        "emb_covariance",
+        similarity.emb_covariance(sf_dir),
+        similarity.EMB_COVARIANCE_SQL,
         sf_dir,
         tables=("embeddings",),
     )

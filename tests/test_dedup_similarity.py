@@ -1062,3 +1062,41 @@ def test_neardup_overlay_minhash_ppm_vs_bruteforce(ray_session):
         j = len(sa & sb) / len(sa | sb)
         assert int(np.floor(j * 1e6 + 0.5)) == ppm
         assert 2 * len(sa & sb) >= len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# exact second-moment matrix (PCA sufficient statistics)
+# ---------------------------------------------------------------------------
+
+
+def test_emb_covariance_matches_twin_and_bruteforce(ray_session):
+    """Engine == DuckDB twin (bit-exact) == single-process numpy full-corpus
+    moments — the mergeable-partials decomposition loses nothing."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    got = sim.emb_covariance(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(sim.EMB_COVARIANCE_SQL).df()
+    pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=True)
+    con.close()
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    mat = np.stack([np.asarray(e, dtype=np.float32) for e in emb["embedding"].to_pylist()])
+    q = np.floor(mat.astype(np.float64) * 1048576.0 + 0.5).astype(np.int64)
+    gram = q.T @ q
+    s = q.sum(axis=0)
+    iu, ju = np.triu_indices(q.shape[1])
+    assert (got["n"] == len(q)).all()
+    assert np.array_equal(got["sum_i"].to_numpy(), s[iu])
+    assert np.array_equal(got["sum_j"].to_numpy(), s[ju])
+    assert np.array_equal(got["sum_ij"].to_numpy(), gram[iu, ju])
+    # derived covariance agrees with np.cov to float tolerance
+    n = len(q)
+    cov_int = (got["sum_ij"] * n - got["sum_i"] * got["sum_j"]).to_numpy() / (n * n * 1048576.0 ** 2)
+    ref = np.cov(q.T / 1048576.0, bias=True)
+    assert np.allclose(cov_int, ref[iu, ju], rtol=1e-9, atol=1e-12)
