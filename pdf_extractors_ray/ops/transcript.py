@@ -572,3 +572,86 @@ FROM s WHERE prev_role IS NOT NULL
 GROUP BY prev_role, role
 ORDER BY prev_role, role
 """
+
+
+# ---------------------------------------------------------------------------
+# Conversation-ordered context packing: assign every turn to a fixed-size
+# token window within its conversation (the SFT-batch preparation step —
+# ``docs_pack_sequences`` packs documents corpus-wide; this packs TURNS in
+# restored conversation order). The window assignment is an order-sensitive
+# functional of the turn sequence (exclusive token cumsum), so it pins the
+# north rule's stable-turn-ordering restore through a different lens than
+# the hygiene digest: a transposed turn shifts every later window offset.
+
+PACK_WINDOW_TOKENS = 64
+
+
+def transcript_turn_pack(path: str, n_parts: int | None = None,
+                         window_tokens: int = PACK_WINDOW_TOKENS):
+    """Per-turn window id + token offset inside its conversation.
+
+    ``n_toks`` counts single-space splits (``text.count(' ') + 1`` ==
+    ``len(string_split(text, ' '))`` for EVERY string, so engine and twin
+    agree bytewise regardless of corpus whitespace). Shape: the fold
+    exchange (part_id map-side, one groupby, vectorized segment cumsum via
+    global-cumsum-minus-segment-base — no per-conversation Python loop).
+    Output is turn-cardinality but narrow (no text leaves the exchange
+    carrying stage)."""
+    from ..sources.transcripts import read_transcripts
+    from ..stages.fold import _default_n_parts, conv_boundaries
+    from ..state.lineage import append_part_id
+
+    n_parts = n_parts or _default_n_parts()
+    ds = read_transcripts(path, columns=["conv_id", "turn_idx", "text"])
+    ds = ds.map_batches(
+        lambda b: append_part_id(b, n_parts), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        cols = ("conv_id", "turn_idx", "n_toks", "win", "win_off")
+        if len(group) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object if c == "conv_id" else np.int64)
+                 for c in cols}
+            )
+        conv = np.asarray(group["conv_id"], dtype=object)
+        tidx = np.asarray(group["turn_idx"], dtype=np.int64)
+        txt = np.asarray(group["text"], dtype=object)
+        ntok = np.fromiter((t.count(" ") + 1 for t in txt), dtype=np.int64, count=len(txt))
+        order, bounds = conv_boundaries(conv, tidx)
+        c, t, n = conv[order], tidx[order], ntok[order]
+        excl = np.cumsum(n) - n  # exclusive prefix sum, globally
+        base = np.repeat(excl[bounds[:-1]], np.diff(bounds))
+        cum = excl - base        # exclusive prefix sum within each conversation
+        return pd.DataFrame(
+            {
+                "conv_id": c,
+                "turn_idx": t,
+                "n_toks": n,
+                "win": cum // window_tokens,
+                "win_off": cum % window_tokens,
+            }
+        )
+
+    return (
+        ds.groupby("part_id")
+        .map_groups(pack, batch_format="pandas")
+        .sort(["conv_id", "turn_idx"])
+    )
+
+
+def transcript_turn_pack_sql(path: str, window_tokens: int = PACK_WINDOW_TOKENS) -> str:
+    return f"""
+WITH s AS (
+    SELECT conv_id, turn_idx,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+    FROM read_parquet('{path}/*.parquet')
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, n_toks,
+       cum // {window_tokens} AS win, cum % {window_tokens} AS win_off
+FROM s
+ORDER BY conv_id, turn_idx
+"""

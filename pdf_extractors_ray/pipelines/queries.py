@@ -575,7 +575,10 @@ def _table_grid_query(sf_dir: str):
     ``transcript_tool_latency`` — exact p50/p95 turn-gap telemetry per
     (tool family, role) via the grouped histogram-narrowing quantile
     kernel, hash-checked against a LAG + windowed-rank DuckDB twin over
-    the same Parquet."""
+    the same Parquet. Forced gate: ``transcript_turn_pack`` — the
+    conversation-ordered context-packing windows (exclusive token cumsum,
+    an order-sensitive functional that re-pins the stable-turn-ordering
+    restore), hash-checked against a window-SQL twin."""
     from ..ops import transcript as _tr
 
     path = transcripts_path_for_sf(sf_dir)
@@ -583,6 +586,13 @@ def _table_grid_query(sf_dir: str):
         "transcript_tool_latency",
         _tr.transcript_tool_latency(path),
         _tr.transcript_tool_latency_sql(path),
+        sf_dir,
+        tables=(),
+    )
+    _assert_sql_twin(
+        "transcript_turn_pack",
+        _tr.transcript_turn_pack(path),
+        _tr.transcript_turn_pack_sql(path),
         sf_dir,
         tables=(),
     )

@@ -264,3 +264,47 @@ def test_role_transitions_crafted_matrix(ray_session, tmp_path):
         want.sort_values(["prev_role", "role"]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_turn_pack_matches_duckdb_twin(ray_session):
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    p = transcripts_path_for_sf("/root/testdata/sf0.001")
+    got = tr.transcript_turn_pack(p).to_pandas().reset_index(drop=True)
+    assert got["win"].max() > 0  # non-trivial: conversations span windows
+    want = duckdb.connect().execute(tr.transcript_turn_pack_sql(p)).fetchdf()
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=True)
+
+
+def test_turn_pack_semantics(ray_session, tmp_path):
+    """Crafted conversation: window boundaries follow the exclusive token
+    cumsum exactly; a transposed turn changes downstream offsets (the
+    order-sensitivity the gate relies on); empty text counts 1 token
+    (single-space-split contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["a b c", "", "d " * 62 + "d", "x y"]  # 3, 1, 63, 2 tokens
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 4),
+            "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "role": pa.array(["user", "assistant", "tool", "user"]),
+            "text": pa.array(texts),
+            "tool": pa.array(["f"] * 4),
+            "ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "part-0.parquet")
+    got = tr.transcript_turn_pack(str(tmp_path), window_tokens=64).to_pandas()
+    # exclusive cumsums: 0, 3, 4, 67 -> windows 0,0,0,1; offsets 0,3,4,3
+    assert got["n_toks"].tolist() == [3, 1, 63, 2]
+    assert got["win"].tolist() == [0, 0, 0, 1]
+    assert got["win_off"].tolist() == [0, 3, 4, 3]
+
+    # transpose turns 2 and 3: the cumsum path through the conversation
+    # changes, so the final turn lands in a different window
+    tbl2 = tbl.set_column(3, "text", pa.array([texts[0], texts[1], texts[3], texts[2]]))
+    pq.write_table(tbl2, tmp_path / "part-0.parquet")
+    got2 = tr.transcript_turn_pack(str(tmp_path), window_tokens=64).to_pandas()
+    assert got2["win"].tolist() != got["win"].tolist()
