@@ -1844,3 +1844,126 @@ SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
        CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS accept
 FROM sel ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source distributional drift: exact total-variation distance between
+# each source's token distribution and the corpus distribution — the
+# training-mix diagnostic that says WHICH feed's unigram profile has moved.
+# TV (unlike KL/chi-square) sums exact integer numerators over one common
+# denominator 2*n_s*N, so a single floor at the end keeps engine and twin
+# bit-identical with no per-term rounding or logarithms:
+#   tv_ppm = floor(1e6 * sum_t |obs*N - C_t*n_s| / (2*n_s*N)),
+# where absent tokens contribute |0 - C_t*n_s| and collapse to the closed
+# form n_s*(N - sum_{t in s} C_t) — no cross join over the vocabulary.
+
+
+def docs_source_drift(sf_dir: str):
+    """(source, n_tokens, tv_ppm) sorted by source.
+
+    Distributed shape: token explode -> per-batch partial counts ->
+    bucketed (source, token) sums; per-token corpus totals via a second
+    KB-sized combine over that rollup, attached through a token-bucketed
+    cogroup JOIN (the vocabulary is corpus-scale on real data — the same
+    joined-not-broadcast rule as ``docs_tfidf``/``docs_lm_coverage``);
+    per-source totals ARE bounded (the repo's documented bounded-source
+    assumption) and ride along as a broadcast dict. The final fold runs
+    in Python ints over a sources-sized frame — obs*N products leave
+    int64 near N ~ 2^31, exactly the mixture-budget engine/twin
+    divergence class, so the numerator never touches numpy."""
+    from .common import cogroup_join
+
+    ds = _docs(sf_dir, columns=["source", "text"])
+
+    def tok_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = batch[["source"]].assign(t=batch["text"].str.split(" ")).explode("t")
+        g = ex.groupby(["source", "t"], sort=False).size().reset_index(name="obs")
+        g["obs"] = g["obs"].astype(np.int64)
+        return g
+
+    st = grouped_sums(
+        ds.map_batches(tok_counts, batch_format="pandas"), ["source", "t"], ["obs"]
+    ).materialize()
+
+    def strip_src(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["t", "obs"]].rename(columns={"obs": "ct"})
+
+    tt = grouped_sums(
+        st.map_batches(strip_src, batch_format="pandas"), ["t"], ["ct"]
+    )
+
+    # bounded source set: per-source totals fit the driver by assumption
+    ss = (
+        grouped_sums(
+            st.map_batches(lambda b: b[["source", "obs"]], batch_format="pandas"),
+            ["source"], ["obs"],
+        )
+        .to_pandas()
+        .set_index("source")["obs"]
+        .to_dict()
+    )
+    big_n = int(sum(ss.values()))
+
+    joined = cogroup_join(st, tt, "t", "t", ["source", "obs"], ["ct"])
+
+    def partial_terms(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for src, obs, ct in zip(batch["source"], batch["obs"], batch["ct"]):
+            ns = ss[src]
+            a, b = out.get(src, (0, 0))
+            out[src] = (a + abs(int(obs) * big_n - int(ct) * ns), b + int(ct))
+        return pd.DataFrame(
+            {
+                "source": pd.Series(list(out), dtype=object),
+                # Python-int sums serialized as strings: the per-source
+                # numerators exceed int64 long before N does
+                "terms": pd.Series([str(v[0]) for v in out.values()], dtype=object),
+                "ct_present": pd.Series([str(v[1]) for v in out.values()], dtype=object),
+            }
+        )
+
+    parts = joined.map_batches(partial_terms, batch_format="pandas").to_pandas()
+
+    rows = []
+    for src in sorted(ss):
+        ns = int(ss[src])
+        sub = parts[parts["source"] == src]
+        terms = sum(int(x) for x in sub["terms"])
+        ct_present = sum(int(x) for x in sub["ct_present"])
+        num = terms + ns * (big_n - ct_present)
+        rows.append((src, ns, (1_000_000 * num) // (2 * ns * big_n)))
+    out = pd.DataFrame(rows, columns=["source", "n_tokens", "tv_ppm"])
+    out[["n_tokens", "tv_ppm"]] = out[["n_tokens", "tv_ppm"]].astype(np.int64)
+
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+DOCS_SOURCE_DRIFT_SQL = """
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+st AS MATERIALIZED (SELECT source, t, COUNT(*) AS obs FROM tok GROUP BY 1, 2),
+tt AS (SELECT t, CAST(SUM(obs) AS HUGEINT) AS ct FROM st GROUP BY 1),
+ss AS (SELECT source, CAST(SUM(obs) AS HUGEINT) AS ns FROM st GROUP BY 1),
+tot AS (SELECT CAST(SUM(obs) AS HUGEINT) AS n FROM st),
+present AS (
+    SELECT st.source AS source,
+           SUM(ABS(CAST(st.obs AS HUGEINT) * tot.n - tt.ct * ss.ns)) AS terms,
+           SUM(tt.ct) AS ct_present
+    FROM st
+    JOIN tt USING (t)
+    JOIN ss USING (source)
+    CROSS JOIN tot
+    GROUP BY 1
+)
+SELECT p.source AS source,
+       CAST(ss.ns AS BIGINT) AS n_tokens,
+       CAST((1000000 * (p.terms + ss.ns * (tot.n - p.ct_present)))
+            // (2 * ss.ns * tot.n) AS BIGINT) AS tv_ppm
+FROM present p
+JOIN ss USING (source)
+CROSS JOIN tot
+ORDER BY source
+"""

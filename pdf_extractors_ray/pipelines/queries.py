@@ -296,7 +296,9 @@ def _bpe_mixture_pack_query(sf_dir: str):
     deterministic GLOBAL shuffle AND sequence packing AND mixture
     sampling AND the BPE-ish pretokenizer counts in one driver slot.
     Forced gates: ``docs_quality_rank``, ``docs_pack_sequences``,
-    ``docs_bpe_tokens``, ``docs_sample_mixture`` and
+    ``docs_bpe_tokens``, ``docs_sample_mixture``, ``docs_source_drift``
+    (exact per-source total-variation drift vs the corpus unigram
+    distribution — one common integer denominator, one final floor) and
     ``docs_global_shuffle`` stay fully hash-checked via in-query twin
     gates. RECORDED result: ``docs_mixture_budget`` — UniMax-style
     epochs-capped integer water filling of a half-corpus token budget
@@ -305,6 +307,12 @@ def _bpe_mixture_pack_query(sf_dir: str):
     _assert_sql_twin("docs_bpe_tokens", tx.docs_bpe_tokens(sf_dir), tx.DOCS_BPE_TOKENS_SQL, sf_dir)
     _assert_sql_twin(
         "docs_sample_mixture", curate.docs_sample_mixture(sf_dir), curate.DOCS_MIXTURE_SQL, sf_dir
+    )
+    _assert_sql_twin(
+        "docs_source_drift",
+        curate.docs_source_drift(sf_dir),
+        curate.DOCS_SOURCE_DRIFT_SQL,
+        sf_dir,
     )
     _assert_sql_twin(
         "docs_pack_sequences", curate.docs_pack_sequences(sf_dir), curate.DOCS_PACK_SQL, sf_dir

@@ -1312,3 +1312,73 @@ def test_reject_reasons_each_bit_fires(ray_session, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
     ora = con.sql(cu.DOCS_REJECT_SQL).df().set_index("doc_id")
     assert (ora["reasons"] == got["reasons"].reindex(ora.index)).all()
+
+
+# ---------------------------------------------------------------------------
+# per-source distributional drift (exact total variation)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_source_drift_matches_duckdb_twin(ray_session, sf):
+    got = curate.docs_source_drift(sf).to_pandas().reset_index(drop=True)
+    assert got["tv_ppm"].gt(0).all()  # real drift exists in the corpus
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    ora = con.sql(curate.DOCS_SOURCE_DRIFT_SQL).df()
+    pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=True)
+    con.close()
+
+
+def test_source_drift_bruteforce(ray_session):
+    """Engine tv_ppm equals the exact-rational TV computed single-process
+    from raw token counts — including the zero-cell closed form (tokens a
+    source never emits still contribute their corpus mass)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["source", "text"])
+    per_src: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        c = Counter(txt.split(" "))
+        per_src.setdefault(src, Counter()).update(c)
+        corpus.update(c)
+    big_n = sum(corpus.values())
+    got = curate.docs_source_drift(sf).to_pandas().set_index("source")
+    for src, cnt in per_src.items():
+        ns = sum(cnt.values())
+        num = sum(abs(cnt.get(tok, 0) * big_n - ct * ns) for tok, ct in corpus.items())
+        assert got.loc[src, "n_tokens"] == ns
+        assert got.loc[src, "tv_ppm"] == (1_000_000 * num) // (2 * ns * big_n)
+
+
+def test_source_drift_planted_divergence(ray_session, tmp_path):
+    """Crafted corpus: a source emitting only a private token has maximal
+    drift (tv_ppm near 1e6 * (1 - ns/N)); a source matching the corpus
+    mix has small drift; zero-cell terms are exercised in both
+    directions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        ("balanced", "a b c d"), ("balanced", "a b c d"),
+        ("skewed", "zzz zzz zzz zzz"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "source": pa.array([r[0] for r in rows]),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = curate.docs_source_drift(str(tmp_path)).to_pandas().set_index("source")
+    # skewed: obs(zzz)=4, C(zzz)=4, ns=4, N=12; TV = 1/2*(|4*12-4*4|/48
+    # + zero cells 4*(12-4)/48) = (32+32)/96 = 2/3
+    assert got.loc["skewed", "tv_ppm"] == (1_000_000 * 64) // 96
+    # balanced: obs(t)=2 each of a..d, C(t)=2, ns=8, N=12:
+    # present |2*12-2*8| = 8 per token *4 = 32; zero cell zzz: 8*(12-8)=32
+    assert got.loc["balanced", "tv_ppm"] == (1_000_000 * 64) // (2 * 8 * 12)
