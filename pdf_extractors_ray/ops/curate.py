@@ -1967,3 +1967,95 @@ JOIN ss USING (source)
 CROSS JOIN tot
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-shard) dedup: dedup a NEW ingest shard against the
+# fingerprint index of already-ingested data — the checkpoint-resume shape
+# of corpus dedup (a production run reads the index side from the previous
+# run's fingerprint parquet; here the elder shard plays that role so the
+# whole flow is self-contained and SQL-checkable). New documents that share
+# an opening-paragraph fingerprint with any indexed document are flagged
+# with the canonical (minimum) index doc_id they duplicate.
+
+
+def docs_incremental_dedup(sf_dir: str):
+    """(doc_id, fp, dup_of) for every NEW-shard document, sorted by doc_id;
+    ``dup_of`` = min index doc_id sharing the fingerprint, -1 when the
+    fingerprint is unseen. Shards split on the source number (src0-src9 =
+    index, src10+ = new). Fingerprints are the shared-paragraph overlay
+    construct ``docs_cross_source_overlap`` uses (the raw corpus has no
+    cross-shard duplicates; the overlay's 149 families make collisions
+    real — both engines md5 the same rendered string).
+
+    Distributed shape: fp + shard derived map-side; the index side reduces
+    to (fp, min doc_id) through a bucketed combine BEFORE the join (index
+    cardinality, not corpus); one fp-bucketed cogroup LEFT join attaches
+    the verdict to new-shard rows. Nothing corpus-sized reaches the
+    driver; the join is the repo's standard hash-bucketed exchange."""
+    import hashlib as _hl
+
+    from .common import bucketed_group_agg, cogroup_join
+
+    docs = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(np.int64)
+        fps = [
+            _hl.md5(f"ingest paragraph {i % 331}".encode()).hexdigest()[:16]
+            for i in d
+        ]
+        srcnum = batch["source"].str.slice(3).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": d, "fp": pd.Series(fps, dtype=object), "is_new": srcnum >= 10}
+        )
+
+    tagged = docs.map_batches(derive, batch_format="pandas").materialize()
+
+    index_min = bucketed_group_agg(
+        tagged.map_batches(
+            lambda b: b.loc[~b["is_new"], ["fp", "doc_id"]].rename(
+                columns={"doc_id": "dup_of"}
+            ),
+            batch_format="pandas",
+        ),
+        ["fp"],
+        {"dup_of": "min"},
+    )
+    new_rows = tagged.map_batches(
+        lambda b: b.loc[b["is_new"], ["doc_id", "fp"]], batch_format="pandas"
+    )
+
+    joined = cogroup_join(
+        new_rows, index_min, "fp", "fp", ["doc_id", "fp"], ["dup_of"], how="left"
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "fp": batch["fp"].astype(object),
+                "dup_of": batch["dup_of"].fillna(-1).astype(np.int64),
+            }
+        )
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
+DOCS_INCR_DEDUP_SQL = """
+WITH tagged AS (
+    SELECT doc_id,
+           substr(md5('ingest paragraph ' || CAST(doc_id % 331 AS VARCHAR)), 1, 16) AS fp,
+           CAST(substr(source, 4) AS BIGINT) >= 10 AS is_new
+    FROM documents
+),
+idx AS (
+    SELECT fp, MIN(doc_id) AS dup_of FROM tagged WHERE NOT is_new GROUP BY 1
+)
+SELECT t.doc_id AS doc_id, t.fp AS fp,
+       COALESCE(i.dup_of, -1) AS dup_of
+FROM tagged t LEFT JOIN idx i USING (fp)
+WHERE t.is_new
+ORDER BY t.doc_id
+"""

@@ -1382,3 +1382,40 @@ def test_source_drift_planted_divergence(ray_session, tmp_path):
     # balanced: obs(t)=2 each of a..d, C(t)=2, ns=8, N=12:
     # present |2*12-2*8| = 8 per token *4 = 32; zero cell zzz: 8*(12-8)=32
     assert got.loc["balanced", "tv_ppm"] == (1_000_000 * 64) // (2 * 8 * 12)
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-shard) dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_incremental_dedup_matches_duckdb_twin(ray_session, sf):
+    got = curate.docs_incremental_dedup(sf).to_pandas().reset_index(drop=True)
+    # both verdict branches must carry rows for the check to mean anything
+    assert (got["dup_of"] >= 0).any() and (got["dup_of"] < 0).any()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    ora = con.sql(curate.DOCS_INCR_DEDUP_SQL).df()
+    pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=True)
+    con.close()
+
+
+def test_incremental_dedup_semantics(ray_session):
+    """dup_of is the MINIMUM index doc_id sharing the fingerprint; only
+    new-shard docs (source number >= 10) are emitted; -1 rows have a
+    fingerprint genuinely absent from the index shard."""
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    got = curate.docs_incremental_dedup(sf).to_pandas()
+    assert (got["doc_id"] % 20 >= 10).all()
+    index_ids = [d for d in range(500) if d % 20 < 10]
+    by_fam: dict[int, int] = {}
+    for d in index_ids:
+        by_fam.setdefault(d % 331, d)  # ascending -> min
+    for doc_id, fp, dup_of in got.itertuples(index=False):
+        fam = doc_id % 331
+        expect = by_fam.get(fam, -1)
+        assert dup_of == expect
+        assert fp == hashlib.md5(f"ingest paragraph {fam}".encode()).hexdigest()[:16]
