@@ -1552,3 +1552,148 @@ WHERE bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
     + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) <= 3
 ORDER BY a, b
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup recall evaluation (eval-as-pipeline, the dedup counterpart of
+# ``emb_ann_recall``): MinHash-LSH candidate recall against the EXACT
+# ground-truth near-dup pair set over the same overlay, per Jaccard decile
+# — the measurement that sizes bands x rows before a production dedup run.
+# Ground truth is computable exactly because overlay families are token-
+# disjoint (cross-family Jaccard is 0 by construction), so the exact scan
+# is family-bucketed and each family is O(1) docs — the same documented
+# bounded-group assumption as ``ngram_jaccard_groups``.
+
+
+def docs_neardup_recall(sf_dir: str, pairs=None, jaccard_threshold: float = 0.5):
+    """(ppm_decile, n_true, n_found, recall_ppm) sorted by decile.
+
+    ``pairs``: optionally a materialized ``docs_minhash_neardup`` result
+    (the driver slot reuses its twin-gate run instead of re-banding).
+    Every LSH pair is exactly verified at the same threshold, so found ⊆
+    true and recall_ppm ≤ 1e6 per decile; the 10-decile (exact
+    duplicates) is 1e6 by construction — LSH cannot miss identical
+    signatures."""
+    import ray.data
+
+    from .common import cogroup_join
+
+    if pairs is None:
+        pairs = docs_minhash_neardup(sf_dir)
+
+    overlay = _overlay_ds(sf_dir)
+
+    def fam_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["fam"] = batch["doc_id"].to_numpy(np.int64) // 4
+        return batch
+
+    def verify_family(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(np.int64)
+        sh = [word_shingles(t) for t in g["text"]]
+        a_out, b_out, ppm = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                union = len(sh[i] | sh[j])
+                jac = len(sh[i] & sh[j]) / union if union else 0.0
+                if jac >= jaccard_threshold:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    ppm.append(int(np.floor(jac * 1e6 + 0.5)))
+        return pd.DataFrame(
+            {
+                "a": pd.Series(a_out, dtype=np.int64),
+                "b": pd.Series(b_out, dtype=np.int64),
+                "true_ppm": pd.Series(ppm, dtype=np.int64),
+            }
+        )
+
+    truth = (
+        overlay.map_batches(fam_tag, batch_format="pandas")
+        .groupby("fam")
+        .map_groups(verify_family, batch_format="pandas")
+    )
+
+    def key_true(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch["a"].to_numpy(np.int64) * np.int64(1 << 32)
+                + batch["b"].to_numpy(np.int64),
+                "true_ppm": batch["true_ppm"].astype(np.int64),
+            }
+        )
+
+    def key_found(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch["a"].to_numpy(np.int64) * np.int64(1 << 32)
+                + batch["b"].to_numpy(np.int64),
+                "found": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    joined = cogroup_join(
+        truth.map_batches(key_true, batch_format="pandas"),
+        pairs.map_batches(key_found, batch_format="pandas"),
+        "k", "k", ["true_ppm"], ["found"], how="left",
+    )
+
+    def rollup(batch: pd.DataFrame) -> pd.DataFrame:
+        dec = batch["true_ppm"].to_numpy(np.int64) // 100_000
+        fnd = batch["found"].fillna(0).to_numpy(np.int64)
+        df = pd.DataFrame({"ppm_decile": dec, "n_true": np.int64(1), "n_found": fnd})
+        return df.groupby("ppm_decile", as_index=False).sum()
+
+    from .common import grouped_sums
+
+    agg = grouped_sums(
+        joined.map_batches(rollup, batch_format="pandas"),
+        ["ppm_decile"], ["n_true", "n_found"],
+    ).to_pandas().sort_values("ppm_decile")
+
+    agg["recall_ppm"] = (1_000_000 * agg["n_found"]) // agg["n_true"]
+    agg = agg.reset_index(drop=True)
+    agg[["n_true", "n_found", "recall_ppm"]] = agg[
+        ["n_true", "n_found", "recall_ppm"]
+    ].astype(np.int64)
+    return ray.data.from_pandas(agg)
+
+
+# twin: the full minhash replay rides as a nested-WITH CTE; truth is the
+# exact shingle join restricted to same-family pairs (cross-family is 0)
+DOCS_NEARDUP_RECALL_SQL = f"""
+WITH mh AS ({DOCS_MINHASH_SQL.rstrip()}),
+truth AS (
+    WITH {_OVERLAY_CTE.strip()},
+    sh0 AS (
+        SELECT a.doc_id AS doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        FROM otok a
+        JOIN otok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN otok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    shd AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh0),
+    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shd GROUP BY 1),
+    inter AS (
+        SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS cnt
+        FROM shd sa JOIN shd sb
+          ON sb.s = sa.s AND sa.doc_id < sb.doc_id
+         AND sb.doc_id // 4 = sa.doc_id // 4
+        GROUP BY 1, 2
+    )
+    SELECT i.a AS a, i.b AS b,
+           CAST(floor(CAST(i.cnt AS DOUBLE) / (za.nsh + zb.nsh - i.cnt)
+                      * 1000000.0 + 0.5) AS BIGINT) AS true_ppm
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE 2 * i.cnt >= za.nsh + zb.nsh - i.cnt
+)
+SELECT t.true_ppm // 100000 AS ppm_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(m.a) AS BIGINT) AS n_found,
+       CAST((1000000 * COUNT(m.a)) // COUNT(*) AS BIGINT) AS recall_ppm
+FROM truth t LEFT JOIN mh m ON m.a = t.a AND m.b = t.b
+GROUP BY 1
+ORDER BY 1
+"""

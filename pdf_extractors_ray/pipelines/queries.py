@@ -872,7 +872,10 @@ def _hash_neardup_query(sf_dir: str):
     machinery (md5-LE64 hashes, Mersenne affine mins, polynomial band
     keys, band-bucket candidates, exact verification, member expansion)
     in HUGEINT; dup_clusters over simhash edges is pinned by the
-    union-find reference test. RECORDED result: cluster labels over the
+    union-find reference test. Forced gate: ``docs_neardup_recall`` —
+    LSH recall vs the EXACT ground-truth pair set per Jaccard decile
+    (eval-as-pipeline, reusing the materialized minhash gate run).
+    RECORDED result: cluster labels over the
     EXACT within-source Jaccard edge set — the same distributed components
     kernel, but with an edge derivation DuckDB can replicate, so the
     components kernel itself is hash-checked against a recursive-CTE
@@ -896,9 +899,10 @@ def _hash_neardup_query(sf_dir: str):
         dedup.DOCS_SETSIM_SQL,
         sf_dir,
     )
+    mh_pairs = dedup.docs_minhash_neardup(sf_dir).materialize()
     _assert_sql_twin(
         "docs_minhash_neardup",
-        dedup.docs_minhash_neardup(sf_dir),
+        mh_pairs,
         dedup.DOCS_MINHASH_SQL,
         sf_dir,
     )
@@ -906,6 +910,12 @@ def _hash_neardup_query(sf_dir: str):
         "docs_simhash_neardup",
         dedup.docs_simhash_neardup(sf_dir),
         dedup.DOCS_SIMHASH_SQL,
+        sf_dir,
+    )
+    _assert_sql_twin(
+        "docs_neardup_recall",
+        dedup.docs_neardup_recall(sf_dir, pairs=mh_pairs),
+        dedup.DOCS_NEARDUP_RECALL_SQL,
         sf_dir,
     )
     exact = dedup.ngram_jaccard_groups(sf_dir).select_columns(["a", "b"])

@@ -1100,3 +1100,33 @@ def test_emb_covariance_matches_twin_and_bruteforce(ray_session):
     cov_int = (got["sum_ij"] * n - got["sum_i"] * got["sum_j"]).to_numpy() / (n * n * 1048576.0 ** 2)
     ref = np.cov(q.T / 1048576.0, bias=True)
     assert np.allclose(cov_int, ref[iu, ju], rtol=1e-9, atol=1e-12)
+
+
+def test_neardup_recall_matches_twin_and_bounds(ray_session):
+    """Engine == DuckDB twin; found ⊆ true (every LSH pair is exactly
+    verified at the same threshold, so recall can never exceed 1e6), and
+    the exact-duplicate decile is 1e6 by construction (identical texts
+    share their representative's signature)."""
+    import duckdb
+
+    from pdf_extractors_ray.ops import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    got = dd.docs_neardup_recall(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    ora = con.sql(dd.DOCS_NEARDUP_RECALL_SQL).df()
+    pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=True)
+    con.close()
+
+    assert (got["n_found"] <= got["n_true"]).all()
+    assert (got["recall_ppm"] <= 1_000_000).all()
+    assert int(got.loc[got["ppm_decile"] == 10, "recall_ppm"].iloc[0]) == 1_000_000
+    # the near-dup decile must be non-trivially recalled (LSH is doing work)
+    near = got[got["ppm_decile"] < 10]
+    assert (near["recall_ppm"] > 0).all()
+
+    # no false positives: every minhash pair appears in the truth set
+    mh = dd.docs_minhash_neardup(sf).to_pandas()
+    assert int(got["n_true"].sum()) >= len(mh)
+    assert int(got["n_found"].sum()) == len(mh)
