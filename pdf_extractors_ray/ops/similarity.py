@@ -1459,3 +1459,132 @@ FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.dim >= a.dim
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Top principal component by deterministic integer power iteration over the
+# second-moment statistics — the step after ``emb_covariance``: the corpus
+# never gets touched again; the d x d centered-covariance NUMERATOR matrix
+# M[i,j] = n*sum_ij - sum_i*sum_j is driver-bounded (the repo's
+# mixture-budget class of "corpus-scale rollup, bounded driver
+# allocation"), and 16 fixed rounds of (multiply, rescale to 2^20 by
+# truncating division) are bit-reproducible in DuckDB HUGEINT. All engine
+# arithmetic is Python ints: round products reach ~2^90, far past int64,
+# and Python // FLOORS where DuckDB's // truncates — both the overflow and
+# the rounding are documented engine/twin divergence classes, so the
+# engine implements truncation explicitly and never touches numpy.
+
+PCA_ROUNDS = 16
+PCA_SCALE = 1 << 20
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero (DuckDB ``//`` semantics;
+    Python ``//`` floors, which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def emb_pca_power(sf_dir: str, cov=None, rounds: int = PCA_ROUNDS):
+    """(dim, v_fp, evr_ppm): the dominant eigenvector of the centered
+    covariance in 2^20 fixed point, plus the explained-variance share
+    (Rayleigh quotient over the trace) in ppm — the PCA diagnostic that
+    says whether one direction dominates the embedding space.
+
+    ``cov``: optionally a materialized ``emb_covariance`` result (the
+    driver slot reuses its twin-gate run). v0 is the all-2^20 vector;
+    each round multiplies by M and rescales the max |component| back to
+    2^20 with TRUNCATING division, so every intermediate is an exact
+    integer and the DuckDB twin replays the same 16 rounds bit-for-bit.
+    Sign is the deterministic one v0 converges to (eigenvector sign is
+    conventional)."""
+    import ray.data
+
+    if cov is None:
+        cov = emb_covariance(sf_dir)
+    tri = cov.to_pandas() if hasattr(cov, "to_pandas") else cov
+
+    d = int(tri["j"].max()) + 1
+    n = int(tri["n"].iloc[0])
+    m = [[0] * d for _ in range(d)]
+    for i, j, _n, si, sj, sij in tri.itertuples(index=False):
+        val = n * int(sij) - int(si) * int(sj)
+        m[i][j] = val
+        m[j][i] = val
+
+    trace = sum(m[i][i] for i in range(d))
+    if trace <= 0:
+        raise ValueError("emb_pca_power: non-positive trace — degenerate corpus")
+
+    v = [PCA_SCALE] * d
+    for _ in range(rounds):
+        w = [sum(m[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            raise ValueError("emb_pca_power: M v vanished — v0 in the null space")
+        v = [_trunc_div(x * PCA_SCALE, mx) for x in w]
+
+    num = sum(v[i] * m[i][j] * v[j] for i in range(d) for j in range(d))
+    den = sum(x * x for x in v)
+    evr_ppm = _trunc_div(1_000_000 * num, den * trace)
+
+    out = pd.DataFrame(
+        {
+            "dim": np.arange(d, dtype=np.int64),
+            "v_fp": np.array(v, dtype=np.int64),
+            "evr_ppm": np.full(d, evr_ppm, dtype=np.int64),
+        }
+    )
+    return ray.data.from_pandas(out)
+
+
+def _pca_power_sql(rounds: int = PCA_ROUNDS) -> str:
+    cte = """
+WITH q AS MATERIALIZED (
+    SELECT vec_id, g.i - 1 AS dim,
+           CAST(FLOOR(e[g.i] * 1048576.0 + 0.5) AS HUGEINT) AS v
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) t,
+         UNNEST(generate_series(1, len(e))) AS g(i)
+),
+nrows AS (SELECT CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n FROM q),
+sums AS (SELECT dim, SUM(v) AS s FROM q GROUP BY 1),
+m AS MATERIALIZED (
+    SELECT a.dim AS i, b.dim AS j,
+           nrows.n * SUM(a.v * b.v) - sa.s * sb.s AS val
+    FROM q a
+    JOIN q b ON b.vec_id = a.vec_id
+    JOIN sums sa ON sa.dim = a.dim
+    JOIN sums sb ON sb.dim = b.dim
+    CROSS JOIN nrows
+    GROUP BY 1, 2, sa.s, sb.s, nrows.n
+),
+trace AS (SELECT SUM(val) AS tr FROM m WHERE i = j),
+v0 AS (SELECT dim, CAST(1048576 AS HUGEINT) AS val
+       FROM (SELECT DISTINCT dim FROM q))"""
+    prev = "v0"
+    for r in range(rounds):
+        cte += f""",
+w{r} AS MATERIALIZED (
+    SELECT m.i AS dim, SUM(m.val * p.val) AS w
+    FROM m JOIN {prev} p ON p.dim = m.j GROUP BY 1
+),
+v{r + 1} AS MATERIALIZED (
+    SELECT dim, (w * 1048576) // (SELECT MAX(ABS(w)) FROM w{r}) AS val
+    FROM w{r}
+)"""
+        prev = f"v{r + 1}"
+    cte += f""",
+ray AS (
+    SELECT SUM(pa.val * m.val * pb.val) AS num
+    FROM m JOIN {prev} pa ON pa.dim = m.i JOIN {prev} pb ON pb.dim = m.j
+),
+den AS (SELECT SUM(val * val) AS dd FROM {prev})
+SELECT p.dim AS dim, CAST(p.val AS BIGINT) AS v_fp,
+       CAST((1000000 * ray.num) // (den.dd * trace.tr) AS BIGINT) AS evr_ppm
+FROM {prev} p CROSS JOIN ray CROSS JOIN den CROSS JOIN trace
+ORDER BY dim
+"""
+    return cte
+
+
+EMB_PCA_POWER_SQL = _pca_power_sql()

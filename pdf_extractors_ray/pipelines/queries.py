@@ -446,8 +446,11 @@ def _emb_dedup_query(sf_dir: str):
     ``emb_semantic_dedup`` (LSH-bucketed first-occurrence-wins dedup)
     and ``emb_covariance`` (the exact integer second-moment matrix — the
     PCA/whitening sufficient statistics as one pass of mergeable d×d
-    partials) stay fully hash-checked via in-query twin gates. RECORDED
-    result:
+    partials) stay fully hash-checked via in-query twin gates, and
+    ``emb_pca_power`` (top principal component + explained-variance share
+    by 16 rounds of integer power iteration over the materialized
+    covariance — the corpus is never re-read) is pinned to a chained-CTE
+    HUGEINT twin. RECORDED result:
     ``emb_kcenter`` — the Gonzalez greedy diversity selection with exact
     integer quantized distances (k one-pass rounds + block-candidate
     driver reduce), pinned to a chained materialized-CTE DuckDB twin."""
@@ -465,10 +468,18 @@ def _emb_dedup_query(sf_dir: str):
         sf_dir,
         tables=("embeddings",),
     )
+    cov = similarity.emb_covariance(sf_dir).materialize()
     _assert_sql_twin(
         "emb_covariance",
-        similarity.emb_covariance(sf_dir),
+        cov,
         similarity.EMB_COVARIANCE_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    _assert_sql_twin(
+        "emb_pca_power",
+        similarity.emb_pca_power(sf_dir, cov=cov),
+        similarity.EMB_PCA_POWER_SQL,
         sf_dir,
         tables=("embeddings",),
     )

@@ -1130,3 +1130,53 @@ def test_neardup_recall_matches_twin_and_bounds(ray_session):
     mh = dd.docs_minhash_neardup(sf).to_pandas()
     assert int(got["n_true"].sum()) >= len(mh)
     assert int(got["n_found"].sum()) == len(mh)
+
+
+def test_pca_power_matches_twin(ray_session):
+    import duckdb
+
+    from pdf_extractors_ray.ops import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    got = sim.emb_pca_power(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(sim.EMB_PCA_POWER_SQL).df()
+    pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=True)
+    con.close()
+    assert got["v_fp"].abs().max() == 1 << 20  # rescaled to full fixed-point
+    assert 0 < got["evr_ppm"].iloc[0] <= 1_000_000
+
+
+def test_pca_power_planted_direction(ray_session, tmp_path):
+    """A corpus with one dominant direction: the fixed-point eigenvector
+    must align with the plant (|cos| > 0.99) and the explained-variance
+    share must match the numpy eigendecomposition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import similarity as sim
+
+    rng = np.random.RandomState(7)
+    d, n = 16, 300
+    direction = rng.randn(d)
+    direction /= np.linalg.norm(direction)
+    emb = (rng.randn(n, 1) * 3.0) @ direction[None, :] + rng.randn(n, d) * 0.1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(emb.astype(np.float32).tolist(),
+                                  pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    got = sim.emb_pca_power(str(tmp_path)).to_pandas()
+    v = got["v_fp"].to_numpy(np.float64)
+    v /= np.linalg.norm(v)
+    assert abs(float(v @ direction)) > 0.99
+
+    q = np.floor(emb.astype(np.float32).astype(np.float64) * 1048576.0 + 0.5)
+    cov = np.cov(q.T, bias=True)
+    ev = np.linalg.eigvalsh(cov)
+    true_share = ev[-1] / ev.sum()
+    assert abs(got["evr_ppm"].iloc[0] / 1e6 - true_share) < 0.01
