@@ -1588,3 +1588,81 @@ ORDER BY dim
 
 
 EMB_PCA_POWER_SQL = _pca_power_sql()
+
+
+# ---------------------------------------------------------------------------
+# Clustering-quality evaluation (eval-as-pipeline, the clustering
+# counterpart of ``emb_ann_recall`` / ``docs_neardup_recall``): per-cluster
+# label purity of the exact k-means assignment against the embedding
+# table's own ``label`` column — the agreement measurement run before
+# trusting cluster ids as curation buckets.
+
+
+def emb_cluster_purity(sf_dir: str, assign=None, k: int = KMEANS_K):
+    """(cluster, n, top_label, purity_ppm) sorted by cluster.
+
+    ``assign``: optionally a materialized ``kmeans_assign`` result (the
+    driver slot reuses its twin-gate run). Labels attach through one
+    vec_id-bucketed cogroup join (both sides corpus-sized — the
+    enrichment-join shape); per-(cluster, label) counts reduce through
+    the bucketed combine, and the k × |labels| rollup picks each
+    cluster's majority label with the deterministic (count DESC, label
+    ASC) tie-break the DuckDB twin's ROW_NUMBER uses."""
+    import ray.data
+
+    from .common import cogroup_join, grouped_sums
+
+    if assign is None:
+        assign = kmeans_assign(sf_dir, k=k)
+    labels = _emb(sf_dir, columns=["vec_id", "label"])
+
+    joined = cogroup_join(
+        assign, labels, "vec_id", "vec_id", ["cluster"], ["label"]
+    )
+
+    def count_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cluster": batch["cluster"].astype(np.int64),
+                "label": batch["label"].astype(np.int64),
+                "c": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    counts = grouped_sums(
+        joined.map_batches(count_rows, batch_format="pandas"), ["cluster", "label"], ["c"]
+    ).to_pandas()  # k x |labels| rollup: driver-bounded by construction
+
+    rows = []
+    for cluster, grp in counts.groupby("cluster"):
+        n = int(grp["c"].sum())
+        top = grp.sort_values(["c", "label"], ascending=[False, True]).iloc[0]
+        rows.append((int(cluster), n, int(top["label"]), (1_000_000 * int(top["c"])) // n))
+    out = pd.DataFrame(rows, columns=["cluster", "n", "top_label", "purity_ppm"]).sort_values(
+        "cluster"
+    ).reset_index(drop=True)
+    out = out.astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+EMB_CLUSTER_PURITY_SQL = f"""
+WITH assign AS ({EMB_KMEANS_ASSIGN_SQL.rstrip()}),
+j AS (
+    SELECT a.cluster AS cluster, e.label AS label
+    FROM assign a JOIN embeddings e USING (vec_id)
+),
+cl AS (SELECT cluster, label, COUNT(*) AS c FROM j GROUP BY 1, 2),
+tot AS (SELECT cluster, SUM(c) AS n FROM cl GROUP BY 1),
+top AS (
+    SELECT cluster, label, c,
+           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY c DESC, label) AS rn
+    FROM cl
+)
+SELECT t.cluster AS cluster,
+       CAST(tot.n AS BIGINT) AS n,
+       CAST(t.label AS BIGINT) AS top_label,
+       CAST((1000000 * t.c) // tot.n AS BIGINT) AS purity_ppm
+FROM top t JOIN tot USING (cluster)
+WHERE t.rn = 1
+ORDER BY cluster
+"""

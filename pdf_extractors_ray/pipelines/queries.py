@@ -344,7 +344,9 @@ def _knn_centroid_kmeans_query(sf_dir: str):
     """Embedding outlier detection AND distributed k-means AND the
     quality-filtered per-source centroid AND brute-force cosine KNN in
     one driver slot. Forced gates: ``emb_knn_bruteforce``,
-    ``emb_quality_centroid`` and ``emb_kmeans_assign`` stay fully
+    ``emb_quality_centroid``, ``emb_kmeans_assign`` and
+    ``emb_cluster_purity`` (per-cluster majority-label purity over the
+    materialized assignment — the clustering-quality eval) stay fully
     hash-checked via in-query twin gates, and the FULL iterative Lloyd
     loop (``emb_kmeans``: per-round broadcast centroids, in-batch
     sufficient-statistic pre-aggregation, truncating integer means,
@@ -368,7 +370,7 @@ def _knn_centroid_kmeans_query(sf_dir: str):
         tables=("documents", "embeddings"),
     )
     km = similarity.emb_kmeans(sf_dir)
-    assign = similarity.kmeans_assign(sf_dir)
+    assign = similarity.kmeans_assign(sf_dir).materialize()
     n_assigned = assign.count()
     if int(km["n_vecs"].sum()) != n_assigned:
         raise RuntimeError(
@@ -379,6 +381,13 @@ def _knn_centroid_kmeans_query(sf_dir: str):
         "emb_kmeans_assign",
         assign,
         similarity.EMB_KMEANS_ASSIGN_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    _assert_sql_twin(
+        "emb_cluster_purity",
+        similarity.emb_cluster_purity(sf_dir, assign=assign),
+        similarity.EMB_CLUSTER_PURITY_SQL,
         sf_dir,
         tables=("embeddings",),
     )

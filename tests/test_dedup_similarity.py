@@ -1180,3 +1180,42 @@ def test_pca_power_planted_direction(ray_session, tmp_path):
     ev = np.linalg.eigvalsh(cov)
     true_share = ev[-1] / ev.sum()
     assert abs(got["evr_ppm"].iloc[0] / 1e6 - true_share) < 0.01
+
+
+def test_cluster_purity_matches_twin_and_planted(ray_session, tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    got = sim.emb_cluster_purity(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(sim.EMB_CLUSTER_PURITY_SQL).df()
+    pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=True)
+    con.close()
+    assert (got["purity_ppm"] <= 1_000_000).all()
+    assert (got["n"] > 0).all()
+
+    # planted: k tight geometric blobs whose labels follow the geometry ->
+    # every cluster must be pure
+    rng = np.random.RandomState(3)
+    k, per, d = 4, 40, 8
+    centers = rng.randn(k, d) * 10
+    # label-cycled row order: the assignment seeds are the k SMALLEST
+    # vec_ids, so the first k rows must land in k different blobs
+    labels = [i % k for i in range(k * per)]
+    emb = np.stack([centers[c] + rng.randn(d) * 0.05 for c in labels])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(emb)), pa.int64()),
+            "embedding": pa.array(emb.astype(np.float32).tolist(), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    pure = sim.emb_cluster_purity(str(tmp_path), k=k).to_pandas()
+    assert (pure["purity_ppm"] == 1_000_000).all()
+    assert set(pure["top_label"]) == set(range(k))
