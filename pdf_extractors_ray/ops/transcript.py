@@ -655,3 +655,95 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, n_toks,
 FROM s
 ORDER BY conv_id, turn_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Extraction-success telemetry: the monitoring rollup a production
+# extraction platform reads off its own output — per (tool family, day),
+# how many turns did the invoice field bank fire on, and how many fields
+# per turn. Runs the PRODUCTION vectorized RE2 stage
+# (``stages.invoice_extract.InvoiceFieldExtractor``) over the raw turns;
+# the DuckDB twin replays the identical RE2 bank (both engines are RE2, the
+# bank has no lookbehind) including the ":"-prefix re-anchor quirk. On this
+# corpus the bank discriminates perfectly (fires on every invoice-family
+# turn, on no other family) — the telemetry shows it.
+
+
+def transcript_extract_rate(path: str):
+    """(tool, day_epoch, n_turns, n_hits, n_fields, hit_ppm) sorted.
+
+    Map-only extraction + bounded-group rollup (tool families × days):
+    no exchange carries text; day is the epoch-day integer so both
+    engines agree bytewise on the time key. ``hit`` = at least one bank
+    field extracted non-empty; ``n_fields`` sums fields over turns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources.transcripts import read_transcripts
+    from ..stages.invoice_extract import FIELD_PREFIX, InvoiceFieldExtractor
+    from .common import grouped_sums
+
+    ds = read_transcripts(path, columns=["tool", "ts", "text"])
+    extracted = ds.map_batches(InvoiceFieldExtractor(), batch_format="pyarrow")
+
+    def rollup_rows(batch: pa.Table) -> pd.DataFrame:
+        nf = np.zeros(len(batch), dtype=np.int64)
+        for name in batch.schema.names:
+            if name.startswith(FIELD_PREFIX):
+                got = pc.coalesce(batch[name], "")
+                nf += pc.not_equal(got, "").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "tool": np.asarray(batch["tool"].to_pandas(), dtype=object),
+                "day_epoch": day,
+                "n_turns": np.int64(1),
+                "n_hits": (nf > 0).astype(np.int64),
+                "n_fields": nf,
+            }
+        )
+
+    agg = grouped_sums(
+        extracted.map_batches(rollup_rows, batch_format="pyarrow"),
+        ["tool", "day_epoch"],
+        ["n_turns", "n_hits", "n_fields"],
+    ).to_pandas()  # bounded: tool families x days
+
+    agg["hit_ppm"] = (1_000_000 * agg["n_hits"]) // agg["n_turns"]
+    agg = agg.sort_values(["tool", "day_epoch"]).reset_index(drop=True)
+    for c in ("day_epoch", "n_turns", "n_hits", "n_fields", "hit_ppm"):
+        agg[c] = agg[c].astype(np.int64)
+
+    import ray.data
+
+    return ray.data.from_pandas(agg)
+
+
+def transcript_extract_rate_sql(path: str) -> str:
+    from .surrogate import _SQL_INV_PATTERNS, _sql_quote
+
+    hits = " + ".join(
+        f"CASE WHEN regexp_extract(t2, {_sql_quote(p)}, 1) <> '' THEN 1 ELSE 0 END"
+        for p in _SQL_INV_PATTERNS.values()
+    )
+    return f"""
+WITH s AS (
+    SELECT tool,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_epoch,
+           CASE WHEN starts_with(text, ':') THEN 'Order No.' || text
+                ELSE text END AS t2
+    FROM read_parquet('{path}/*.parquet')
+),
+f AS (SELECT tool, day_epoch, ({hits}) AS nf FROM s)
+SELECT tool, day_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN nf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(nf) AS BIGINT) AS n_fields,
+       CAST((1000000 * SUM(CASE WHEN nf > 0 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+           AS hit_ppm
+FROM f
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -521,7 +521,11 @@ def _invoice_query(sf_dir: str):
     digest (md5 over role initials in turn order) hash-checked against a
     DuckDB ``string_agg(... ORDER BY turn_idx)`` twin over the SAME
     Parquet files, pinning the shuffle-then-restore ordering invariant
-    the north rule requires in the driver record itself."""
+    the north rule requires in the driver record itself. Forced gate:
+    ``transcript_extract_rate`` — per-(family, day) extraction-success
+    telemetry of the PRODUCTION RE2 invoice bank over the raw turns,
+    hash-checked against a regexp_extract twin (the bank discriminates
+    the invoice family perfectly on this corpus)."""
     from ..ops import transcript as _tr
     from ..stages.salted import extract_invoice_salted
 
@@ -530,6 +534,13 @@ def _invoice_query(sf_dir: str):
         "transcript_hygiene",
         _tr.transcript_hygiene(path),
         _tr.transcript_hygiene_sql(path),
+        sf_dir,
+        tables=(),
+    )
+    _assert_sql_twin(
+        "transcript_extract_rate",
+        _tr.transcript_extract_rate(path),
+        _tr.transcript_extract_rate_sql(path),
         sf_dir,
         tables=(),
     )

@@ -308,3 +308,49 @@ def test_turn_pack_semantics(ray_session, tmp_path):
     pq.write_table(tbl2, tmp_path / "part-0.parquet")
     got2 = tr.transcript_turn_pack(str(tmp_path), window_tokens=64).to_pandas()
     assert got2["win"].tolist() != got["win"].tolist()
+
+
+def test_extract_rate_matches_duckdb_twin(ray_session):
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    p = transcripts_path_for_sf("/root/testdata/sf0.001")
+    got = tr.transcript_extract_rate(p).to_pandas().reset_index(drop=True)
+    want = duckdb.connect().execute(tr.transcript_extract_rate_sql(p)).fetchdf()
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=True)
+    # the bank discriminates: every invoice-family turn fires, no other
+    # family ever does
+    inv = got[got["tool"] == "invoice"]
+    assert (inv["hit_ppm"] == 1_000_000).all() and inv["n_fields"].sum() > 0
+    assert (got.loc[got["tool"] != "invoice", "n_hits"] == 0).all()
+
+
+def test_extract_rate_crafted_days(ray_session, tmp_path):
+    """Hand-built corpus: hits and day boundaries land exactly; the
+    ':'-prefix quirk re-anchors a leading-colon turn into a hit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    day = 86_400_000_000  # us
+    rows = [
+        ("inv", 0, "Invoice 12345", 0),           # hit, day 0
+        ("inv", 1, "no fields here", 0),           # miss, day 0
+        ("inv", 2, ": 777", day),                  # ':'-quirk -> Order No. hit, day 1
+        ("other", 0, "plain text", 0),             # miss
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c" + str(i) for i, *_ in enumerate(rows)]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows)),
+            "text": pa.array([r[2] for r in rows]),
+            "tool": pa.array([r[0] for r in rows]),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "part-0.parquet")
+    got = tr.transcript_extract_rate(str(tmp_path)).to_pandas()
+    got = got.set_index(["tool", "day_epoch"])
+    assert got.loc[("inv", 0), "n_hits"] == 1 and got.loc[("inv", 0), "n_turns"] == 2
+    assert got.loc[("inv", 0), "hit_ppm"] == 500_000
+    assert got.loc[("inv", 1), "n_hits"] == 1  # the quirk fired
+    assert got.loc[("other", 0), "n_hits"] == 0
