@@ -100,6 +100,16 @@ OP_QUERIES = [
     "events_cusum",
     "transcript_role_transitions",
     "docs_setsim_join",
+    "docs_minhash_neardup",
+    "docs_simhash_neardup",
+    "docs_neardup_recall",
+    "emb_covariance",
+    "emb_pca_power",
+    "emb_cluster_purity",
+    "transcript_turn_pack",
+    "docs_source_drift",
+    "docs_incremental_dedup",
+    "transcript_extract_rate",
 ]
 
 
@@ -180,7 +190,32 @@ def _op_extra():
         "events_cusum": _ev.events_cusum,
         "transcript_role_transitions": _transcript_role_transitions_sf,
         "docs_setsim_join": _dd.docs_setsim_join,
+        "docs_minhash_neardup": _dd.docs_minhash_neardup,
+        "docs_simhash_neardup": _dd.docs_simhash_neardup,
+        "docs_neardup_recall": _dd.docs_neardup_recall,
+        "emb_covariance": _sm.emb_covariance,
+        # consumes a fresh covariance internally; returns an eager frame
+        "emb_pca_power": _sm.emb_pca_power,
+        "emb_cluster_purity": _sm.emb_cluster_purity,
+        "transcript_turn_pack": _transcript_turn_pack_sf,
+        "docs_source_drift": _cu.docs_source_drift,
+        "docs_incremental_dedup": _cu.docs_incremental_dedup,
+        "transcript_extract_rate": _transcript_extract_rate_sf,
     }
+
+
+def _transcript_turn_pack_sf(sf_dir: str):
+    from pdf_extractors_ray.ops.transcript import transcript_turn_pack
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    return transcript_turn_pack(transcripts_path_for_sf(sf_dir))
+
+
+def _transcript_extract_rate_sf(sf_dir: str):
+    from pdf_extractors_ray.ops.transcript import transcript_extract_rate
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    return transcript_extract_rate(transcripts_path_for_sf(sf_dir))
 
 
 def _transcript_hygiene_sf(sf_dir: str):
