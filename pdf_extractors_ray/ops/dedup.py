@@ -690,10 +690,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = _MAX_BUCK
         ).astype(np.int64)
         return batch
 
-    def _one_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        hashes = np.array([int(h, 16) for h in g["simhash"]], dtype=np.uint64)
+    def _one_bucket(ids: np.ndarray, hashes: np.ndarray) -> pd.DataFrame:
         if len(ids) > max_bucket:
             d = np.unpackbits(
                 np.bitwise_xor(hashes[0], hashes[1:]).view(np.uint8).reshape(-1, 8), axis=1
@@ -706,14 +703,37 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = _MAX_BUCK
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
         """All (band, band_val) LSH buckets hashed to one group — grouped
-        by hash BUCKET, not per LSH key: band-val groups are ~all-singleton
-        and corpus x 4-bands sized, and ``map_groups`` pays a Python call
-        per group (the repo's measured pathological pattern)."""
-        out = [
-            _one_bucket(seg)
-            for _, seg in group.groupby(["band", "band_val"], sort=False)
-        ]
+        by hash BUCKET, not per LSH key, and segmented by vectorized
+        boundary slicing, not ``groupby``: band-val groups are
+        ~all-singleton and corpus x 4-bands sized, and BOTH a map_groups
+        call per group and a pandas groupby-iteration per group pay
+        ~0.5 ms of frame construction each (measured: 20k band segments
+        cost ~10 s at sf0.1 through the groupby loop; the numpy slicing
+        path skips singleton segments with two integer compares)."""
         cols = ["a", "b", "hamming"]
+        band = group["band"].to_numpy(np.int64)
+        bval = group["band_val"].to_numpy(np.int64)
+        ids = group["doc_id"].to_numpy(np.int64)
+        hx = group["simhash"].to_numpy(object)
+        if len(ids) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        order = np.lexsort((ids, bval, band))
+        band, bval, ids, hx = band[order], bval[order], ids[order], hx[order]
+        change = np.flatnonzero((np.diff(band) != 0) | (np.diff(bval) != 0)) + 1
+        bounds = np.concatenate(([0], change, [len(ids)]))
+        out = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if hi - lo < 2:
+                continue
+            seg_ids = ids[lo:hi]
+            u, first = np.unique(seg_ids, return_index=True)
+            if len(u) < 2:
+                continue
+            hashes = np.array(
+                [int(h, 16) for h in hx[lo:hi][first]], dtype=np.uint64
+            )
+            out.append(_one_bucket(u, hashes))
         if not out:
             return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
         return pd.concat(out, ignore_index=True)[cols]
