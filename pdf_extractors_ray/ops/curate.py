@@ -1906,7 +1906,16 @@ def docs_source_drift(sf_dir: str):
 
     joined = cogroup_join(st, tt, "t", "t", ["source", "obs"], ["ct"])
 
-    def partial_terms(batch: pd.DataFrame) -> pd.DataFrame:
+    # object-store broadcast (ray.put once, read per task) — not a closure
+    # capture re-pickled with the UDF for every task
+    from .common import broadcast
+
+    ss_ref = broadcast(ss)
+
+    def partial_terms(batch: pd.DataFrame, _ref=ss_ref) -> pd.DataFrame:
+        import ray as _ray
+
+        ss = _ray.get(_ref)
         out = {}
         for src, obs, ct in zip(batch["source"], batch["obs"], batch["ct"]):
             ns = ss[src]
@@ -1984,9 +1993,10 @@ def docs_incremental_dedup(sf_dir: str):
     ``dup_of`` = min index doc_id sharing the fingerprint, -1 when the
     fingerprint is unseen. Shards split on the source number (src0-src9 =
     index, src10+ = new). Fingerprints are the shared-paragraph overlay
-    construct ``docs_cross_source_overlap`` uses (the raw corpus has no
-    cross-shard duplicates; the overlay's 149 families make collisions
-    real — both engines md5 the same rendered string).
+    construct ``docs_cross_source_overlap`` uses, widened to 331 families
+    (the raw corpus has no cross-shard duplicates; 331 families over a
+    250-doc index make BOTH branches real — 149 would leave no unseen
+    fingerprint at all; both engines md5 the same rendered string).
 
     Distributed shape: fp + shard derived map-side; the index side reduces
     to (fp, min doc_id) through a bucketed combine BEFORE the join (index

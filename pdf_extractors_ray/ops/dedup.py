@@ -1635,22 +1635,26 @@ def docs_neardup_recall(sf_dir: str, pairs=None, jaccard_threshold: float = 0.5)
         .map_groups(verify_family, batch_format="pandas")
     )
 
+    def _pair_key(batch: pd.DataFrame) -> np.ndarray:
+        a = batch["a"].to_numpy(np.int64)
+        b = batch["b"].to_numpy(np.int64)
+        # packed key fits int64 only below 2^31/2^32 — raise, don't wrap
+        # (doc ids past that need a composite/string key)
+        if len(a) and (int(a.max()) >= (1 << 31) or int(b.max()) >= (1 << 32)):
+            raise ValueError(
+                "docs_neardup_recall: doc_id exceeds the packed pair-key "
+                "range (a < 2^31, b < 2^32); use a composite key"
+            )
+        return a * np.int64(1 << 32) + b
+
     def key_true(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {
-                "k": batch["a"].to_numpy(np.int64) * np.int64(1 << 32)
-                + batch["b"].to_numpy(np.int64),
-                "true_ppm": batch["true_ppm"].astype(np.int64),
-            }
+            {"k": _pair_key(batch), "true_ppm": batch["true_ppm"].astype(np.int64)}
         )
 
     def key_found(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {
-                "k": batch["a"].to_numpy(np.int64) * np.int64(1 << 32)
-                + batch["b"].to_numpy(np.int64),
-                "found": np.ones(len(batch), dtype=np.int64),
-            }
+            {"k": _pair_key(batch), "found": np.ones(len(batch), dtype=np.int64)}
         )
 
     joined = cogroup_join(

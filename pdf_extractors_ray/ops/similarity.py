@@ -1400,11 +1400,13 @@ def emb_covariance(sf_dir: str):
     int64; covariance/correlation derive downstream as
     (n*sum_ij - sum_i*sum_j) / n^2 without touching the corpus again.
     Quantization is the long-green ANN construct (float32 -> DOUBLE ->
-    floor(x * 2^20 + 0.5)), bit-identical in DuckDB. int64 headroom:
-    |q| <~ 2^21 for unit-norm-ish inputs, so a block's sum_ij grows as
-    ~2^42 * block_rows — the partial kernel raises past 2^20 rows per
-    block rather than wrapping silently (numpy wraps where DuckDB's
-    HUGEINT keeps going — the documented engine/twin divergence class)."""
+    floor(x * 2^20 + 0.5)), bit-identical in DuckDB. int64 headroom is
+    guarded at BOTH levels (numpy wraps where DuckDB's HUGEINT keeps
+    going — the documented engine/twin divergence class): the partial
+    kernel raises past 2^20 rows per block, and the merged totals carry
+    the global max|q| through the reduce so the final validation raises
+    when n * max|q|^2 exceeds int64 — covering cross-block accumulation
+    and non-unit-norm inputs alike."""
     from .common import grouped_sums
 
     emb = _emb(sf_dir, columns=["embedding"])
@@ -1428,6 +1430,7 @@ def emb_covariance(sf_dir: str):
         gram = q.T @ q  # int64 matmul: exact
         s = q.sum(axis=0)
         iu, ju = np.triu_indices(d)
+        maxq = int(np.abs(q).max()) if len(q) else 0
         return pd.DataFrame(
             {
                 "i": iu.astype(np.int64),
@@ -1436,11 +1439,33 @@ def emb_covariance(sf_dir: str):
                 "sum_i": s[iu],
                 "sum_j": s[ju],
                 "sum_ij": gram[iu, ju],
+                "maxq": np.int64(maxq),
             }
         )
 
+    from .common import bucketed_group_agg
+
     parts = emb.map_batches(partial, batch_format="pandas")
-    return grouped_sums(parts, ["i", "j"], ["n", "sum_i", "sum_j", "sum_ij"]).sort(["i", "j"])
+    out = bucketed_group_agg(
+        parts, ["i", "j"],
+        {"n": "sum", "sum_i": "sum", "sum_j": "sum", "sum_ij": "sum", "maxq": "max"},
+    )
+
+    def validate(batch: pd.DataFrame) -> pd.DataFrame:
+        # CROSS-block wrap guard: |sum_ij| <= n * maxq^2 must fit int64.
+        # The numpy/pandas reduce wraps silently where DuckDB's HUGEINT
+        # SUM keeps going — the documented engine/twin divergence class —
+        # so the bound is checked on the merged totals, not just per block.
+        if len(batch):
+            bound = batch["n"].astype(object) * (batch["maxq"].astype(object) ** 2)
+            if (bound > (1 << 62)).any():
+                raise ValueError(
+                    "emb_covariance: n * max|q|^2 exceeds int64 — the merged "
+                    "moments would wrap; shard the corpus or rescale"
+                )
+        return batch.drop(columns=["maxq"])
+
+    return out.map_batches(validate, batch_format="pandas").sort(["i", "j"])
 
 
 EMB_COVARIANCE_SQL = """

@@ -949,6 +949,18 @@ def _hash_neardup_query(sf_dir: str):
         dedup.DOCS_NEARDUP_RECALL_SQL,
         sf_dir,
     )
+    # raw-corpus forced runs: the overlay always has exact duplicates and
+    # >=24-token texts, so these keep the raw-only branches (the
+    # no-exact-dup early return, empty/short-text shingle paths) executing
+    # distributed inside the driver gate, not just in pytest
+    mh_raw = dedup.minhash_lsh_pairs(sf_dir)
+    if set(mh_raw.schema().names) != {"a", "b", "jaccard_ppm"}:
+        raise RuntimeError(f"minhash_lsh_pairs schema: {mh_raw.schema().names}")
+    mh_raw.count()
+    sim_raw = dedup.simhash_pairs(sf_dir)
+    if set(sim_raw.schema().names) != {"a", "b", "hamming"}:
+        raise RuntimeError(f"simhash_pairs schema: {sim_raw.schema().names}")
+    sim_raw.count()
     exact = dedup.ngram_jaccard_groups(sf_dir).select_columns(["a", "b"])
     return dedup.dup_clusters(sf_dir, edges=exact)
 
