@@ -1691,3 +1691,166 @@ FROM top t JOIN tot USING (cluster)
 WHERE t.rn = 1
 ORDER BY cluster
 """
+
+
+# ---------------------------------------------------------------------------
+# Product-quantizer search evaluation (eval-as-pipeline, completing the
+# family with emb_ann_recall / docs_neardup_recall / emb_cluster_purity):
+# recall@k of ADC search — asymmetric distance computation, the way PQ is
+# actually queried at 10^12-vector scale (per-query LUT over the broadcast
+# codebook, db side reduced to its 4-bit codes) — against the exact
+# squared-euclidean top-k over the same ppm-quantized vectors. All
+# distances are exact int64, ties break (dist, vec_id), so both engines
+# produce identical top-k SETS and the recall is bit-reproducible.
+
+PQ_EVAL_K = 5
+PQ_EVAL_QUERIES = 10
+
+
+def emb_pq_recall(sf_dir: str, k: int = PQ_EVAL_K, n_queries: int = PQ_EVAL_QUERIES,
+                  n_subs: int = PQ_SUBS, pq_k: int = PQ_K):
+    """(vec_id, n_hit, recall_ppm) per query, sorted by vec_id.
+
+    One streaming pass over the corpus: each batch encodes its vectors
+    (same argmin kernel as ``emb_pq_codes``), computes ADC distances to
+    every query through the per-query (n_subs × pq_k) lookup table, the
+    EXACT distances alongside, and emits per-(query, metric) partial
+    top-k rows (≤ 2·k·n_queries rows per batch); the final fold is
+    driver-bounded. Codebook and query matrix broadcast once."""
+    import ray
+    import ray.data
+
+    from .common import broadcast
+
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
+    cents = _seed_centroids(emb, pq_k)  # (pq_k, dim) ppm ints
+    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qmat = _quantize_ppm(qdf)  # (nq, dim)
+    dim = qmat.shape[1]
+    if dim % n_subs:
+        raise ValueError(f"dim {dim} not divisible by n_subs {n_subs}")
+    sub_dim = dim // n_subs
+    # per-query ADC lookup table: lut[q, s, c] = ||q_sub - codeword||^2
+    qs = qmat.reshape(len(qids), n_subs, sub_dim)
+    cs = cents.reshape(pq_k, n_subs, sub_dim)
+    lut = ((qs[:, None, :, :] - cs[None, :, :, :]) ** 2).sum(axis=3)  # (nq, pq_k, subs)
+    ref = broadcast((qids, qmat, lut, cs))
+
+    def partials(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        qids, qmat, lut, cs = ray.get(_ref)
+        v = _quantize_ppm(batch)
+        ids = batch["vec_id"].to_numpy(np.int64)
+        n = len(ids)
+        vs = v.reshape(n, n_subs, sub_dim)
+        code = ((vs[:, None, :, :] - cs[None, :, :, :]) ** 2).sum(axis=3).argmin(axis=1)
+        # adc[q, n] = sum_s lut[q, code[n, s], s]
+        adc = lut[:, code, np.arange(n_subs)[None, :]].sum(axis=2)  # (nq, n)
+        exact = (
+            (qmat[:, None, :].astype(np.int64) - v[None, :, :]) ** 2
+        ).sum(axis=2)  # (nq, n)
+        rows = []
+        for qi, qid in enumerate(qids):
+            mask = ids != qid  # self excluded
+            for metric, dist in (("adc", adc[qi]), ("exact", exact[qi])):
+                cand_ids = ids[mask]
+                cand_d = dist[mask]
+                top = np.lexsort((cand_ids, cand_d))[:k]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "q": np.int64(qid),
+                            "metric": metric,
+                            "vec_id": cand_ids[top],
+                            "dist": cand_d[top].astype(np.int64),
+                        }
+                    )
+                )
+        return pd.concat(rows, ignore_index=True)
+
+    parts = emb.map_batches(partials, batch_format="pandas").to_pandas()
+
+    out = []
+    for qid in sorted(set(parts["q"])):
+        sub = parts[parts["q"] == qid]
+        tops = {}
+        for metric in ("adc", "exact"):
+            m = sub[sub["metric"] == metric].sort_values(
+                ["dist", "vec_id"], kind="mergesort"
+            )
+            tops[metric] = set(m["vec_id"].head(k))
+        hit = len(tops["adc"] & tops["exact"])
+        out.append((int(qid), hit, (1_000_000 * hit) // k))
+    res = pd.DataFrame(out, columns=["vec_id", "n_hit", "recall_ppm"]).astype(np.int64)
+    return ray.data.from_pandas(res)
+
+
+EMB_PQ_RECALL_SQL = f"""
+WITH init AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+    FROM embeddings ORDER BY vec_id LIMIT {PQ_K}
+),
+x AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(FLOOR(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS v
+    FROM embeddings
+),
+xs AS (SELECT vec_id, dim // 8 AS sub, dim, v FROM x),
+c AS MATERIALIZED (
+    SELECT i.cluster, xs.sub, xs.dim, xs.v FROM init i JOIN xs ON xs.vec_id = i.vec_id
+),
+d AS (
+    SELECT xs.vec_id, xs.sub, c.cluster,
+           CAST(SUM((xs.v - c.v) * (xs.v - c.v)) AS BIGINT) AS dist2
+    FROM xs JOIN c ON xs.dim = c.dim
+    GROUP BY 1, 2, 3
+),
+codes AS MATERIALIZED (
+    SELECT vec_id, sub, cluster, dist2 FROM (
+        SELECT vec_id, sub, cluster, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cluster) AS rn
+        FROM d
+    ) WHERE rn = 1
+),
+queries AS (SELECT vec_id AS q FROM embeddings WHERE vec_id < {PQ_EVAL_QUERIES}),
+-- lut[q, sub, cluster] = ||q_sub - codeword_sub||^2
+lut AS MATERIALIZED (
+    SELECT xq.vec_id AS q, c.sub AS sub, c.cluster AS cluster,
+           CAST(SUM((xq.v - c.v) * (xq.v - c.v)) AS BIGINT) AS dist2
+    FROM xs xq JOIN c ON c.dim = xq.dim
+    WHERE xq.vec_id < {PQ_EVAL_QUERIES}
+    GROUP BY 1, 2, 3
+),
+adc AS (
+    SELECT l.q AS q, cd.vec_id AS vec_id, SUM(l.dist2) AS dist
+    FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cluster = cd.cluster
+    WHERE cd.vec_id != l.q
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT xq.vec_id AS q, xv.vec_id AS vec_id,
+           SUM((xq.v - xv.v) * (xq.v - xv.v)) AS dist
+    FROM x xq JOIN x xv ON xv.dim = xq.dim AND xv.vec_id != xq.vec_id
+    WHERE xq.vec_id < {PQ_EVAL_QUERIES}
+    GROUP BY 1, 2
+),
+top_adc AS (
+    SELECT q, vec_id FROM (
+        SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, vec_id) AS rn
+        FROM adc
+    ) WHERE rn <= {PQ_EVAL_K}
+),
+top_exact AS (
+    SELECT q, vec_id FROM (
+        SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, vec_id) AS rn
+        FROM exact
+    ) WHERE rn <= {PQ_EVAL_K}
+)
+SELECT e.q AS vec_id,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+       CAST((1000000 * COUNT(a.vec_id)) // {PQ_EVAL_K} AS BIGINT) AS recall_ppm
+FROM top_exact e
+LEFT JOIN top_adc a ON a.q = e.q AND a.vec_id = e.vec_id
+GROUP BY 1
+ORDER BY 1
+"""

@@ -777,7 +777,10 @@ def _ann_methods_query(sf_dir: str):
     deterministic seed codebooks, pinned to ``EMB_PQ_SQL``. Additional
     forced gate: ``emb_zorder`` — the Morton space-filling-curve
     clustering key (integer interleave over ppm-quantized cells, the
-    locality-ordered write layout) hash-checked via its in-query twin."""
+    locality-ordered write layout) hash-checked via its in-query twin.
+    Forced gate: ``emb_pq_recall`` — recall@k of ADC search (per-query
+    LUT over the broadcast codebook, db side reduced to codes) against
+    the exact squared-euclidean top-k, all-integer and twin-checked."""
     _assert_sql_twin(
         "emb_zorder",
         similarity.emb_zorder(sf_dir),
@@ -801,6 +804,13 @@ def _ann_methods_query(sf_dir: str):
         "emb_ann_lsh",
         similarity.ann_lsh(sf_dir),
         similarity.ANN_LSH_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    _assert_sql_twin(
+        "emb_pq_recall",
+        similarity.emb_pq_recall(sf_dir),
+        similarity.EMB_PQ_RECALL_SQL,
         sf_dir,
         tables=("embeddings",),
     )

@@ -1219,3 +1219,39 @@ def test_cluster_purity_matches_twin_and_planted(ray_session, tmp_path):
     pure = sim.emb_cluster_purity(str(tmp_path), k=k).to_pandas()
     assert (pure["purity_ppm"] == 1_000_000).all()
     assert set(pure["top_label"]) == set(range(k))
+
+
+def test_pq_recall_matches_twin_and_planted(ray_session, tmp_path):
+    """Engine == DuckDB twin; on a corpus whose vectors ARE codewords the
+    quantization error vanishes, ADC distance equals the exact distance,
+    and recall@k is 1e6 for every query."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    got = sim.emb_pq_recall(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(sim.EMB_PQ_RECALL_SQL).df()
+    pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=True)
+    con.close()
+    assert (got["recall_ppm"] <= 1_000_000).all()
+    assert len(got) == sim.PQ_EVAL_QUERIES
+
+    # planted: every vector is one of the 16 seed codewords (the 16
+    # smallest vec_ids), so code reconstruction is lossless
+    rng = np.random.RandomState(11)
+    words = rng.randn(16, 64).astype(np.float32)
+    vecs = np.concatenate([words, words[rng.randint(0, 16, size=104)]])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    planted = sim.emb_pq_recall(str(tmp_path)).to_pandas()
+    assert (planted["recall_ppm"] == 1_000_000).all()
