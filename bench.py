@@ -110,6 +110,7 @@ OP_QUERIES = [
     "docs_source_drift",
     "docs_incremental_dedup",
     "transcript_extract_rate",
+    "emb_pq_recall",
 ]
 
 
@@ -201,6 +202,7 @@ def _op_extra():
         "docs_source_drift": _cu.docs_source_drift,
         "docs_incremental_dedup": _cu.docs_incremental_dedup,
         "transcript_extract_rate": _transcript_extract_rate_sf,
+        "emb_pq_recall": _sm.emb_pq_recall,
     }
 
 
