@@ -111,6 +111,7 @@ OP_QUERIES = [
     "docs_incremental_dedup",
     "transcript_extract_rate",
     "emb_pq_recall",
+    "docs_dedup_pipeline",
 ]
 
 
@@ -203,6 +204,7 @@ def _op_extra():
         "docs_incremental_dedup": _cu.docs_incremental_dedup,
         "transcript_extract_rate": _transcript_extract_rate_sf,
         "emb_pq_recall": _sm.emb_pq_recall,
+        "docs_dedup_pipeline": _dd.docs_dedup_pipeline,
     }
 
 

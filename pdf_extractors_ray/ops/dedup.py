@@ -1721,3 +1721,98 @@ FROM truth t LEFT JOIN mh m ON m.a = t.a AND m.b = t.b
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# The dedup family COMPOSED as one streaming DAG (the docs_curation_pipeline
+# pattern applied to dedup): exact-collapse + within-source near-dup edges →
+# connected-component cluster labels → first-occurrence-wins keep decision →
+# per-source kept/dropped token accounting — the end-to-end answer a corpus
+# owner actually consumes ("how much of each feed survives dedup, in
+# documents and in tokens"). The composed DuckDB twin nests the recursive
+# transitive-closure oracle and reproduces the accounting bit-for-bit.
+
+
+def docs_dedup_pipeline(sf_dir: str, labels=None):
+    """(source, n_docs, n_kept, tokens_total, tokens_kept, kept_ppm)
+    sorted by source. ``kept`` = the document IS its cluster's label
+    (cluster labels are component minima, so exactly one survivor per
+    near-dup cluster — first-occurrence-wins by doc_id).
+
+    ``labels``: optionally a materialized ``dup_clusters`` result (the
+    driver slot reuses its recorded run instead of re-clustering). Text
+    never joins the exchange: token counts reduce map-side to one int
+    per doc; the label join is one doc_id-bucketed cogroup; the final
+    rollup is source-cardinality."""
+    import ray.data
+
+    from .common import cogroup_join, grouped_sums
+
+    if labels is None:
+        exact = ngram_jaccard_groups(sf_dir).select_columns(["a", "b"])
+        labels = dup_clusters(sf_dir, edges=exact)
+
+    docs = _docs(sf_dir, columns=["doc_id", "source", "text"])
+
+    def doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "source": batch["source"].astype(object),
+                "n_toks": np.fromiter(
+                    (t.count(" ") + 1 for t in batch["text"]),
+                    dtype=np.int64, count=len(batch),
+                ),
+            }
+        )
+
+    narrow = docs.map_batches(doc_rows, batch_format="pandas")
+    # carry the doc_id through the join explicitly (the join key itself is
+    # not emitted)
+    joined = cogroup_join(
+        narrow, labels, "doc_id", "doc_id",
+        ["doc_id", "source", "n_toks"], ["cluster"],
+    )
+
+    def accounting(batch: pd.DataFrame) -> pd.DataFrame:
+        kept = (
+            batch["cluster"].astype(np.int64).to_numpy()
+            == batch["doc_id"].astype(np.int64).to_numpy()
+        ).astype(np.int64)
+        nt = batch["n_toks"].astype(np.int64).to_numpy()
+        return pd.DataFrame(
+            {
+                "source": batch["source"].astype(object),
+                "n_docs": np.int64(1),
+                "n_kept": kept,
+                "tokens_total": nt,
+                "tokens_kept": nt * kept,
+            }
+        )
+
+    agg = grouped_sums(
+        joined.map_batches(accounting, batch_format="pandas"),
+        ["source"], ["n_docs", "n_kept", "tokens_total", "tokens_kept"],
+    ).to_pandas()  # source-cardinality rollup
+    agg["kept_ppm"] = (1_000_000 * agg["n_kept"]) // agg["n_docs"]
+    agg = agg.sort_values("source").reset_index(drop=True)
+    for c in ("n_docs", "n_kept", "tokens_total", "tokens_kept", "kept_ppm"):
+        agg[c] = agg[c].astype(np.int64)
+    return ray.data.from_pandas(agg)
+
+
+DOCS_DEDUP_PIPELINE_SQL = f"""
+WITH labels AS ({DUP_CLUSTERS_SQL.rstrip()})
+SELECT d.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN l.cluster = l.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN l.cluster = l.doc_id
+                     THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
+       CAST((1000000 * SUM(CASE WHEN l.cluster = l.doc_id THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS kept_ppm
+FROM labels l JOIN documents d USING (doc_id)
+GROUP BY 1
+ORDER BY 1
+"""

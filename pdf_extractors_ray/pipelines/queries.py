@@ -916,6 +916,10 @@ def _hash_neardup_query(sf_dir: str):
     union-find reference test. Forced gate: ``docs_neardup_recall`` —
     LSH recall vs the EXACT ground-truth pair set per Jaccard decile
     (eval-as-pipeline, reusing the materialized minhash gate run).
+    Forced gate: ``docs_dedup_pipeline`` — the dedup family composed as
+    one DAG (labels → keep decision → per-source kept/dropped token
+    accounting), reusing the recorded labels and pinned to a composed
+    twin that nests the recursive transitive-closure oracle.
     RECORDED result: cluster labels over the
     EXACT within-source Jaccard edge set — the same distributed components
     kernel, but with an edge derivation DuckDB can replicate, so the
@@ -972,7 +976,14 @@ def _hash_neardup_query(sf_dir: str):
         raise RuntimeError(f"simhash_pairs schema: {sim_raw.schema().names}")
     sim_raw.count()
     exact = dedup.ngram_jaccard_groups(sf_dir).select_columns(["a", "b"])
-    return dedup.dup_clusters(sf_dir, edges=exact)
+    labels = dedup.dup_clusters(sf_dir, edges=exact).materialize()
+    _assert_sql_twin(
+        "docs_dedup_pipeline",
+        dedup.docs_dedup_pipeline(sf_dir, labels=labels),
+        dedup.DOCS_DEDUP_PIPELINE_SQL,
+        sf_dir,
+    )
+    return labels
 
 
 def _supplier_parttype_query(sf_dir: str):

@@ -1255,3 +1255,49 @@ def test_pq_recall_matches_twin_and_planted(ray_session, tmp_path):
     pq.write_table(tbl, tmp_path / "embeddings.parquet")
     planted = sim.emb_pq_recall(str(tmp_path)).to_pandas()
     assert (planted["recall_ppm"] == 1_000_000).all()
+
+
+def test_dedup_pipeline_matches_twin_and_planted(ray_session, tmp_path):
+    """Engine == composed DuckDB twin on the corpus; a planted corpus with
+    heavy near-dup families accounts exactly (one survivor per cluster,
+    token sums follow the survivors)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    got = dd.docs_dedup_pipeline(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    ora = con.sql(dd.DOCS_DEDUP_PIPELINE_SQL).df()
+    pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=True)
+    con.close()
+    assert (got["n_kept"] <= got["n_docs"]).all()
+    assert (got["tokens_kept"] <= got["tokens_total"]).all()
+
+    # planted: srcA = 6 docs in 2 identical-text triples (2 survive),
+    # srcB = 3 distinct docs (all survive)
+    rows = [
+        (0, "srcA", "x y z w q r s t"), (1, "srcA", "x y z w q r s t"),
+        (2, "srcA", "x y z w q r s t"),
+        (3, "srcA", "m n o p a b c d"), (4, "srcA", "m n o p a b c d"),
+        (5, "srcA", "m n o p a b c d"),
+        (6, "srcB", "one two three four five six"),
+        (7, "srcB", "seven eight nine ten eleven twelve"),
+        (8, "srcB", "alpha beta gamma delta eps zeta"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    planted = dd.docs_dedup_pipeline(str(tmp_path)).to_pandas().set_index("source")
+    assert planted.loc["srcA", "n_docs"] == 6 and planted.loc["srcA", "n_kept"] == 2
+    assert planted.loc["srcA", "tokens_kept"] == 16  # 8 tokens x 2 survivors
+    assert planted.loc["srcB", "n_kept"] == 3
+    assert planted.loc["srcB", "kept_ppm"] == 1_000_000
