@@ -112,6 +112,7 @@ OP_QUERIES = [
     "transcript_extract_rate",
     "emb_pq_recall",
     "docs_dedup_pipeline",
+    "docs_bpe_encode",
 ]
 
 
@@ -205,6 +206,7 @@ def _op_extra():
         "transcript_extract_rate": _transcript_extract_rate_sf,
         "emb_pq_recall": _sm.emb_pq_recall,
         "docs_dedup_pipeline": _dd.docs_dedup_pipeline,
+        "docs_bpe_encode": _tx.docs_bpe_encode,
     }
 
 

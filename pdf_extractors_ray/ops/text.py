@@ -1481,3 +1481,113 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODING — applying the trained merge table to the corpus (the step
+# between tokenizer training and token counting; completes the
+# train → apply → count story). Application semantics are Sennrich
+# scan-merge: each rule, in training order, merges all non-overlapping
+# occurrences left to right. Implementation detail that makes the DuckDB
+# twin possible: the training-loop regex uses lookbehind/lookahead, which
+# RE2 (DuckDB) lacks — encoding instead works on the DOUBLED-separator
+# form (symbols joined by two \x1f, one \x1f at each end), where every
+# boundary has its own separator on each side, so a plain literal
+# ``replace()`` — identical single-pass left-to-right semantics in Python
+# and DuckDB — performs the merge with no lookarounds.
+
+_SEP2 = _SYM_SEP * 2
+
+
+def bpe_encode_word(word: str, merge_pairs, _cache: dict | None = None) -> list[str]:
+    """Word -> BPE symbol list under the trained merges (plus </w>)."""
+    if _cache is not None and word in _cache:
+        return _cache[word]
+    t = _SYM_SEP + _SEP2.join(list(word) + [_EOW]) + _SYM_SEP
+    for left, right in merge_pairs:
+        t = t.replace(
+            f"{_SYM_SEP}{left}{_SEP2}{right}{_SYM_SEP}",
+            f"{_SYM_SEP}{left}{right}{_SYM_SEP}",
+        )
+    syms = [s for s in t.split(_SYM_SEP) if s]
+    if _cache is not None:
+        _cache[word] = syms
+    return syms
+
+
+def docs_bpe_encode(sf_dir: str, merges: pd.DataFrame | None = None):
+    """(doc_id, n_bpe_tokens, bpe_text) per document, sorted by doc_id —
+    the whole corpus tokenized under the trained merge table. ``bpe_text``
+    joins each word's symbols with '|' and words with ' ' (a readable,
+    hashable rendering of the full encoding).
+
+    ``merges``: optionally the (already verified) ``docs_bpe_train``
+    output — the driver slot passes the table its textbook gate just
+    checked, so the encode twin pins APPLICATION given a pinned table.
+    Map-only over the corpus (the merge list broadcasts by closure —
+    bytes, not a model); per-worker word cache (Zipf reuse)."""
+    import ray.data as _rd
+
+    if merges is None:
+        merges = docs_bpe_train(sf_dir)
+    pairs = list(zip(merges["left"], merges["right"]))
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def encode(batch: pd.DataFrame, _pairs=tuple(pairs)) -> pd.DataFrame:
+        cache: dict[str, list[str]] = _BPE_ENC_CACHE
+        if len(cache) > _SHARED_CACHE_CAP:
+            cache.clear()
+        n_out = np.empty(len(batch), dtype=np.int64)
+        texts = []
+        for i, txt in enumerate(batch["text"].to_numpy(dtype=object)):
+            words = [bpe_encode_word(w, _pairs, cache) for w in txt.split(" ")]
+            n_out[i] = sum(len(s) for s in words)
+            texts.append(" ".join("|".join(s) for s in words))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_bpe_tokens": n_out,
+                "bpe_text": pd.Series(texts, dtype=object),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pandas").sort("doc_id")
+
+
+_BPE_ENC_CACHE: dict = {}
+_SHARED_CACHE_CAP = 1 << 20
+
+
+def docs_bpe_encode_sql(merges: pd.DataFrame) -> str:
+    """DuckDB twin generated from the (verified) merge table: the same
+    doubled-separator literal-replace chain, one nested ``replace()`` per
+    merge in training order."""
+    sep = "chr(31)"
+    expr = f"{sep} || array_to_string(list_append(regexp_split_to_array(word, ''), '</w>'), {sep} || {sep}) || {sep}"
+    for left, right in zip(merges["left"], merges["right"]):
+        def q(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+        expr = (
+            f"replace({expr}, {sep} || {q(left)} || {sep} || {sep} || {q(right)} || {sep},"
+            f" {sep} || {q(left + right)} || {sep})"
+        )
+    return f"""
+WITH w AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+),
+enc AS (
+    SELECT doc_id, pos,
+           list_filter(string_split({expr}, chr(31)), x -> x <> '') AS syms
+    FROM w
+)
+SELECT doc_id,
+       CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens,
+       string_agg(array_to_string(syms, '|'), ' ' ORDER BY pos) AS bpe_text
+FROM enc
+GROUP BY doc_id
+ORDER BY doc_id
+"""

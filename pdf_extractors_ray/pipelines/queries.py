@@ -203,6 +203,15 @@ def _token_stats_top_query(sf_dir: str):
         _pd.testing.assert_frame_equal(dist_merges, ref_merges, check_dtype=True)
     except AssertionError as e:  # noqa: BLE001
         raise RuntimeError(f"docs_bpe_train diverged from textbook BPE: {str(e)[:300]}") from e
+    # forced gate: ENCODING under the just-verified merge table — the full
+    # corpus tokenized, pinned to a generated literal-replace DuckDB twin
+    # (application given a pinned table; completes train -> apply -> count)
+    _assert_sql_twin(
+        "docs_bpe_encode",
+        tx.docs_bpe_encode(sf_dir, merges=dist_merges),
+        tx.docs_bpe_encode_sql(dist_merges),
+        sf_dir,
+    )
     n_total, cand = tx.mg_heavy_hitters(sf_dir)
     exact = tx.docs_top_tokens(sf_dir)
     bound = n_total // (tx.MG_CAPACITY + 1)

@@ -1419,3 +1419,66 @@ def test_incremental_dedup_semantics(ray_session):
         expect = by_fam.get(fam, -1)
         assert dup_of == expect
         assert fp == hashlib.md5(f"ingest paragraph {fam}".encode()).hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding (apply the trained merges)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_matches_twin(ray_session):
+    sf = "/root/testdata/sf0.001"
+    merges = tx.docs_bpe_train(sf)
+    got = tx.docs_bpe_encode(sf, merges=merges).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    ora = con.sql(tx.docs_bpe_encode_sql(merges)).df()
+    pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=True)
+    con.close()
+    # merges actually fired: some symbol is multi-char (beyond </w>)
+    assert got["bpe_text"].str.contains(r"\|\w\w", regex=True).any()
+
+
+def test_bpe_encode_word_scan_merge_reference():
+    """The doubled-separator literal-replace encode equals the textbook
+    scan-merge application (merge all non-overlapping occurrences left to
+    right, rules in training order) — including the adjacency edges the
+    separator trick must get right."""
+
+    def ref_apply(word, pairs):
+        syms = list(word) + ["</w>"]
+        for left, right in pairs:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    cases = [
+        ("abab", [("a", "b")]),                      # adjacent repeats both merge
+        ("aaa", [("a", "a")]),                       # overlapping: left-to-right pairing
+        ("aaaa", [("a", "a"), ("aa", "aa")]),        # chained merges
+        ("abc", [("a", "b"), ("ab", "c"), ("abc", "</w>")]),
+        ("xy", [("y", "</w>"), ("x", "y</w>")]),     # end-of-word merges
+        ("q", []),
+    ]
+    for word, pairs in cases:
+        assert tx.bpe_encode_word(word, pairs) == ref_apply(word, pairs), (word, pairs)
+
+    # randomized sweep against the reference
+    rng = np.random.RandomState(5)
+    alphabet = list("abcd")
+    for _ in range(200):
+        word = "".join(rng.choice(alphabet, size=rng.randint(1, 9)))
+        pairs = []
+        pool = alphabet + ["</w>"]
+        for _ in range(rng.randint(0, 4)):
+            left, right = rng.choice(pool), rng.choice(pool)
+            pairs.append((left, right))
+            pool.append(left + right)
+        assert tx.bpe_encode_word(word, pairs) == ref_apply(word, pairs), (word, pairs)
