@@ -113,6 +113,7 @@ OP_QUERIES = [
     "emb_pq_recall",
     "docs_dedup_pipeline",
     "docs_bpe_encode",
+    "emb_ivf_recall",
 ]
 
 
@@ -207,6 +208,7 @@ def _op_extra():
         "emb_pq_recall": _sm.emb_pq_recall,
         "docs_dedup_pipeline": _dd.docs_dedup_pipeline,
         "docs_bpe_encode": _tx.docs_bpe_encode,
+        "emb_ivf_recall": _sm.emb_ivf_recall,
     }
 
 

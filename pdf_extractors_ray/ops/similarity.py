@@ -1854,3 +1854,141 @@ LEFT JOIN top_adc a ON a.q = e.q AND a.vec_id = e.vec_id
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF search evaluation — the third leg of the ANN-eval family (LSH:
+# emb_ann_recall, PQ/ADC: emb_pq_recall). The production ``ivf_knn`` uses
+# float k-means centroids (no exact SQL twin); this eval runs IVF with the
+# INTEGER seed centroids (the same deterministic quantizer
+# ``kmeans_assign`` pins to SQL), so list assignment, probe ranking, and
+# within-list exact distances are all int64 and the whole search replays
+# in DuckDB. Measures what IVF actually trades: recall lost to probing
+# nprobe of k lists.
+
+IVF_EVAL_NPROBE = 2
+
+
+def emb_ivf_recall(sf_dir: str, k: int = PQ_EVAL_K, n_queries: int = PQ_EVAL_QUERIES,
+                   n_lists: int = KMEANS_K, nprobe: int = IVF_EVAL_NPROBE):
+    """(vec_id, n_hit, recall_ppm) per query, sorted by vec_id: recall@k
+    of nprobe-list IVF search (integer seed quantizer) vs the exact
+    squared-euclidean top-k. One streaming pass assigns each batch's
+    vectors to lists with the exact argmin kernel and emits per-query
+    partial top-k rows for BOTH searches; ties break (dist, vec_id)."""
+    import ray
+    import ray.data
+
+    from .common import broadcast
+
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
+    cents = _seed_centroids(emb, n_lists)  # (n_lists, dim) ppm ints
+    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qmat = _quantize_ppm(qdf)
+    # probe lists per query: nprobe nearest centroids, exact int64, ties
+    # to the lowest list id
+    qd = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (nq, n_lists)
+    probe = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
+    ref = broadcast((qids, qmat, cents, probe))
+
+    def partials(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        qids, qmat, cents, probe = ray.get(_ref)
+        v = _quantize_ppm(batch)
+        ids = batch["vec_id"].to_numpy(np.int64)
+        labels, _d2 = kmeans_assign_kernel(v, cents)
+        exact = ((qmat[:, None, :].astype(np.int64) - v[None, :, :]) ** 2).sum(axis=2)
+        rows = []
+        for qi, qid in enumerate(qids):
+            not_self = ids != qid
+            for metric, mask in (
+                ("ivf", not_self & np.isin(labels, probe[qi])),
+                ("exact", not_self),
+            ):
+                cand_ids = ids[mask]
+                cand_d = exact[qi][mask]
+                top = np.lexsort((cand_ids, cand_d))[:k]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "q": np.int64(qid),
+                            "metric": metric,
+                            "vec_id": cand_ids[top],
+                            "dist": cand_d[top].astype(np.int64),
+                        }
+                    )
+                )
+        return pd.concat(rows, ignore_index=True)
+
+    parts = emb.map_batches(partials, batch_format="pandas").to_pandas()
+
+    out = []
+    for qid in sorted(set(parts["q"])):
+        sub = parts[parts["q"] == qid]
+        tops = {}
+        for metric in ("ivf", "exact"):
+            m = sub[sub["metric"] == metric].sort_values(
+                ["dist", "vec_id"], kind="mergesort"
+            )
+            tops[metric] = set(m["vec_id"].head(k))
+        hit = len(tops["ivf"] & tops["exact"])
+        out.append((int(qid), hit, (1_000_000 * hit) // k))
+    res = pd.DataFrame(out, columns=["vec_id", "n_hit", "recall_ppm"]).astype(np.int64)
+    return ray.data.from_pandas(res)
+
+
+EMB_IVF_RECALL_SQL = f"""
+WITH assign AS ({EMB_KMEANS_ASSIGN_SQL.rstrip()}),
+xq0 AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(FLOOR(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS v
+    FROM embeddings
+),
+init0 AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+    FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+),
+cc AS (SELECT i.cluster, x0.dim, x0.v FROM init0 i JOIN xq0 x0 ON x0.vec_id = i.vec_id),
+qcd AS (
+    SELECT xq.vec_id AS q, cc.cluster AS cluster,
+           SUM((xq.v - cc.v) * (xq.v - cc.v)) AS dist
+    FROM xq0 xq JOIN cc ON cc.dim = xq.dim
+    WHERE xq.vec_id < {PQ_EVAL_QUERIES}
+    GROUP BY 1, 2
+),
+probe AS (
+    SELECT q, cluster FROM (
+        SELECT q, cluster, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, cluster) AS rn
+        FROM qcd
+    ) WHERE rn <= {IVF_EVAL_NPROBE}
+),
+exact AS MATERIALIZED (
+    SELECT xq.vec_id AS q, xv.vec_id AS vec_id,
+           SUM((xq.v - xv.v) * (xq.v - xv.v)) AS dist
+    FROM xq0 xq JOIN xq0 xv ON xv.dim = xq.dim AND xv.vec_id != xq.vec_id
+    WHERE xq.vec_id < {PQ_EVAL_QUERIES}
+    GROUP BY 1, 2
+),
+top_exact AS (
+    SELECT q, vec_id FROM (
+        SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, vec_id) AS rn
+        FROM exact
+    ) WHERE rn <= {PQ_EVAL_K}
+),
+top_ivf AS (
+    SELECT q, vec_id FROM (
+        SELECT e.q AS q, e.vec_id AS vec_id, e.dist AS dist,
+               ROW_NUMBER() OVER (PARTITION BY e.q ORDER BY e.dist, e.vec_id) AS rn
+        FROM exact e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN probe p ON p.q = e.q AND p.cluster = a.cluster
+    ) WHERE rn <= {PQ_EVAL_K}
+)
+SELECT e.q AS vec_id,
+       CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit,
+       CAST((1000000 * COUNT(i.vec_id)) // {PQ_EVAL_K} AS BIGINT) AS recall_ppm
+FROM top_exact e
+LEFT JOIN top_ivf i ON i.q = e.q AND i.vec_id = e.vec_id
+GROUP BY 1
+ORDER BY 1
+"""

@@ -789,7 +789,10 @@ def _ann_methods_query(sf_dir: str):
     locality-ordered write layout) hash-checked via its in-query twin.
     Forced gate: ``emb_pq_recall`` — recall@k of ADC search (per-query
     LUT over the broadcast codebook, db side reduced to codes) against
-    the exact squared-euclidean top-k, all-integer and twin-checked."""
+    the exact squared-euclidean top-k, all-integer and twin-checked.
+    Forced gate: ``emb_ivf_recall`` — the third ANN-eval leg: IVF with
+    the integer seed quantizer (list assignment, probe ranking and
+    within-list distances all int64), recall vs exact twin-checked."""
     _assert_sql_twin(
         "emb_zorder",
         similarity.emb_zorder(sf_dir),
@@ -820,6 +823,13 @@ def _ann_methods_query(sf_dir: str):
         "emb_pq_recall",
         similarity.emb_pq_recall(sf_dir),
         similarity.EMB_PQ_RECALL_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    _assert_sql_twin(
+        "emb_ivf_recall",
+        similarity.emb_ivf_recall(sf_dir),
+        similarity.EMB_IVF_RECALL_SQL,
         sf_dir,
         tables=("embeddings",),
     )

@@ -1301,3 +1301,25 @@ def test_dedup_pipeline_matches_twin_and_planted(ray_session, tmp_path):
     assert planted.loc["srcA", "tokens_kept"] == 16  # 8 tokens x 2 survivors
     assert planted.loc["srcB", "n_kept"] == 3
     assert planted.loc["srcB", "kept_ppm"] == 1_000_000
+
+
+def test_ivf_recall_matches_twin_and_exhaustive_probe(ray_session):
+    """Engine == DuckDB twin; probing ALL lists makes IVF exhaustive, so
+    recall must be exactly 1e6 for every query (the property that pins
+    the probe/top-k machinery itself)."""
+    import duckdb
+
+    from pdf_extractors_ray.ops import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    got = sim.emb_ivf_recall(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ora = con.sql(sim.EMB_IVF_RECALL_SQL).df()
+    pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=True)
+    con.close()
+    assert (got["recall_ppm"] <= 1_000_000).all()
+    assert got["recall_ppm"].min() < 1_000_000  # nprobe=2 genuinely prunes
+
+    full = sim.emb_ivf_recall(sf, nprobe=sim.KMEANS_K).to_pandas()
+    assert (full["recall_ppm"] == 1_000_000).all()
