@@ -114,6 +114,7 @@ OP_QUERIES = [
     "docs_dedup_pipeline",
     "docs_bpe_encode",
     "emb_ivf_recall",
+    "orders_cdc_merge",
 ]
 
 
@@ -209,6 +210,7 @@ def _op_extra():
         "docs_dedup_pipeline": _dd.docs_dedup_pipeline,
         "docs_bpe_encode": _tx.docs_bpe_encode,
         "emb_ivf_recall": _sm.emb_ivf_recall,
+        "orders_cdc_merge": _rl.orders_cdc_merge,
     }
 
 

@@ -946,3 +946,145 @@ SELECT p_type, revenue_cents, n_items,
        CAST(CAST(revenue_cents AS HUGEINT) * 1000000 // (SELECT tc FROM tot) AS BIGINT) AS share_ppm
 FROM t ORDER BY p_type
 """
+
+
+def cdc_merge(changes_ds, key: str = "o_orderkey", version: str = "version",
+              op: str = "op", n_buckets: int | None = None):
+    """Generic lakehouse MERGE / CDC-upsert kernel: resolve a change log
+    of upserts (``op='U'``) and delete tombstones (``op='D'``) to the
+    latest surviving row per key — the Delta/Iceberg ``MERGE INTO`` /
+    Hudi upsert shape (reference has no counterpart; this is a
+    scale-path operator for maintaining 100 TB tables incrementally).
+
+    Scale shape: ONE key-bucketed exchange (pandas' unsalted hash, the
+    repo's join convention), then per-BUCKET vectorized resolution — a
+    mergesort by (key, version) and a tail-per-key — so per-key Python
+    cost is never paid. Rows per key meet in one group; hot keys are
+    bounded by the change-log depth per key, not the corpus.
+
+    Contract: versions are UNIQUE per key (the change log's commit
+    sequence); duplicated (key, version) pairs RAISE rather than
+    resolving by an arbitrary tie. Delete wins by carrying the higher
+    version, exactly as in a real CDC stream.
+    """
+    from .common import _default_buckets
+
+    nb = n_buckets or _default_buckets()
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__b"] = (
+            pd.util.hash_array(batch[key].to_numpy()) % nb
+        ).astype(np.int64)
+        return batch
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, version], kind="mergesort")
+        if g.duplicated([key, version]).any():
+            dup = g[g.duplicated([key, version])].iloc[0]
+            raise ValueError(
+                f"cdc_merge: duplicate (key, version) = "
+                f"({dup[key]}, {dup[version]}) — change-log versions "
+                "must be unique per key"
+            )
+        last = g.groupby(key, sort=False).tail(1)
+        keep = last[last[op] == "U"].drop(columns=["__b", op])
+        return keep.reset_index(drop=True)
+
+    return (
+        changes_ds.map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def orders_cdc_merge(sf_dir: str):
+    """CDC merge over ``orders``: a deterministic change log rendered
+    MAP-SIDE from each base row's key (the repo's overlay recipe — the
+    log is never materialized or joined, and the DuckDB twin re-renders
+    it analytically), resolved by :func:`cdc_merge`.
+
+    The overlay exercises every merge class: plain base rows (version
+    0), single updates (k%7), superseded double updates (k%14 — u2's
+    version 2 must win over u1), update-then-DELETE (k%13==5, version 3
+    — the tombstone outranks any update, so keys in both classes must
+    vanish), inserts of previously-absent keys (k%11==3, shifted by
+    10^12 above the base key range), insert-then-update (k%22==3), and
+    ghost tombstones for keys never present (k%17==2, shifted 2·10^12 —
+    a delete with nothing to delete emits nothing). Versions are
+    distinct per key by construction. Output: the merged table
+    (surviving latest row per key) with winning source + version.
+    """
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def emit_changes(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        c = batch["o_custkey"].to_numpy().astype(np.int64)
+        base_cents = cents(batch["o_totalprice"].to_numpy())
+        parts = [
+            pd.DataFrame(
+                {"o_orderkey": k, "o_custkey": c, "price_cents": base_cents,
+                 "src": "base", "version": np.int64(0), "op": "U"}
+            )
+        ]
+        m = k % 7 == 0
+        parts.append(pd.DataFrame(
+            {"o_orderkey": k[m], "o_custkey": c[m],
+             "price_cents": base_cents[m] + k[m] % 1000 + 1,
+             "src": "u1", "version": np.int64(1), "op": "U"}))
+        m = k % 14 == 0
+        parts.append(pd.DataFrame(
+            {"o_orderkey": k[m], "o_custkey": c[m],
+             "price_cents": base_cents[m] + k[m] % 1000 + 2,
+             "src": "u2", "version": np.int64(2), "op": "U"}))
+        m = k % 13 == 5
+        parts.append(pd.DataFrame(
+            {"o_orderkey": k[m], "o_custkey": c[m],
+             "price_cents": np.int64(0),
+             "src": "del", "version": np.int64(3), "op": "D"}))
+        m = k % 11 == 3
+        parts.append(pd.DataFrame(
+            {"o_orderkey": k[m] + 10**12, "o_custkey": k[m] % 1000,
+             "price_cents": k[m] % 100000,
+             "src": "ins", "version": np.int64(1), "op": "U"}))
+        m = k % 22 == 3
+        parts.append(pd.DataFrame(
+            {"o_orderkey": k[m] + 10**12, "o_custkey": k[m] % 1000,
+             "price_cents": k[m] % 100000 + 7,
+             "src": "insu", "version": np.int64(2), "op": "U"}))
+        m = k % 17 == 2
+        parts.append(pd.DataFrame(
+            {"o_orderkey": k[m] + 2 * 10**12, "o_custkey": np.int64(0),
+             "price_cents": np.int64(0),
+             "src": "ghost", "version": np.int64(1), "op": "D"}))
+        out = pd.concat(parts, ignore_index=True)
+        for col in ("o_orderkey", "o_custkey", "price_cents", "version"):
+            out[col] = out[col].astype(np.int64)
+        return out
+
+    changes = orders.map_batches(emit_changes, batch_format="pandas")
+    return cdc_merge(changes)
+
+
+ORDERS_CDC_MERGE_SQL = """
+WITH base AS (
+    SELECT o_orderkey AS k, o_custkey AS c,
+           CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+changes AS (
+    SELECT k, c, cents, 'base' AS src, CAST(0 AS BIGINT) AS version, 'U' AS op FROM base
+    UNION ALL SELECT k, c, cents + k % 1000 + 1, 'u1', 1, 'U' FROM base WHERE k % 7 = 0
+    UNION ALL SELECT k, c, cents + k % 1000 + 2, 'u2', 2, 'U' FROM base WHERE k % 14 = 0
+    UNION ALL SELECT k, c, CAST(0 AS BIGINT), 'del', 3, 'D' FROM base WHERE k % 13 = 5
+    UNION ALL SELECT k + 1000000000000, k % 1000, k % 100000, 'ins', 1, 'U' FROM base WHERE k % 11 = 3
+    UNION ALL SELECT k + 1000000000000, k % 1000, k % 100000 + 7, 'insu', 2, 'U' FROM base WHERE k % 22 = 3
+    UNION ALL SELECT k + 2000000000000, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'ghost', 1, 'D' FROM base WHERE k % 17 = 2
+),
+win AS (
+    SELECT * FROM changes
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) = 1
+)
+SELECT k AS o_orderkey, c AS o_custkey, cents AS price_cents, src, version
+FROM win WHERE op = 'U'
+"""

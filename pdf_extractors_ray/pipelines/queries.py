@@ -424,9 +424,12 @@ def _running_bloom_query(sf_dir: str):
 
 def _month_quantiles_query(sf_dir: str):
     """Exact distributed quantile selection AND the mergeable
-    ε-approximate quantile sketch AND the monthly rollup in one driver
-    slot. Forced gates: ``orders_by_month`` stays fully hash-checked via
-    the in-query twin gate, and ``orders_quantile_sketch`` (one-pass
+    ε-approximate quantile sketch AND the monthly rollup AND the CDC
+    merge in one driver slot. Forced gates: ``orders_by_month`` and
+    ``orders_cdc_merge`` (lakehouse MERGE/upsert — last-writer-wins
+    resolution of a map-side-rendered change log with superseded
+    updates, tombstones and inserts) stay fully hash-checked via
+    in-query twin gates, and ``orders_quantile_sketch`` (one-pass
     ε-spaced rank summaries) must land every estimate's TRUE rank —
     computed by a distributed count — within its 2ε·n theorem budget of
     the exact rank. RECORDED result: ``orders_price_quantiles`` — exact
@@ -436,6 +439,13 @@ def _month_quantiles_query(sf_dir: str):
         "orders_by_month",
         relational.orders_by_month(sf_dir),
         relational.ORDERS_BY_MONTH_SQL,
+        sf_dir,
+        tables=("orders",),
+    )
+    _assert_sql_twin(
+        "orders_cdc_merge",
+        relational.orders_cdc_merge(sf_dir),
+        relational.ORDERS_CDC_MERGE_SQL,
         sf_dir,
         tables=("orders",),
     )

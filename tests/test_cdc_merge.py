@@ -1,0 +1,117 @@
+"""CDC merge (lakehouse MERGE/upsert) differentials.
+
+The operator runs as a forced twin gate inside the quantiles slot
+(``orders_price_quantiles``); these tests are its hard check beyond the
+gate: DuckDB twin at two sfs, a hand-built edge fixture through the
+GENERIC kernel, a brute-force reference over random change logs, and
+the duplicate-version contract raise.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extractors_ray.ops import relational as rl
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+def test_cdc_merge_matches_duckdb_twin(ray_session, sf):
+    eng = rl.orders_cdc_merge(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    ora = con.execute(rl.ORDERS_CDC_MERGE_SQL).fetchdf()
+    con.close()
+    assert len(eng) > 0
+    # every overlay class must be exercised (ghost/del vanish by design)
+    assert {"base", "u1", "u2", "ins", "insu"} <= set(eng["src"])
+    assert "del" not in set(eng["src"]) and "ghost" not in set(eng["src"])
+    pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=True)
+
+
+def test_cdc_merge_edge_fixture(ray_session):
+    """Hand-built log: plain base, update chain, update-then-delete,
+    insert-then-update, delete-of-absent, delete-then-reinsert."""
+    import ray.data as rd
+
+    log = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 2, 3, 3, 3, 4, 4, 5, 6, 6, 6],
+            "payload": [10, 20, 21, 30, 31, 0, 40, 41, 0, 60, 0, 62],
+            "version": [0, 0, 1, 0, 1, 2, 1, 2, 1, 0, 1, 2],
+            "op": ["U", "U", "U", "U", "U", "D", "U", "U", "D", "U", "D", "U"],
+        }
+    )
+    got = (
+        rl.cdc_merge(rd.from_pandas(log), key="o_orderkey")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 4, 6],
+            "payload": [10, 21, 41, 62],
+            "version": [0, 1, 2, 2],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"o_orderkey": np.int64, "payload": np.int64, "version": np.int64}),
+        want.astype({"o_orderkey": np.int64, "payload": np.int64, "version": np.int64}),
+    )
+
+
+def test_cdc_merge_random_bruteforce(ray_session):
+    """Random change logs vs a pandas reference resolution."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        n = 400
+        keys = rng.randint(0, 60, n)
+        # unique versions per key: rank within key of a random permutation
+        perm = rng.permutation(n)
+        df = pd.DataFrame({"o_orderkey": keys, "r": perm})
+        df["version"] = df.groupby("o_orderkey")["r"].rank(method="first").astype(np.int64)
+        df["op"] = np.where(rng.rand(n) < 0.25, "D", "U")
+        df["val"] = rng.randint(0, 10**6, n).astype(np.int64)
+        df = df.drop(columns=["r"])
+
+        ref = df.sort_values(["o_orderkey", "version"]).groupby("o_orderkey").tail(1)
+        ref = (
+            ref[ref["op"] == "U"]
+            .drop(columns=["op"])
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        got = (
+            rl.cdc_merge(rd.from_pandas(df), key="o_orderkey")
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)[ref.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_cdc_merge_duplicate_version_raises(ray_session):
+    import ray.data as rd
+
+    log = pd.DataFrame(
+        {
+            "o_orderkey": [1, 1],
+            "version": [1, 1],
+            "op": ["U", "U"],
+            "val": [5, 6],
+        }
+    )
+    with pytest.raises(Exception, match="versions must be unique|duplicate"):
+        rl.cdc_merge(rd.from_pandas(log), key="o_orderkey").to_pandas()
