@@ -115,6 +115,7 @@ OP_QUERIES = [
     "docs_bpe_encode",
     "emb_ivf_recall",
     "orders_cdc_merge",
+    "docs_feature_hash",
 ]
 
 
@@ -211,6 +212,7 @@ def _op_extra():
         "docs_bpe_encode": _tx.docs_bpe_encode,
         "emb_ivf_recall": _sm.emb_ivf_recall,
         "orders_cdc_merge": _rl.orders_cdc_merge,
+        "docs_feature_hash": _tx.docs_feature_hash,
     }
 
 

@@ -1591,3 +1591,77 @@ FROM enc
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+FEAT_DIMS = 64
+
+
+def docs_feature_hash(sf_dir: str, n_dims: int = FEAT_DIMS, salt: str = ""):
+    """Hashing-trick featurizer (Weinberger et al. 2009, the
+    Vowpal-Wabbit / Johnson-Lindenstrauss construction): each token maps
+    to ``slot = h % n_dims`` with sign ``±1`` from the next hash bit, and
+    a document's feature vector is the signed token-count fold — the
+    fixed-dimension text featurization step a training pipeline runs
+    before any linear probe / logistic filter. The signed variant makes
+    collision noise zero-mean, so inner products are preserved in
+    expectation (pinned by the salt-averaged property test).
+
+    Scale shape: map-ONLY — a document's tokens live in its own row, so
+    the explode, the md5-per-UNIQUE-token hash (vocab-bounded per batch,
+    the repo's convention) and the (doc, slot) signed fold all happen
+    inside the batch; nothing shuffles at any corpus size. Output is the
+    sparse nonzero (doc_id, slot, feat_val) triplet table. The hash is
+    the engine/oracle-shared md5 60-bit hex-parse (`_md5_hash15`'s
+    construct over the token STRING), so the DuckDB twin replays it
+    bit-exactly.
+    """
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def feat(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        reps = toks.str.len().to_numpy()
+        doc_rep = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), reps)
+        if len(doc_rep) == 0:
+            return pd.DataFrame(
+                {"doc_id": np.array([], np.int64), "slot": np.array([], np.int64),
+                 "feat_val": np.array([], np.int64)}
+            )
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()])
+        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+        hu = np.fromiter(
+            (int(hashlib.md5((salt + t).encode()).hexdigest()[:15], 16) for t in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        hv = hu[inv]
+        df = pd.DataFrame(
+            {
+                "doc_id": doc_rep,
+                "slot": hv % n_dims,
+                "sign": np.where((hv // n_dims) % 2 == 0, 1, -1).astype(np.int64),
+            }
+        )
+        out = df.groupby(["doc_id", "slot"], sort=False)["sign"].sum().reset_index()
+        out = out[out["sign"] != 0]
+        return out.rename(columns={"sign": "feat_val"}).astype(
+            {"doc_id": np.int64, "slot": np.int64, "feat_val": np.int64}
+        )
+
+    return ds.map_batches(feat, batch_format="pandas")
+
+
+DOCS_FEATURE_HASH_SQL = f"""
+WITH t AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t
+)
+SELECT doc_id,
+       CAST(hv % {FEAT_DIMS} AS BIGINT) AS slot,
+       CAST(SUM(CASE WHEN (hv // {FEAT_DIMS}) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS feat_val
+FROM h
+GROUP BY doc_id, hv % {FEAT_DIMS}
+HAVING SUM(CASE WHEN (hv // {FEAT_DIMS}) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+ORDER BY doc_id, slot
+"""

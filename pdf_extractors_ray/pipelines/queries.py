@@ -284,9 +284,10 @@ def _quality_repetition_tfidf_query(sf_dir: str):
     distinctive terms AND the Gopher repetition signals AND the quality
     scorer AND the LM-coverage fluency filter in one driver slot. Forced
     gates: ``docs_quality``, ``docs_repetition``, ``docs_tfidf``,
-    ``docs_inverted_index`` and ``docs_lm_coverage`` (bigram-LM train
-    pass → bucketed cogroup scoring join, integer coverage ppm) stay
-    fully hash-checked via in-query twin gates. RECORDED result:
+    ``docs_inverted_index``, ``docs_lm_coverage`` (bigram-LM train
+    pass → bucketed cogroup scoring join, integer coverage ppm) and
+    ``docs_feature_hash`` (signed hashing-trick featurizer, map-only)
+    stay fully hash-checked via in-query twin gates. RECORDED result:
     ``docs_bigram_pmi`` — corpus-wide top-k adjacent-pair pointwise mutual
     information (min-count filtered before any join; bucketed count
     combines; two vocabulary-sized cogroup joins; integer scoring exact
@@ -304,6 +305,9 @@ def _quality_repetition_tfidf_query(sf_dir: str):
     )
     _assert_sql_twin(
         "docs_lm_coverage", tx.docs_lm_coverage(sf_dir), tx.DOCS_LM_COVERAGE_SQL, sf_dir
+    )
+    _assert_sql_twin(
+        "docs_feature_hash", tx.docs_feature_hash(sf_dir), tx.DOCS_FEATURE_HASH_SQL, sf_dir
     )
     return tx.docs_bigram_pmi(sf_dir)
 

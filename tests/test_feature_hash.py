@@ -1,0 +1,98 @@
+"""Hashing-trick featurizer differentials.
+
+Runs as a forced twin gate in the PMI slot; hard checks here: DuckDB twin
+at two sfs, a brute-force per-token reference, and the signed-hashing
+theorem — inner products unbiased under collision noise (salt-averaged).
+"""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extractors_ray.ops import text as tx
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+def test_feature_hash_matches_duckdb_twin(ray_session, sf):
+    eng = tx.docs_feature_hash(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ora = con.execute(tx.DOCS_FEATURE_HASH_SQL).fetchdf()
+    con.close()
+    assert len(eng) > 0
+    pd.testing.assert_frame_equal(_canon(eng), _canon(ora), check_dtype=True)
+
+
+def _brute(texts: dict[int, str], n_dims: int, salt: str = "") -> dict:
+    vec = {}
+    for d, text in texts.items():
+        v = np.zeros(n_dims, dtype=np.int64)
+        for t in text.split(" "):
+            h = int(hashlib.md5((salt + t).encode()).hexdigest()[:15], 16)
+            v[h % n_dims] += 1 if (h // n_dims) % 2 == 0 else -1
+        vec[d] = v
+    return vec
+
+
+def test_feature_hash_bruteforce(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = {
+        1: "a b a c the the",
+        2: "",  # single empty token, both engines agree on split(' ')
+        3: "x y z x x y",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(texts),
+                "text": list(texts.values()),
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [len(t) for t in texts.values()],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = tx.docs_feature_hash(str(tmp_path)).to_pandas()
+    vecs = _brute(texts, tx.FEAT_DIMS)
+    for d, v in vecs.items():
+        sub = got[got["doc_id"] == d]
+        dense = np.zeros(tx.FEAT_DIMS, dtype=np.int64)
+        dense[sub["slot"].to_numpy()] = sub["feat_val"].to_numpy()
+        assert (dense == v).all(), f"doc {d}"
+    # sparsity contract: no explicit zeros
+    assert (got["feat_val"] != 0).all()
+
+
+def test_feature_hash_inner_product_unbiased():
+    """E_salt[<phi(x), phi(y)>] = <x, y> — the signed-hashing theorem
+    (Weinberger et al. 2009). Salt-averaged estimate must converge to the
+    exact token-count inner product."""
+    x = "a b a c d e f g h i"
+    y = "a c c z w b b b q r"
+    cx = pd.Series(x.split(" ")).value_counts()
+    cy = pd.Series(y.split(" ")).value_counts()
+    exact = int(sum(cx.get(t, 0) * cy.get(t, 0) for t in set(cx.index) | set(cy.index)))
+
+    n_dims = 8  # small so collisions actually happen
+    est = []
+    for s in range(400):
+        vs = _brute({0: x, 1: y}, n_dims, salt=f"s{s}:")
+        est.append(int(vs[0] @ vs[1]))
+    mean = float(np.mean(est))
+    # exact = 7; sd of a single estimate is a few units; 400 salts → se ~0.2
+    assert abs(mean - exact) < 1.0, (mean, exact)
