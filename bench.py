@@ -116,6 +116,7 @@ OP_QUERIES = [
     "emb_ivf_recall",
     "orders_cdc_merge",
     "docs_feature_hash",
+    "orders_zonemap_scan",
 ]
 
 
@@ -213,6 +214,7 @@ def _op_extra():
         "emb_ivf_recall": _sm.emb_ivf_recall,
         "orders_cdc_merge": _rl.orders_cdc_merge,
         "docs_feature_hash": _tx.docs_feature_hash,
+        "orders_zonemap_scan": _rl.orders_zonemap_scan,
     }
 
 

@@ -1088,3 +1088,162 @@ win AS (
 SELECT k AS o_orderkey, c AS o_custkey, cents AS price_cents, src, version
 FROM win WHERE op = 'U'
 """
+
+
+ZONEMAP_PART_KEYS = 256
+
+
+def orders_zonemap_scan(sf_dir: str):
+    """Zone-map data skipping (the Iceberg/Delta manifest-stats shape):
+    pass 1 builds per-partition min/max statistics (partition =
+    ``o_orderkey // 256``, a physical-layout stand-in — orders lay out
+    ordered by key, so key chunks model parquet row groups); pass 2
+    consults the stats to PRUNE the scan before it starts, reading only
+    surviving key ranges via a parquet filter (row-group pushdown) and
+    applying the exact predicate in-batch.
+
+    Two probes make the clustering dependence explicit: a key-range
+    probe (clustered column — most partitions skip; the op RAISES if it
+    didn't actually prune) and a 1997 date probe (uncorrelated column —
+    the stats legitimately keep ~every partition; zone maps only skip
+    what the layout clusters, which is why ``emb_zorder`` exists).
+    Output per probe: partitions total/scanned, rows and revenue cents
+    from the pruned scan — the DuckDB twin recomputes the same stats
+    decision and the same aggregates over the FULL table, so twin
+    equality proves the pruned scan lost nothing.
+
+    Scale shape: the stats table is one row per partition (manifest-
+    sized: ~1M rows for 100 TB at 128 MB row groups — a driver-side
+    manifest, exactly like Iceberg's), built by per-batch partials +
+    bucketed combine; each probe's scan is a pruned streaming read.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from .common import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def zm_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "part": k // ZONEMAP_PART_KEYS,
+                "mink": k,
+                "maxk": k,
+                "mind": batch["o_orderdate"].to_numpy(),
+                "maxd": batch["o_orderdate"].to_numpy(),
+                "n": np.int64(1),
+            }
+        )
+
+    zm = bucketed_group_agg(
+        ds.map_batches(zm_partial, batch_format="pandas"),
+        ["part"],
+        {"mink": "min", "maxk": "max", "mind": "min", "maxd": "max", "n": "sum"},
+    ).to_pandas()
+
+    max_key = int(zm["maxk"].max())
+    lo, hi = max_key // 4, max_key // 2
+    d1, d2 = np.datetime64("1997-01-01"), np.datetime64("1998-01-01")
+    probes = {
+        "key_range": (zm["maxk"].to_numpy() >= lo) & (zm["mink"].to_numpy() <= hi),
+        "date_1997": (zm["maxd"].to_numpy() >= d1) & (zm["mind"].to_numpy() < d2),
+    }
+    if int(probes["key_range"].sum()) >= len(zm):
+        raise RuntimeError(
+            "zonemap key probe pruned nothing — the layout stand-in is broken"
+        )
+
+    def _ranges(parts: np.ndarray) -> list[tuple[int, int]]:
+        # merge surviving partitions into minimal contiguous key ranges
+        if len(parts) == 0:
+            return []
+        parts = np.sort(parts)
+        cut = np.flatnonzero(np.diff(parts) > 1)
+        starts = np.concatenate([[0], cut + 1])
+        ends = np.concatenate([cut, [len(parts) - 1]])
+        return [
+            (int(parts[s]) * ZONEMAP_PART_KEYS,
+             (int(parts[e]) + 1) * ZONEMAP_PART_KEYS - 1)
+            for s, e in zip(starts, ends)
+        ]
+
+    rows = []
+    for probe, mask in probes.items():
+        ranges = _ranges(zm.loc[mask, "part"].to_numpy().astype(np.int64))
+        n_scanned = int(mask.sum())
+        if not ranges:
+            rows.append((probe, len(zm), 0, 0, 0))
+            continue
+        f = None
+        for a, b in ranges:
+            expr = (pds.field("o_orderkey") >= a) & (pds.field("o_orderkey") <= b)
+            f = expr if f is None else (f | expr)
+        scan = _read(
+            sf_dir, "orders",
+            columns=["o_orderkey", "o_orderdate", "o_totalprice"], filter=f,
+        )
+
+        def agg(batch: pd.DataFrame, *, _probe=probe) -> pd.DataFrame:
+            if _probe == "key_range":
+                keep = (batch["o_orderkey"].to_numpy() >= lo) & (
+                    batch["o_orderkey"].to_numpy() <= hi
+                )
+            else:
+                d = batch["o_orderdate"].to_numpy()
+                keep = (d >= d1) & (d < d2)
+            c = cents(batch["o_totalprice"].to_numpy()[keep])
+            return pd.DataFrame(
+                {"rows_out": [np.int64(keep.sum())], "cents": [np.int64(c.sum())]}
+            )
+
+        part = scan.map_batches(agg, batch_format="pandas").to_pandas()
+        rows.append(
+            (probe, len(zm), n_scanned,
+             int(part["rows_out"].sum()), int(part["cents"].sum()))
+        )
+
+    out = pd.DataFrame(
+        rows,
+        columns=["probe", "parts_total", "parts_scanned", "rows_out", "revenue_cents"],
+    ).astype(
+        {"parts_total": np.int64, "parts_scanned": np.int64,
+         "rows_out": np.int64, "revenue_cents": np.int64}
+    ).sort_values("probe").reset_index(drop=True)
+    return rd.from_pandas(out)
+
+
+ORDERS_ZONEMAP_SQL = f"""
+WITH zm AS (
+    SELECT o_orderkey // {ZONEMAP_PART_KEYS} AS part,
+           MIN(o_orderkey) AS mink, MAX(o_orderkey) AS maxk,
+           MIN(o_orderdate) AS mind, MAX(o_orderdate) AS maxd
+    FROM orders GROUP BY 1
+),
+b AS (SELECT MAX(maxk) // 4 AS lo, MAX(maxk) // 2 AS hi, COUNT(*) AS total FROM zm),
+kp AS (
+    SELECT 'key_range' AS probe,
+           CAST((SELECT total FROM b) AS BIGINT) AS parts_total,
+           CAST((SELECT COUNT(*) FROM zm, b WHERE maxk >= lo AND mink <= hi) AS BIGINT)
+               AS parts_scanned,
+           CAST(COUNT(*) AS BIGINT) AS rows_out,
+           CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+               AS revenue_cents
+    FROM orders, b WHERE o_orderkey BETWEEN lo AND hi
+),
+dp AS (
+    SELECT 'date_1997' AS probe,
+           CAST((SELECT total FROM b) AS BIGINT) AS parts_total,
+           CAST((SELECT COUNT(*) FROM zm
+                 WHERE maxd >= TIMESTAMP '1997-01-01'
+                   AND mind < TIMESTAMP '1998-01-01') AS BIGINT) AS parts_scanned,
+           CAST(COUNT(*) AS BIGINT) AS rows_out,
+           CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT * FROM kp UNION ALL SELECT * FROM dp ORDER BY probe
+"""

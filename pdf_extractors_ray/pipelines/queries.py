@@ -525,13 +525,24 @@ def _custbal_antijoin_query(sf_dir: str):
     ``q22_antijoin_nation`` — above-average-positive-balance customers
     with no urgent order, per nation; the NOT-EXISTS runs as the
     hash-bucketed cogroup anti join and the average comparison is
-    integer cross-multiplied."""
+    integer cross-multiplied. Second forced gate: ``orders_zonemap_scan``
+    — zone-map data skipping (per-partition min/max stats → pruned
+    parquet read), twin-checked so the pruned scan provably loses
+    nothing, with a clustered probe that must prune and an uncorrelated
+    probe that legitimately cannot."""
     _assert_sql_twin(
         "customer_topk_balance",
         relational.customer_topk_balance(sf_dir),
         relational.CUSTOMER_TOPK_SQL,
         sf_dir,
         tables=("customer",),
+    )
+    _assert_sql_twin(
+        "orders_zonemap_scan",
+        relational.orders_zonemap_scan(sf_dir),
+        relational.ORDERS_ZONEMAP_SQL,
+        sf_dir,
+        tables=("orders",),
     )
     return relational.q22_antijoin_nation(sf_dir)
 
