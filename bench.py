@@ -117,6 +117,7 @@ OP_QUERIES = [
     "orders_cdc_merge",
     "docs_feature_hash",
     "orders_zonemap_scan",
+    "docs_shard_assign",
 ]
 
 
@@ -215,6 +216,7 @@ def _op_extra():
         "orders_cdc_merge": _rl.orders_cdc_merge,
         "docs_feature_hash": _tx.docs_feature_hash,
         "orders_zonemap_scan": _rl.orders_zonemap_scan,
+        "docs_shard_assign": _cu.docs_shard_assign,
     }
 
 

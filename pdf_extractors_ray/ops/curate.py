@@ -2069,3 +2069,72 @@ FROM tagged t LEFT JOIN idx i USING (fp)
 WHERE t.is_new
 ORDER BY t.doc_id
 """
+
+
+HRW_NODES = 16
+
+
+def hrw_assign(doc_ids, n_nodes: int = HRW_NODES, drop_node: int | None = None) -> np.ndarray:
+    """Rendezvous / highest-random-weight node per key: argmax over nodes
+    of the shared md5 60-bit hash of ``"<node>:<doc_id>"``. Pure kernel —
+    vectorized over keys with one hash column per node (node count is
+    small and fixed; at 100 TB the per-key cost is ``n_nodes`` md5 calls,
+    map-side — swap in an integer mixer if that ever dominates).
+    ``drop_node`` simulates removing a node from the ring: HRW's theorem
+    says ONLY keys assigned to the dropped node move (pinned by test)."""
+    cols = []
+    nodes = [n for n in range(n_nodes) if n != drop_node]
+    for node in nodes:
+        cols.append(_md5_hash15(doc_ids, salt=f"{node}:"))
+    w = np.stack(cols, axis=1)
+    return np.array(nodes, dtype=np.int64)[np.argmax(w, axis=1)]
+
+
+def docs_shard_assign(sf_dir: str, n_nodes: int = HRW_NODES):
+    """Rendezvous-hash shard placement accounting: every document maps to
+    its highest-random-weight node (the consistent-placement scheme used
+    for cache/shard affinity — unlike ``hash % n``, resizing the node set
+    relocates only 1/n of the keys). Map-only per-doc assignment + a
+    node-sized rollup (docs, tokens per node); the balance of the rollup
+    is the op's observable, and the minimal-movement theorem is pinned by
+    the kernel test. The DuckDB twin replays the argmax via a
+    ``range(n)`` cross join + ROW_NUMBER."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        node = hrw_assign(batch["doc_id"].to_numpy(), n_nodes)
+        toks = batch["text"].str.split(" ").str.len().to_numpy().astype(np.int64)
+        df = pd.DataFrame({"node": node, "n_docs": np.int64(1), "n_tokens": toks})
+        return df.groupby("node", as_index=False, sort=False).sum()
+
+    from .common import bucketed_group_agg
+
+    out = bucketed_group_agg(
+        ds.map_batches(part, batch_format="pandas"),
+        ["node"],
+        {"n_docs": "sum", "n_tokens": "sum"},
+    )
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.astype({"node": np.int64, "n_docs": np.int64, "n_tokens": np.int64})
+
+    return out.map_batches(to_int, batch_format="pandas")
+
+
+DOCS_SHARD_ASSIGN_SQL = f"""
+WITH a AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS toks,
+           node,
+           ('0x' || substr(md5(CAST(node AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS w
+    FROM documents, range({HRW_NODES}) t(node)
+),
+best AS (
+    SELECT doc_id, toks, node FROM a
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, node) = 1
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens
+FROM best GROUP BY node ORDER BY node
+"""

@@ -119,10 +119,12 @@ def _fingerprint_split_reservoir_query(sf_dir: str):
     deterministic per-source reservoir sampling AND the train/val/test
     split AND the md5 fingerprint in one driver slot. Forced gates:
     ``docs_fingerprint``, ``docs_split_stratified``,
-    ``docs_reservoir_sample``, ``docs_vocab_growth`` and
+    ``docs_reservoir_sample``, ``docs_vocab_growth``,
     ``docs_incremental_dedup`` (new-shard-vs-index fingerprint dedup —
     the checkpoint-resume shape of corpus dedup, one bucketed left
-    cogroup join) stay fully hash-checked via in-query twin gates. RECORDED result:
+    cogroup join) and ``docs_shard_assign`` (rendezvous-hash placement
+    rollup; minimal-movement theorem pinned by the kernel test) stay
+    fully hash-checked via in-query twin gates. RECORDED result:
     ``docs_priority_sample`` — the Duffield-Lund-Thorup-shaped
     weighted sample (hash // token-weight priorities, k smallest,
     mergeable per-block prune), pinned to its md5 hex-parse DuckDB twin."""
@@ -148,6 +150,12 @@ def _fingerprint_split_reservoir_query(sf_dir: str):
         "docs_incremental_dedup",
         curate.docs_incremental_dedup(sf_dir),
         curate.DOCS_INCR_DEDUP_SQL,
+        sf_dir,
+    )
+    _assert_sql_twin(
+        "docs_shard_assign",
+        curate.docs_shard_assign(sf_dir),
+        curate.DOCS_SHARD_ASSIGN_SQL,
         sf_dir,
     )
     return curate.docs_priority_sample(sf_dir)
