@@ -118,6 +118,7 @@ OP_QUERIES = [
     "docs_feature_hash",
     "orders_zonemap_scan",
     "docs_shard_assign",
+    "docs_label_prop",
 ]
 
 
@@ -217,6 +218,7 @@ def _op_extra():
         "docs_feature_hash": _tx.docs_feature_hash,
         "orders_zonemap_scan": _rl.orders_zonemap_scan,
         "docs_shard_assign": _cu.docs_shard_assign,
+        "docs_label_prop": _gr.docs_label_prop,
     }
 
 

@@ -304,3 +304,153 @@ DOCS_TRIANGLES_SQL = "\n".join(
         "GROUP BY n.doc_id ORDER BY n.doc_id",
     ]
 )
+
+
+# --- semi-supervised label propagation ---------------------------------------
+
+LP_ITERS = 3
+LP_SEED_MOD = 5  # doc_id % 5 == 0 keeps its source as the seed label
+
+
+def docs_label_prop(sf_dir: str, iters: int = LP_ITERS):
+    """Semi-supervised label propagation over the doc_id link overlay —
+    the weak-supervision shape (Zhu & Ghahramani 2002): 20% of documents
+    are seeds (``doc_id % 5 == 0``, label = their ``source``), and each
+    synchronous round an UNLABELED node takes the majority label of its
+    labeled in-neighbors (ties by lexicographically smallest label).
+    Labels CLAMP once assigned (seeds and propagated alike), so coverage
+    grows monotonically and the computation is deterministic — which
+    makes the whole iteration bit-reproducible in the chained-CTE DuckDB
+    twin. Output: (doc_id, label, rnd) with rnd = the round the label
+    arrived (0 = seed, -1 = never labeled, label = '').
+
+    Distributed shape: per round, labeled nodes emit one (dst, label)
+    message per out-edge MAP-SIDE (edges derived from the state table,
+    never materialized) plus one state-marker row per node; ONE
+    hash-bucketed exchange per round; in-bucket vectorized majority
+    (groupby count → sort → head). ``iters`` shuffles total, each
+    carrying ≤ 4 rows per node — the PageRank exchange shape with labels
+    instead of ranks."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = read_parquet_sized(path, columns=["doc_id", "source"])
+    n_max = int(docs.max("doc_id")) + 1
+    nb = 64
+
+    def init_state(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(np.int64)
+        seed = d % LP_SEED_MOD == 0
+        return pd.DataFrame(
+            {
+                "doc_id": d,
+                "label": np.where(seed, batch["source"].to_numpy(), ""),
+                "rnd": np.where(seed, 0, -1).astype(np.int64),
+            }
+        )
+
+    state = docs.map_batches(init_state, batch_format="pandas")
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(np.int64)
+        lab = batch["label"].to_numpy()
+        has = lab != ""
+        dl, ll = d[has], lab[has]
+        dsts = [rule(dl, n_max) for rule in _EDGE_PY]
+        msgs = pd.DataFrame(
+            {
+                "doc_id": np.concatenate(dsts) if len(dl) else np.array([], np.int64),
+                "label": np.tile(ll, N_EDGES),
+                "rnd": np.int64(0),
+                "is_state": np.int64(0),
+            }
+        )
+        st = pd.DataFrame(
+            {"doc_id": d, "label": lab, "rnd": batch["rnd"].to_numpy(np.int64),
+             "is_state": np.int64(1)}
+        )
+        out = pd.concat([msgs, st], ignore_index=True)
+        out["__b"] = (pd.util.hash_array(out["doc_id"].to_numpy()) % nb).astype(np.int64)
+        return out
+
+    def make_resolve(k: int):
+        def resolve(group: pd.DataFrame) -> pd.DataFrame:
+            st = group[group["is_state"] == 1]
+            out = pd.DataFrame(
+                {
+                    "doc_id": st["doc_id"].to_numpy(np.int64),
+                    "label": st["label"].to_numpy(),
+                    "rnd": st["rnd"].to_numpy(np.int64),
+                }
+            )
+            unl = out["label"] == ""
+            if not unl.any():
+                return out
+            msgs = group[group["is_state"] == 0]
+            m = msgs[msgs["doc_id"].isin(out.loc[unl, "doc_id"])]
+            if m.empty:
+                return out
+            cnt = m.groupby(["doc_id", "label"], sort=False).size().reset_index(name="c")
+            cnt = cnt.sort_values(
+                ["doc_id", "c", "label"], ascending=[True, False, True], kind="mergesort"
+            )
+            win = cnt.groupby("doc_id", sort=False).head(1).set_index("doc_id")["label"]
+            hit = unl & out["doc_id"].isin(win.index)
+            out.loc[hit, "label"] = win.loc[out.loc[hit, "doc_id"]].to_numpy()
+            out.loc[hit, "rnd"] = np.int64(k)
+            return out
+
+        return resolve
+
+    for k in range(1, iters + 1):
+        state = (
+            state.map_batches(emit, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(make_resolve(k), batch_format="pandas")
+        )
+    return state.sort("doc_id")
+
+
+def _label_prop_sql(iters: int = LP_ITERS) -> str:
+    edge_selects = "\n    UNION ALL ".join(
+        f"SELECT doc_id AS src, {expr.format(m='(SELECT nmax FROM params)')} AS dst"
+        " FROM documents"
+        for expr in _EDGE_SQL
+    )
+    cte = [
+        f"""params AS (SELECT MAX(doc_id)+1 AS nmax FROM documents),
+edges AS (
+    {edge_selects}
+),
+s0 AS (SELECT doc_id,
+              CASE WHEN doc_id % {LP_SEED_MOD} = 0 THEN source ELSE '' END AS label,
+              CAST(CASE WHEN doc_id % {LP_SEED_MOD} = 0 THEN 0 ELSE -1 END AS BIGINT) AS rnd
+       FROM documents)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        cte.append(
+            f"""w{k} AS (
+    SELECT dst AS doc_id, label FROM (
+        SELECT e.dst, sp.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, sp.label) AS rn
+        FROM edges e
+        JOIN s{p} sp ON sp.doc_id = e.src AND sp.label <> ''
+        JOIN s{p} su ON su.doc_id = e.dst AND su.label = ''
+        GROUP BY e.dst, sp.label
+    ) WHERE rn = 1
+),
+s{k} AS (
+    SELECT s.doc_id,
+           CASE WHEN s.label <> '' THEN s.label ELSE COALESCE(w.label, '') END AS label,
+           CAST(CASE WHEN s.label <> '' THEN s.rnd
+                     WHEN w.label IS NOT NULL THEN {k} ELSE -1 END AS BIGINT) AS rnd
+    FROM s{p} s LEFT JOIN w{k} w ON w.doc_id = s.doc_id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT doc_id, label, rnd FROM s{iters} ORDER BY doc_id"
+    )
+
+
+DOCS_LABEL_PROP_SQL = _label_prop_sql()

@@ -1085,12 +1085,15 @@ def _props_retention_query(sf_dir: str):
 def _ngram_pagerank_query(sf_dir: str):
     """Directed triangle counting AND link-graph PageRank AND exact
     n-gram Jaccard groups in one driver slot. Forced gates:
-    ``docs_ngram_jaccard`` and ``docs_pagerank`` (5 iterations of
-    integer-fixed-point PageRank, chained-CTE twin) stay fully
-    hash-checked via in-query twin gates. RECORDED result:
-    ``docs_graph_triangles`` — per-node directed 3-cycle participation
-    via the distributed multi-way self-join (three hash-bucketed cogroup
-    joins), pinned to a three-way self-join DuckDB twin."""
+    ``docs_ngram_jaccard``, ``docs_pagerank`` (5 iterations of
+    integer-fixed-point PageRank, chained-CTE twin) and
+    ``docs_label_prop`` (semi-supervised label propagation — clamped
+    synchronous majority spreading from 20% seeds, one bucketed exchange
+    per round) stay fully hash-checked via in-query twin gates. RECORDED
+    result: ``docs_graph_triangles`` — per-node directed 3-cycle
+    participation via the distributed multi-way self-join (three
+    hash-bucketed cogroup joins), pinned to a three-way self-join DuckDB
+    twin."""
     _assert_sql_twin(
         "docs_ngram_jaccard",
         dedup.ngram_jaccard_groups(sf_dir),
@@ -1099,6 +1102,9 @@ def _ngram_pagerank_query(sf_dir: str):
     )
     _assert_sql_twin(
         "docs_pagerank", graph.docs_pagerank(sf_dir), graph.DOCS_PAGERANK_SQL, sf_dir
+    )
+    _assert_sql_twin(
+        "docs_label_prop", graph.docs_label_prop(sf_dir), graph.DOCS_LABEL_PROP_SQL, sf_dir
     )
     return graph.docs_graph_triangles(sf_dir)
 

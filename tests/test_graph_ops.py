@@ -10,6 +10,9 @@ import pyarrow.parquet as pq
 import pytest
 
 from pdf_extractors_ray.ops import graph
+from pdf_extractors_ray.ops import graph as gr
+
+SF = "/root/testdata/sf0.001"
 
 
 def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
@@ -173,3 +176,98 @@ def test_triangles_bruteforce_nondense(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want_sql[got.columns], check_dtype=True, check_exact=True
     )
+
+
+# --- label propagation --------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+def test_label_prop_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    eng = gr.docs_label_prop(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ora = con.execute(gr.DOCS_LABEL_PROP_SQL).fetchdf()
+    con.close()
+    g = eng.sort_values("doc_id").reset_index(drop=True)
+    w = ora.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=True)
+    # propagation must be real: new labels in every round at these sfs
+    rounds = set(g["rnd"])
+    assert {0, 1, 2, 3} <= rounds
+
+
+def _lp_reference(doc_ids, sources, n_max, iters):
+    """Pure-python synchronous clamped majority propagation."""
+    label = {
+        int(d): (s if d % gr.LP_SEED_MOD == 0 else "")
+        for d, s in zip(doc_ids, sources)
+    }
+    rnd = {int(d): (0 if d % gr.LP_SEED_MOD == 0 else -1) for d in doc_ids}
+    nodes = set(label)
+    for k in range(1, iters + 1):
+        msgs = {}
+        for u, lab in label.items():
+            if lab == "":
+                continue
+            for rule in gr._EDGE_PY:
+                v = int(rule(np.array([u]), n_max)[0])
+                if v in nodes and label[v] == "":
+                    msgs.setdefault(v, []).append(lab)
+        new = {}
+        for v, labs in msgs.items():
+            cnt = {}
+            for l in labs:
+                cnt[l] = cnt.get(l, 0) + 1
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[v] = best
+        for v, lab in new.items():
+            label[v] = lab
+            rnd[v] = k
+    return label, rnd
+
+
+def test_label_prop_bruteforce_nondense_ids(ray_session, tmp_path):
+    """Non-dense doc_ids: overlay targets that hit holes are dropped by
+    both engines; engine matches a pure-python synchronous reference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    ids = np.unique(rng.randint(0, 4000, 300)).astype(np.int64)
+    src = np.array([f"s{int(i) % 4}" for i in ids], dtype=object)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ids,
+                "text": ["x"] * len(ids),
+                "lang": ["en"] * len(ids),
+                "source": src,
+                "n_chars": [1] * len(ids),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    eng = gr.docs_label_prop(str(tmp_path)).to_pandas().sort_values("doc_id")
+    n_max = int(ids.max()) + 1
+    label, rnd = _lp_reference(ids, src, n_max, gr.LP_ITERS)
+    assert list(eng["doc_id"]) == sorted(label)
+    for _, row in eng.iterrows():
+        assert row["label"] == label[int(row["doc_id"])], int(row["doc_id"])
+        assert int(row["rnd"]) == rnd[int(row["doc_id"])], int(row["doc_id"])
+
+
+def test_label_prop_clamping_monotone(ray_session):
+    """Once labeled, never relabeled: running k and k+1 iterations agrees
+    on every node labeled by round k."""
+    a = gr.docs_label_prop(SF, iters=2).to_pandas().set_index("doc_id")
+    b = gr.docs_label_prop(SF, iters=3).to_pandas().set_index("doc_id")
+    done = a[a["rnd"] >= 0]
+    sub = b.loc[done.index]
+    assert (sub["label"] == done["label"]).all()
+    assert (sub["rnd"] == done["rnd"]).all()
+    # coverage monotone
+    assert (b["rnd"] >= 0).sum() >= (a["rnd"] >= 0).sum()
