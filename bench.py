@@ -119,6 +119,7 @@ OP_QUERIES = [
     "orders_zonemap_scan",
     "docs_shard_assign",
     "docs_label_prop",
+    "orders_profile",
 ]
 
 
@@ -219,7 +220,14 @@ def _op_extra():
         "orders_zonemap_scan": _rl.orders_zonemap_scan,
         "docs_shard_assign": _cu.docs_shard_assign,
         "docs_label_prop": _gr.docs_label_prop,
+        "orders_profile": _profile_orders,
     }
+
+
+def _profile_orders(sf_dir: str):
+    from pdf_extractors_ray.ops.profile import table_profile
+
+    return table_profile(sf_dir, "orders")
 
 
 def _transcript_turn_pack_sf(sf_dir: str):

@@ -1133,6 +1133,32 @@ def _hourly_mad_query(sf_dir: str):
     return events.events_hourly(sf_dir)
 
 
+def _priority_profile_query(sf_dir: str):
+    """Order-priority rollup AND the table profiler in one driver slot.
+    Forced gates: ``orders_profile`` and ``docs_profile`` — per-column
+    row/null counts, canonical-integer min/max and the HLL distinct
+    estimate, the whole profile (sketch included) hash-checked against a
+    generated per-column DuckDB twin. RECORDED result:
+    ``orders_priority_count``."""
+    from ..ops import profile as prof
+
+    _assert_sql_twin(
+        "orders_profile",
+        prof.table_profile(sf_dir, "orders"),
+        prof.ORDERS_PROFILE_SQL,
+        sf_dir,
+        tables=("orders",),
+    )
+    _assert_sql_twin(
+        "docs_profile",
+        prof.table_profile(sf_dir, "documents"),
+        prof.DOCS_PROFILE_SQL,
+        sf_dir,
+        tables=("documents",),
+    )
+    return relational.orders_priority_count(sf_dir)
+
+
 # name → (fn, oracle_sql | None); EXACTLY 50 entries (driver record cap)
 REGISTRY: dict[str, tuple] = {
     # relational core (SQL-checked)
@@ -1140,7 +1166,7 @@ REGISTRY: dict[str, tuple] = {
     "q3_segment_topk": (relational.q3_segment_topk, relational.Q3_SQL),
     "q5_nation_revenue": (relational.q5_nation_revenue, relational.Q5_SQL),
     "q6_filtered_revenue": (relational.q6_filtered_revenue, relational.Q6_SQL),
-    "orders_priority_count": (relational.orders_priority_count, relational.ORDERS_PRIORITY_SQL),
+    "orders_priority_count": (_priority_profile_query, relational.ORDERS_PRIORITY_SQL),
     "orders_topk_per_customer": (relational.orders_topk_per_customer, relational.ORDERS_TOPK_SQL),
     "events_distinct_users": (_distinct_kmv_query, relational.EVENTS_DISTINCT_SQL),
     "orders_price_quantiles": (_month_quantiles_query, relational.ORDERS_QUANTILES_SQL),
