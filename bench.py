@@ -120,6 +120,7 @@ OP_QUERIES = [
     "docs_shard_assign",
     "docs_label_prop",
     "orders_profile",
+    "events_skew_stats",
 ]
 
 
@@ -221,6 +222,7 @@ def _op_extra():
         "docs_shard_assign": _cu.docs_shard_assign,
         "docs_label_prop": _gr.docs_label_prop,
         "orders_profile": _profile_orders,
+        "events_skew_stats": _ev.events_skew_stats,
     }
 
 

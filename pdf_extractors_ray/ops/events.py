@@ -1518,3 +1518,128 @@ SELECT c.hour, c.event_type, CAST(c.cnt AS BIGINT) AS cnt,
 FROM c JOIN par p USING (event_type)
 ORDER BY c.event_type, c.hour
 """
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-skew diagnostics over the partitioning key
+
+
+def events_skew_stats(sf_dir: str):
+    """Skew profile of the ``user_id`` shuffle key — the planner pass
+    that decides whether a key needs salting BEFORE a sessionize/join
+    pays for the hot partition: exact per-key counts (bucketed combine),
+    then everything else from the COUNT-OF-COUNTS histogram, whose size
+    is the number of distinct per-key counts (tiny at any corpus size —
+    bounded by the hottest key's count, not by the key count):
+
+      - exact integer Gini (ppm) of the key-count distribution via the
+        tie-group closed form Σ_rank r·x = Σ_c c·(f·(r0+1) + f(f-1)/2)
+        over the histogram — no global sort of the key table,
+      - exact p99 key count (smallest count with cum ≥ ⌈0.99·n_keys⌉),
+      - hottest key (min key id among maxima) and the recommended salt
+        factor ⌈max_count · n_keys / total⌉ (how many mean-loads the
+        hot key carries — the split count ``stages/salted.py`` needs).
+
+    Driver state: the histogram + five scalars, in Python ints (the
+    rank-weighted sum reaches nk·total ≈ 2^80 at 10^12 events — int64
+    wraps, HUGEINT/Python both exact)."""
+    from .common import bucketed_group_agg
+
+    ds = _events(sf_dir, columns=["user_id"])
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["user_id"].value_counts()
+        return pd.DataFrame({"user_id": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_group_agg(
+        ds.map_batches(per_batch, batch_format="pandas"), ["user_id"], {"n": "sum"}
+    )
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["n"].value_counts()
+        return pd.DataFrame({"c": vc.index.to_numpy(np.int64),
+                             "f": vc.to_numpy(np.int64)})
+
+    def top_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mx = batch["n"].max()
+        key = batch.loc[batch["n"] == mx, "user_id"].min()
+        return pd.DataFrame({"c": [np.int64(mx)], "key": [np.int64(key)]})
+
+    cm = counts.materialize()
+    hist = bucketed_group_agg(
+        cm.map_batches(hist_partial, batch_format="pandas"), ["c"], {"f": "sum"}
+    ).to_pandas()
+    tops = cm.map_batches(top_partial, batch_format="pandas").to_pandas()
+
+    hist = hist.sort_values("c").reset_index(drop=True)
+    cs = [int(x) for x in hist["c"]]
+    fs = [int(x) for x in hist["f"]]
+    nk = sum(fs)
+    total = sum(c * f for c, f in zip(cs, fs))
+    max_c = cs[-1]
+    top_key = int(tops.loc[tops["c"] == tops["c"].max(), "key"].min())
+    # rank-weighted sum over tie groups (ascending count order)
+    s_rank, r0 = 0, 0
+    for c, f in zip(cs, fs):
+        s_rank += c * (f * (r0 + 1) + (f * (f - 1)) // 2)
+        r0 += f
+    gini_ppm = max(0, 2 * s_rank - (nk + 1) * total) * 1_000_000 // (nk * total)
+    # exact p99 of key counts
+    need = (99 * nk + 99) // 100
+    cum = 0
+    p99 = cs[-1]
+    for c, f in zip(cs, fs):
+        cum += f
+        if cum >= need:
+            p99 = c
+            break
+    salt_factor = (max_c * nk + total - 1) // total
+
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "n_keys": [nk], "total_events": [total],
+                "max_key_count": [max_c], "top_key": [top_key],
+                "p99_count": [p99], "gini_ppm": [gini_ppm],
+                "salt_factor": [salt_factor],
+            }
+        ).astype(np.int64)
+    )
+
+
+EVENTS_SKEW_SQL = """
+WITH k AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id),
+hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM k GROUP BY c),
+tot AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * f) AS HUGEINT) AS total,
+               CAST(SUM(f) AS HUGEINT) AS nk,
+               MAX(c) AS max_c
+        FROM hist),
+ranked AS (
+    SELECT c, f,
+           COALESCE(SUM(f) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r0,
+           SUM(f) OVER (ORDER BY c) AS cum
+    FROM hist
+),
+g AS (
+    SELECT SUM(CAST(c AS HUGEINT) * (CAST(f AS HUGEINT) * (r0 + 1)
+               + (CAST(f AS HUGEINT) * (f - 1)) // 2)) AS s_rank
+    FROM ranked
+),
+p99 AS (
+    SELECT MIN(c) AS p99_count FROM ranked, tot
+    WHERE cum >= (99 * nk + 99) // 100
+)
+SELECT CAST(nk AS BIGINT) AS n_keys,
+       CAST(total AS BIGINT) AS total_events,
+       CAST(max_c AS BIGINT) AS max_key_count,
+       (SELECT MIN(user_id) FROM k, tot WHERE k.c = tot.max_c) AS top_key,
+       (SELECT p99_count FROM p99) AS p99_count,
+       CAST(GREATEST(2 * s_rank - (nk + 1) * total, 0) * 1000000
+            // (nk * total) AS BIGINT) AS gini_ppm,
+       CAST((max_c * nk + total - 1) // total AS BIGINT) AS salt_factor
+FROM tot, g
+"""

@@ -2,6 +2,7 @@
 
 import duckdb
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -108,3 +109,68 @@ def test_cusum_catches_sustained_drift_mad_misses(ray_session, tmp_path):
         ora[cu.columns],
         check_dtype=False,
     )
+
+
+# --- shuffle-skew diagnostics --------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_skew_stats_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    from pdf_extractors_ray.ops import events as ev
+
+    eng = ev.events_skew_stats(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    ora = con.execute(ev.EVENTS_SKEW_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+
+
+def test_skew_stats_crafted_distributions(ray_session, tmp_path):
+    """Gini endpoints and the salt recommendation on crafted key loads:
+    uniform → gini 0 / salt 1; one dominant key → gini near the
+    closed-form and a salt factor that splits it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import events as ev
+
+    def write(counts, path):
+        uid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        n = len(uid)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": np.arange(n, dtype=np.int64),
+                    "ts": np.full(n, np.datetime64("2024-01-01", "us")),
+                    "user_id": uid,
+                    "event_type": ["c"] * n,
+                    "value": np.ones(n),
+                    "props": ["{}"] * n,
+                }
+            ),
+            path / "events.parquet",
+        )
+
+    d1 = tmp_path / "uni"; d1.mkdir()
+    write([4] * 10, d1)
+    r = ev.events_skew_stats(str(d1)).to_pandas().iloc[0]
+    assert int(r["gini_ppm"]) == 0
+    assert int(r["salt_factor"]) == 1
+    assert int(r["p99_count"]) == 4
+
+    d2 = tmp_path / "hot"; d2.mkdir()
+    write([1] * 9 + [91], d2)  # n=10 keys, total=100, hot key 9 carries 91
+    r = ev.events_skew_stats(str(d2)).to_pandas().iloc[0]
+    assert int(r["top_key"]) == 9
+    assert int(r["max_key_count"]) == 91
+    # exact gini: x=[1]*9+[91]: S = sum i*x = 45 + 10*91 = 955
+    # G_ppm = (2*955 - 11*100)*1e6 // (10*100) = 810000 // 1 → 810*1000
+    assert int(r["gini_ppm"]) == (2 * 955 - 11 * 100) * 1_000_000 // (10 * 100)
+    assert int(r["salt_factor"]) == (91 * 10 + 99) // 100  # = 10
