@@ -121,6 +121,7 @@ OP_QUERIES = [
     "docs_label_prop",
     "orders_profile",
     "events_skew_stats",
+    "events_join_cardinality",
 ]
 
 
@@ -223,6 +224,7 @@ def _op_extra():
         "docs_label_prop": _gr.docs_label_prop,
         "orders_profile": _profile_orders,
         "events_skew_stats": _ev.events_skew_stats,
+        "events_join_cardinality": _ev.events_join_cardinality,
     }
 
 

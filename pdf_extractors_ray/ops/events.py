@@ -1643,3 +1643,158 @@ SELECT CAST(nk AS BIGINT) AS n_keys,
        CAST((max_c * nk + total - 1) // total AS BIGINT) AS salt_factor
 FROM tot, g
 """
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based join-cardinality estimation (the pre-shuffle planner pass)
+
+JOINCARD_D = 4
+JOINCARD_W = 1024
+
+
+def _joincard_grid(counts_ds) -> np.ndarray:
+    """CMS grid over (k, n) count rows: d salted-md5 rows × w columns of
+    summed counts. Per-block partials are ≤ d·w cells; the merge is a
+    cell-wise sum (mergeable); the final grid is 32 KB regardless of key
+    cardinality."""
+    from .common import bucketed_group_agg
+    from .text import _md5_hash15_str
+
+    def grid_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = batch["k"].to_numpy(np.int64).astype(str)
+        n = batch["n"].to_numpy(np.int64)
+        frames = []
+        for i in range(JOINCARD_D):
+            col = _md5_hash15_str(ks, f"cms{i}:") % JOINCARD_W
+            frames.append(pd.DataFrame({"row_i": np.int64(i), "col": col, "cnt": n}))
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["row_i", "col"], as_index=False, sort=False)["cnt"].sum()
+
+    cells = bucketed_group_agg(
+        counts_ds.map_batches(grid_partial, batch_format="pandas"),
+        ["row_i", "col"],
+        {"cnt": "sum"},
+    ).to_pandas()
+    grid = np.zeros((JOINCARD_D, JOINCARD_W), dtype=np.int64)
+    grid[cells["row_i"].to_numpy(np.int64), cells["col"].to_numpy(np.int64)] = (
+        cells["cnt"].to_numpy(np.int64)
+    )
+    return grid
+
+
+def events_join_cardinality(sf_dir: str):
+    """Join-size estimation BEFORE the join runs — the planner pass that
+    decides broadcast-vs-shuffle-vs-salt from two 32 KB sketches instead
+    of an exchange: per-key counts on each side (events.user_id ×
+    orders.o_custkey) compress to Count-Min grids, and the classic CMS
+    inner-product estimator ``min_i Σ_col A[i]·B[i]`` upper-bounds the
+    true join cardinality Σ_k a_k·b_k (every true product lands in a
+    matching cell; collisions only ADD — the op RAISES if the theorem
+    ever fails). The TRUE size is computed alongside through a bucketed
+    cogroup join of the two count tables (the op doubles as its own
+    verifier; a real planner would skip it and use the sketch alone).
+
+    Output: true/estimated pairs, the overestimate ratio (ppm), and both
+    key cardinalities. Driver math in Python ints — the inner product
+    reaches N_a·N_b ≈ 2^80 at 10^12 rows/side, past int64; the per-key
+    true products are int64-safe per key and summed in Python."""
+    from .common import bucketed_group_agg, cogroup_join
+
+    ev_counts = bucketed_group_agg(
+        _events(sf_dir, columns=["user_id"])
+        .map_batches(
+            lambda b: pd.DataFrame({"k": b["user_id"].to_numpy(np.int64),
+                                    "n": np.int64(1)}),
+            batch_format="pandas",
+        ),
+        ["k"],
+        {"n": "sum"},
+    )
+    from ..runtime import read_parquet_sized
+
+    ord_counts = bucketed_group_agg(
+        read_parquet_sized(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_custkey"])
+        .map_batches(
+            lambda b: pd.DataFrame({"k": b["o_custkey"].to_numpy(np.int64),
+                                    "n": np.int64(1)}),
+            batch_format="pandas",
+        ),
+        ["k"],
+        {"n": "sum"},
+    )
+    evc = ev_counts.materialize()
+    orc = ord_counts.materialize()
+
+    ga = _joincard_grid(evc)
+    gb = _joincard_grid(orc)
+    est = min(
+        sum(int(x) * int(y) for x, y in zip(ga[i], gb[i]) if x and y)
+        for i in range(JOINCARD_D)
+    )
+
+    def prod_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["n"].to_numpy(np.int64)
+        b = batch["n_b"].to_numpy(np.int64)
+        return pd.DataFrame({"p": [int((a * b).sum())]})
+
+    rn = orc.map_batches(
+        lambda b: b.rename(columns={"n": "n_b"}), batch_format="pandas"
+    )
+    joined = cogroup_join(evc, rn, "k", "k", ["n"], ["n_b"])
+    parts = joined.map_batches(prod_partial, batch_format="pandas").to_pandas()
+    true_pairs = int(sum(int(p) for p in parts["p"]))
+    if est < true_pairs:
+        raise RuntimeError(
+            f"CMS inner-product theorem violated: est {est} < true {true_pairs}"
+        )
+    n_a = int(evc.count())
+    n_b = int(orc.count())
+
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "true_pairs": [true_pairs],
+                "est_pairs": [est],
+                "est_over_true_ppm": [est * 1_000_000 // true_pairs if true_pairs else -1],
+                "n_keys_events": [n_a],
+                "n_keys_orders": [n_b],
+            }
+        ).astype(np.int64)
+    )
+
+
+EVENTS_JOINCARD_SQL = f"""
+WITH a AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+b AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+tru AS (SELECT CAST(COALESCE(SUM(CAST(a.n AS HUGEINT) * b.n), 0) AS HUGEINT) AS t
+        FROM a JOIN b USING (k)),
+ga AS (
+    SELECT r.i AS row_i,
+           ('0x' || substr(md5('cms' || r.i || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+               % {JOINCARD_W} AS col,
+           SUM(n) AS cnt
+    FROM a, range({JOINCARD_D}) r(i) GROUP BY 1, 2
+),
+gb AS (
+    SELECT r.i AS row_i,
+           ('0x' || substr(md5('cms' || r.i || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+               % {JOINCARD_W} AS col,
+           SUM(n) AS cnt
+    FROM b, range({JOINCARD_D}) r(i) GROUP BY 1, 2
+),
+ip AS (
+    SELECT ga.row_i, SUM(CAST(ga.cnt AS HUGEINT) * gb.cnt) AS p
+    FROM ga JOIN gb ON ga.row_i = gb.row_i AND ga.col = gb.col
+    GROUP BY 1
+),
+est AS (SELECT MIN(p) AS e FROM ip)
+SELECT CAST(t AS BIGINT) AS true_pairs,
+       CAST(e AS BIGINT) AS est_pairs,
+       CAST(CASE WHEN t > 0 THEN e * 1000000 // t ELSE -1 END AS BIGINT) AS est_over_true_ppm,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_keys_events,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_keys_orders
+FROM tru, est
+"""

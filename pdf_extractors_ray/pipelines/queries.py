@@ -162,9 +162,11 @@ def _fingerprint_split_reservoir_query(sf_dir: str):
 
 
 def _sessionize_funnel_query(sf_dir: str):
-    """Funnel sequence-matching AND sessionization in one driver slot.
-    Forced gate: ``events_sessionize`` stays fully hash-checked via the
-    in-query twin gate. RECORDED result: ``events_funnel`` — per-user
+    """Funnel sequence-matching AND sessionization AND the join planner
+    in one driver slot. Forced gates: ``events_sessionize`` and
+    ``events_join_cardinality`` (CMS inner-product join-size estimation
+    with the upper-bound theorem raised on in-op) stay fully hash-checked
+    via in-query twin gates. RECORDED result: ``events_funnel`` — per-user
     count of purchases preceded by a click within the window (ordered
     two-step pattern over the event stream: one hash shuffle, one
     vectorized merge-scan per bucket, per-user rollup completed
@@ -175,6 +177,13 @@ def _sessionize_funnel_query(sf_dir: str):
         events.EVENTS_SESSIONIZE_SQL,
         sf_dir,
         tables=("events",),
+    )
+    _assert_sql_twin(
+        "events_join_cardinality",
+        events.events_join_cardinality(sf_dir),
+        events.EVENTS_JOINCARD_SQL,
+        sf_dir,
+        tables=("events", "orders"),
     )
     return events.events_funnel(sf_dir)
 
