@@ -122,6 +122,7 @@ OP_QUERIES = [
     "orders_profile",
     "events_skew_stats",
     "events_join_cardinality",
+    "q7_nation_volume",
 ]
 
 
@@ -225,6 +226,7 @@ def _op_extra():
         "orders_profile": _profile_orders,
         "events_skew_stats": _ev.events_skew_stats,
         "events_join_cardinality": _ev.events_join_cardinality,
+        "q7_nation_volume": _rl.q7_nation_volume,
     }
 
 

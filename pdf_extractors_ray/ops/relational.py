@@ -1247,3 +1247,147 @@ dp AS (
 )
 SELECT * FROM kp UNION ALL SELECT * FROM dp ORDER BY probe
 """
+
+
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 generalized — bilateral shipping volume between every
+    (supplier nation, customer nation) pair by ship year. The deepest
+    join chain in the relational family, three hash-bucketed cogroup
+    exchanges, each with the smaller honest side:
+
+      1. customer (pruned to key + nation tag) ⋈ orders → per-order
+         customer nation — big-big at TPC-H scale, so a cogroup join,
+         never a broadcast;
+      2. lineitem (pruned map-side to orderkey/suppkey/year/cents, the
+         4 columns the query needs) ⋈ supplier → supplier nation;
+      3. the two tagged streams meet on orderkey;
+
+    then a tiny (nation × nation × year) bucketed rollup. The 25-row
+    ``nation`` table is the only broadcast (``ray.put`` once, a dict
+    lookup in every tag task — fixed-size at any corpus scale)."""
+    from .common import bucketed_group_agg, cogroup_join
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = broadcast(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def tag_cust(batch: pd.DataFrame, *, _ref=nmap_ref) -> pd.DataFrame:
+        import ray
+
+        nmap = ray.get(_ref) if not isinstance(_ref, dict) else _ref
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"].to_numpy(np.int64),
+                "cust_nation": batch["c_nationkey"].map(nmap),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ord_tagged = cogroup_join(
+        orders,
+        cust.map_batches(tag_cust, batch_format="pandas"),
+        "o_custkey",
+        "c_custkey",
+        ["o_orderkey"],
+        ["cust_nation"],
+    )
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def tag_supp(batch: pd.DataFrame, *, _ref=nmap_ref) -> pd.DataFrame:
+        import ray
+
+        nmap = ray.get(_ref) if not isinstance(_ref, dict) else _ref
+        return pd.DataFrame(
+            {
+                "s_suppkey": batch["s_suppkey"].to_numpy(np.int64),
+                "supp_nation": batch["s_nationkey"].map(nmap),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_proj(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(np.int64),
+                "l_suppkey": batch["l_suppkey"].to_numpy(np.int64),
+                "l_year": batch["l_shipdate"].to_numpy().astype("datetime64[Y]")
+                .astype(np.int64) + 1970,
+                "cents": cents(
+                    batch["l_extendedprice"].to_numpy()
+                    * (1.0 - batch["l_discount"].to_numpy())
+                ),
+            }
+        )
+
+    li_tagged = cogroup_join(
+        li.map_batches(li_proj, batch_format="pandas"),
+        supp.map_batches(tag_supp, batch_format="pandas"),
+        "l_suppkey",
+        "s_suppkey",
+        ["l_orderkey", "l_year", "cents"],
+        ["supp_nation"],
+    )
+
+    both = cogroup_join(
+        li_tagged,
+        ord_tagged,
+        "l_orderkey",
+        "o_orderkey",
+        ["supp_nation", "l_year", "cents"],
+        ["cust_nation"],
+    )
+
+    def to_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "supp_nation": batch["supp_nation"],
+                "cust_nation": batch["cust_nation"],
+                "l_year": batch["l_year"].to_numpy().astype(np.int64),
+                "revenue_cents": batch["cents"].to_numpy().astype(np.int64),
+                "n_items": np.int64(1),
+            }
+        )
+
+    agg = bucketed_group_agg(
+        both.map_batches(to_partial, batch_format="pandas"),
+        ["supp_nation", "cust_nation", "l_year"],
+        {"revenue_cents": "sum", "n_items": "sum"},
+    )
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.astype(
+            {"l_year": np.int64, "revenue_cents": np.int64, "n_items": np.int64}
+        )
+
+    return agg.map_batches(fin, batch_format="pandas").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+Q7_SQL = """
+SELECT s.supp_nation, c.cust_nation, s.l_year,
+       CAST(SUM(s.cents) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM (
+    SELECT l.l_orderkey, n.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(FLOOR(l.l_extendedprice*(1.0-l.l_discount)*100 + 0.5) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = sp.s_nationkey
+) s
+JOIN (
+    SELECT o.o_orderkey, n.n_name AS cust_nation
+    FROM orders o
+    JOIN customer cu ON cu.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = cu.c_nationkey
+) c ON c.o_orderkey = s.l_orderkey
+GROUP BY s.supp_nation, c.cust_nation, s.l_year
+ORDER BY s.supp_nation, c.cust_nation, s.l_year
+"""

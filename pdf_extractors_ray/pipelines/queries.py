@@ -1049,8 +1049,11 @@ def _hash_neardup_query(sf_dir: str):
 
 def _supplier_parttype_query(sf_dir: str):
     """Part-type revenue share AND the supplier-per-nation broadcast join
-    in one driver slot. Forced gate: ``supplier_per_nation`` stays fully
-    hash-checked via the in-query twin gate. RECORDED result:
+    AND the Q7 bilateral-volume multi-join in one driver slot. Forced
+    gates: ``supplier_per_nation`` and ``q7_nation_volume`` (three
+    chained big-big cogroup joins + nation broadcast, the deepest join
+    chain in the family) stay fully hash-checked via in-query twin
+    gates. RECORDED result:
     ``part_type_revenue`` — the Q14-shaped lineitem↔part join with
     pre-aggregation BEFORE the join (the corpus table reduces to
     part-cardinality first), integer ppm revenue shares; pinned to
@@ -1061,6 +1064,13 @@ def _supplier_parttype_query(sf_dir: str):
         relational.SUPPLIER_PER_NATION_SQL,
         sf_dir,
         tables=("supplier", "nation"),
+    )
+    _assert_sql_twin(
+        "q7_nation_volume",
+        relational.q7_nation_volume(sf_dir),
+        relational.Q7_SQL,
+        sf_dir,
+        tables=("lineitem", "supplier", "nation", "orders", "customer"),
     )
     return relational.part_type_revenue(sf_dir)
 

@@ -137,3 +137,24 @@ def test_null_text_treated_as_empty_line(ray_session):
     ds = rd.from_items(rows)
     out = fold_conversations(ds, oc.extract_catalog_conv, schemas.CATALOG_SCHEMA).to_pandas()
     assert len(out) == 1 and out["manufacturer"].iloc[0] == "BMW"
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_q7_nation_volume_matches_duckdb(ray_session, sf):
+    """Q7 bilateral volume: three chained cogroup joins vs DuckDB."""
+    import duckdb
+
+    from pdf_extractors_ray.ops import relational as rl
+
+    eng = rl.q7_nation_volume(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier", "nation", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    ora = con.execute(rl.Q7_SQL).fetchdf()
+    con.close()
+    assert len(eng) > 0
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
