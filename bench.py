@@ -123,6 +123,7 @@ OP_QUERIES = [
     "events_skew_stats",
     "events_join_cardinality",
     "q7_nation_volume",
+    "docs_dedup_keep_longest",
 ]
 
 
@@ -227,6 +228,7 @@ def _op_extra():
         "events_skew_stats": _ev.events_skew_stats,
         "events_join_cardinality": _ev.events_join_cardinality,
         "q7_nation_volume": _rl.q7_nation_volume,
+        "docs_dedup_keep_longest": _dd.docs_dedup_keep_longest,
     }
 
 

@@ -1816,3 +1816,113 @@ FROM labels l JOIN documents d USING (doc_id)
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def docs_dedup_keep_longest(sf_dir: str, labels=None):
+    """Dedup survivor policy #2 — keep the LONGEST document per near-dup
+    cluster (ties by min doc_id) instead of the first occurrence: the
+    usual alternative when near-dups are truncations of one another and
+    the cluster minimum may be the clipped copy. Same accounting schema
+    as ``docs_dedup_pipeline`` so the two policies compare directly.
+
+    Scale shape: token counts reduce map-side (text never shuffles); one
+    doc_id-bucketed cogroup join attaches cluster labels; then ONE
+    cluster-bucketed exchange — every member of a cluster co-locates, so
+    the argmax AND the kept/dropped accounting complete inside the
+    bucket and only source-cardinality partials leave it."""
+    from .common import grouped_sums, cogroup_join
+
+    if labels is None:
+        exact = ngram_jaccard_groups(sf_dir).select_columns(["a", "b"])
+        labels = dup_clusters(sf_dir, edges=exact)
+
+    docs = _docs(sf_dir, columns=["doc_id", "source", "text"])
+
+    def doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "source": batch["source"].astype(object),
+                "n_toks": np.fromiter(
+                    (t.count(" ") + 1 for t in batch["text"]),
+                    dtype=np.int64, count=len(batch),
+                ),
+            }
+        )
+
+    joined = cogroup_join(
+        docs.map_batches(doc_rows, batch_format="pandas"), labels,
+        "doc_id", "doc_id",
+        ["doc_id", "source", "n_toks"], ["cluster"],
+    )
+
+    nb = 64
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["cluster"] = batch["cluster"].astype(np.int64)
+        batch["__b"] = (
+            pd.util.hash_array(batch["cluster"].to_numpy()) % nb
+        ).astype(np.int64)
+        return batch
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cluster", "n_toks", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        win = g.groupby("cluster", sort=False).head(1)
+        kept = g["doc_id"].isin(win["doc_id"]).astype(np.int64).to_numpy()
+        nt = g["n_toks"].astype(np.int64).to_numpy()
+        part = pd.DataFrame(
+            {
+                "source": g["source"].astype(object),
+                "n_docs": np.int64(1),
+                "n_kept": kept,
+                "tokens_total": nt,
+                "tokens_kept": nt * kept,
+            }
+        )
+        return part.groupby("source", as_index=False, sort=False).sum()
+
+    agg = grouped_sums(
+        joined.map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(solve, batch_format="pandas"),
+        ["source"], ["n_docs", "n_kept", "tokens_total", "tokens_kept"],
+    ).to_pandas()
+    agg = agg.sort_values("source").reset_index(drop=True)
+    for c in ("n_docs", "n_kept", "tokens_total", "tokens_kept"):
+        agg[c] = agg[c].astype(np.int64)
+    agg["kept_ppm"] = (
+        agg["n_kept"].to_numpy() * 1_000_000 // agg["n_docs"].to_numpy()
+    ).astype(np.int64)
+    import ray.data
+
+    return ray.data.from_pandas(agg)
+
+
+DOCS_DEDUP_KEEP_LONGEST_SQL = f"""
+WITH labels AS ({DUP_CLUSTERS_SQL.rstrip()}),
+m AS (
+    SELECT l.doc_id, l.cluster, d.source,
+           len(string_split(d.text, ' ')) AS n_toks
+    FROM labels l JOIN documents d USING (doc_id)
+),
+w AS (
+    SELECT doc_id, cluster, source, n_toks,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY n_toks DESC, doc_id) AS rn
+    FROM m
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept,
+       CAST((1000000 * SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+           AS kept_ppm
+FROM w
+GROUP BY source
+ORDER BY source
+"""

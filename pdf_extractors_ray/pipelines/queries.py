@@ -977,10 +977,13 @@ def _hash_neardup_query(sf_dir: str):
     union-find reference test. Forced gate: ``docs_neardup_recall`` —
     LSH recall vs the EXACT ground-truth pair set per Jaccard decile
     (eval-as-pipeline, reusing the materialized minhash gate run).
-    Forced gate: ``docs_dedup_pipeline`` — the dedup family composed as
+    Forced gates: ``docs_dedup_pipeline`` — the dedup family composed as
     one DAG (labels → keep decision → per-source kept/dropped token
     accounting), reusing the recorded labels and pinned to a composed
-    twin that nests the recursive transitive-closure oracle.
+    twin that nests the recursive transitive-closure oracle — and
+    ``docs_dedup_keep_longest``, the per-cluster argmax survivor policy
+    (longest doc wins, accounting completed inside the cluster-bucketed
+    exchange), same labels run, its own composed twin.
     RECORDED result: cluster labels over the
     EXACT within-source Jaccard edge set — the same distributed components
     kernel, but with an edge derivation DuckDB can replicate, so the
@@ -1042,6 +1045,12 @@ def _hash_neardup_query(sf_dir: str):
         "docs_dedup_pipeline",
         dedup.docs_dedup_pipeline(sf_dir, labels=labels),
         dedup.DOCS_DEDUP_PIPELINE_SQL,
+        sf_dir,
+    )
+    _assert_sql_twin(
+        "docs_dedup_keep_longest",
+        dedup.docs_dedup_keep_longest(sf_dir, labels=labels),
+        dedup.DOCS_DEDUP_KEEP_LONGEST_SQL,
         sf_dir,
     )
     return labels

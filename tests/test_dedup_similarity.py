@@ -1323,3 +1323,67 @@ def test_ivf_recall_matches_twin_and_exhaustive_probe(ray_session):
 
     full = sim.emb_ivf_recall(sf, nprobe=sim.KMEANS_K).to_pandas()
     assert (full["recall_ppm"] == 1_000_000).all()
+
+
+# --- keep-longest survivor policy ----------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_dedup_keep_longest_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    eng = dedup.docs_dedup_keep_longest(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ora = con.execute(dedup.DOCS_DEDUP_KEEP_LONGEST_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+
+
+def test_dedup_keep_longest_picks_longest(ray_session, tmp_path):
+    """Crafted cluster where the policies diverge: three near-identical
+    docs — first-occurrence keeps doc 0, keep-longest must keep doc 2
+    (most tokens) and credit its tokens to its source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [base, base + " iota", base + " iota kappa", "unrelated solo doc xyz"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "text": texts,
+                "lang": ["en"] * 4,
+                "source": ["s0", "s1", "s2", "s3"],
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    edges = rd.from_pandas(pd.DataFrame({"a": [0, 1], "b": [1, 2]}))
+    labels = dedup.dup_clusters(str(tmp_path), edges=edges)
+    out = (
+        dedup.docs_dedup_keep_longest(str(tmp_path), labels=labels)
+        .to_pandas()
+        .set_index("source")
+    )
+    # cluster {0,1,2}: doc 2 (10 tokens) wins; doc 3 is its own cluster
+    assert int(out.loc["s2", "n_kept"]) == 1
+    assert int(out.loc["s0", "n_kept"]) == 0
+    assert int(out.loc["s1", "n_kept"]) == 0
+    assert int(out.loc["s3", "n_kept"]) == 1
+    assert int(out.loc["s2", "tokens_kept"]) == 10
+    # first-occurrence keeps doc 0 instead
+    fo = (
+        dedup.docs_dedup_pipeline(str(tmp_path), labels=labels)
+        .to_pandas()
+        .set_index("source")
+    )
+    assert int(fo.loc["s0", "n_kept"]) == 1
+    assert int(fo.loc["s2", "n_kept"]) == 0
