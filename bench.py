@@ -124,6 +124,7 @@ OP_QUERIES = [
     "events_join_cardinality",
     "q7_nation_volume",
     "docs_dedup_keep_longest",
+    "docs_normalize",
 ]
 
 
@@ -229,6 +230,7 @@ def _op_extra():
         "events_join_cardinality": _ev.events_join_cardinality,
         "q7_nation_volume": _rl.q7_nation_volume,
         "docs_dedup_keep_longest": _dd.docs_dedup_keep_longest,
+        "docs_normalize": _cu.docs_normalize,
     }
 
 

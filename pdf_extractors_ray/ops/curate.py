@@ -2138,3 +2138,86 @@ SELECT CAST(node AS BIGINT) AS node,
        CAST(SUM(toks) AS BIGINT) AS n_tokens
 FROM best GROUP BY node ORDER BY node
 """
+
+
+def docs_normalize(sf_dir: str):
+    """Deterministic text normalization — the cleaning pass upstream of
+    tokenization/dedup: lowercase → strip non-alphanumerics → collapse
+    whitespace runs → trim, all expressed as RE2 kernels so pyarrow and
+    DuckDB execute the IDENTICAL regex semantics byte-for-byte (the
+    ``docs_pii_redact`` recipe; no ``trim()``/``utf8_trim`` builtins,
+    whose whitespace classes differ between engines — the edge chain
+    ``'^ | $'`` stays inside RE2).
+
+    The synthetic corpus is already lowercase-alnum, so a deterministic
+    DIRTY overlay rendered from doc_id (the repo's surrogate recipe —
+    residue-conditional caps/punctuation prefixes, trailing junk, and a
+    full-uppercase regime) makes every normalization rule observable;
+    zero-overlay rows ride through too (doc_id residue 6 mod 7 ∧ 3 mod 4
+    ∧ 2 mod 3 gets no edit). The twin re-renders the overlay
+    analytically.
+
+    Map-ONLY on the zero-copy Arrow path: the overlay render and four
+    vectorized ``pyarrow.compute`` string kernels per batch, no pandas
+    materialization, nothing shuffles at any corpus size."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["text"]
+        body = pc.if_else(pa.array(d % 7 == 3), pc.utf8_upper(t), t)
+        prefix = pa.array(
+            np.where(d % 4 == 0, "  Hello, WORLD!! ", np.where(d % 3 == 1, "\t(Re: §4) ", "")),
+            type=pa.string(),
+        )
+        suffix = pa.array(
+            np.where(d % 5 == 2, " ***End.  ", np.where(d % 3 == 0, "  -- footer --", "")),
+            type=pa.string(),
+        )
+        dirty = pc.binary_join_element_wise(prefix, body, suffix, "")
+        low = pc.utf8_lower(dirty)
+        stripped = pc.replace_substring_regex(low, pattern=r"[^a-z0-9\s]", replacement="")
+        collapsed = pc.replace_substring_regex(stripped, pattern=r"\s+", replacement=" ")
+        trimmed = pc.replace_substring_regex(collapsed, pattern=r"^ | $", replacement="")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": trimmed,
+                "n_chars_raw": pc.cast(pc.utf8_length(dirty), pa.int64()),
+                "n_chars_norm": pc.cast(pc.utf8_length(trimmed), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+DOCS_NORMALIZE_SQL = r"""
+WITH dirty AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 4 = 0 THEN '  Hello, WORLD!! '
+                 WHEN doc_id % 3 = 1 THEN chr(9) || '(Re: ' || chr(167) || '4) '
+                 ELSE '' END)
+           || (CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END)
+           || (CASE WHEN doc_id % 5 = 2 THEN ' ***End.  '
+                    WHEN doc_id % 3 = 0 THEN '  -- footer --'
+                    ELSE '' END) AS t
+    FROM documents
+),
+n AS (
+    SELECT doc_id, t,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(lower(t), '[^a-z0-9\s]', '', 'g'),
+                   '\s+', ' ', 'g'),
+               '^ | $', '', 'g') AS norm_text
+    FROM dirty
+)
+SELECT doc_id, norm_text,
+       CAST(length(t) AS BIGINT) AS n_chars_raw,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+FROM n
+ORDER BY doc_id
+"""

@@ -95,8 +95,10 @@ def _assert_sql_twin(name: str, ds, sql: str, sf_dir: str, tables=("documents",)
 
 def _keyword_redact_query(sf_dir: str):
     """Context-window chunking AND PII redaction AND the regex keyword
-    extractor AND the rejection-reason bitmap in one driver slot. Forced
-    gates: ``docs_keyword``, ``docs_pii_redact`` and
+    extractor AND the rejection-reason bitmap AND text normalization in
+    one driver slot. Forced gates: ``docs_keyword``, ``docs_pii_redact``,
+    ``docs_normalize`` (RE2-only lowercase/strip/collapse/trim over a
+    rendered dirty overlay, zero-copy Arrow kernels) and
     ``docs_reject_reasons`` (the per-rule Gopher-filter audit bitmap)
     stay fully hash-checked via in-query twin gates (same canon as the
     driver's). RECORDED result: ``docs_chunk_windows`` — the sliding
@@ -104,6 +106,9 @@ def _keyword_redact_query(sf_dir: str):
     streams), pinned to a LATERAL generate_series DuckDB twin including
     each window's first token."""
     _assert_sql_twin("docs_keyword", tx.docs_keyword(sf_dir), tx.DOCS_KEYWORD_SQL, sf_dir)
+    _assert_sql_twin(
+        "docs_normalize", curate.docs_normalize(sf_dir), curate.DOCS_NORMALIZE_SQL, sf_dir
+    )
     _assert_sql_twin("docs_pii_redact", curate.docs_redact(sf_dir), curate.DOCS_REDACT_SQL, sf_dir)
     _assert_sql_twin(
         "docs_reject_reasons",

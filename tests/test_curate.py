@@ -145,3 +145,72 @@ def test_split_labels_deterministic_and_balanced():
     assert (a == b).all()
     frac_train = (a == "train").mean()
     assert 0.78 < frac_train < 0.82
+
+
+# --- text normalization ----------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_normalize_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    eng = curate.docs_normalize(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ora = con.execute(curate.DOCS_NORMALIZE_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(eng, ora[eng.columns], check_dtype=True)
+    # the dirty overlay must make the pass observable AND leave clean rows
+    changed = eng["n_chars_raw"] != eng["n_chars_norm"]
+    assert changed.any() and (~changed).any()
+
+
+def test_normalize_reference_chain(ray_session, tmp_path):
+    """Pure-python re reference of the same 4-step chain over adversarial
+    strings routed through the engine (overlay rules pinned too)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "MiXeD CaSe  and   runs",
+        "tabs\tand\nnewlines\r here",
+        "punct!@#$%^&*()[]{};:'\",.<>/?`~-_=+",
+        "",
+        "   ",
+        "already clean lowercase words",
+    ]
+    ids = np.arange(11, 11 + len(texts), dtype=np.int64)  # avoid overlay-zero rows
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ids,
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = (
+        curate.docs_normalize(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, (d, t) in enumerate(zip(ids, texts)):
+        body = t.upper() if d % 7 == 3 else t
+        pre = "  Hello, WORLD!! " if d % 4 == 0 else ("\t(Re: §4) " if d % 3 == 1 else "")
+        suf = " ***End.  " if d % 5 == 2 else ("  -- footer --" if d % 3 == 0 else "")
+        dirty = pre + body + suf
+        x = dirty.lower()
+        x = re.sub(r"[^a-z0-9\s]", "", x)
+        x = re.sub(r"\s+", " ", x)
+        x = re.sub(r"^ | $", "", x)
+        assert got.loc[i, "norm_text"] == x, (d, t)
+        assert int(got.loc[i, "n_chars_raw"]) == len(dirty)
+        assert int(got.loc[i, "n_chars_norm"]) == len(x)
