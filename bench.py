@@ -125,6 +125,7 @@ OP_QUERIES = [
     "q7_nation_volume",
     "docs_dedup_keep_longest",
     "docs_normalize",
+    "q13_custdist",
 ]
 
 
@@ -231,6 +232,7 @@ def _op_extra():
         "q7_nation_volume": _rl.q7_nation_volume,
         "docs_dedup_keep_longest": _dd.docs_dedup_keep_longest,
         "docs_normalize": _cu.docs_normalize,
+        "q13_custdist": _rl.q13_custdist,
     }
 
 

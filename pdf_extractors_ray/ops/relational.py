@@ -1391,3 +1391,59 @@ JOIN (
 GROUP BY s.supp_nation, c.cust_nation, s.l_year
 ORDER BY s.supp_nation, c.cust_nation, s.l_year
 """
+
+
+def q13_custdist(sf_dir: str):
+    """TPC-H Q13 — the distribution of orders-per-customer INCLUDING
+    zero-order customers: the canonical left-outer-join shape.
+    Scale shape: orders pre-aggregate to (custkey, n) BEFORE the join
+    (corpus never enters the exchange), then ONE left cogroup join from
+    customer, unmatched rows count as 0, and the final histogram is a
+    count-of-counts rollup (bounded by the hottest customer, not the
+    customer count)."""
+    from .common import bucketed_group_agg, cogroup_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def ord_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["o_custkey"].value_counts()
+        return pd.DataFrame({"k": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    per_cust = bucketed_group_agg(
+        orders.map_batches(ord_partial, batch_format="pandas"), ["k"], {"n": "sum"}
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    joined = cogroup_join(cust, per_cust, "c_custkey", "k", ["c_custkey"], ["n"],
+                          how="left")
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].fillna(0).to_numpy(np.int64)
+        vc = pd.Series(n).value_counts()
+        return pd.DataFrame({"c_count": vc.index.to_numpy(np.int64),
+                             "custdist": vc.to_numpy(np.int64)})
+
+    hist = bucketed_group_agg(
+        joined.map_batches(hist_partial, batch_format="pandas"),
+        ["c_count"], {"custdist": "sum"},
+    )
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.astype({"c_count": np.int64, "custdist": np.int64})
+
+    return hist.map_batches(fin, batch_format="pandas").sort(
+        ["custdist", "c_count"], descending=[True, True]
+    )
+
+
+Q13_SQL = """
+WITH c_orders AS (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""

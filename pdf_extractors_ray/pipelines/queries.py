@@ -451,7 +451,7 @@ def _running_bloom_query(sf_dir: str):
 def _month_quantiles_query(sf_dir: str):
     """Exact distributed quantile selection AND the mergeable
     ε-approximate quantile sketch AND the monthly rollup AND the CDC
-    merge in one driver slot. Forced gates: ``orders_by_month`` and
+    merge AND the Q13 left-join distribution in one driver slot. Forced gates: ``orders_by_month`` and
     ``orders_cdc_merge`` (lakehouse MERGE/upsert — last-writer-wins
     resolution of a map-side-rendered change log with superseded
     updates, tombstones and inserts) stay fully hash-checked via
@@ -474,6 +474,13 @@ def _month_quantiles_query(sf_dir: str):
         relational.ORDERS_CDC_MERGE_SQL,
         sf_dir,
         tables=("orders",),
+    )
+    _assert_sql_twin(
+        "q13_custdist",
+        relational.q13_custdist(sf_dir),
+        relational.Q13_SQL,
+        sf_dir,
+        tables=("customer", "orders"),
     )
     exact = relational.orders_price_quantiles(sf_dir).to_pandas()
     sketch = relational.orders_quantile_sketch(sf_dir)

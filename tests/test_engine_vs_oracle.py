@@ -158,3 +158,25 @@ def test_q7_nation_volume_matches_duckdb(ray_session, sf):
     pd.testing.assert_frame_equal(
         eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
     )
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_q13_custdist_matches_duckdb(ray_session, sf):
+    """Q13: zero-order customers must appear in the c_count=0 bucket."""
+    import duckdb
+
+    from pdf_extractors_ray.ops import relational as rl
+
+    eng = rl.q13_custdist(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    ora = con.execute(rl.Q13_SQL).fetchdf()
+    ncust = con.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+    assert int(eng["custdist"].sum()) == ncust  # every customer lands in a bucket
