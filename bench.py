@@ -126,6 +126,7 @@ OP_QUERIES = [
     "docs_dedup_keep_longest",
     "docs_normalize",
     "q13_custdist",
+    "emb_pca_project",
 ]
 
 
@@ -233,6 +234,7 @@ def _op_extra():
         "docs_dedup_keep_longest": _dd.docs_dedup_keep_longest,
         "docs_normalize": _cu.docs_normalize,
         "q13_custdist": _rl.q13_custdist,
+        "emb_pca_project": _sm.emb_pca_project,
     }
 
 

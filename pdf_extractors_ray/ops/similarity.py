@@ -1992,3 +1992,85 @@ LEFT JOIN top_ivf i ON i.q = e.q AND i.vec_id = e.vec_id
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def emb_pca_project(sf_dir: str, cov=None, pc=None):
+    """PCA APPLY step — each vector's centered projection onto the
+    dominant component from ``emb_pca_power``: the dimensionality-
+    reduction/whitening pass a curation pipeline runs after the
+    covariance fit (rank docs along the top axis, trim the tails).
+
+    Integer contract: with q the ×2^20 quantized vector, S the
+    covariance run's column sums, n the row count and v the fixed-point
+    eigenvector, the score is ``proj_n = Σ_j (n·q_j − S_j)·v_j`` — the
+    true centered projection scaled by n·2^20·2^20, exact in int64
+    inside the guarded domain (the op RAISES when d·n·max|q|·max|v|
+    approaches 2^62; DuckDB's HUGEINT would silently keep going — the
+    documented divergence class, cut off identically on both sides).
+
+    Scale shape: the fit artifacts (S, v — two d-vectors + a scalar) are
+    the only driver state; the projection is map-ONLY over the
+    embeddings (one int64 matmul per batch); nothing shuffles."""
+    if cov is None:
+        cov = emb_covariance(sf_dir)
+    tri = cov.to_pandas() if hasattr(cov, "to_pandas") else cov
+    if pc is None:
+        pc = emb_pca_power(sf_dir, cov=tri)
+    pcf = pc.to_pandas() if hasattr(pc, "to_pandas") else pc
+
+    d = int(tri["j"].max()) + 1
+    n = int(tri["n"].iloc[0])
+    s_vec = np.zeros(d, dtype=np.int64)
+    for i, j, _n, si, sj, _sij in tri.itertuples(index=False):
+        s_vec[int(i)] = int(si)
+        s_vec[int(j)] = int(sj)
+    v = pcf.sort_values("dim")["v_fp"].to_numpy(np.int64)
+    max_v = int(np.abs(v).max())
+
+    emb = _emb(sf_dir, columns=["vec_id", "embedding"])
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype=np.int64),
+                 "proj_n": pd.Series([], dtype=np.int64)}
+            )
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float32) for e in batch["embedding"]]
+        ).astype(np.float64)
+        q = np.floor(mat * 1048576.0 + 0.5).astype(np.int64)
+        maxq = int(np.abs(q).max()) if q.size else 0
+        if d * (n * maxq + int(np.abs(s_vec).max())) * max_v >= (1 << 62):
+            raise ValueError(
+                "emb_pca_project: centered projection would overflow int64 — "
+                "rescale the eigenvector or shard the corpus"
+            )
+        centered = n * q - s_vec[None, :]
+        proj = centered @ v
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(np.int64), "proj_n": proj}
+        )
+
+    return emb.map_batches(project, batch_format="pandas").sort("vec_id")
+
+
+def _pca_project_sql() -> str:
+    return f"""
+WITH pc AS MATERIALIZED ({EMB_PCA_POWER_SQL.rstrip()}),
+q AS (
+    SELECT vec_id, g.i - 1 AS dim,
+           CAST(FLOOR(e[g.i] * 1048576.0 + 0.5) AS BIGINT) AS v
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) t,
+         UNNEST(generate_series(1, len(e))) AS g(i)
+),
+s AS (SELECT dim, CAST(SUM(v) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY dim)
+SELECT q.vec_id,
+       CAST(SUM((s.n * q.v - s.sv) * pc.v_fp) AS BIGINT) AS proj_n
+FROM q JOIN s USING (dim) JOIN pc ON pc.dim = q.dim
+GROUP BY q.vec_id
+ORDER BY q.vec_id
+"""
+
+
+EMB_PCA_PROJECT_SQL = _pca_project_sql()

@@ -511,7 +511,10 @@ def _emb_dedup_query(sf_dir: str):
     ``emb_pca_power`` (top principal component + explained-variance share
     by 16 rounds of integer power iteration over the materialized
     covariance — the corpus is never re-read) is pinned to a chained-CTE
-    HUGEINT twin. RECORDED result:
+    HUGEINT twin, and ``emb_pca_project`` (the PCA APPLY step: each
+    vector's exact centered integer projection onto that component,
+    map-only, int64-overflow-guarded identically on both sides) reuses
+    the same covariance run. RECORDED result:
     ``emb_kcenter`` — the Gonzalez greedy diversity selection with exact
     integer quantized distances (k one-pass rounds + block-candidate
     driver reduce), pinned to a chained materialized-CTE DuckDB twin."""
@@ -541,6 +544,13 @@ def _emb_dedup_query(sf_dir: str):
         "emb_pca_power",
         similarity.emb_pca_power(sf_dir, cov=cov),
         similarity.EMB_PCA_POWER_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    _assert_sql_twin(
+        "emb_pca_project",
+        similarity.emb_pca_project(sf_dir, cov=cov),
+        similarity.EMB_PCA_PROJECT_SQL,
         sf_dir,
         tables=("embeddings",),
     )

@@ -1387,3 +1387,57 @@ def test_dedup_keep_longest_picks_longest(ray_session, tmp_path):
     )
     assert int(fo.loc["s0", "n_kept"]) == 1
     assert int(fo.loc["s2", "n_kept"]) == 0
+
+
+# --- PCA projection (apply step) -------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_pca_project_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    eng = similarity.emb_pca_project(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    ora = con.execute(similarity.EMB_PCA_PROJECT_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+
+
+def test_pca_project_planted_direction(ray_session, tmp_path):
+    """With a dominant planted axis the integer projection must order the
+    corpus along it (|corr| > 0.99 with the float centered projection)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(5)
+    n, d = 400, 16
+    direction = rng.randn(d)
+    direction /= np.linalg.norm(direction)
+    t = rng.randn(n) * 3.0  # dominant variance along `direction`
+    X = np.outer(t, direction) + rng.randn(n, d) * 0.1
+    X = X.astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(X),
+                "label": np.zeros(n, dtype=np.int64),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    proj = (
+        similarity.emb_pca_project(str(tmp_path))
+        .to_pandas()
+        .sort_values("vec_id")["proj_n"]
+        .to_numpy()
+    )
+    Xc = X.astype(np.float64) - X.astype(np.float64).mean(0)
+    ref = Xc @ direction
+    c = abs(np.corrcoef(ref, proj.astype(np.float64))[0, 1])
+    assert c > 0.99, c
