@@ -127,6 +127,7 @@ OP_QUERIES = [
     "docs_normalize",
     "q13_custdist",
     "emb_pca_project",
+    "media_image_neardup",
 ]
 
 
@@ -235,7 +236,14 @@ def _op_extra():
         "docs_normalize": _cu.docs_normalize,
         "q13_custdist": _rl.q13_custdist,
         "emb_pca_project": _sm.emb_pca_project,
+        "media_image_neardup": _media_neardup,
     }
+
+
+def _media_neardup(sf_dir: str):
+    from pdf_extractors_ray.ops.multimodal import media_image_neardup
+
+    return media_image_neardup(sf_dir)
 
 
 def _profile_orders(sf_dir: str):

@@ -662,7 +662,16 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_bucket: int = _MAX_BUCK
     (chunked XOR + popcount); buckets beyond ``max_bucket`` verify each
     member only against the bucket minimum (star cap, same policy as
     MinHash-LSH — O(m) instead of O(m^2) for one viral cluster)."""
-    ds = simhash_docs(sf_dir, ds=ds)
+    return banded_hash_pairs(simhash_docs(sf_dir, ds=ds), max_hamming, max_bucket)
+
+
+def banded_hash_pairs(ds, max_hamming: int = 3, max_bucket: int = _MAX_BUCKET):
+    """Banded 64-bit-signature near-dup pairs — the LSH tail shared by
+    text SimHash and image dHash (``ops/multimodal.media_image_neardup``):
+    input rows carry (doc_id, simhash hex, band0..band3 int16 keys);
+    output (a, b, hamming ≤ max_hamming). One band-bucketed exchange,
+    vectorized boundary-slice segmentation, chunked XOR+popcount
+    verification, star cap on oversized buckets, bucketed pair dedup."""
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
         frames = []

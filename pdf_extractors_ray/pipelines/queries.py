@@ -825,7 +825,11 @@ def _grid_box_query(sf_dir: str):
 
 
 def _media_ocr_query(sf_dir: str):
-    """Multimodal chain AND the OCR scanned-page path in one driver slot.
+    """Multimodal chain AND image near-dup AND the OCR scanned-page path
+    in one driver slot. Forced gate: ``media_image_neardup`` — dHash over
+    REAL decoded P6 pixels through the shared banded-LSH tail, asserted
+    EQUAL to the in-gate single-process brute-force scan (pixel decode
+    has no SQL twin; equality to brute force is the hash check here).
     The real-codec media pipeline (decode → features/thumbnails/frames
     over P6/WAV payloads) must produce rows; the returned — and therefore
     SQL-hash-checked — result is the OCR invoice kernel: rasterized page
@@ -835,6 +839,33 @@ def _media_ocr_query(sf_dir: str):
     media = mm.media_pipeline(sf_dir)
     if media.count() == 0:
         raise RuntimeError("media_pipeline produced no rows")
+    # forced gate: image dHash near-dup over REAL decoded pixels must
+    # reproduce the single-process brute-force scan exactly (the 4-band
+    # pigeonhole is lossless at Hamming <= 3) and recover every planted
+    # exact-duplicate pair at distance 0
+    pairs = mm.media_image_neardup(sf_dir).to_pandas()
+    got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int),
+                  pairs["hamming"].astype(int)))
+    imgs = mm.media_neardup_dataset(sf_dir).to_pandas()
+    from ..ops import codecs as _codecs
+
+    sig = {
+        int(d): mm.dhash64(_codecs.decode_ppm(p))
+        for d, p in zip(imgs["doc_id"], imgs["payload"])
+    }
+    ids = sorted(sig)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hd = bin(sig[a] ^ sig[b]).count("1")
+            if hd <= 3:
+                want.add((a, b, hd))
+    if got != want:
+        raise RuntimeError(
+            f"media_image_neardup: {len(got)} pairs != brute force {len(want)}"
+        )
+    if not any(h == 0 for _, _, h in got):
+        raise RuntimeError("media_image_neardup: planted exact dups not recovered")
     return surrogate.extract_kernel_ocr_invoice(sf_dir)
 
 

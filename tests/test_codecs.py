@@ -110,3 +110,77 @@ def test_media_features_real_dimensions(ray_session):
     for _, r in aud.head(10).iterrows():
         pcm, rate = codecs.synth_audio(int(r["doc_id"]))
         assert int(r["duration_ms"]) == len(pcm) * 1000 // rate
+
+
+# --- image dHash near-dup ----------------------------------------------------
+
+
+def test_dhash64_kernel_known_values():
+    from pdf_extractors_ray.ops.multimodal import dhash64
+
+    # all-equal image: every gradient bit 0
+    flat = np.full((16, 18, 3), 100, dtype=np.uint8)
+    assert dhash64(flat) == 0
+    # strictly increasing columns: every gradient bit 1
+    ramp = np.zeros((16, 18, 3), dtype=np.uint8)
+    ramp[:, :, :] = (np.arange(18) * 10).astype(np.uint8)[None, :, None]
+    assert dhash64(ramp) == (1 << 64) - 1
+    # deterministic
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (33, 47, 3), dtype=np.uint8)
+    assert dhash64(img) == dhash64(img.copy())
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_image_neardup_matches_bruteforce(ray_session, sf):
+    """Distributed banded pairs == single-process all-pairs scan (the
+    4-band pigeonhole is lossless at Hamming ≤ 3), and the planted
+    overlay produces both exact (0) and jittered (1-3) pairs."""
+    from pdf_extractors_ray.ops import codecs
+    from pdf_extractors_ray.ops import multimodal as mm
+
+    pairs = mm.media_image_neardup(sf).to_pandas()
+    got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int),
+                  pairs["hamming"].astype(int)))
+    imgs = mm.media_neardup_dataset(sf).to_pandas()
+    sig = {
+        int(d): mm.dhash64(codecs.decode_ppm(p))
+        for d, p in zip(imgs["doc_id"], imgs["payload"])
+    }
+    ids = sorted(sig)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hd = bin(sig[a] ^ sig[b]).count("1")
+            if hd <= 3:
+                want.add((a, b, hd))
+    assert got == want
+    hs = {h for _, _, h in got}
+    assert 0 in hs and (hs - {0})  # exact dups AND jittered near-dups
+
+
+def test_image_neardup_planted_groups(ray_session):
+    """Every planted exact-duplicate pair (same 16-block, residues
+    {0,4,6,8,10}) appears at Hamming 0."""
+    from pdf_extractors_ray.ops import multimodal as mm
+
+    pairs = mm.media_image_neardup("/root/testdata/sf0.001").to_pandas()
+    zero = {(int(a), int(b)) for a, b, h in
+            zip(pairs["a"], pairs["b"], pairs["hamming"]) if h == 0}
+    import pandas as pd_
+
+    docs = pd_.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id"])
+    ids = sorted(int(d) for d in docs["doc_id"] if d % 2 == 0)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d in ids:
+        if d % 16 in (0, 4, 6, 8, 10):
+            groups[(d // 16) * 16].append(d)
+    n_expected = 0
+    for g in groups.values():
+        for i, a in enumerate(g):
+            for b in g[i + 1:]:
+                n_expected += 1
+                assert (a, b) in zero, (a, b)
+    assert n_expected > 0
