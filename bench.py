@@ -128,6 +128,7 @@ OP_QUERIES = [
     "q13_custdist",
     "emb_pca_project",
     "media_image_neardup",
+    "referential_integrity",
 ]
 
 
@@ -237,6 +238,7 @@ def _op_extra():
         "q13_custdist": _rl.q13_custdist,
         "emb_pca_project": _sm.emb_pca_project,
         "media_image_neardup": _media_neardup,
+        "referential_integrity": _rl.referential_integrity,
     }
 
 

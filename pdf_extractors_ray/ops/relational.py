@@ -1447,3 +1447,83 @@ FROM c_orders
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
+
+
+RI_PAIRS = (
+    # (child table, child key, parent table, parent key)
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+def referential_integrity(sf_dir: str):
+    """Cross-table referential-integrity audit — the ingest validation
+    pass that counts foreign-key orphans for every declared (child →
+    parent) edge: rows total, DISTINCT child keys, orphan keys (no
+    parent row) and orphan rows. Each edge costs one pre-aggregation of
+    the child (corpus reduces to key cardinality before anything moves)
+    + one hash-bucketed ANTI cogroup join against the pruned parent key
+    column; the rollup row per edge is driver-sized."""
+    from .common import bucketed_group_agg, cogroup_join
+
+    rows = []
+    for child, ckey, parent, pkey in RI_PAIRS:
+        ch = _read(sf_dir, child, columns=[ckey])
+
+        def key_partial(batch: pd.DataFrame, *, _k=ckey) -> pd.DataFrame:
+            vc = batch[_k].value_counts()
+            return pd.DataFrame({"k": vc.index.to_numpy(np.int64),
+                                 "n": vc.to_numpy(np.int64)})
+
+        per_key = bucketed_group_agg(
+            ch.map_batches(key_partial, batch_format="pandas"), ["k"], {"n": "sum"}
+        ).materialize()
+        pa_ds = _read(sf_dir, parent, columns=[pkey])
+        orphans = cogroup_join(per_key, pa_ds, "k", pkey, ["k", "n"], [], how="anti")
+
+        def orphan_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"keys": [np.int64(len(batch))],
+                 "rows": [np.int64(batch["n"].to_numpy(np.int64).sum())]}
+            )
+
+        op = orphans.map_batches(orphan_partial, batch_format="pandas").to_pandas()
+        totals = per_key.map_batches(orphan_partial, batch_format="pandas").to_pandas()
+
+        def _tot(df: pd.DataFrame, col: str) -> int:
+            # an all-orphan-free edge yields ZERO blocks → a columnless frame
+            return int(df[col].sum()) if col in df.columns else 0
+
+        rows.append(
+            (f"{child}.{ckey}", f"{parent}.{pkey}",
+             _tot(totals, "rows"), _tot(totals, "keys"),
+             _tot(op, "keys"), _tot(op, "rows"))
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["child", "parent", "child_rows", "child_keys",
+                 "orphan_keys", "orphan_rows"],
+    )
+    for c in ("child_rows", "child_keys", "orphan_keys", "orphan_rows"):
+        out[c] = out[c].astype(np.int64)
+    out = out.sort_values(["child", "parent"]).reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)
+
+
+REFERENTIAL_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{child}.{ckey}' AS child, '{parent}.{pkey}' AS parent,
+       CAST(COUNT(*) AS BIGINT) AS child_rows,
+       CAST(COUNT(DISTINCT {ckey}) AS BIGINT) AS child_keys,
+       CAST(COUNT(DISTINCT {ckey}) FILTER (
+            WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey})
+       ) AS BIGINT) AS orphan_keys,
+       CAST(COUNT(*) FILTER (
+            WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey})
+       ) AS BIGINT) AS orphan_rows
+FROM {child} c"""
+    for child, ckey, parent, pkey in RI_PAIRS
+) + "\nORDER BY child, parent"

@@ -1111,11 +1111,13 @@ def _hash_neardup_query(sf_dir: str):
 
 def _supplier_parttype_query(sf_dir: str):
     """Part-type revenue share AND the supplier-per-nation broadcast join
-    AND the Q7 bilateral-volume multi-join in one driver slot. Forced
-    gates: ``supplier_per_nation`` and ``q7_nation_volume`` (three
-    chained big-big cogroup joins + nation broadcast, the deepest join
-    chain in the family) stay fully hash-checked via in-query twin
-    gates. RECORDED result:
+    AND the Q7 bilateral-volume multi-join AND the referential-integrity
+    audit in one driver slot. Forced gates: ``supplier_per_nation``,
+    ``q7_nation_volume`` (three chained big-big cogroup joins + nation
+    broadcast, the deepest join chain in the family) and
+    ``referential_integrity`` (per-FK-edge orphan counts through the
+    anti cogroup join, child pre-aggregated to key cardinality) stay
+    fully hash-checked via in-query twin gates. RECORDED result:
     ``part_type_revenue`` — the Q14-shaped lineitem↔part join with
     pre-aggregation BEFORE the join (the corpus table reduces to
     part-cardinality first), integer ppm revenue shares; pinned to
@@ -1133,6 +1135,13 @@ def _supplier_parttype_query(sf_dir: str):
         relational.Q7_SQL,
         sf_dir,
         tables=("lineitem", "supplier", "nation", "orders", "customer"),
+    )
+    _assert_sql_twin(
+        "referential_integrity",
+        relational.referential_integrity(sf_dir),
+        relational.REFERENTIAL_INTEGRITY_SQL,
+        sf_dir,
+        tables=("orders", "customer", "lineitem", "supplier", "events"),
     )
     return relational.part_type_revenue(sf_dir)
 

@@ -7,6 +7,7 @@ Arrow schema, canonically sorted, compared cell-for-cell
 (SURVEY.md §5.2 items 1 & 3).
 """
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -180,3 +181,81 @@ def test_q13_custdist_matches_duckdb(ray_session, sf):
         eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
     )
     assert int(eng["custdist"].sum()) == ncust  # every customer lands in a bucket
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_referential_integrity_matches_duckdb(ray_session, sf):
+    import duckdb
+
+    from pdf_extractors_ray.ops import relational as rl
+
+    eng = rl.referential_integrity(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "supplier", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    ora = con.execute(rl.REFERENTIAL_INTEGRITY_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+    assert len(eng) == len(rl.RI_PAIRS)
+
+
+def test_referential_integrity_detects_orphans(ray_session, tmp_path):
+    """Crafted corpus with REAL orphans on every audited edge — counts
+    must be exact (keys vs rows distinguished), twin included."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import relational as rl
+
+    def w(name, table):
+        pq.write_table(pa.table(table), tmp_path / f"{name}.parquet")
+
+    w("customer", {"c_custkey": np.array([1, 2], np.int64),
+                   "c_name": ["a", "b"], "c_nationkey": np.zeros(2, np.int64),
+                   "c_acctbal": np.ones(2), "c_mktsegment": ["X", "X"]})
+    # orders: custkey 9 is an orphan key with TWO rows
+    w("orders", {"o_orderkey": np.arange(4, dtype=np.int64),
+                 "o_custkey": np.array([1, 9, 9, 2], np.int64),
+                 "o_orderstatus": ["O"] * 4, "o_totalprice": np.ones(4),
+                 "o_orderdate": np.full(4, np.datetime64("2024-01-01", "us")),
+                 "o_orderpriority": ["1-URGENT"] * 4})
+    w("supplier", {"s_suppkey": np.array([5], np.int64), "s_name": ["s"],
+                   "s_nationkey": np.zeros(1, np.int64), "s_acctbal": np.ones(1)})
+    # lineitem: orderkey 77 orphan (1 row), suppkey 6 orphan (2 rows)
+    w("lineitem", {"l_orderkey": np.array([0, 77, 1], np.int64),
+                   "l_partkey": np.zeros(3, np.int64),
+                   "l_suppkey": np.array([6, 6, 5], np.int64),
+                   "l_linenumber": np.arange(3, dtype=np.int64),
+                   "l_quantity": np.ones(3), "l_extendedprice": np.ones(3),
+                   "l_discount": np.zeros(3), "l_tax": np.zeros(3),
+                   "l_returnflag": ["N"] * 3, "l_linestatus": ["O"] * 3,
+                   "l_shipdate": np.full(3, np.datetime64("2024-01-01", "us"))})
+    w("events", {"event_id": np.arange(3, dtype=np.int64),
+                 "ts": np.full(3, np.datetime64("2024-01-01", "us")),
+                 "user_id": np.array([1, 3, 3], np.int64),
+                 "event_type": ["c"] * 3, "value": np.ones(3), "props": ["{}"] * 3})
+    eng = rl.referential_integrity(str(tmp_path)).to_pandas().set_index("child")
+    assert int(eng.loc["orders.o_custkey", "orphan_keys"]) == 1
+    assert int(eng.loc["orders.o_custkey", "orphan_rows"]) == 2
+    assert int(eng.loc["lineitem.l_orderkey", "orphan_keys"]) == 1
+    assert int(eng.loc["lineitem.l_orderkey", "orphan_rows"]) == 1
+    assert int(eng.loc["lineitem.l_suppkey", "orphan_keys"]) == 1
+    assert int(eng.loc["lineitem.l_suppkey", "orphan_rows"]) == 2
+    assert int(eng.loc["events.user_id", "orphan_keys"]) == 1
+    assert int(eng.loc["events.user_id", "orphan_rows"]) == 2
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "supplier", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    ora = con.execute(rl.REFERENTIAL_INTEGRITY_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(), ora.reset_index(drop=True), check_dtype=True
+    )
