@@ -129,6 +129,7 @@ OP_QUERIES = [
     "emb_pca_project",
     "media_image_neardup",
     "referential_integrity",
+    "orders_snapshot_diff",
 ]
 
 
@@ -239,6 +240,7 @@ def _op_extra():
         "emb_pca_project": _sm.emb_pca_project,
         "media_image_neardup": _media_neardup,
         "referential_integrity": _rl.referential_integrity,
+        "orders_snapshot_diff": _rl.orders_snapshot_diff,
     }
 
 

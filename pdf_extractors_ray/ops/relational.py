@@ -1527,3 +1527,121 @@ REFERENTIAL_INTEGRITY_SQL = "\nUNION ALL\n".join(
 FROM {child} c"""
     for child, ckey, parent, pkey in RI_PAIRS
 ) + "\nORDER BY child, parent"
+
+
+def orders_snapshot_diff(sf_dir: str):
+    """Table-version diff — the audit pass after a CDC merge: classify
+    every key across (base = orders, next = ``orders_cdc_merge`` output)
+    as added / removed / changed / same and count each class, plus the
+    changed-rows breakdown by which column moved. ONE key-bucketed
+    exchange of narrow tagged rows (key, custkey, cents, side); both
+    versions of a key meet in one bucket, classification is vectorized
+    in-bucket, and only class-cardinality partials leave it."""
+    import ray.data as rd
+
+    from .common import bucketed_group_agg
+
+    base = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def base_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch["o_orderkey"].to_numpy(np.int64),
+                "c": batch["o_custkey"].to_numpy(np.int64),
+                "cents": cents(batch["o_totalprice"].to_numpy()),
+                "side": np.int64(0),
+            }
+        )
+
+    merged = orders_cdc_merge(sf_dir)
+
+    def next_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch["o_orderkey"].to_numpy(np.int64),
+                "c": batch["o_custkey"].to_numpy(np.int64),
+                "cents": batch["price_cents"].to_numpy(np.int64),
+                "side": np.int64(1),
+            }
+        )
+
+    u = base.map_batches(base_rows, batch_format="pandas").union(
+        merged.map_batches(next_rows, batch_format="pandas")
+    )
+    nb = 64
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__b"] = (pd.util.hash_array(batch["k"].to_numpy(np.int64)) % nb).astype(
+            np.int64
+        )
+        return batch
+
+    def classify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["k", "side"], kind="mergesort")
+        k = g["k"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        cc = g["cents"].to_numpy(np.int64)
+        first = np.concatenate([[True], k[1:] != k[:-1]])
+        last = np.concatenate([k[1:] != k[:-1], [True]])
+        both = first & ~last  # key has 2 rows: base then next
+        out = {"added": 0, "removed": 0, "changed": 0, "same": 0,
+               "changed_price": 0, "changed_cust": 0}
+        solo = first & last
+        out["removed"] = int((solo & (side == 0)).sum())
+        out["added"] = int((solo & (side == 1)).sum())
+        bi = np.flatnonzero(both)
+        if len(bi):
+            price_moved = cc[bi] != cc[bi + 1]
+            cust_moved = c[bi] != c[bi + 1]
+            ch = price_moved | cust_moved
+            out["changed"] = int(ch.sum())
+            out["same"] = int((~ch).sum())
+            out["changed_price"] = int(price_moved.sum())
+            out["changed_cust"] = int(cust_moved.sum())
+        return pd.DataFrame(
+            {"change": list(out), "n_keys": np.array(list(out.values()), np.int64)}
+        )
+
+    agg = bucketed_group_agg(
+        u.map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(classify, batch_format="pandas"),
+        ["change"],
+        {"n_keys": "sum"},
+    )
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.astype({"n_keys": np.int64})
+
+    return agg.map_batches(fin, batch_format="pandas").sort("change")
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = f"""
+WITH nxt AS ({ORDERS_CDC_MERGE_SQL.rstrip()}),
+base AS (
+    SELECT o_orderkey AS k, o_custkey AS c,
+           CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+j AS (
+    SELECT COALESCE(b.k, n.o_orderkey) AS k,
+           b.k IS NOT NULL AS in_base, n.o_orderkey IS NOT NULL AS in_next,
+           b.c AS bc, b.cents AS bcents, n.o_custkey AS nc, n.price_cents AS ncents
+    FROM base b FULL OUTER JOIN nxt n ON n.o_orderkey = b.k
+)
+SELECT change, CAST(COUNT(*) FILTER (WHERE fits) AS BIGINT) AS n_keys
+FROM j, (VALUES ('added'), ('removed'), ('changed'), ('same'),
+                ('changed_price'), ('changed_cust')) cls(change),
+LATERAL (SELECT CASE change
+    WHEN 'added' THEN NOT in_base
+    WHEN 'removed' THEN NOT in_next
+    WHEN 'changed' THEN in_base AND in_next AND (bc <> nc OR bcents <> ncents)
+    WHEN 'same' THEN in_base AND in_next AND bc = nc AND bcents = ncents
+    WHEN 'changed_price' THEN in_base AND in_next AND bcents <> ncents
+    WHEN 'changed_cust' THEN in_base AND in_next AND bc <> nc
+    END AS fits) f
+GROUP BY change
+ORDER BY change
+"""

@@ -451,7 +451,9 @@ def _running_bloom_query(sf_dir: str):
 def _month_quantiles_query(sf_dir: str):
     """Exact distributed quantile selection AND the mergeable
     ε-approximate quantile sketch AND the monthly rollup AND the CDC
-    merge AND the Q13 left-join distribution in one driver slot. Forced gates: ``orders_by_month`` and
+    merge AND the Q13 left-join distribution AND the snapshot diff (the
+    post-merge audit: added/removed/changed/same classification in one
+    key-bucketed exchange, composed CDC twin) in one driver slot. Forced gates: ``orders_by_month`` and
     ``orders_cdc_merge`` (lakehouse MERGE/upsert — last-writer-wins
     resolution of a map-side-rendered change log with superseded
     updates, tombstones and inserts) stay fully hash-checked via
@@ -481,6 +483,13 @@ def _month_quantiles_query(sf_dir: str):
         relational.Q13_SQL,
         sf_dir,
         tables=("customer", "orders"),
+    )
+    _assert_sql_twin(
+        "orders_snapshot_diff",
+        relational.orders_snapshot_diff(sf_dir),
+        relational.ORDERS_SNAPSHOT_DIFF_SQL,
+        sf_dir,
+        tables=("orders",),
     )
     exact = relational.orders_price_quantiles(sf_dir).to_pandas()
     sketch = relational.orders_quantile_sketch(sf_dir)

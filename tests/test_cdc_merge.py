@@ -115,3 +115,37 @@ def test_cdc_merge_duplicate_version_raises(ray_session):
     )
     with pytest.raises(Exception, match="versions must be unique|duplicate"):
         rl.cdc_merge(rd.from_pandas(log), key="o_orderkey").to_pandas()
+
+
+# --- snapshot diff ----------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+def test_snapshot_diff_matches_duckdb_twin(ray_session, sf):
+    eng = rl.orders_snapshot_diff(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    ora = con.execute(rl.ORDERS_SNAPSHOT_DIFF_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+    m = eng.set_index("change")["n_keys"]
+    # the CDC overlay guarantees every class except changed_cust is hit
+    for cls in ("added", "removed", "changed", "same", "changed_price"):
+        assert int(m[cls]) > 0, cls
+    assert int(m["changed"]) == int(m["changed_price"])  # merges never move custkey
+
+
+def test_snapshot_diff_conservation(ray_session):
+    """Key conservation: base keys = removed + changed + same; next keys =
+    added + changed + same — cross-checked against the actual tables."""
+    import pyarrow.parquet as pq
+
+    m = rl.orders_snapshot_diff(SF).to_pandas().set_index("change")["n_keys"]
+    n_base = pq.read_metadata(f"{SF}/orders.parquet").num_rows
+    n_next = len(rl.orders_cdc_merge(SF).to_pandas())
+    assert int(m["removed"] + m["changed"] + m["same"]) == n_base
+    assert int(m["added"] + m["changed"] + m["same"]) == n_next
