@@ -130,6 +130,7 @@ OP_QUERIES = [
     "media_image_neardup",
     "referential_integrity",
     "orders_snapshot_diff",
+    "events_watermark_late",
 ]
 
 
@@ -241,6 +242,7 @@ def _op_extra():
         "media_image_neardup": _media_neardup,
         "referential_integrity": _rl.referential_integrity,
         "orders_snapshot_diff": _rl.orders_snapshot_diff,
+        "events_watermark_late": _ev.events_watermark_late,
     }
 
 

@@ -1798,3 +1798,134 @@ SELECT CAST(t AS BIGINT) AS true_pairs,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_keys_orders
 FROM tru, est
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-time watermark / late-data accounting
+
+LATE_US = 86_400_000_000  # allowed lateness: 1 day
+ARR_JITTER_US = 259_200_000_000  # arrival displacement window: ±1.5 days
+
+
+def _arrival_key(event_ids: np.ndarray, t_us: np.ndarray) -> np.ndarray:
+    """Deterministic ARRIVAL sequence: the synthetic stream is perfectly
+    time-ordered, so a bounded TIME jitter overlay (±1.5 days,
+    md5-derived — the repo's surrogate recipe) renders the
+    mostly-ordered-with-local-disorder regime real watermarks exist for.
+    Jitter in TIME (not positions) keeps the late fraction stable across
+    scale factors — positional jitter shrinks below any fixed lateness
+    as event density grows. Ties break by event_id in both engines."""
+    from .curate import _md5_hash15
+
+    return t_us + _md5_hash15(event_ids, "arr:") % ARR_JITTER_US - ARR_JITTER_US // 2
+
+
+def events_watermark_late(sf_dir: str, lateness_us: int = LATE_US):
+    """Streaming watermark semantics as a distributed ORDERED prefix scan
+    (the Flink/Beam late-data accounting pass): events arrive in the
+    jittered overlay order; the watermark before each event is the
+    running max event-time over everything that arrived strictly
+    earlier, minus the allowed lateness; an event is LATE iff its time
+    sits below that. Output: per event-time day, total and late counts.
+
+    Scale shape (the ``docs_pack_sequences`` prefix-scan recipe):
+    value-range buckets on the arrival key (arrival ≈ event_id, so
+    ranges are dense), a KB-sized per-bucket max-ts rollup to the
+    driver, broadcast exclusive prefix maxima, then ONE second pass —
+    in-bucket arrival sort + cummax with the carried-in prefix — and a
+    day-cardinality rollup. Two narrow passes, no corpus-sized driver
+    state."""
+    from .common import bucketed_group_agg
+
+    ds = _events(sf_dir, columns=["event_id", "ts"])
+    tmin = pd.Timestamp(ds.min("ts")).value // 1000  # ns → us
+    tmax = pd.Timestamp(ds.max("ts")).value // 1000
+    nb = 64
+    half = ARR_JITTER_US // 2
+    span = max(1, ((tmax + half) - (tmin - half)) // nb + 1)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(np.int64)
+        t_us = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ak = _arrival_key(eid, t_us)
+        return pd.DataFrame(
+            {"event_id": eid, "a_key": ak, "t_us": t_us, "__rb": ak // span}
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+
+    def bucket_max(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("__rb", as_index=False, sort=False)["t_us"].max()
+        return g.rename(columns={"t_us": "mx"})
+
+    bmax = (
+        bucketed_group_agg(
+            tagged.map_batches(bucket_max, batch_format="pandas"), ["__rb"], {"mx": "max"}
+        )
+        .to_pandas()
+        .sort_values("__rb")
+    )
+    # exclusive prefix max per range bucket (driver: one row per bucket)
+    prefix = {}
+    run = np.iinfo(np.int64).min
+    for rb, mx in zip(bmax["__rb"].astype(int), bmax["mx"].astype(int)):
+        prefix[rb] = run
+        run = max(run, mx)
+    from .common import broadcast
+
+    pref_ref = broadcast(prefix)
+
+    def late_partial(group: pd.DataFrame, *, _ref=pref_ref) -> pd.DataFrame:
+        import ray
+
+        pref = ray.get(_ref) if not isinstance(_ref, dict) else _ref
+        g = group.sort_values(["a_key", "event_id"], kind="mergesort")
+        t = g["t_us"].to_numpy(np.int64)
+        rb = int(g["__rb"].iloc[0])
+        carry = pref.get(rb, np.iinfo(np.int64).min)
+        cm = np.maximum.accumulate(t)
+        excl = np.concatenate([[carry], np.maximum(carry, cm[:-1])])
+        sent = np.iinfo(np.int64).min
+        # the stream's first arrival has NO watermark (sentinel carry);
+        # sentinel - lateness would wrap int64 and flag it late
+        late = (excl != sent) & (t < excl - lateness_us)
+        day = t // 86_400_000_000
+        out = pd.DataFrame({"day": day, "n_events": np.int64(1),
+                            "n_late": late.astype(np.int64)})
+        return out.groupby("day", as_index=False, sort=False).sum()
+
+    agg = bucketed_group_agg(
+        tagged.groupby("__rb").map_groups(late_partial, batch_format="pandas"),
+        ["day"],
+        {"n_events": "sum", "n_late": "sum"},
+    )
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.astype({"day": np.int64, "n_events": np.int64, "n_late": np.int64})
+
+    return agg.map_batches(fin, batch_format="pandas").sort("day")
+
+
+EVENTS_WATERMARK_SQL = f"""
+WITH a AS (
+    SELECT event_id, ts,
+           epoch_us(ts)
+           + ('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+             % {ARR_JITTER_US} - {ARR_JITTER_US // 2} AS a_key
+    FROM events
+),
+w AS (
+    SELECT ts,
+           MAX(ts) OVER (ORDER BY a_key, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+    FROM a
+)
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (
+            WHERE wm IS NOT NULL
+              AND epoch_us(ts) < epoch_us(wm) - {LATE_US}) AS BIGINT) AS n_late
+FROM w
+GROUP BY day
+ORDER BY day
+"""

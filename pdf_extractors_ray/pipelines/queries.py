@@ -1210,9 +1210,11 @@ def _ngram_pagerank_query(sf_dir: str):
 
 def _hourly_mad_query(sf_dir: str):
     """Hourly rollup AND the robust anomaly pass AND the shuffle-skew
-    planner in one driver slot. Forced gates: ``events_skew_stats``
-    (exact integer Gini/p99/salt-factor from the count-of-counts
-    histogram) and ``events_mad_anomaly`` (median + MAD over the hourly
+    planner AND the watermark pass in one driver slot. Forced gates:
+    ``events_skew_stats`` (exact integer Gini/p99/salt-factor from the
+    count-of-counts histogram), ``events_watermark_late`` (streaming
+    late-data accounting as a distributed ordered prefix scan over a
+    jittered arrival overlay) and ``events_mad_anomaly`` (median + MAD over the hourly
     counts via the grouped histogram-narrowing quantile kernel, integer
     thresholds, 50%-breakdown-point robustness) stays fully hash-checked
     via its in-query twin gate. RECORDED result: ``events_hourly``,
@@ -1235,6 +1237,13 @@ def _hourly_mad_query(sf_dir: str):
         "events_skew_stats",
         events.events_skew_stats(sf_dir),
         events.EVENTS_SKEW_SQL,
+        sf_dir,
+        tables=("events",),
+    )
+    _assert_sql_twin(
+        "events_watermark_late",
+        events.events_watermark_late(sf_dir),
+        events.EVENTS_WATERMARK_SQL,
         sf_dir,
         tables=("events",),
     )

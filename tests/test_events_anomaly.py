@@ -174,3 +174,51 @@ def test_skew_stats_crafted_distributions(ray_session, tmp_path):
     # G_ppm = (2*955 - 11*100)*1e6 // (10*100) = 810000 // 1 → 810*1000
     assert int(r["gini_ppm"]) == (2 * 955 - 11 * 100) * 1_000_000 // (10 * 100)
     assert int(r["salt_factor"]) == (91 * 10 + 99) // 100  # = 10
+
+
+# --- watermark / late-data accounting -------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_watermark_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    eng = ev.events_watermark_late(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    ora = con.execute(ev.EVENTS_WATERMARK_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+    # the jitter overlay must produce real late events AND on-time ones
+    total, late = int(eng["n_events"].sum()), int(eng["n_late"].sum())
+    assert 0 < late < total
+
+
+def test_watermark_sequential_reference(ray_session):
+    """Single-process sequential watermark replay == the distributed
+    two-pass prefix scan (incl. the no-watermark first arrival)."""
+    sf = "/root/testdata/sf0.001"
+    df = pd.read_parquet(f"{sf}/events.parquet", columns=["event_id", "ts"])
+    eid = df["event_id"].to_numpy(np.int64)
+    t_all = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ak = ev._arrival_key(eid, t_all)
+    order = np.lexsort((eid, ak))
+    t = t_all[order]
+    run = None
+    late_days = {}
+    for x in t:
+        day = int(x // 86_400_000_000)
+        late_days.setdefault(day, [0, 0])
+        late_days[day][0] += 1
+        if run is not None and x < run - ev.LATE_US:
+            late_days[day][1] += 1
+        run = x if run is None else max(run, int(x))
+    got = ev.events_watermark_late(sf).to_pandas()
+    for _, row in got.iterrows():
+        n, l = late_days[int(row["day"])]
+        assert int(row["n_events"]) == n and int(row["n_late"]) == l, int(row["day"])
+    assert got["n_events"].sum() == len(t)
