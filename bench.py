@@ -131,6 +131,7 @@ OP_QUERIES = [
     "referential_integrity",
     "orders_snapshot_diff",
     "events_watermark_late",
+    "events_rollup",
 ]
 
 
@@ -243,6 +244,7 @@ def _op_extra():
         "referential_integrity": _rl.referential_integrity,
         "orders_snapshot_diff": _rl.orders_snapshot_diff,
         "events_watermark_late": _ev.events_watermark_late,
+        "events_rollup": _ev.events_rollup,
     }
 
 

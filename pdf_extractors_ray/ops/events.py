@@ -1929,3 +1929,90 @@ FROM w
 GROUP BY day
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-level rollup (GROUPING SETS) in one pass
+
+
+def events_rollup(sf_dir: str):
+    """All four aggregation levels of (event_type × day) — (type, day),
+    (type), (day), grand total — computed in ONE corpus pass: the
+    per-batch partial aggregates (type, day) once, derives the three
+    coarser levels from that partial IN-BATCH (each batch contributes
+    ≤ 4 level-tagged partial rows per group), and a single bucketed
+    combine merges every level together — the GROUPING SETS / CUBE
+    shape without one shuffle per level. Sentinels: '' for an
+    aggregated-out type, -1 for an aggregated-out day."""
+    from .common import bucketed_group_agg
+
+    ds = _events(sf_dir, columns=["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        cents = np.floor(batch["value"].to_numpy(np.float64) * 100.0 + 0.5).astype(
+            np.int64
+        )
+        base = (
+            pd.DataFrame({"event_type": batch["event_type"], "day": day,
+                          "n": np.int64(1), "cents": cents})
+            .groupby(["event_type", "day"], as_index=False, sort=False)
+            .sum()
+        )
+        lv3 = base.assign(lvl=np.int64(3))
+        lv1 = (
+            base.groupby("event_type", as_index=False, sort=False)[["n", "cents"]]
+            .sum()
+            .assign(lvl=np.int64(1), day=np.int64(-1))
+        )
+        lv2 = (
+            base.groupby("day", as_index=False, sort=False)[["n", "cents"]]
+            .sum()
+            .assign(lvl=np.int64(2), event_type="")
+        )
+        lv0 = pd.DataFrame(
+            {"lvl": [np.int64(0)], "event_type": [""], "day": [np.int64(-1)],
+             "n": [base["n"].sum()], "cents": [base["cents"].sum()]}
+        )
+        cols = ["lvl", "event_type", "day", "n", "cents"]
+        return pd.concat([lv3[cols], lv1[cols], lv2[cols], lv0[cols]],
+                         ignore_index=True)
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lvl", "event_type", "day"],
+        {"n": "sum", "cents": "sum"},
+    )
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.astype({"lvl": np.int64, "day": np.int64,
+                             "n": np.int64, "cents": np.int64})
+
+    return agg.map_batches(fin, batch_format="pandas").sort(
+        ["lvl", "event_type", "day"]
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+WITH e AS (
+    SELECT event_type,
+           epoch_us(ts) // 86400000000 AS day,
+           CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+    FROM events
+)
+SELECT CAST(3 AS BIGINT) AS lvl, event_type, CAST(day AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+FROM e GROUP BY event_type, day
+UNION ALL
+SELECT 1, event_type, -1, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM e GROUP BY event_type
+UNION ALL
+SELECT 2, '', CAST(day AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM e GROUP BY day
+UNION ALL
+SELECT 0, '', -1, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM e
+ORDER BY lvl, event_type, day
+"""

@@ -942,7 +942,9 @@ def _ann_methods_query(sf_dir: str):
 
 def _distinct_kmv_query(sf_dir: str):
     """Exact distinct users AND the KMV distinct-count sketch AND the
-    HyperLogLog sketch in one driver slot. Forced gates: the mergeable
+    HyperLogLog sketch AND the one-pass GROUPING SETS rollup
+    (``events_rollup`` — all four (type × day) levels derived from one
+    corpus pass, twin-gated) in one driver slot. Forced gates: the mergeable
     k-minimum-values sketch must run end-to-end and its estimate land
     inside the KMV error envelope of the exact total (or equal it exactly
     below k distinct); the HLL register sketch (fixed 256-register
@@ -962,6 +964,13 @@ def _distinct_kmv_query(sf_dir: str):
         "events_hll_by_type",
         events.events_hll_by_type(sf_dir),
         events.EVENTS_HLL_BY_TYPE_SQL,
+        sf_dir,
+        tables=("events",),
+    )
+    _assert_sql_twin(
+        "events_rollup",
+        events.events_rollup(sf_dir),
+        events.EVENTS_ROLLUP_SQL,
         sf_dir,
         tables=("events",),
     )

@@ -222,3 +222,36 @@ def test_watermark_sequential_reference(ray_session):
         n, l = late_days[int(row["day"])]
         assert int(row["n_events"]) == n and int(row["n_late"]) == l, int(row["day"])
     assert got["n_events"].sum() == len(t)
+
+
+# --- one-pass GROUPING SETS rollup -----------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_rollup_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    eng = ev.events_rollup(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    ora = con.execute(ev.EVENTS_ROLLUP_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+
+
+def test_rollup_level_consistency(ray_session):
+    """Every coarser level must re-sum exactly from the finest level."""
+    eng = ev.events_rollup("/root/testdata/sf0.001").to_pandas()
+    fine = eng[eng["lvl"] == 3]
+    for col in ("n", "cents"):
+        by_type = fine.groupby("event_type")[col].sum()
+        lv1 = eng[eng["lvl"] == 1].set_index("event_type")[col]
+        assert (by_type.sort_index() == lv1.sort_index()).all()
+        by_day = fine.groupby("day")[col].sum()
+        lv2 = eng[eng["lvl"] == 2].set_index("day")[col]
+        assert (by_day.sort_index() == lv2.sort_index()).all()
+        assert int(eng[eng["lvl"] == 0][col].iloc[0]) == int(fine[col].sum())
