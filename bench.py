@@ -132,6 +132,7 @@ OP_QUERIES = [
     "orders_snapshot_diff",
     "events_watermark_late",
     "events_rollup",
+    "media_audio_neardup",
 ]
 
 
@@ -245,7 +246,14 @@ def _op_extra():
         "orders_snapshot_diff": _rl.orders_snapshot_diff,
         "events_watermark_late": _ev.events_watermark_late,
         "events_rollup": _ev.events_rollup,
+        "media_audio_neardup": _media_audio_neardup,
     }
+
+
+def _media_audio_neardup(sf_dir: str):
+    from pdf_extractors_ray.ops.multimodal import media_audio_neardup
+
+    return media_audio_neardup(sf_dir)
 
 
 def _media_neardup(sf_dir: str):

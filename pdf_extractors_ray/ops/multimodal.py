@@ -442,3 +442,107 @@ def media_image_neardup(sf_dir: str, max_hamming: int = 3):
 
     sigs = ds.map_batches(sig_rows, batch_format="pandas")
     return banded_hash_pairs(sigs, max_hamming=max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Audio near-duplicate detection over REAL decoded PCM (energy fingerprint)
+
+
+def audio_fingerprint64(pcm: np.ndarray) -> int:
+    """64-bit energy-contour fingerprint of an int16 PCM clip: the clip
+    splits into 64 equal windows (duration-relative, so clips of any
+    length produce comparable hashes), each window's exact int64 energy
+    Σx² is computed, and bit k says whether window k+1 carries more
+    energy than window k (63 gradient bits + a length-parity bit). The
+    audio analogue of ``dhash64`` — random clips collide with
+    probability ~2^-63, re-encoded/lightly-edited copies stay within a
+    few bits."""
+    n = len(pcm)
+    if n < 64:
+        raise ValueError("audio_fingerprint64: clip shorter than 64 samples")
+    x = pcm.astype(np.int64)
+    bounds = (np.arange(65, dtype=np.int64) * n) // 64
+    sq = np.concatenate([[0], np.cumsum(x * x)])
+    e = sq[bounds[1:]] - sq[bounds[:-1]]
+    ln = bounds[1:] - bounds[:-1]
+    # windows differ by one sample when 64 ∤ n — compare energy DENSITY
+    # by exact cross-multiplication so a constant signal hashes to 0
+    bits = (e[1:] * ln[:-1] > e[:-1] * ln[1:]).astype(np.int64)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return (v << 1) | (n & 1)
+
+
+def media_audio_neardup_dataset(sf_dir: str):
+    """Audio payloads with a PLANTED near-dup overlay (mirror of
+    ``media_neardup_dataset``): per 16-id block, odd residues
+    {1,5,7,9,11} share one exact clip (seeded by block id + 1), residue
+    3 renders the same clip with ONE fingerprint window doubled (flips
+    at most 2 adjacent gradient bits — inside the Hamming-3 pigeonhole),
+    residues {13,15} stay unique. Payloads are REAL WAV bytes."""
+    import ray.data as rd
+
+    from ..runtime import read_parquet_sized, tune_data_context
+
+    tune_data_context()
+    ds = read_parquet_sized(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def to_audio(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch["doc_id"].to_pylist() if int(d) % 2 == 1]
+        payloads, keep = [], []
+        for d in ids:
+            r = d % 16
+            if r in (1, 5, 7, 9, 11):
+                pcm, rate = codecs.synth_audio((d // 16) * 16 + 1)
+            elif r == 3:
+                pcm, rate = codecs.synth_audio((d // 16) * 16 + 1)
+                pcm = pcm.copy()
+                rng = np.random.RandomState(d & 0x7FFFFFFF)
+                k = int(rng.randint(64))
+                n = len(pcm)
+                lo, hi = (k * n) // 64, ((k + 1) * n) // 64
+                pcm[lo:hi] = np.clip(pcm[lo:hi].astype(np.int64) * 2, -32768, 32767)
+            else:
+                pcm, rate = codecs.synth_audio(d)
+            payloads.append(codecs.encode_wav(pcm, rate))
+            keep.append(d)
+        return pa.table(
+            {
+                "doc_id": pa.array(keep, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(to_audio, batch_format="pyarrow")
+
+
+def media_audio_neardup(sf_dir: str, max_hamming: int = 3):
+    """Audio near-duplicate pairs over REAL decoded PCM: decode each WAV
+    payload with the production codec, fingerprint its energy contour,
+    and run the shared banded-LSH tail — completing the dedup family's
+    multimodal coverage (text MinHash/SimHash, image dHash, audio
+    energy contour all share one exchange shape). ``max_hamming=3``
+    keeps the 4-band pigeonhole exact, so the brute-force differential
+    is an equality."""
+    from .dedup import banded_hash_pairs
+
+    ds = media_audio_neardup_dataset(sf_dir)
+
+    def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "simhash": [], "band0": [], "band1": [], "band2": [], "band3": []}
+        for d, payload in zip(batch["doc_id"], batch["payload"]):
+            pcm, _rate = codecs.decode_wav(payload)
+            v = audio_fingerprint64(pcm)
+            out["doc_id"].append(int(d))
+            out["simhash"].append("%016x" % v)
+            for b in range(4):
+                out[f"band{b}"].append((v >> (16 * b)) & 0xFFFF)
+        df = pd.DataFrame(out)
+        df["doc_id"] = df["doc_id"].astype(np.int64)
+        for b in range(4):
+            df[f"band{b}"] = df[f"band{b}"].astype(np.int64)
+        return df
+
+    sigs = ds.map_batches(sig_rows, batch_format="pandas")
+    return banded_hash_pairs(sigs, max_hamming=max_hamming)

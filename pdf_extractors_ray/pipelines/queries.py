@@ -834,11 +834,13 @@ def _grid_box_query(sf_dir: str):
 
 
 def _media_ocr_query(sf_dir: str):
-    """Multimodal chain AND image near-dup AND the OCR scanned-page path
-    in one driver slot. Forced gate: ``media_image_neardup`` — dHash over
-    REAL decoded P6 pixels through the shared banded-LSH tail, asserted
-    EQUAL to the in-gate single-process brute-force scan (pixel decode
-    has no SQL twin; equality to brute force is the hash check here).
+    """Multimodal chain AND image+audio near-dup AND the OCR scanned-page
+    path in one driver slot. Forced gates: ``media_image_neardup`` (dHash
+    over REAL decoded P6 pixels) and ``media_audio_neardup``
+    (energy-contour fingerprint over REAL decoded PCM), both through the
+    shared banded-LSH tail and asserted EQUAL to in-gate single-process
+    brute-force scans (media decode has no SQL twin; equality to brute
+    force is the hash check here).
     The real-codec media pipeline (decode → features/thumbnails/frames
     over P6/WAV payloads) must produce rows; the returned — and therefore
     SQL-hash-checked — result is the OCR invoice kernel: rasterized page
@@ -875,6 +877,27 @@ def _media_ocr_query(sf_dir: str):
         )
     if not any(h == 0 for _, _, h in got):
         raise RuntimeError("media_image_neardup: planted exact dups not recovered")
+    # forced gate: same contract for the AUDIO arm (energy-contour
+    # fingerprint over real decoded PCM)
+    apairs = mm.media_audio_neardup(sf_dir).to_pandas()
+    agot = set(zip(apairs["a"].astype(int), apairs["b"].astype(int),
+                   apairs["hamming"].astype(int)))
+    clips = mm.media_audio_neardup_dataset(sf_dir).to_pandas()
+    asig = {
+        int(d): mm.audio_fingerprint64(_codecs.decode_wav(p)[0])
+        for d, p in zip(clips["doc_id"], clips["payload"])
+    }
+    aids = sorted(asig)
+    awant = set()
+    for i, a in enumerate(aids):
+        for b in aids[i + 1:]:
+            hd = bin(asig[a] ^ asig[b]).count("1")
+            if hd <= 3:
+                awant.add((a, b, hd))
+    if agot != awant:
+        raise RuntimeError(
+            f"media_audio_neardup: {len(agot)} pairs != brute force {len(awant)}"
+        )
     return surrogate.extract_kernel_ocr_invoice(sf_dir)
 
 

@@ -184,3 +184,49 @@ def test_image_neardup_planted_groups(ray_session):
                 n_expected += 1
                 assert (a, b) in zero, (a, b)
     assert n_expected > 0
+
+
+# --- audio fingerprint near-dup ------------------------------------------------
+
+
+def test_audio_fingerprint_kernel():
+    from pdf_extractors_ray.ops.multimodal import audio_fingerprint64
+
+    # constant signal: every gradient bit 0; parity bit tracks length
+    flat = np.full(1000, 100, dtype=np.int16)
+    assert audio_fingerprint64(flat) == 0
+    assert audio_fingerprint64(np.full(1001, 100, dtype=np.int16)) == 1
+    # strictly growing amplitude: every gradient bit 1
+    ramp = (np.arange(1024) * 30).astype(np.int16)
+    assert audio_fingerprint64(ramp) == ((1 << 63) - 1) << 1
+    # deterministic
+    rng = np.random.RandomState(1)
+    clip = rng.randint(-20000, 20000, 4000).astype(np.int16)
+    assert audio_fingerprint64(clip) == audio_fingerprint64(clip.copy())
+    with pytest.raises(ValueError):
+        audio_fingerprint64(np.zeros(10, dtype=np.int16))
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_audio_neardup_matches_bruteforce(ray_session, sf):
+    from pdf_extractors_ray.ops import codecs
+    from pdf_extractors_ray.ops import multimodal as mm
+
+    pairs = mm.media_audio_neardup(sf).to_pandas()
+    got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int),
+                  pairs["hamming"].astype(int)))
+    clips = mm.media_audio_neardup_dataset(sf).to_pandas()
+    sig = {
+        int(d): mm.audio_fingerprint64(codecs.decode_wav(p)[0])
+        for d, p in zip(clips["doc_id"], clips["payload"])
+    }
+    ids = sorted(sig)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hd = bin(sig[a] ^ sig[b]).count("1")
+            if hd <= 3:
+                want.add((a, b, hd))
+    assert got == want
+    hs = {h for _, _, h in got}
+    assert 0 in hs and (hs - {0})  # exact dups AND jittered near-dups
