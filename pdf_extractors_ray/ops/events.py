@@ -1029,22 +1029,29 @@ def _hll_ln_ppm_table() -> list[int]:
 _HLL_LN_PPM = _hll_ln_ppm_table()
 
 
-def hll_partial(batch: pd.DataFrame) -> pd.DataFrame:
-    """Per-block register partial: ≤ m rows of (register, max rho).
-    Hash is the repo's shared md5-hash15 construct (DuckDB-mirrorable);
-    rho = trailing zeros of the 52-bit suffix + 1 via the low-bit
-    isolation trick (w & -w is an exact power of two, so log2 on float64
-    is exact up to 2^52)."""
-    from .curate import _md5_hash15
-
-    uniq = np.unique(batch["user_id"].to_numpy(dtype=np.int64))
-    hv = _md5_hash15(uniq, "hll:")
+def hll_registers(hv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rho) from 60-bit hash values — THE register/rho
+    convention shared by the events HLL, the per-type HLL and the table
+    profiler (a drift here would silently desync their DuckDB twins):
+    rho = trailing zeros of the suffix + 1 via the low-bit isolation
+    trick (w & -w is an exact power of two, so log2 on float64 is exact
+    up to 2^52)."""
     reg = hv % HLL_M
     w = hv >> HLL_P
     low = w & -w
     rho = np.where(
         w == 0, np.int64(HLL_RHO_CAP), np.log2(np.maximum(low, 1)).astype(np.int64) + 1
     )
+    return reg, rho
+
+
+def hll_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-block register partial: ≤ m rows of (register, max rho).
+    Hash is the repo's shared md5-hash15 construct (DuckDB-mirrorable)."""
+    from .curate import _md5_hash15
+
+    uniq = np.unique(batch["user_id"].to_numpy(dtype=np.int64))
+    reg, rho = hll_registers(_md5_hash15(uniq, "hll:"))
     df = pd.DataFrame({"register": reg, "rho": rho})
     out = df.groupby("register", as_index=False, sort=False)["rho"].max()
     return out.rename(columns={"rho": "max_rho"})
@@ -1838,8 +1845,15 @@ def events_watermark_late(sf_dir: str, lateness_us: int = LATE_US):
     from .common import bucketed_group_agg
 
     ds = _events(sf_dir, columns=["event_id", "ts"])
-    tmin = pd.Timestamp(ds.min("ts")).value // 1000  # ns → us
-    tmax = pd.Timestamp(ds.max("ts")).value // 1000
+
+    def mm_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"lo": [np.int64(t.min())], "hi": [np.int64(t.max())]})
+
+    # ONE combined extremes pass (separate ds.min + ds.max would each
+    # re-scan the corpus)
+    mm_df = ds.map_batches(mm_partial, batch_format="pandas").to_pandas()
+    tmin, tmax = int(mm_df["lo"].min()), int(mm_df["hi"].max())
     nb = 64
     half = ARR_JITTER_US // 2
     span = max(1, ((tmax + half) - (tmin - half)) // nb + 1)

@@ -415,7 +415,11 @@ def media_image_neardup(sf_dir: str, max_hamming: int = 3):
     image arm of the dedup family, same exchange shape as text SimHash.
     ``max_hamming=3`` keeps the 4-band pigeonhole EXACT (any pair within
     distance 3 must share a band), so the output equals the brute-force
-    all-pairs scan — which is exactly what the differential asserts.
+    all-pairs scan WHENEVER no (band, value) bucket exceeds the LSH
+    tail's ``max_bucket`` star cap — true at gate/test scale by
+    construction; one viral cluster beyond the cap verifies members only
+    against the bucket minimum (the same documented policy as SimHash),
+    and the equality differential only applies below the cap.
 
     No SQL twin (pixel decode is not SQL-expressible); the hard check is
     the distributed-vs-single-process brute-force differential plus the
@@ -424,12 +428,29 @@ def media_image_neardup(sf_dir: str, max_hamming: int = 3):
     gate scale."""
     from .dedup import banded_hash_pairs
 
-    ds = media_neardup_dataset(sf_dir)
+    sigs = media_neardup_dataset(sf_dir).map_batches(
+        _banded_sig_rows(image_payload_hash), batch_format="pandas"
+    )
+    return banded_hash_pairs(sigs, max_hamming=max_hamming)
+
+
+def image_payload_hash(payload: bytes) -> int:
+    return dhash64(codecs.decode_ppm(payload))
+
+
+def audio_payload_hash(payload: bytes) -> int:
+    return audio_fingerprint64(codecs.decode_wav(payload)[0])
+
+
+def _banded_sig_rows(hash_fn):
+    """(doc_id, payload) → the banded-signature schema shared with text
+    SimHash: one 64-bit hash per payload as hex + its 4 16-bit bands."""
 
     def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_id": [], "simhash": [], "band0": [], "band1": [], "band2": [], "band3": []}
+        out = {"doc_id": [], "simhash": [], "band0": [], "band1": [],
+               "band2": [], "band3": []}
         for d, payload in zip(batch["doc_id"], batch["payload"]):
-            v = dhash64(codecs.decode_ppm(payload))
+            v = hash_fn(payload)
             out["doc_id"].append(int(d))
             out["simhash"].append("%016x" % v)
             for b in range(4):
@@ -440,8 +461,23 @@ def media_image_neardup(sf_dir: str, max_hamming: int = 3):
             df[f"band{b}"] = df[f"band{b}"].astype(np.int64)
         return df
 
-    sigs = ds.map_batches(sig_rows, batch_format="pandas")
-    return banded_hash_pairs(sigs, max_hamming=max_hamming)
+    return sig_rows
+
+
+def neardup_bruteforce_pairs(payloads: pd.DataFrame, hash_fn,
+                             max_hamming: int = 3) -> set:
+    """Single-process all-pairs reference for the media near-dup ops —
+    the ONE differential shared by the driver gate and the tests."""
+    sig = {int(d): hash_fn(p)
+           for d, p in zip(payloads["doc_id"], payloads["payload"])}
+    ids = sorted(sig)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hd = bin(sig[a] ^ sig[b]).count("1")
+            if hd <= max_hamming:
+                want.add((a, b, hd))
+    return want
 
 
 # ---------------------------------------------------------------------------
@@ -465,6 +501,14 @@ def audio_fingerprint64(pcm: np.ndarray) -> int:
     sq = np.concatenate([[0], np.cumsum(x * x)])
     e = sq[bounds[1:]] - sq[bounds[:-1]]
     ln = bounds[1:] - bounds[:-1]
+    if int(e.max(initial=0)) * int(ln.max()) >= (1 << 62):
+        # energy × neighbor-length cross-multiplication would wrap int64
+        # (numpy wraps SILENTLY, corrupting bits) — ~5.9M full-scale
+        # samples; split longer clips before fingerprinting
+        raise ValueError(
+            f"audio_fingerprint64: clip of {n} samples overflows the exact "
+            "int64 energy-density comparison — fingerprint in segments"
+        )
     # windows differ by one sample when 64 ∤ n — compare energy DENSITY
     # by exact cross-multiplication so a constant signal hashes to 0
     bits = (e[1:] * ln[:-1] > e[:-1] * ln[1:]).astype(np.int64)
@@ -523,26 +567,12 @@ def media_audio_neardup(sf_dir: str, max_hamming: int = 3):
     and run the shared banded-LSH tail — completing the dedup family's
     multimodal coverage (text MinHash/SimHash, image dHash, audio
     energy contour all share one exchange shape). ``max_hamming=3``
-    keeps the 4-band pigeonhole exact, so the brute-force differential
-    is an equality."""
+    keeps the 4-band pigeonhole exact, so below the star cap the
+    brute-force differential is an equality (above it the SimHash
+    star-cap policy applies — see ``media_image_neardup``)."""
     from .dedup import banded_hash_pairs
 
-    ds = media_audio_neardup_dataset(sf_dir)
-
-    def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_id": [], "simhash": [], "band0": [], "band1": [], "band2": [], "band3": []}
-        for d, payload in zip(batch["doc_id"], batch["payload"]):
-            pcm, _rate = codecs.decode_wav(payload)
-            v = audio_fingerprint64(pcm)
-            out["doc_id"].append(int(d))
-            out["simhash"].append("%016x" % v)
-            for b in range(4):
-                out[f"band{b}"].append((v >> (16 * b)) & 0xFFFF)
-        df = pd.DataFrame(out)
-        df["doc_id"] = df["doc_id"].astype(np.int64)
-        for b in range(4):
-            df[f"band{b}"] = df[f"band{b}"].astype(np.int64)
-        return df
-
-    sigs = ds.map_batches(sig_rows, batch_format="pandas")
+    sigs = media_audio_neardup_dataset(sf_dir).map_batches(
+        _banded_sig_rows(audio_payload_hash), batch_format="pandas"
+    )
     return banded_hash_pairs(sigs, max_hamming=max_hamming)

@@ -20,7 +20,6 @@ before heavy curation).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -28,7 +27,8 @@ import pandas as pd
 
 from ..runtime import read_parquet_sized
 from .common import bucketed_group_agg
-from .events import HLL_M, HLL_P, HLL_RHO_CAP, hll_estimate
+from .events import HLL_M, HLL_P, HLL_RHO_CAP, hll_estimate, hll_registers
+from .text import _md5_hash15_str
 
 # profiled tables: (column, kind) with kind ∈ int | float | str | ts —
 # the spec is the single source for BOTH the engine pass and the SQL twin
@@ -87,26 +87,38 @@ def table_profile(sf_dir: str, table: str = "orders"):
     ds = read_parquet_sized(path, columns=cols)
 
     def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # string min/max merge across blocks through presence-PREFIXED
+        # keys: "1"+s for a real value, "2"/"0" absence sentinels that
+        # sort after/before every prefixed string — a block with the
+        # column all-null (the null-clustered layouts real ingests
+        # produce) must not poison the combine with None-vs-str compares
         rows = []
         for c, kind in spec:
             vals, nulls = _nonnull(batch, c)
             if kind == "str":
-                mn, mx = (
-                    (str(vals.min()), str(vals.max())) if len(vals) else (None, None)
-                )
+                if len(vals):
+                    # vals stays an OBJECT array: numpy's min/max have no
+                    # unicode loop, but object arrays compare via Python
+                    mn, mx = "1" + str(vals.min()), "1" + str(vals.max())
+                else:
+                    mn, mx = "2", "0"
                 rows.append((c, len(batch), nulls, 0, 0, mn, mx))
             else:
                 if len(vals):
                     nums = _canon_num(vals, kind)
-                    rows.append((c, len(batch), nulls, nums.min(), nums.max(), "", ""))
+                    rows.append((c, len(batch), nulls, nums.min(), nums.max(), "1", "1"))
                 else:
-                    rows.append((c, len(batch), nulls, _I64_MAX, _I64_MIN, "", ""))
+                    rows.append((c, len(batch), nulls, _I64_MAX, _I64_MIN, "1", "1"))
         out = pd.DataFrame(
             rows,
             columns=["column", "n_rows", "n_nulls", "min_num", "max_num", "min_s", "max_s"],
         )
         for k in ("n_rows", "n_nulls", "min_num", "max_num"):
             out[k] = out[k].astype(np.int64)
+        for k in ("min_s", "max_s"):
+            # keep object dtype: fixed-width unicode arrays route pandas'
+            # grouped min/max to the np.minimum ufunc, which has no str loop
+            out[k] = out[k].astype(object)
         return out
 
     stats = bucketed_group_agg(
@@ -129,20 +141,7 @@ def table_profile(sf_dir: str, table: str = "orders"):
                 canon = np.unique(vals.astype(str))
             else:
                 canon = np.unique(_canon_num(vals, kind)).astype(str)
-            hv = np.fromiter(
-                (int(hashlib.md5(("hll:" + s).encode()).hexdigest()[:15], 16)
-                 for s in canon),
-                dtype=np.int64,
-                count=len(canon),
-            )
-            reg = hv % HLL_M
-            w = hv >> HLL_P
-            low = w & -w
-            rho = np.where(
-                w == 0,
-                np.int64(HLL_RHO_CAP),
-                np.log2(np.maximum(low, 1)).astype(np.int64) + 1,
-            )
+            reg, rho = hll_registers(_md5_hash15_str(canon, "hll:"))
             df = pd.DataFrame({"column": c, "register": reg, "max_rho": rho})
             frames.append(
                 df.groupby(["column", "register"], as_index=False, sort=False).max()
@@ -171,7 +170,15 @@ def table_profile(sf_dir: str, table: str = "orders"):
     out["n_distinct_est"] = out["column"].map(est).astype(np.int64)
     allnull = out["n_rows"] == out["n_nulls"]
     out.loc[allnull, ["min_num", "max_num"]] = 0
-    out[["min_s", "max_s"]] = out[["min_s", "max_s"]].fillna("")
+    kinds = dict(spec)
+
+    def _unprefix(v: str, col: str) -> str:
+        if kinds[col] != "str":
+            return ""
+        return v[1:] if isinstance(v, str) and v.startswith("1") else ""
+
+    out["min_s"] = [_unprefix(v, c) for v, c in zip(out["min_s"], out["column"])]
+    out["max_s"] = [_unprefix(v, c) for v, c in zip(out["max_s"], out["column"])]
     out = out[
         ["column", "n_rows", "n_nulls", "n_distinct_est",
          "min_num", "max_num", "min_s", "max_s"]

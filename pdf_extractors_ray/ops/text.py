@@ -1628,12 +1628,7 @@ def docs_feature_hash(sf_dir: str, n_dims: int = FEAT_DIMS, salt: str = ""):
             )
         flat = np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()])
         uniq, inv = np.unique(flat.astype(str), return_inverse=True)
-        hu = np.fromiter(
-            (int(hashlib.md5((salt + t).encode()).hexdigest()[:15], 16) for t in uniq),
-            dtype=np.int64,
-            count=len(uniq),
-        )
-        hv = hu[inv]
+        hv = _md5_hash15_str(uniq, salt)[inv]
         df = pd.DataFrame(
             {
                 "doc_id": doc_rep,

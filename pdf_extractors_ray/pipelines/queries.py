@@ -854,50 +854,20 @@ def _media_ocr_query(sf_dir: str):
     # reproduce the single-process brute-force scan exactly (the 4-band
     # pigeonhole is lossless at Hamming <= 3) and recover every planted
     # exact-duplicate pair at distance 0
-    pairs = mm.media_image_neardup(sf_dir).to_pandas()
-    got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int),
-                  pairs["hamming"].astype(int)))
-    imgs = mm.media_neardup_dataset(sf_dir).to_pandas()
-    from ..ops import codecs as _codecs
-
-    sig = {
-        int(d): mm.dhash64(_codecs.decode_ppm(p))
-        for d, p in zip(imgs["doc_id"], imgs["payload"])
-    }
-    ids = sorted(sig)
-    want = set()
-    for i, a in enumerate(ids):
-        for b in ids[i + 1:]:
-            hd = bin(sig[a] ^ sig[b]).count("1")
-            if hd <= 3:
-                want.add((a, b, hd))
-    if got != want:
-        raise RuntimeError(
-            f"media_image_neardup: {len(got)} pairs != brute force {len(want)}"
-        )
-    if not any(h == 0 for _, _, h in got):
-        raise RuntimeError("media_image_neardup: planted exact dups not recovered")
-    # forced gate: same contract for the AUDIO arm (energy-contour
-    # fingerprint over real decoded PCM)
-    apairs = mm.media_audio_neardup(sf_dir).to_pandas()
-    agot = set(zip(apairs["a"].astype(int), apairs["b"].astype(int),
-                   apairs["hamming"].astype(int)))
-    clips = mm.media_audio_neardup_dataset(sf_dir).to_pandas()
-    asig = {
-        int(d): mm.audio_fingerprint64(_codecs.decode_wav(p)[0])
-        for d, p in zip(clips["doc_id"], clips["payload"])
-    }
-    aids = sorted(asig)
-    awant = set()
-    for i, a in enumerate(aids):
-        for b in aids[i + 1:]:
-            hd = bin(asig[a] ^ asig[b]).count("1")
-            if hd <= 3:
-                awant.add((a, b, hd))
-    if agot != awant:
-        raise RuntimeError(
-            f"media_audio_neardup: {len(agot)} pairs != brute force {len(awant)}"
-        )
+    for name, op, dataset, hash_fn in (
+        ("media_image_neardup", mm.media_image_neardup,
+         mm.media_neardup_dataset, mm.image_payload_hash),
+        ("media_audio_neardup", mm.media_audio_neardup,
+         mm.media_audio_neardup_dataset, mm.audio_payload_hash),
+    ):
+        pairs = op(sf_dir).to_pandas()
+        got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int),
+                      pairs["hamming"].astype(int)))
+        want = mm.neardup_bruteforce_pairs(dataset(sf_dir).to_pandas(), hash_fn)
+        if got != want:
+            raise RuntimeError(f"{name}: {len(got)} pairs != brute force {len(want)}")
+        if not any(h == 0 for _, _, h in got):
+            raise RuntimeError(f"{name}: planted exact dups not recovered")
     return surrogate.extract_kernel_ocr_invoice(sf_dir)
 
 

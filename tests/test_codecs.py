@@ -142,18 +142,9 @@ def test_image_neardup_matches_bruteforce(ray_session, sf):
     pairs = mm.media_image_neardup(sf).to_pandas()
     got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int),
                   pairs["hamming"].astype(int)))
-    imgs = mm.media_neardup_dataset(sf).to_pandas()
-    sig = {
-        int(d): mm.dhash64(codecs.decode_ppm(p))
-        for d, p in zip(imgs["doc_id"], imgs["payload"])
-    }
-    ids = sorted(sig)
-    want = set()
-    for i, a in enumerate(ids):
-        for b in ids[i + 1:]:
-            hd = bin(sig[a] ^ sig[b]).count("1")
-            if hd <= 3:
-                want.add((a, b, hd))
+    want = mm.neardup_bruteforce_pairs(
+        mm.media_neardup_dataset(sf).to_pandas(), mm.image_payload_hash
+    )
     assert got == want
     hs = {h for _, _, h in got}
     assert 0 in hs and (hs - {0})  # exact dups AND jittered near-dups
@@ -215,18 +206,20 @@ def test_audio_neardup_matches_bruteforce(ray_session, sf):
     pairs = mm.media_audio_neardup(sf).to_pandas()
     got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int),
                   pairs["hamming"].astype(int)))
-    clips = mm.media_audio_neardup_dataset(sf).to_pandas()
-    sig = {
-        int(d): mm.audio_fingerprint64(codecs.decode_wav(p)[0])
-        for d, p in zip(clips["doc_id"], clips["payload"])
-    }
-    ids = sorted(sig)
-    want = set()
-    for i, a in enumerate(ids):
-        for b in ids[i + 1:]:
-            hd = bin(sig[a] ^ sig[b]).count("1")
-            if hd <= 3:
-                want.add((a, b, hd))
+    want = mm.neardup_bruteforce_pairs(
+        mm.media_audio_neardup_dataset(sf).to_pandas(), mm.audio_payload_hash
+    )
     assert got == want
     hs = {h for _, _, h in got}
     assert 0 in hs and (hs - {0})  # exact dups AND jittered near-dups
+
+
+def test_audio_fingerprint_overflow_guard():
+    """Regression (review finding): the energy-density cross-multiply
+    must RAISE before int64 wraps (numpy wraps silently) — a long
+    full-scale clip triggers the guard instead of corrupting bits."""
+    from pdf_extractors_ray.ops.multimodal import audio_fingerprint64
+
+    long_clip = np.full(7_000_000, 32767, dtype=np.int16)
+    with pytest.raises(ValueError, match="overflow"):
+        audio_fingerprint64(long_clip)

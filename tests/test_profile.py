@@ -88,3 +88,41 @@ def test_profile_nulls_and_empty_column(ray_session, tmp_path, monkeypatch):
     pd.testing.assert_frame_equal(
         _canon(eng.reset_index()), _canon(ora), check_dtype=True
     )
+
+
+def test_profile_null_clustered_blocks(ray_session, tmp_path):
+    """Regression (review finding): a string column all-null in one read
+    BLOCK but populated in another must not poison the min/max combine —
+    8000 rows with long texts force read_parquet_sized into multiple
+    blocks, lang null for the first half only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 8000
+    doc_id = np.arange(n, dtype=np.int64)
+    text = [("x" * 300) + str(i) for i in range(n)]
+    lang = [None] * (n // 2) + ["en"] * (n - n // 2)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": doc_id,
+                "text": text,
+                "lang": pa.array(lang, type=pa.string()),
+                "source": ["s"] * n,
+                "n_chars": doc_id % 11,
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    eng = pr.table_profile(str(tmp_path), "documents").to_pandas().set_index("column")
+    assert int(eng.loc["lang", "n_nulls"]) == n // 2
+    assert eng.loc["lang", "min_s"] == "en" and eng.loc["lang", "max_s"] == "en"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ora = con.execute(pr.profile_sql("documents")).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        _canon(eng.reset_index()), _canon(ora), check_dtype=True
+    )
