@@ -133,6 +133,7 @@ OP_QUERIES = [
     "events_watermark_late",
     "events_rollup",
     "media_audio_neardup",
+    "docs_bm25",
 ]
 
 
@@ -247,6 +248,7 @@ def _op_extra():
         "events_watermark_late": _ev.events_watermark_late,
         "events_rollup": _ev.events_rollup,
         "media_audio_neardup": _media_audio_neardup,
+        "docs_bm25": _tx.docs_bm25,
     }
 
 

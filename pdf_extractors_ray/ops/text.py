@@ -1660,3 +1660,157 @@ GROUP BY doc_id, hv % {FEAT_DIMS}
 HAVING SUM(CASE WHEN (hv // {FEAT_DIMS}) % 2 = 0 THEN 1 ELSE -1 END) <> 0
 ORDER BY doc_id, slot
 """
+
+
+BM25_QUERIES = ("merge", "window", "customer", "vector")
+BM25_TOPK = 10
+
+
+def docs_bm25(sf_dir: str, queries: tuple = BM25_QUERIES, k: int = BM25_TOPK):
+    """BM25 ranked retrieval for a fixed query-term set — the retrieval
+    step after the TF-IDF statistics: per (query, doc) score with the
+    classic saturation/length normalization at k1 = 6/5, b = 3/4, then
+    exact top-k per query (score DESC, doc_id ASC).
+
+    All-integer contract: with T = corpus token count, N = docs, dl =
+    doc length, the k1/b fractions clear to
+
+        score_ppm = idf_ppm · 44 · tf · T  //  (20·tf·T + 6·T + 18·dl·N)
+
+    and idf is the LOG-FREE probabilistic variant ``(N − df)·10^6 // df``
+    (a runtime ln() of an arbitrary ratio cannot be shared bit-exactly
+    with DuckDB; the monotone log-free idf is the documented stand-in —
+    same ranking family, exact in both engines via HUGEINT/Python ints).
+
+    Scale shape: DF for the query terms only (per-batch partials over a
+    BROADCAST-small term set → one KB rollup), T and N from the same
+    pass; then a map-side score per (query, doc) hit and a per-query
+    top-k fold — the corpus shuffles nothing but its per-query hits."""
+    from .common import bucketed_group_agg
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    qset = list(queries)
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64)
+        rows = {"q": [], "df": [], "n": [], "t": []}
+        for q in qset:
+            has = np.fromiter((q in t for t in toks), dtype=bool, count=len(toks))
+            rows["q"].append(q)
+            rows["df"].append(np.int64(has.sum()))
+            rows["n"].append(np.int64(len(batch)))
+            rows["t"].append(np.int64(dl.sum()))
+        return pd.DataFrame(rows)
+
+    st = (
+        bucketed_group_agg(
+            ds.map_batches(stats_partial, batch_format="pandas"),
+            ["q"],
+            {"df": "sum", "n": "sum", "t": "sum"},
+        )
+        .to_pandas()
+        .set_index("q")
+    )
+    n_docs = int(st["n"].iloc[0])
+    t_total = int(st["t"].iloc[0])
+    dfs = {q: int(st.loc[q, "df"]) for q in qset}
+    idf_ppm = {q: (n_docs - dfs[q]) * 1_000_000 // max(dfs[q], 1) for q in qset}
+
+    def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64)
+        did = batch["doc_id"].to_numpy(np.int64)
+        frames = []
+        for q in qset:
+            tf = np.fromiter(
+                (t.count(q) for t in toks), dtype=np.int64, count=len(toks)
+            )
+            hit = tf > 0
+            if not hit.any():
+                continue
+            tfx, dlx, dx = tf[hit], dl[hit], did[hit]
+            score = np.fromiter(
+                (
+                    idf_ppm[q] * 44 * int(f) * t_total
+                    // (20 * int(f) * t_total + 6 * t_total + 18 * int(l) * n_docs)
+                    for f, l in zip(tfx, dlx)
+                ),
+                dtype=np.int64,
+                count=len(tfx),
+            )
+            f = pd.DataFrame({"q": q, "doc_id": dx, "tf": tfx, "score_ppm": score})
+            # per-block top-k prune before anything shuffles
+            f = f.sort_values(["score_ppm", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+            frames.append(f)
+        if not frames:
+            return pd.DataFrame(
+                {"q": pd.Series(dtype=object), "doc_id": pd.Series(dtype=np.int64),
+                 "tf": pd.Series(dtype=np.int64),
+                 "score_ppm": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def topk_fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["q", "score_ppm", "doc_id"],
+                              ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("q", sort=False).head(k).copy()
+        out["rank"] = out.groupby("q", sort=False).cumcount().astype(np.int64) + 1
+        return out.drop(columns=["__b"])
+
+    scored = ds.map_batches(score_partial, batch_format="pandas")
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__b"] = (
+            pd.util.hash_pandas_object(batch["q"], index=False).to_numpy() % 16
+        ).astype(np.int64)
+        return batch
+
+    return (
+        scored.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(topk_fold, batch_format="pandas")
+        .sort(["q", "rank"])
+    )
+
+
+def _bm25_sql() -> str:
+    qvals = ", ".join(f"('{q}')" for q in BM25_QUERIES)
+    return f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS dl
+    FROM documents
+),
+tot AS (SELECT CAST(SUM(dl) AS HUGEINT) AS t, CAST(COUNT(*) AS HUGEINT) AS n FROM d),
+q(q) AS (VALUES {qvals}),
+hits AS (
+    SELECT q.q, d.doc_id, d.dl,
+           CAST(len(list_filter(d.toks, x -> x = q.q)) AS HUGEINT) AS tf
+    FROM d, q
+),
+stats AS (
+    SELECT q, CAST(COUNT(*) FILTER (WHERE tf > 0) AS HUGEINT) AS df FROM hits GROUP BY q
+),
+scored AS (
+    SELECT h.q, h.doc_id, CAST(h.tf AS BIGINT) AS tf,
+           CAST(((tot.n - s.df) * 1000000 // GREATEST(s.df, 1)) * 44 * h.tf * tot.t
+                // (20 * h.tf * tot.t + 6 * tot.t + 18 * h.dl * tot.n) AS BIGINT)
+               AS score_ppm
+    FROM hits h JOIN stats s USING (q), tot
+    WHERE h.tf > 0
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY score_ppm DESC, doc_id)
+           AS rank
+    FROM scored
+)
+SELECT q, doc_id, tf, score_ppm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {BM25_TOPK}
+ORDER BY q, rank
+"""
+
+
+DOCS_BM25_SQL = _bm25_sql()

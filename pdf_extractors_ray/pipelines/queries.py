@@ -309,7 +309,9 @@ def _quality_repetition_tfidf_query(sf_dir: str):
     ``docs_inverted_index``, ``docs_lm_coverage`` (bigram-LM train
     pass → bucketed cogroup scoring join, integer coverage ppm) and
     ``docs_feature_hash`` (signed hashing-trick featurizer, map-only)
-    stay fully hash-checked via in-query twin gates. RECORDED result:
+    and ``docs_bm25`` (log-free integer BM25 top-k retrieval — per-block
+    top-k prune, per-query fold) stay fully hash-checked via in-query
+    twin gates. RECORDED result:
     ``docs_bigram_pmi`` — corpus-wide top-k adjacent-pair pointwise mutual
     information (min-count filtered before any join; bucketed count
     combines; two vocabulary-sized cogroup joins; integer scoring exact
@@ -331,6 +333,7 @@ def _quality_repetition_tfidf_query(sf_dir: str):
     _assert_sql_twin(
         "docs_feature_hash", tx.docs_feature_hash(sf_dir), tx.DOCS_FEATURE_HASH_SQL, sf_dir
     )
+    _assert_sql_twin("docs_bm25", tx.docs_bm25(sf_dir), tx.DOCS_BM25_SQL, sf_dir)
     return tx.docs_bigram_pmi(sf_dir)
 
 

@@ -96,3 +96,53 @@ def test_feature_hash_inner_product_unbiased():
     mean = float(np.mean(est))
     # exact = 7; sd of a single estimate is a few units; 400 salts → se ~0.2
     assert abs(mean - exact) < 1.0, (mean, exact)
+
+
+# --- BM25 retrieval ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+def test_bm25_matches_duckdb_twin(ray_session, sf):
+    eng = tx.docs_bm25(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ora = con.execute(tx.DOCS_BM25_SQL).fetchdf()
+    con.close()
+    assert len(eng) == len(tx.BM25_QUERIES) * tx.BM25_TOPK
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora[eng.columns].reset_index(drop=True),
+        check_dtype=True,
+    )
+
+
+def test_bm25_ranking_semantics(ray_session, tmp_path):
+    """Saturation and length normalization on a crafted corpus: same tf →
+    the SHORTER doc ranks higher; higher tf wins at equal length; scores
+    match a float reference ranking."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = {
+        1: "merge " * 3 + "pad " * 5,      # tf=3, dl=9 (trailing '' token)
+        2: "merge " * 3 + "pad " * 40,     # tf=3, longer → lower
+        3: "merge " * 8 + "pad " * 5,      # tf=8, same length class as 1
+        4: "other words only here",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(texts),
+                "text": [t.strip() for t in texts.values()],
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [len(t) for t in texts.values()],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = tx.docs_bm25(str(tmp_path), queries=("merge",), k=4).to_pandas()
+    ranks = dict(zip(out["doc_id"], out["rank"]))
+    assert 4 not in ranks  # no hit, no row
+    assert ranks[3] < ranks[1] < ranks[2]
