@@ -134,6 +134,7 @@ OP_QUERIES = [
     "events_rollup",
     "media_audio_neardup",
     "docs_bm25",
+    "docs_langid_eval",
 ]
 
 
@@ -249,6 +250,7 @@ def _op_extra():
         "events_rollup": _ev.events_rollup,
         "media_audio_neardup": _media_audio_neardup,
         "docs_bm25": _tx.docs_bm25,
+        "docs_langid_eval": _tx.docs_langid_eval,
     }
 
 

@@ -1814,3 +1814,45 @@ ORDER BY q, rank
 
 
 DOCS_BM25_SQL = _bm25_sql()
+
+
+def docs_langid_eval(sf_dir: str):
+    """Language-ID quality eval — the confusion matrix of the LangId
+    heuristic against the corpus's own ``lang`` labels (the
+    eval-as-pipeline recipe: classifier quality measured distributed,
+    like ``docs_neardup_recall`` / ``emb_cluster_purity``). Map-side
+    predictions (the ONE shared ``langid_preds`` kernel) + in-batch
+    partial counts + one (lang, pred)-cardinality bucketed combine;
+    the twin composes the generated LangId SQL with a GROUP BY."""
+    from .common import bucketed_group_agg
+
+    ds = _docs(sf_dir, columns=["lang", "text"])
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        preds = langid_preds(batch["text"])
+        df = pd.DataFrame(
+            {"lang": batch["lang"].astype(object),
+             "pred_lang": pd.Series(preds, dtype=object),
+             "n_docs": np.int64(1)}
+        )
+        return df.groupby(["lang", "pred_lang"], as_index=False, sort=False).sum()
+
+    agg = bucketed_group_agg(
+        ds.map_batches(part, batch_format="pandas"),
+        ["lang", "pred_lang"],
+        {"n_docs": "sum"},
+    )
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.astype({"n_docs": np.int64})
+
+    return agg.map_batches(fin, batch_format="pandas").sort(["lang", "pred_lang"])
+
+
+DOCS_LANGID_EVAL_SQL = f"""
+WITH preds AS ({DOCS_LANGID_SQL.rstrip()})
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM preds
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""

@@ -287,6 +287,9 @@ def _langid_decon_curation_query(sf_dir: str):
     corpus-bearing shuffle, pinned to a composed DuckDB twin."""
     _assert_sql_twin("docs_langid", tx.docs_langid(sf_dir), tx.DOCS_LANGID_SQL, sf_dir)
     _assert_sql_twin(
+        "docs_langid_eval", tx.docs_langid_eval(sf_dir), tx.DOCS_LANGID_EVAL_SQL, sf_dir
+    )
+    _assert_sql_twin(
         "docs_decontaminate",
         curate.docs_decontaminate(sf_dir),
         curate.DOCS_DECONTAMINATE_SQL,

@@ -1482,3 +1482,40 @@ def test_bpe_encode_word_scan_merge_reference():
             pairs.append((left, right))
             pool.append(left + right)
         assert tx.bpe_encode_word(word, pairs) == ref_apply(word, pairs), (word, pairs)
+
+
+# --- language-ID confusion eval ---------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_langid_eval_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    from pdf_extractors_ray.ops import text as tx
+
+    eng = tx.docs_langid_eval(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ora = con.execute(tx.DOCS_LANGID_EVAL_SQL).fetchdf()
+    ndocs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+    assert int(eng["n_docs"].sum()) == ndocs  # every doc lands in one cell
+
+
+def test_langid_eval_consistent_with_predictions(ray_session):
+    """The matrix must re-derive exactly from the per-doc predictions op."""
+    from pdf_extractors_ray.ops import text as tx
+
+    sf = "/root/testdata/sf0.001"
+    preds = tx.docs_langid(sf).to_pandas()
+    want = (
+        preds.groupby(["lang", "pred_lang"]).size().reset_index(name="n_docs")
+        .sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+    )
+    got = tx.docs_langid_eval(sf).to_pandas()
+    pd.testing.assert_frame_equal(got, want.astype({"n_docs": np.int64}))
