@@ -135,6 +135,7 @@ OP_QUERIES = [
     "media_audio_neardup",
     "docs_bm25",
     "docs_langid_eval",
+    "orders_range_partition",
 ]
 
 
@@ -251,6 +252,7 @@ def _op_extra():
         "media_audio_neardup": _media_audio_neardup,
         "docs_bm25": _tx.docs_bm25,
         "docs_langid_eval": _tx.docs_langid_eval,
+        "orders_range_partition": _rl.orders_range_partition,
     }
 
 

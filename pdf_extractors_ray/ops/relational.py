@@ -1645,3 +1645,82 @@ LATERAL (SELECT CASE change
 GROUP BY change
 ORDER BY change
 """
+
+
+RANGE_PARTS = 8
+
+
+def orders_range_partition(sf_dir: str, n_parts: int = RANGE_PARTS):
+    """Balanced RANGE partitioner — the planning step before a sorted /
+    clustered write (Spark's range partitioner, Iceberg's sort order):
+    exact equi-depth boundaries of the price column from the distributed
+    counting-selection kernel (NO global sort — the point), then one
+    assignment pass counting rows per range. Ranges are
+    ``(-inf, b1], (b1, b2], …, (b_{k-1}, +inf)``; ties on a boundary
+    value all land in the boundary's range, so a heavily tied domain can
+    legitimately imbalance a range — the output reports the realized
+    balance (min/max rows per range) rather than asserting an
+    impossible bound. One narrow column read ×(≤3 histogram passes + 1
+    assignment pass); the boundary list (k-1 ints) is the only driver
+    state."""
+    import ray.data as rd
+
+    from .common import grouped_sums
+
+    qs = [i * 1_000_000 // n_parts for i in range(1, n_parts)]
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+    cds = orders.map_batches(
+        lambda b: pd.DataFrame({"c": cents(b["o_totalprice"].to_numpy())}),
+        batch_format="pandas",
+    ).materialize()
+    _n, rows = exact_quantiles_int(cds, "c", tuple(qs))
+    bounds = np.array([v for _, _, v in rows], dtype=np.int64)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        part = np.searchsorted(bounds, batch["c"].to_numpy(np.int64), side="left")
+        df = pd.DataFrame({"part": part.astype(np.int64), "n_rows": np.int64(1)})
+        return df.groupby("part", as_index=False, sort=False).sum()
+
+    agg = grouped_sums(
+        cds.map_batches(assign, batch_format="pandas"), ["part"], ["n_rows"]
+    ).to_pandas().sort_values("part").reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "part": agg["part"].astype(np.int64),
+            "lo_cents": np.concatenate([[np.iinfo(np.int64).min], bounds])[
+                agg["part"].to_numpy(np.int64)
+            ],
+            "hi_cents": np.concatenate([bounds, [np.iinfo(np.int64).max]])[
+                agg["part"].to_numpy(np.int64)
+            ],
+            "n_rows": agg["n_rows"].astype(np.int64),
+        }
+    )
+    return rd.from_pandas(out)
+
+
+ORDERS_RANGE_PARTITION_SQL = f"""
+WITH v AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c FROM orders),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn, COUNT(*) OVER () AS n FROM v),
+q AS (SELECT * FROM (VALUES {", ".join(f"({i * 1_000_000 // RANGE_PARTS})" for i in range(1, RANGE_PARTS))}) t(q_ppm)),
+bounds AS (
+    SELECT q.q_ppm, MIN(r.c) AS b
+    FROM q JOIN r ON r.rn = CAST(CEIL(q.q_ppm / 1000000.0 * r.n) AS BIGINT)
+    GROUP BY q.q_ppm
+),
+blist AS (SELECT list_sort(list(b)) AS bs FROM bounds),
+assigned AS (
+    SELECT c,
+           (SELECT COUNT(*) FROM unnest((SELECT bs FROM blist)) u(b) WHERE b < c) AS part
+    FROM v
+)
+SELECT CAST(part AS BIGINT) AS part,
+       CAST(CASE WHEN part = 0 THEN {np.iinfo(np.int64).min}
+                 ELSE (SELECT bs FROM blist)[CAST(part AS INT)] END AS BIGINT) AS lo_cents,
+       CAST(CASE WHEN part = {RANGE_PARTS - 1} THEN {np.iinfo(np.int64).max}
+                 ELSE (SELECT bs FROM blist)[CAST(part + 1 AS INT)] END AS BIGINT) AS hi_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM assigned
+GROUP BY part
+ORDER BY part
+"""

@@ -459,7 +459,9 @@ def _month_quantiles_query(sf_dir: str):
     ε-approximate quantile sketch AND the monthly rollup AND the CDC
     merge AND the Q13 left-join distribution AND the snapshot diff (the
     post-merge audit: added/removed/changed/same classification in one
-    key-bucketed exchange, composed CDC twin) in one driver slot. Forced gates: ``orders_by_month`` and
+    key-bucketed exchange, composed CDC twin) AND the balanced range
+    partitioner (equi-depth boundaries from the counting-selection
+    kernel, no global sort) in one driver slot. Forced gates: ``orders_by_month`` and
     ``orders_cdc_merge`` (lakehouse MERGE/upsert — last-writer-wins
     resolution of a map-side-rendered change log with superseded
     updates, tombstones and inserts) stay fully hash-checked via
@@ -494,6 +496,13 @@ def _month_quantiles_query(sf_dir: str):
         "orders_snapshot_diff",
         relational.orders_snapshot_diff(sf_dir),
         relational.ORDERS_SNAPSHOT_DIFF_SQL,
+        sf_dir,
+        tables=("orders",),
+    )
+    _assert_sql_twin(
+        "orders_range_partition",
+        relational.orders_range_partition(sf_dir),
+        relational.ORDERS_RANGE_PARTITION_SQL,
         sf_dir,
         tables=("orders",),
     )

@@ -149,3 +149,62 @@ def test_snapshot_diff_conservation(ray_session):
     n_next = len(rl.orders_cdc_merge(SF).to_pandas())
     assert int(m["removed"] + m["changed"] + m["same"]) == n_base
     assert int(m["added"] + m["changed"] + m["same"]) == n_next
+
+
+# --- balanced range partitioner --------------------------------------------
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+def test_range_partition_matches_duckdb_twin(ray_session, sf):
+    eng = rl.orders_range_partition(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    ora = con.execute(rl.ORDERS_RANGE_PARTITION_SQL).fetchdf()
+    n = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+    assert int(eng["n_rows"].sum()) == n  # partition cover
+    # equi-depth balance on this low-tie domain: within 2% + 2 of ideal
+    ideal = n / rl.RANGE_PARTS
+    assert eng["n_rows"].max() <= ideal * 1.02 + 2
+    assert eng["n_rows"].min() >= ideal * 0.98 - 2
+    # ranges tile: consecutive hi == next lo
+    assert (eng["hi_cents"].to_numpy()[:-1] == eng["lo_cents"].to_numpy()[1:]).all()
+
+
+def test_range_partition_tied_domain(ray_session, tmp_path):
+    """A heavily tied column: all ties of a boundary value land in ONE
+    range (documented semantics) — counts still cover, twin still exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 1000
+    price = np.where(np.arange(n) % 2 == 0, 5.0, 7.0)  # two distinct values
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": np.arange(n, dtype=np.int64),
+                "o_custkey": np.zeros(n, dtype=np.int64),
+                "o_orderstatus": ["O"] * n,
+                "o_totalprice": price,
+                "o_orderdate": np.full(n, np.datetime64("2024-01-01", "us")),
+                "o_orderpriority": ["1-URGENT"] * n,
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    eng = rl.orders_range_partition(str(tmp_path)).to_pandas()
+    assert int(eng["n_rows"].sum()) == n
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')"
+    )
+    ora = con.execute(rl.ORDERS_RANGE_PARTITION_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
