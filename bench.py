@@ -136,6 +136,7 @@ OP_QUERIES = [
     "docs_bm25",
     "docs_langid_eval",
     "orders_range_partition",
+    "emb_label_shift",
 ]
 
 
@@ -253,6 +254,7 @@ def _op_extra():
         "docs_bm25": _tx.docs_bm25,
         "docs_langid_eval": _tx.docs_langid_eval,
         "orders_range_partition": _rl.orders_range_partition,
+        "emb_label_shift": _sm.emb_label_shift,
     }
 
 

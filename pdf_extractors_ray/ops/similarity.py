@@ -2074,3 +2074,104 @@ ORDER BY q.vec_id
 
 
 EMB_PCA_PROJECT_SQL = _pca_project_sql()
+
+
+def emb_label_shift(sf_dir: str):
+    """Embedding distribution shift per label — the drift diagnostic a
+    training pipeline runs when a source/label's embedding mass moves
+    away from the corpus (covariate shift before mixing): exact squared
+    euclidean distance between each label's centroid and the GLOBAL
+    centroid, in ppm of the unit-norm scale.
+
+    Integer contract: with q the ×2^20 quantized vectors, S_l/n_l the
+    label sums and S_g/n_g the global sums, the squared shift clears to
+
+        shift_ppm = 10^6 · Σ_j (S_lj·n_g − S_gj·n_l)²
+                    // (n_l² · n_g² · 2^40)
+
+    — numerators reach ~2^85 (Python ints / HUGEINT; int64 would wrap
+    silently, the documented divergence class). Scale shape: ONE
+    streaming pass of per-batch (label, count, per-dim sum) partials +
+    a label-cardinality bucketed combine; the driver does the KB-sized
+    rational arithmetic."""
+    from .common import bucketed_group_agg
+
+    emb = _emb(sf_dir, columns=["label", "embedding"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {"label": pd.Series(dtype=np.int64),
+                 "dim": pd.Series(dtype=np.int64),
+                 "s": pd.Series(dtype=np.int64),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float32) for e in batch["embedding"]]
+        ).astype(np.float64)
+        q = np.floor(mat * 1048576.0 + 0.5).astype(np.int64)
+        lab = batch["label"].to_numpy(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(ulab), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv)
+        rows = {
+            "label": np.repeat(ulab, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(ulab)),
+            "s": sums.ravel(),
+            "n": np.repeat(cnt.astype(np.int64), d),
+        }
+        return pd.DataFrame(rows)
+
+    cells = bucketed_group_agg(
+        emb.map_batches(partial, batch_format="pandas"),
+        ["label", "dim"],
+        {"s": "sum", "n": "sum"},
+    ).to_pandas()
+
+    d = int(cells["dim"].max()) + 1
+    labels = sorted(cells["label"].unique())
+    S = {}
+    N = {}
+    for lb in labels:
+        sub = cells[cells["label"] == lb].sort_values("dim")
+        S[lb] = [int(x) for x in sub["s"]]
+        N[lb] = int(sub["n"].iloc[0])
+    n_g = sum(N.values())
+    S_g = [sum(S[lb][j] for lb in labels) for j in range(d)]
+
+    rows = []
+    for lb in labels:
+        num = sum((S[lb][j] * n_g - S_g[j] * N[lb]) ** 2 for j in range(d))
+        den = (N[lb] * n_g) ** 2 * (1 << 40)
+        rows.append((lb, N[lb], num * 1_000_000 // den))
+    out = pd.DataFrame(rows, columns=["label", "n_vecs", "shift_ppm"]).astype(
+        {"label": np.int64, "n_vecs": np.int64, "shift_ppm": np.int64}
+    )
+    import ray.data as rd
+
+    return rd.from_pandas(out.sort_values("label").reset_index(drop=True))
+
+
+EMB_LABEL_SHIFT_SQL = """
+WITH q AS (
+    SELECT vec_id, label, g.i - 1 AS dim,
+           CAST(FLOOR(e[g.i] * 1048576.0 + 0.5) AS BIGINT) AS v
+    FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings) t,
+         UNNEST(generate_series(1, len(e))) AS g(i)
+),
+l AS (SELECT label, dim, CAST(SUM(v) AS HUGEINT) AS s,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM q GROUP BY label, dim),
+g AS (SELECT dim, CAST(SUM(s) AS HUGEINT) AS sg, CAST(SUM(n) AS HUGEINT) AS ng
+      FROM l GROUP BY dim)
+SELECT CAST(l.label AS BIGINT) AS label,
+       CAST(MIN(l.n) AS BIGINT) AS n_vecs,
+       CAST(SUM((l.s * g.ng - g.sg * l.n) * (l.s * g.ng - g.sg * l.n)) * 1000000
+            // (MIN(l.n) * MIN(l.n) * MIN(g.ng) * MIN(g.ng)
+                * (CAST(1 AS HUGEINT) << 40)) AS BIGINT) AS shift_ppm
+FROM l JOIN g USING (dim)
+GROUP BY l.label
+ORDER BY l.label
+"""

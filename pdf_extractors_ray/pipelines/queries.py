@@ -387,8 +387,10 @@ def _knn_centroid_kmeans_query(sf_dir: str):
     one driver slot. Forced gates: ``emb_knn_bruteforce``,
     ``emb_quality_centroid``, ``emb_kmeans_assign`` and
     ``emb_cluster_purity`` (per-cluster majority-label purity over the
-    materialized assignment — the clustering-quality eval) stay fully
-    hash-checked via in-query twin gates, and the FULL iterative Lloyd
+    materialized assignment — the clustering-quality eval) and
+    ``emb_label_shift`` (per-label centroid drift vs the global centroid,
+    exact HUGEINT rational arithmetic) stay fully hash-checked via
+    in-query twin gates, and the FULL iterative Lloyd
     loop (``emb_kmeans``: per-round broadcast centroids, in-batch
     sufficient-statistic pre-aggregation, truncating integer means,
     exact-integer inertia monotonicity raised on violation) runs to
@@ -429,6 +431,13 @@ def _knn_centroid_kmeans_query(sf_dir: str):
         "emb_cluster_purity",
         similarity.emb_cluster_purity(sf_dir, assign=assign),
         similarity.EMB_CLUSTER_PURITY_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    _assert_sql_twin(
+        "emb_label_shift",
+        similarity.emb_label_shift(sf_dir),
+        similarity.EMB_LABEL_SHIFT_SQL,
         sf_dir,
         tables=("embeddings",),
     )

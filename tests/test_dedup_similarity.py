@@ -1441,3 +1441,54 @@ def test_pca_project_planted_direction(ray_session, tmp_path):
     ref = Xc @ direction
     c = abs(np.corrcoef(ref, proj.astype(np.float64))[0, 1])
     assert c > 0.99, c
+
+
+# --- per-label centroid shift -----------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_label_shift_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    eng = similarity.emb_label_shift(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    ora = con.execute(similarity.EMB_LABEL_SHIFT_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+    assert (eng["shift_ppm"] >= 0).all() and len(eng) > 1
+
+
+def test_label_shift_planted_displacement(ray_session, tmp_path):
+    """Two labels, one displaced by a known delta: its shift must match
+    the closed form |delta·(n_other/n_total)|² within quantization."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(9)
+    n, d = 400, 8
+    base = rng.randn(n, d) * 0.01
+    delta = np.zeros(d)
+    delta[0] = 0.5
+    lab = (np.arange(n) % 2).astype(np.int64)
+    X = (base + np.outer(lab, delta)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(X),
+                "label": lab,
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    out = similarity.emb_label_shift(str(tmp_path)).to_pandas().set_index("label")
+    # each label's centroid sits delta/2 from the global mean
+    want = (0.25 ** 2) * 1e6
+    for lb in (0, 1):
+        got = float(out.loc[lb, "shift_ppm"])
+        assert abs(got - want) < want * 0.05, (lb, got, want)
