@@ -137,6 +137,7 @@ OP_QUERIES = [
     "docs_langid_eval",
     "orders_range_partition",
     "emb_label_shift",
+    "lineitem_basket_pairs",
 ]
 
 
@@ -255,6 +256,7 @@ def _op_extra():
         "docs_langid_eval": _tx.docs_langid_eval,
         "orders_range_partition": _rl.orders_range_partition,
         "emb_label_shift": _sm.emb_label_shift,
+        "lineitem_basket_pairs": _rl.lineitem_basket_pairs,
     }
 
 

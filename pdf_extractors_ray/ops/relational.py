@@ -1724,3 +1724,117 @@ FROM assigned
 GROUP BY part
 ORDER BY part
 """
+
+
+BASKET_TOPK = 20
+
+
+def lineitem_basket_pairs(sf_dir: str, k: int = BASKET_TOPK):
+    """Market-basket co-occurrence — the top-k part-TYPE pairs that
+    appear in the same order (the A-priori first pass / co-purchase
+    graph edge weights): lineitem joins ``part`` for the type tag
+    (big-big cogroup — ``part`` scales with the corpus), one
+    orderkey-bucketed exchange co-locates each basket, the DISTINCT
+    per-order types expand to C(m,2) unordered pairs IN-BUCKET
+    (vectorized triu over each basket's type ids; baskets are small by
+    construction — the A-priori blow-up is bounded by basket size, not
+    corpus), and pair counts flow through the bucketed combine into a
+    deterministic top-k (count DESC, pair ASC)."""
+    import ray.data as rd
+
+    from .common import bucketed_group_agg, cogroup_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    tagged = cogroup_join(
+        li, part, "l_partkey", "p_partkey", ["l_orderkey"], ["p_type"]
+    )
+
+    nb = 64
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["l_orderkey"] = batch["l_orderkey"].astype(np.int64)
+        batch["__b"] = (
+            pd.util.hash_array(batch["l_orderkey"].to_numpy()) % nb
+        ).astype(np.int64)
+        return batch
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["l_orderkey", "p_type"]).sort_values(
+            ["l_orderkey", "p_type"], kind="mergesort"
+        )
+        okey = g["l_orderkey"].to_numpy(np.int64)
+        types = g["p_type"].to_numpy(object)
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(okey[1:] != okey[:-1]) + 1, [len(okey)]]
+        )
+        a_out, b_out = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            m = hi - lo
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            a_out.append(types[lo:hi][iu])
+            b_out.append(types[lo:hi][ju])
+        if not a_out:
+            return pd.DataFrame(
+                {"type_a": pd.Series(dtype=object),
+                 "type_b": pd.Series(dtype=object),
+                 "n_orders": pd.Series(dtype=np.int64)}
+            )
+        df = pd.DataFrame(
+            {"type_a": np.concatenate(a_out), "type_b": np.concatenate(b_out),
+             "n_orders": np.int64(1)}
+        )
+        return df.groupby(["type_a", "type_b"], as_index=False, sort=False).sum()
+
+    counted = bucketed_group_agg(
+        tagged.map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pairs, batch_format="pandas"),
+        ["type_a", "type_b"],
+        {"n_orders": "sum"},
+    )
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["n_orders", "type_a", "type_b"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    top = (
+        counted.map_batches(block_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pandas")
+        .map_batches(
+            lambda b: b.assign(
+                n_orders=b["n_orders"].astype(np.int64),
+                rank=np.arange(1, len(b) + 1, dtype=np.int64),
+            ),
+            batch_format="pandas",
+        )
+    )
+    return top
+
+
+LINEITEM_BASKET_SQL = f"""
+WITH t AS (
+    SELECT DISTINCT l.l_orderkey, p.p_type
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+pairs AS (
+    SELECT a.p_type AS type_a, b.p_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM t a JOIN t b
+      ON b.l_orderkey = a.l_orderkey AND a.p_type < b.p_type
+    GROUP BY a.p_type, b.p_type
+)
+SELECT type_a, type_b, n_orders,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_orders DESC, type_a, type_b) AS BIGINT)
+           AS rank
+FROM pairs
+ORDER BY n_orders DESC, type_a, type_b
+LIMIT {BASKET_TOPK}
+"""

@@ -1276,6 +1276,23 @@ def _hourly_mad_query(sf_dir: str):
     return events.events_hourly(sf_dir)
 
 
+def _topk_basket_query(sf_dir: str):
+    """Per-customer order top-k AND market-basket co-occurrence in one
+    driver slot. Forced gate: ``lineitem_basket_pairs`` — top-k part-type
+    pairs sharing an order (lineitem⋈part cogroup, basket-bucketed
+    in-group pair explode bounded by basket size, deterministic top-k) —
+    stays fully hash-checked via its in-query twin gate. RECORDED
+    result: ``orders_topk_per_customer``."""
+    _assert_sql_twin(
+        "lineitem_basket_pairs",
+        relational.lineitem_basket_pairs(sf_dir),
+        relational.LINEITEM_BASKET_SQL,
+        sf_dir,
+        tables=("lineitem", "part"),
+    )
+    return relational.orders_topk_per_customer(sf_dir)
+
+
 def _priority_profile_query(sf_dir: str):
     """Order-priority rollup AND the table profiler in one driver slot.
     Forced gates: ``orders_profile`` and ``docs_profile`` — per-column
@@ -1310,7 +1327,7 @@ REGISTRY: dict[str, tuple] = {
     "q5_nation_revenue": (relational.q5_nation_revenue, relational.Q5_SQL),
     "q6_filtered_revenue": (relational.q6_filtered_revenue, relational.Q6_SQL),
     "orders_priority_count": (_priority_profile_query, relational.ORDERS_PRIORITY_SQL),
-    "orders_topk_per_customer": (relational.orders_topk_per_customer, relational.ORDERS_TOPK_SQL),
+    "orders_topk_per_customer": (_topk_basket_query, relational.ORDERS_TOPK_SQL),
     "events_distinct_users": (_distinct_kmv_query, relational.EVENTS_DISTINCT_SQL),
     "orders_price_quantiles": (_month_quantiles_query, relational.ORDERS_QUANTILES_SQL),
     "q22_antijoin_nation": (_custbal_antijoin_query, relational.Q22_SQL),

@@ -259,3 +259,58 @@ def test_referential_integrity_detects_orphans(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         eng.reset_index(), ora.reset_index(drop=True), check_dtype=True
     )
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_basket_pairs_matches_duckdb(ray_session, sf):
+    import duckdb
+
+    from pdf_extractors_ray.ops import relational as rl
+
+    eng = rl.lineitem_basket_pairs(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    ora = con.execute(rl.LINEITEM_BASKET_SQL).fetchdf()
+    con.close()
+    # 6 synthetic part types → only C(6,2)=15 possible pairs; k caps above
+    assert 0 < len(eng) <= rl.BASKET_TOPK
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+    assert (eng["type_a"] < eng["type_b"]).all()  # unordered-pair canon
+
+
+def test_basket_pairs_crafted(ray_session, tmp_path):
+    """Hand-built baskets: duplicate types in one order count ONCE, and
+    pair counts are exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import relational as rl
+
+    # orders: 1 → {A,B,B,C}; 2 → {A,B}; 3 → {C}
+    li = {
+        "l_orderkey": np.array([1, 1, 1, 1, 2, 2, 3], np.int64),
+        "l_partkey": np.array([10, 11, 12, 13, 10, 11, 13], np.int64),
+        "l_linenumber": np.arange(7, dtype=np.int64),
+        "l_quantity": np.ones(7), "l_extendedprice": np.ones(7),
+        "l_discount": np.zeros(7), "l_tax": np.zeros(7),
+        "l_returnflag": ["N"] * 7, "l_linestatus": ["O"] * 7,
+        "l_shipdate": np.full(7, np.datetime64("2024-01-01", "us")),
+    }
+    part = {
+        "p_partkey": np.array([10, 11, 12, 13], np.int64),
+        "p_name": ["a", "b", "c", "d"],
+        "p_brand": ["x"] * 4,
+        "p_type": ["A", "B", "B", "C"],
+        "p_size": np.ones(4, np.int64),
+        "p_retailprice": np.ones(4),
+    }
+    pq.write_table(pa.table(li), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table(part), tmp_path / "part.parquet")
+    out = rl.lineitem_basket_pairs(str(tmp_path), k=10).to_pandas()
+    got = {(r.type_a, r.type_b): r.n_orders for r in out.itertuples()}
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
