@@ -138,6 +138,7 @@ OP_QUERIES = [
     "orders_range_partition",
     "emb_label_shift",
     "lineitem_basket_pairs",
+    "q4_priority_semi",
 ]
 
 
@@ -257,6 +258,7 @@ def _op_extra():
         "orders_range_partition": _rl.orders_range_partition,
         "emb_label_shift": _sm.emb_label_shift,
         "lineitem_basket_pairs": _rl.lineitem_basket_pairs,
+        "q4_priority_semi": _rl.q4_priority_semi,
     }
 
 

@@ -132,12 +132,18 @@ def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
 
     ``how``: ``"inner"`` (default), ``"left"`` (unmatched left rows kept
     with null right columns — numeric right columns float64-promote, as
-    with interleaved nulls above), or ``"anti"`` (left rows whose key has
+    with interleaved nulls above), ``"anti"`` (left rows whose key has
     NO right row; output carries ``left_cols`` only — the distributed
-    NOT-EXISTS shape, same one shuffle as the inner join).
+    NOT-EXISTS shape), ``"semi"`` (left rows whose key HAS a right row,
+    ``left_cols`` only, no expansion — the distributed EXISTS shape) or
+    ``"full"`` (every row from both sides; unmatched columns null with
+    the same float64 promotion) — all five modes share the SAME single
+    hash-bucketed exchange.
     """
-    if how not in ("inner", "left", "anti"):
-        raise ValueError(f"how={how!r}: expected 'inner', 'left' or 'anti'")
+    if how not in ("inner", "left", "anti", "semi", "full"):
+        raise ValueError(
+            f"how={how!r}: expected 'inner', 'left', 'anti', 'semi' or 'full'"
+        )
     import pyarrow as pa
 
     nb = n_buckets or _default_buckets()
@@ -182,20 +188,22 @@ def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
     lsel = [f"__l_{c}" for c in left_cols]
     rsel = [f"__r_{c}" for c in right_cols]
 
-    out_cols = left_cols if how == "anti" else left_cols + right_cols
+    out_cols = left_cols if how in ("anti", "semi") else left_cols + right_cols
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         lf = group[group["__side"] == 0]
         rf = group[group["__side"] == 1]
-        if lf.empty or (rf.empty and how == "inner"):
+        if (lf.empty and how != "full") or (rf.empty and how in ("inner", "semi")):
             return pd.DataFrame({c: [] for c in out_cols})
         if dedup_left:
             lf = lf.drop_duplicates(["__key", *(f"__l_{c}" for c in dedup_left)])
-        if how == "anti":
-            keep = lf[~lf["__key"].isin(rf["__key"].unique())]
+        if how in ("anti", "semi"):
+            hit = lf["__key"].isin(rf["__key"].unique())
+            keep = lf[hit] if how == "semi" else lf[~hit]
             return keep[lsel].rename(columns=dict(zip(lsel, left_cols)))
+        pd_how = {"inner": "inner", "left": "left", "full": "outer"}[how]
         out = lf[["__key", *lsel]].merge(
-            rf[["__key", *rsel]], on="__key", how="left" if how == "left" else "inner"
+            rf[["__key", *rsel]], on="__key", how=pd_how
         )
         out = out.drop(columns=["__key"])
         return out.rename(columns=dict(zip(lsel + rsel, left_cols + right_cols)))

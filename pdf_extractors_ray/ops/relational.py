@@ -1838,3 +1838,53 @@ FROM pairs
 ORDER BY n_orders DESC, type_a, type_b
 LIMIT {BASKET_TOPK}
 """
+
+
+def q4_priority_semi(sf_dir: str, returnflag: str = "R"):
+    """TPC-H Q4 adapted — per-priority count of orders with AT LEAST ONE
+    returned lineitem: the distributed EXISTS through the cogroup
+    ``how="semi"`` mode. The corpus-sized probe reduces FIRST: lineitem
+    prunes to the returned rows at the READ (row-group filter pushdown)
+    and dedups orderkeys per batch map-side, so the semi probe's
+    exchange moves ~one row per qualifying order, not one per lineitem;
+    the rollup is priority-cardinality."""
+    import pyarrow.dataset as pds
+
+    from .common import bucketed_group_agg, cogroup_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey"],
+        filter=(pds.field("l_returnflag") == returnflag),
+    ).map_batches(
+        lambda b: b.drop_duplicates(["l_orderkey"]), batch_format="pandas"
+    )
+    hit = cogroup_join(
+        orders, li, "o_orderkey", "l_orderkey",
+        ["o_orderpriority"], [], how="semi",
+    )
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["o_orderpriority"].value_counts()
+        return pd.DataFrame({"o_orderpriority": vc.index.to_numpy(object),
+                             "n_orders": vc.to_numpy(np.int64)})
+
+    agg = bucketed_group_agg(
+        hit.map_batches(part, batch_format="pandas"),
+        ["o_orderpriority"], {"n_orders": "sum"},
+    )
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.astype({"n_orders": np.int64})
+
+    return agg.map_batches(fin, batch_format="pandas").sort("o_orderpriority")
+
+
+Q4_SEMI_SQL = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""

@@ -1277,11 +1277,13 @@ def _hourly_mad_query(sf_dir: str):
 
 
 def _topk_basket_query(sf_dir: str):
-    """Per-customer order top-k AND market-basket co-occurrence in one
-    driver slot. Forced gate: ``lineitem_basket_pairs`` — top-k part-type
-    pairs sharing an order (lineitem⋈part cogroup, basket-bucketed
-    in-group pair explode bounded by basket size, deterministic top-k) —
-    stays fully hash-checked via its in-query twin gate. RECORDED
+    """Per-customer order top-k AND market-basket co-occurrence AND the
+    Q4 EXISTS in one driver slot. Forced gates: ``lineitem_basket_pairs``
+    (top-k part-type pairs sharing an order — lineitem⋈part cogroup,
+    basket-bucketed in-group pair explode bounded by basket size) and
+    ``q4_priority_semi`` (the distributed EXISTS via the cogroup semi
+    mode, probe deduped map-side) stay fully hash-checked via in-query
+    twin gates. RECORDED
     result: ``orders_topk_per_customer``."""
     _assert_sql_twin(
         "lineitem_basket_pairs",
@@ -1289,6 +1291,13 @@ def _topk_basket_query(sf_dir: str):
         relational.LINEITEM_BASKET_SQL,
         sf_dir,
         tables=("lineitem", "part"),
+    )
+    _assert_sql_twin(
+        "q4_priority_semi",
+        relational.q4_priority_semi(sf_dir),
+        relational.Q4_SEMI_SQL,
+        sf_dir,
+        tables=("orders", "lineitem"),
     )
     return relational.orders_topk_per_customer(sf_dir)
 

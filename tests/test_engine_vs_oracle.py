@@ -314,3 +314,23 @@ def test_basket_pairs_crafted(ray_session, tmp_path):
     out = rl.lineitem_basket_pairs(str(tmp_path), k=10).to_pandas()
     got = {(r.type_a, r.type_b): r.n_orders for r in out.itertuples()}
     assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_q4_semi_matches_duckdb(ray_session, sf):
+    import duckdb
+
+    from pdf_extractors_ray.ops import relational as rl
+
+    eng = rl.q4_priority_semi(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    ora = con.execute(rl.Q4_SEMI_SQL).fetchdf()
+    con.close()
+    assert len(eng) > 0
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )

