@@ -139,6 +139,7 @@ OP_QUERIES = [
     "emb_label_shift",
     "lineitem_basket_pairs",
     "q4_priority_semi",
+    "emb_filtered_knn",
 ]
 
 
@@ -259,6 +260,7 @@ def _op_extra():
         "emb_label_shift": _sm.emb_label_shift,
         "lineitem_basket_pairs": _rl.lineitem_basket_pairs,
         "q4_priority_semi": _rl.q4_priority_semi,
+        "emb_filtered_knn": _sm.emb_filtered_knn,
     }
 
 

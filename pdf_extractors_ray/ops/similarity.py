@@ -2175,3 +2175,75 @@ FROM l JOIN g USING (dim)
 GROUP BY l.label
 ORDER BY l.label
 """
+
+
+def emb_filtered_knn(sf_dir: str, k: int = 5, n_queries: int = 10):
+    """FILTERED vector search — exact cosine top-k restricted to
+    candidates sharing the query's label (the metadata-predicate ANN
+    shape every retrieval stack needs: 'nearest neighbors WHERE
+    lang = .. / source = ..'). Same broadcast-queries + per-batch-matmul
+    + partial-top-k fold as ``knn_bruteforce``, with the predicate
+    applied INSIDE the batch before anything is scored — pre-filtering,
+    not post-filtering, so the top-k is exact under the predicate rather
+    than a recall-losing truncation of the unfiltered list."""
+    import ray
+
+    ds = _emb(sf_dir, columns=["vec_id", "embedding", "label"])
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q = _matrix(qdf)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    queries_ref = ray.put(
+        (qdf["vec_id"].to_numpy(), qdf["label"].to_numpy(np.int64), qn)
+    )
+
+    def score(batch: pd.DataFrame, *, _ref=queries_ref, _k=k) -> pd.DataFrame:
+        qids, qlabs, qmat = ray.get(_ref)
+        c = _matrix(batch)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        sims = cn @ qmat.T
+        sim_ppm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        cids = batch["vec_id"].to_numpy()
+        clabs = batch["label"].to_numpy(np.int64)
+        out = []
+        for j, (qid, qlab) in enumerate(zip(qids, qlabs)):
+            mask = (cids != qid) & (clabs == qlab)
+            ids, vals = cids[mask], sim_ppm[mask, j]
+            order = np.lexsort((ids, -vals))[:_k]
+            for i in order:
+                out.append((int(qid), int(qlab), int(ids[i]), int(vals[i])))
+        return pd.DataFrame(out, columns=["query_id", "label", "vec_id", "sim_ppm"])
+
+    partial = ds.map_batches(score, batch_format="pandas")
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["sim_ppm", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        partial.groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
+
+
+FILTERED_KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, label, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+    SELECT q.query_id, CAST(q.label AS BIGINT) AS label, e.vec_id,
+           CAST(FLOOR(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])*1000000 + 0.5) AS BIGINT) AS sim_ppm
+    FROM embeddings e JOIN q ON e.label = q.label
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_ppm DESC, vec_id)
+           AS rank
+    FROM scored
+)
+SELECT query_id, label, vec_id, sim_ppm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""

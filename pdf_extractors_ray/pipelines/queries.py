@@ -385,6 +385,8 @@ def _knn_centroid_kmeans_query(sf_dir: str):
     """Embedding outlier detection AND distributed k-means AND the
     quality-filtered per-source centroid AND brute-force cosine KNN in
     one driver slot. Forced gates: ``emb_knn_bruteforce``,
+    ``emb_filtered_knn`` (exact top-k under a label predicate —
+    pre-filtered inside the batch, not post-filter-truncated),
     ``emb_quality_centroid``, ``emb_kmeans_assign`` and
     ``emb_cluster_purity`` (per-cluster majority-label purity over the
     materialized assignment — the clustering-quality eval) and
@@ -402,6 +404,13 @@ def _knn_centroid_kmeans_query(sf_dir: str):
         "emb_knn_bruteforce",
         similarity.knn_bruteforce(sf_dir),
         similarity.KNN_SQL,
+        sf_dir,
+        tables=("embeddings",),
+    )
+    _assert_sql_twin(
+        "emb_filtered_knn",
+        similarity.emb_filtered_knn(sf_dir),
+        similarity.FILTERED_KNN_SQL,
         sf_dir,
         tables=("embeddings",),
     )

@@ -1492,3 +1492,43 @@ def test_label_shift_planted_displacement(ray_session, tmp_path):
     for lb in (0, 1):
         got = float(out.loc[lb, "shift_ppm"])
         assert abs(got - want) < want * 0.05, (lb, got, want)
+
+
+# --- filtered vector search --------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_filtered_knn_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    eng = similarity.emb_filtered_knn(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    ora = con.execute(similarity.FILTERED_KNN_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora[eng.columns].reset_index(drop=True),
+        check_dtype=True,
+    )
+
+
+def test_filtered_knn_prefilter_not_postfilter(ray_session):
+    """Pre-filter semantics: every returned neighbor shares the query's
+    label, and a label-scarce query still returns its full in-label
+    top-k (a post-filtered global list would come up short)."""
+    sf = "/root/testdata/sf0.001"
+    out = similarity.emb_filtered_knn(sf).to_pandas()
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "label"])
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    for _, r in out.iterrows():
+        assert labels[int(r["vec_id"])] == int(r["label"])
+        assert labels[int(r["query_id"])] == int(r["label"])
+    # full k per query whenever the label has ≥ k other members
+    sizes = emb["label"].value_counts()
+    got_per_q = out.groupby("query_id").size()
+    for qid, n in got_per_q.items():
+        lab = labels[int(qid)]
+        expected = min(5, int(sizes[lab]) - 1)
+        assert n == expected, (qid, n, expected)
