@@ -140,6 +140,7 @@ OP_QUERIES = [
     "lineitem_basket_pairs",
     "q4_priority_semi",
     "emb_filtered_knn",
+    "orders_duplicate_payments",
 ]
 
 
@@ -261,6 +262,7 @@ def _op_extra():
         "lineitem_basket_pairs": _rl.lineitem_basket_pairs,
         "q4_priority_semi": _rl.q4_priority_semi,
         "emb_filtered_knn": _sm.emb_filtered_knn,
+        "orders_duplicate_payments": _rl.orders_duplicate_payments,
     }
 
 

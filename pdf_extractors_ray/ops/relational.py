@@ -1888,3 +1888,138 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """
+
+
+DUP_PAY_WINDOW_DAYS = 7
+
+
+def orders_duplicate_payments(sf_dir: str, window_days: int = DUP_PAY_WINDOW_DAYS):
+    """Duplicate-payment detection — the fraud/ingest-glitch audit: pairs
+    of orders by the SAME customer for the SAME amount within
+    ``window_days`` of each other, rolled up per customer (pair count +
+    the tightest gap). Synthetic amounts are ~unique per customer, so a
+    deterministic overlay (the repo's surrogate recipe) plants clone
+    payments for ``o_orderkey % 19 == 4`` at ``key % 10`` days offset —
+    offsets 0-7 qualify, 8-9 straddle OUTSIDE the window, so both
+    branches of the window predicate carry rows and the twin re-renders
+    the overlay analytically.
+
+    Shape: a composite-equality + time-window self-join — rows co-locate
+    by the exact (custkey, cents) key in one hash-bucketed exchange
+    (equality keys cut candidates before any window logic — cheaper than
+    the pure range join's time-only bucketing), and each key group
+    resolves its window pairs with one vectorized sorted scan (counts
+    via searchsorted bounds — no O(m²) pair materialization; the
+    emitted rollup is customer-cardinality)."""
+    import ray.data as rd
+
+    from .common import bucketed_group_agg
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    win_us = window_days * 86_400_000_000
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].to_numpy(np.int64)
+        c = cents(batch["o_totalprice"].to_numpy())
+        cu = batch["o_custkey"].to_numpy(np.int64)
+        t = batch["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        m = k % 19 == 4
+        out = pd.DataFrame(
+            {
+                "cust": np.concatenate([cu, cu[m]]),
+                "cents": np.concatenate([c, c[m]]),
+                "t_us": np.concatenate([t, t[m] + (k[m] % 10) * 86_400_000_000]),
+            }
+        )
+        out["__b"] = (
+            pd.util.hash_pandas_object(out[["cust", "cents"]], index=False)
+            .to_numpy() % 64
+        ).astype(np.int64)
+        return out
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cust", "cents", "t_us"], kind="mergesort")
+        cust = g["cust"].to_numpy(np.int64)
+        cen = g["cents"].to_numpy(np.int64)
+        t = g["t_us"].to_numpy(np.int64)
+        key_change = np.flatnonzero((cust[1:] != cust[:-1]) | (cen[1:] != cen[:-1])) + 1
+        bounds = np.concatenate([[0], key_change, [len(g)]])
+        out_c, out_p, out_gap = [], [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            m = hi - lo
+            if m < 2:
+                continue
+            ts = t[lo:hi]
+            # pairs (i<j) with ts[j]-ts[i] <= win: per i, count js in
+            # (i, hi_idx] via ONE searchsorted over the sorted times
+            hi_idx = np.searchsorted(ts, ts + win_us, side="right")
+            n_pairs = int((hi_idx - np.arange(1, m + 1)).clip(min=0).sum())
+            if n_pairs == 0:
+                continue
+            gaps = np.diff(ts)
+            out_c.append(cust[lo])
+            out_p.append(n_pairs)
+            out_gap.append(int(gaps.min()) if len(gaps) else 0)
+        if not out_c:
+            return pd.DataFrame(
+                {"o_custkey": pd.Series(dtype=np.int64),
+                 "n_dup_pairs": pd.Series(dtype=np.int64),
+                 "min_gap_days": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "o_custkey": np.array(out_c, np.int64),
+                "n_dup_pairs": np.array(out_p, np.int64),
+                "min_gap_days": np.array(out_gap, np.int64) // 86_400_000_000,
+            }
+        )
+
+    per_key = (
+        orders.map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(solve, batch_format="pandas")
+    )
+    agg = bucketed_group_agg(
+        per_key, ["o_custkey"], {"n_dup_pairs": "sum", "min_gap_days": "min"}
+    )
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.astype(
+            {"o_custkey": np.int64, "n_dup_pairs": np.int64, "min_gap_days": np.int64}
+        )
+
+    return agg.map_batches(fin, batch_format="pandas").sort("o_custkey")
+
+
+ORDERS_DUP_PAY_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+           o_orderdate AS d
+    FROM orders
+),
+o AS (
+    SELECT o_orderkey, o_custkey, cents, d FROM base
+    UNION ALL
+    SELECT o_orderkey + 1000000000000, o_custkey, cents,
+           d + to_days(CAST(o_orderkey % 10 AS INT))
+    FROM base WHERE o_orderkey % 19 = 4
+),
+pairs AS (
+    SELECT a.o_custkey,
+           abs(epoch_us(b.d) - epoch_us(a.d)) // 86400000000 AS gap_days
+    FROM o a JOIN o b
+      ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+     AND b.o_orderkey > a.o_orderkey
+     AND abs(epoch_us(b.d) - epoch_us(a.d)) <= {DUP_PAY_WINDOW_DAYS} * 86400000000
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days
+FROM pairs
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""

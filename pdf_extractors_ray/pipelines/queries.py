@@ -610,7 +610,10 @@ def _custbal_antijoin_query(sf_dir: str):
     — zone-map data skipping (per-partition min/max stats → pruned
     parquet read), twin-checked so the pruned scan provably loses
     nothing, with a clustered probe that must prune and an uncorrelated
-    probe that legitimately cannot."""
+    probe that legitimately cannot. Third forced gate:
+    ``orders_duplicate_payments`` — the composite-equality + time-window
+    self-join (fraud-audit shape) over a planted clone overlay whose
+    offsets straddle the window boundary."""
     _assert_sql_twin(
         "customer_topk_balance",
         relational.customer_topk_balance(sf_dir),
@@ -622,6 +625,13 @@ def _custbal_antijoin_query(sf_dir: str):
         "orders_zonemap_scan",
         relational.orders_zonemap_scan(sf_dir),
         relational.ORDERS_ZONEMAP_SQL,
+        sf_dir,
+        tables=("orders",),
+    )
+    _assert_sql_twin(
+        "orders_duplicate_payments",
+        relational.orders_duplicate_payments(sf_dir),
+        relational.ORDERS_DUP_PAY_SQL,
         sf_dir,
         tables=("orders",),
     )

@@ -208,3 +208,65 @@ def test_range_partition_tied_domain(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
     )
+
+
+# --- duplicate-payment detection --------------------------------------------
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+def test_dup_payments_matches_duckdb_twin(ray_session, sf):
+    eng = rl.orders_duplicate_payments(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    ora = con.execute(rl.ORDERS_DUP_PAY_SQL).fetchdf()
+    con.close()
+    assert len(eng) > 0
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+    # overlay guarantees zero-gap clones exist (offset k%10 == 0)
+    assert (eng["min_gap_days"] == 0).any()
+
+
+def test_dup_payments_window_boundary(ray_session, tmp_path):
+    """Hand-built payments: exactly-7-days qualifies, 8 days does not;
+    different amounts never pair; three same-amount payments in-window
+    yield C(3,2)=3 pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d0 = np.datetime64("2024-01-01", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    # keys chosen with k % 19 != 4 so the overlay adds no clones here
+    rows = [
+        (1, 7, 100.0, d0),            # trio A
+        (2, 7, 100.0, d0 + 3 * day),  # trio A
+        (3, 7, 100.0, d0 + 6 * day),  # trio A → 3 pairs
+        (5, 8, 50.0, d0),             # boundary pair: exactly 7 days
+        (6, 8, 50.0, d0 + 7 * day),
+        (7, 9, 60.0, d0),             # 8 days → no pair
+        (8, 9, 60.0, d0 + 8 * day),
+        (9, 10, 70.0, d0),            # different amounts → no pair
+        (10, 10, 71.0, d0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": np.array([r[0] for r in rows], np.int64),
+                "o_custkey": np.array([r[1] for r in rows], np.int64),
+                "o_orderstatus": ["O"] * len(rows),
+                "o_totalprice": np.array([r[2] for r in rows]),
+                "o_orderdate": np.array([r[3] for r in rows]),
+                "o_orderpriority": ["1-URGENT"] * len(rows),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    out = rl.orders_duplicate_payments(str(tmp_path)).to_pandas().set_index("o_custkey")
+    assert int(out.loc[7, "n_dup_pairs"]) == 3
+    assert int(out.loc[7, "min_gap_days"]) == 3
+    assert int(out.loc[8, "n_dup_pairs"]) == 1
+    assert int(out.loc[8, "min_gap_days"]) == 7
+    assert 9 not in out.index and 10 not in out.index
