@@ -141,6 +141,7 @@ OP_QUERIES = [
     "q4_priority_semi",
     "emb_filtered_knn",
     "orders_duplicate_payments",
+    "docs_retrieval_pipeline",
 ]
 
 
@@ -263,6 +264,7 @@ def _op_extra():
         "q4_priority_semi": _rl.q4_priority_semi,
         "emb_filtered_knn": _sm.emb_filtered_knn,
         "orders_duplicate_payments": _rl.orders_duplicate_payments,
+        "docs_retrieval_pipeline": _tx.docs_retrieval_pipeline,
     }
 
 

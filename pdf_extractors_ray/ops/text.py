@@ -1856,3 +1856,188 @@ FROM preds
 GROUP BY lang, pred_lang
 ORDER BY lang, pred_lang
 """
+
+
+RETRIEVAL_MIN_TOKENS = 30
+
+
+def docs_retrieval_pipeline(sf_dir: str, queries: tuple = BM25_QUERIES,
+                            k: int = BM25_TOPK,
+                            min_tokens: int = RETRIEVAL_MIN_TOKENS):
+    """Retrieval-index build COMPOSED as one streaming DAG — the search
+    counterpart of ``docs_curation_pipeline``: normalize (the RE2 chain
+    over the dirty overlay, ``ops/curate.docs_normalize`` kernels) →
+    length-filter the CLEANED text (short docs dropped before any
+    statistics) → BM25 stats and top-k retrieval over the surviving
+    corpus. Composition is the point: the filter changes N, T and every
+    df, so the twin must thread the same intermediate corpus through the
+    same integer formula — assembled from the SAME SQL fragments the
+    standalone ops pin.
+
+    Scale shape: normalization and filtering are map-only and happen
+    BEFORE the stats pass (pruned corpus pays the two BM25 passes);
+    everything else is the ``docs_bm25`` shape (KB stats rollup,
+    broadcast idf, per-block top-k prune, per-query fold)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .common import bucketed_group_agg
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def norm_filter(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["text"]
+        body = pc.if_else(pa.array(d % 7 == 3), pc.utf8_upper(t), t)
+        prefix = pa.array(
+            np.where(d % 4 == 0, "  Hello, WORLD!! ",
+                     np.where(d % 3 == 1, "\t(Re: §4) ", "")),
+            type=pa.string(),
+        )
+        suffix = pa.array(
+            np.where(d % 5 == 2, " ***End.  ",
+                     np.where(d % 3 == 0, "  -- footer --", "")),
+            type=pa.string(),
+        )
+        dirty = pc.binary_join_element_wise(prefix, body, suffix, "")
+        low = pc.utf8_lower(dirty)
+        stripped = pc.replace_substring_regex(low, pattern=r"[^a-z0-9\s]", replacement="")
+        collapsed = pc.replace_substring_regex(stripped, pattern=r"\s+", replacement=" ")
+        trimmed = pc.replace_substring_regex(collapsed, pattern=r"^ | $", replacement="")
+        out = pa.table({"doc_id": batch["doc_id"], "text": trimmed})
+        n_tok = pc.add(pc.count_substring(trimmed, " "), 1)
+        return out.filter(pc.greater_equal(n_tok, min_tokens))
+
+    clean = ds.map_batches(norm_filter, batch_format="pyarrow").materialize()
+
+    qset = list(queries)
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64)
+        rows = {"q": [], "df": [], "n": [], "t": []}
+        for q in qset:
+            has = np.fromiter((q in t for t in toks), dtype=bool, count=len(toks))
+            rows["q"].append(q)
+            rows["df"].append(np.int64(has.sum()))
+            rows["n"].append(np.int64(len(batch)))
+            rows["t"].append(np.int64(dl.sum()))
+        return pd.DataFrame(rows)
+
+    st = (
+        bucketed_group_agg(
+            clean.map_batches(stats_partial, batch_format="pandas"),
+            ["q"], {"df": "sum", "n": "sum", "t": "sum"},
+        )
+        .to_pandas()
+        .set_index("q")
+    )
+    n_docs = int(st["n"].iloc[0])
+    t_total = int(st["t"].iloc[0])
+    dfs = {q: int(st.loc[q, "df"]) for q in qset}
+    idf_ppm = {q: (n_docs - dfs[q]) * 1_000_000 // max(dfs[q], 1) for q in qset}
+
+    def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64)
+        did = batch["doc_id"].to_numpy(np.int64)
+        frames = []
+        for q in qset:
+            tf = np.fromiter((t.count(q) for t in toks), dtype=np.int64, count=len(toks))
+            hit = tf > 0
+            if not hit.any():
+                continue
+            tfx, dlx, dx = tf[hit], dl[hit], did[hit]
+            score = np.fromiter(
+                (
+                    idf_ppm[q] * 44 * int(f) * t_total
+                    // (20 * int(f) * t_total + 6 * t_total + 18 * int(l) * n_docs)
+                    for f, l in zip(tfx, dlx)
+                ),
+                dtype=np.int64, count=len(tfx),
+            )
+            f = pd.DataFrame({"q": q, "doc_id": dx, "tf": tfx, "score_ppm": score})
+            frames.append(
+                f.sort_values(["score_ppm", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"q": pd.Series(dtype=object), "doc_id": pd.Series(dtype=np.int64),
+                 "tf": pd.Series(dtype=np.int64), "score_ppm": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__b"] = (
+            pd.util.hash_pandas_object(batch["q"], index=False).to_numpy() % 16
+        ).astype(np.int64)
+        return batch
+
+    def topk_fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["q", "score_ppm", "doc_id"],
+                              ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("q", sort=False).head(k).copy()
+        out["rank"] = out.groupby("q", sort=False).cumcount().astype(np.int64) + 1
+        return out.drop(columns=["__b"])
+
+    return (
+        clean.map_batches(score_partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(topk_fold, batch_format="pandas")
+        .sort(["q", "rank"])
+    )
+
+
+def _retrieval_pipeline_sql() -> str:
+    # curate owns the normalize fragment; imported HERE (not at module
+    # level) because curate imports text's marker bank — lazy breaks the
+    # cycle and the constant resolves through module __getattr__ below
+    from .curate import DOCS_NORMALIZE_SQL
+
+    qvals = ", ".join(f"('{q}')" for q in BM25_QUERIES)
+    return f"""
+WITH clean AS (
+    SELECT doc_id, norm_text AS text FROM ({DOCS_NORMALIZE_SQL.rstrip()})
+    WHERE len(string_split(norm_text, ' ')) >= {RETRIEVAL_MIN_TOKENS}
+),
+d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS dl
+    FROM clean
+),
+tot AS (SELECT CAST(SUM(dl) AS HUGEINT) AS t, CAST(COUNT(*) AS HUGEINT) AS n FROM d),
+q(q) AS (VALUES {qvals}),
+hits AS (
+    SELECT q.q, d.doc_id, d.dl,
+           CAST(len(list_filter(d.toks, x -> x = q.q)) AS HUGEINT) AS tf
+    FROM d, q
+),
+stats AS (
+    SELECT q, CAST(COUNT(*) FILTER (WHERE tf > 0) AS HUGEINT) AS df FROM hits GROUP BY q
+),
+scored AS (
+    SELECT h.q, h.doc_id, CAST(h.tf AS BIGINT) AS tf,
+           CAST(((tot.n - s.df) * 1000000 // GREATEST(s.df, 1)) * 44 * h.tf * tot.t
+                // (20 * h.tf * tot.t + 6 * tot.t + 18 * h.dl * tot.n) AS BIGINT)
+               AS score_ppm
+    FROM hits h JOIN stats s USING (q), tot
+    WHERE h.tf > 0
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY score_ppm DESC, doc_id)
+           AS rank
+    FROM scored
+)
+SELECT q, doc_id, tf, score_ppm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {BM25_TOPK}
+ORDER BY q, rank
+"""
+
+
+def __getattr__(name: str):
+    if name == "DOCS_RETRIEVAL_SQL":
+        return _retrieval_pipeline_sql()
+    raise AttributeError(name)

@@ -312,9 +312,11 @@ def _quality_repetition_tfidf_query(sf_dir: str):
     ``docs_inverted_index``, ``docs_lm_coverage`` (bigram-LM train
     pass → bucketed cogroup scoring join, integer coverage ppm) and
     ``docs_feature_hash`` (signed hashing-trick featurizer, map-only)
-    and ``docs_bm25`` (log-free integer BM25 top-k retrieval — per-block
-    top-k prune, per-query fold) stay fully hash-checked via in-query
-    twin gates. RECORDED result:
+    ``docs_bm25`` (log-free integer BM25 top-k retrieval — per-block
+    top-k prune, per-query fold) and ``docs_retrieval_pipeline`` (the
+    search-index build COMPOSED: normalize → length-filter → BM25 over
+    the surviving corpus, composed twin threading the same intermediate)
+    stay fully hash-checked via in-query twin gates. RECORDED result:
     ``docs_bigram_pmi`` — corpus-wide top-k adjacent-pair pointwise mutual
     information (min-count filtered before any join; bucketed count
     combines; two vocabulary-sized cogroup joins; integer scoring exact
@@ -337,6 +339,12 @@ def _quality_repetition_tfidf_query(sf_dir: str):
         "docs_feature_hash", tx.docs_feature_hash(sf_dir), tx.DOCS_FEATURE_HASH_SQL, sf_dir
     )
     _assert_sql_twin("docs_bm25", tx.docs_bm25(sf_dir), tx.DOCS_BM25_SQL, sf_dir)
+    _assert_sql_twin(
+        "docs_retrieval_pipeline",
+        tx.docs_retrieval_pipeline(sf_dir),
+        tx.DOCS_RETRIEVAL_SQL,
+        sf_dir,
+    )
     return tx.docs_bigram_pmi(sf_dir)
 
 

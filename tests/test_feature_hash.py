@@ -146,3 +146,23 @@ def test_bm25_ranking_semantics(ray_session, tmp_path):
     ranks = dict(zip(out["doc_id"], out["rank"]))
     assert 4 not in ranks  # no hit, no row
     assert ranks[3] < ranks[1] < ranks[2]
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+def test_retrieval_pipeline_matches_duckdb_twin(ray_session, sf):
+    eng = tx.docs_retrieval_pipeline(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ora = con.execute(tx.DOCS_RETRIEVAL_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora[eng.columns].reset_index(drop=True),
+        check_dtype=True,
+    )
+    # composition observable: the filtered+normalized corpus must rank
+    # differently from plain BM25 for at least one query
+    plain = tx.docs_bm25(sf).to_pandas()
+    m = plain.merge(eng, on=["q", "rank"], suffixes=("_p", "_r"))
+    assert (m["doc_id_p"] != m["doc_id_r"]).any()
