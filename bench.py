@@ -142,6 +142,7 @@ OP_QUERIES = [
     "emb_filtered_knn",
     "orders_duplicate_payments",
     "docs_retrieval_pipeline",
+    "transcript_prompt_response",
 ]
 
 
@@ -265,6 +266,7 @@ def _op_extra():
         "emb_filtered_knn": _sm.emb_filtered_knn,
         "orders_duplicate_payments": _rl.orders_duplicate_payments,
         "docs_retrieval_pipeline": _tx.docs_retrieval_pipeline,
+        "transcript_prompt_response": _transcript_prompt_response_sf,
     }
 
 
@@ -284,6 +286,13 @@ def _profile_orders(sf_dir: str):
     from pdf_extractors_ray.ops.profile import table_profile
 
     return table_profile(sf_dir, "orders")
+
+
+def _transcript_prompt_response_sf(sf_dir: str):
+    from pdf_extractors_ray.ops.transcript import transcript_prompt_response
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    return transcript_prompt_response(transcripts_path_for_sf(sf_dir))
 
 
 def _transcript_turn_pack_sf(sf_dir: str):

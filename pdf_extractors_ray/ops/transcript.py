@@ -747,3 +747,115 @@ FROM f
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def transcript_prompt_response(path: str, n_parts: int | None = None):
+    """Prompt→response length moments — the conversational-quality
+    statistic over adjacent (user turn, assistant turn) pairs: exact
+    integer sufficient statistics (n, Σu, Σa, Σu², Σa², Σu·a) per tool
+    family, from which correlation/regression derive downstream without
+    re-reading the corpus. ORDER-SENSITIVE: pairing walks turn_idx
+    order inside each conversation, so this is a third independent lens
+    (besides the hygiene digest and turn packing) on the north rule's
+    stable-turn-ordering restore.
+
+    Scale shape: one part_id-bucketed exchange (the fold exchange every
+    transcript op shares) carrying (conv, turn, role, len) — lengths,
+    not text; in-bucket vectorized lexsort + shifted-role mask; the
+    emitted partial is ONE row per (bucket, tool family). Moments fold
+    in int64 (len ≤ 8 KB per turn → Σu·a < 2^63 below ~10^11 pairs; the
+    per-family driver fold re-sums in Python ints past that)."""
+    from ..sources.transcripts import read_transcripts
+    from ..stages.fold import _default_n_parts
+    from ..state.lineage import append_part_id
+
+    n_parts = n_parts or _default_n_parts()
+    ds = read_transcripts(path, columns=["conv_id", "turn_idx", "role", "tool", "text"])
+
+    def proj(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "role": batch["role"],
+                "tool": batch["tool"],
+                "tlen": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    narrow = ds.map_batches(proj, batch_format="pyarrow").map_batches(
+        lambda b: append_part_id(b, n_parts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(object)
+        role = g["role"].to_numpy(object)
+        tool = g["tool"].to_numpy(object)
+        ln = g["tlen"].to_numpy(np.int64)
+        same_conv = conv[1:] == conv[:-1]
+        pair = same_conv & (role[:-1] == "user") & (role[1:] == "assistant")
+        idx = np.flatnonzero(pair)
+        if len(idx) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=(object if c == "tool" else np.int64))
+                 for c in ("tool", "n_pairs", "sum_u", "sum_a", "sum_u2",
+                           "sum_a2", "sum_ua")}
+            )
+        u, a = ln[idx], ln[idx + 1]
+        fam = tool[idx]
+        df = pd.DataFrame(
+            {
+                "tool": fam, "n_pairs": np.int64(1),
+                "sum_u": u, "sum_a": a,
+                "sum_u2": u * u, "sum_a2": a * a, "sum_ua": u * a,
+            }
+        )
+        return df.groupby("tool", as_index=False, sort=False).sum()
+
+    from .common import bucketed_group_agg
+
+    agg = bucketed_group_agg(
+        narrow.groupby("part_id").map_groups(fold, batch_format="pandas"),
+        ["tool"],
+        {"n_pairs": "sum", "sum_u": "sum", "sum_a": "sum",
+         "sum_u2": "sum", "sum_a2": "sum", "sum_ua": "sum"},
+    )
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_pairs", "sum_u", "sum_a", "sum_u2", "sum_a2", "sum_ua"):
+            batch[c] = batch[c].astype(np.int64)
+        return batch
+
+    return agg.map_batches(fin, batch_format="pandas").sort("tool")
+
+
+def transcript_prompt_response_sql(path: str) -> str:
+    return f"""
+WITH t AS (
+    SELECT conv_id, turn_idx, role, tool, length(text) AS tlen
+    FROM read_parquet('{path}/*.parquet')
+),
+w AS (
+    SELECT conv_id, turn_idx, role, tool, tlen,
+           LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+           LEAD(tlen) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_len
+    FROM t
+)
+SELECT tool,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(tlen) AS BIGINT) AS sum_u,
+       CAST(SUM(next_len) AS BIGINT) AS sum_a,
+       CAST(SUM(tlen * tlen) AS BIGINT) AS sum_u2,
+       CAST(SUM(next_len * next_len) AS BIGINT) AS sum_a2,
+       CAST(SUM(tlen * next_len) AS BIGINT) AS sum_ua
+FROM w
+WHERE role = 'user' AND next_role = 'assistant'
+GROUP BY tool
+ORDER BY tool
+"""

@@ -671,6 +671,13 @@ def _invoice_query(sf_dir: str):
         tables=(),
     )
     _assert_sql_twin(
+        "transcript_prompt_response",
+        _tr.transcript_prompt_response(path),
+        _tr.transcript_prompt_response_sql(path),
+        sf_dir,
+        tables=(),
+    )
+    _assert_sql_twin(
         "transcript_extract_rate",
         _tr.transcript_extract_rate(path),
         _tr.transcript_extract_rate_sql(path),

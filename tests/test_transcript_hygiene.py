@@ -354,3 +354,65 @@ def test_extract_rate_crafted_days(ray_session, tmp_path):
     assert got.loc[("inv", 0), "hit_ppm"] == 500_000
     assert got.loc[("inv", 1), "n_hits"] == 1  # the quirk fired
     assert got.loc[("other", 0), "n_hits"] == 0
+
+
+# --- prompt→response length moments ------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_prompt_response_matches_duckdb_twin(ray_session, sf):
+    import duckdb
+
+    from pdf_extractors_ray.ops import transcript as tr
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    path = transcripts_path_for_sf(sf)
+    eng = tr.transcript_prompt_response(path).to_pandas()
+    ora = duckdb.sql(tr.transcript_prompt_response_sql(path)).df()
+    assert len(eng) > 0
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=True
+    )
+
+
+def test_prompt_response_order_sensitivity(ray_session, tmp_path):
+    """Pairing is strictly adjacent in turn order: a tool turn between
+    user and assistant breaks the pair; cross-conversation adjacency
+    never pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import transcript as tr
+
+    rows = [
+        # conv a: user(5) → assistant(7) pairs; then user(3) → tool → no pair
+        ("a", 0, "user", "t1", "hello"),
+        ("a", 1, "assistant", "t1", "replies"),
+        ("a", 2, "user", "t1", "abc"),
+        ("a", 3, "tool", "t1", "x"),
+        ("a", 4, "assistant", "t1", "late"),
+        # conv b starts with assistant: the a→b boundary must not pair
+        ("b", 0, "assistant", "t1", "first"),
+        ("b", 1, "user", "t1", "q" * 10),
+        ("b", 2, "assistant", "t1", "r" * 4),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": np.array([r[1] for r in rows], np.int64),
+                "role": [r[2] for r in rows],
+                "tool": [r[3] for r in rows],
+                "text": [r[4] for r in rows],
+                "ts": np.full(len(rows), np.datetime64("2024-01-01", "us")),
+            }
+        ),
+        tmp_path / "part-0.parquet",
+    )
+    out = tr.transcript_prompt_response(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # pairs: a(5,7) and b(10,4)
+    assert int(r["n_pairs"]) == 2
+    assert int(r["sum_u"]) == 15 and int(r["sum_a"]) == 11
+    assert int(r["sum_ua"]) == 5 * 7 + 10 * 4
