@@ -715,7 +715,7 @@ def docs_curation_pipeline(sf_dir: str):
     the same construct its standalone op pins (quality counts, md5
     hex-parse split, LangId marker argmax), so the composed DuckDB twin
     is assembled from the same SQL fragments."""
-    from . import text as tx  # circular-safe: ops.text imports nothing from here
+    from . import text as tx  # text imports curate's normalize fragment LAZILY (function-level) — keep BOTH sides lazy
     from .common import _default_buckets
     from .text import langid_preds
     ds = _docs(sf_dir, columns=["doc_id", "text"])
@@ -2140,6 +2140,34 @@ FROM best GROUP BY node ORDER BY node
 """
 
 
+def normalize_overlay_arrays(batch):
+    """THE dirty-overlay + RE2-normalize kernel (one copy): given a
+    pyarrow batch with (doc_id, text), returns (dirty, trimmed) arrays —
+    shared by ``docs_normalize`` and the composed retrieval pipeline
+    (ops/text.docs_retrieval_pipeline) so the Python side can never
+    drift from the ``DOCS_NORMALIZE_SQL`` fragment both twins nest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = batch["text"]
+    body = pc.if_else(pa.array(d % 7 == 3), pc.utf8_upper(t), t)
+    prefix = pa.array(
+        np.where(d % 4 == 0, "  Hello, WORLD!! ", np.where(d % 3 == 1, "\t(Re: \u00a74) ", "")),
+        type=pa.string(),
+    )
+    suffix = pa.array(
+        np.where(d % 5 == 2, " ***End.  ", np.where(d % 3 == 0, "  -- footer --", "")),
+        type=pa.string(),
+    )
+    dirty = pc.binary_join_element_wise(prefix, body, suffix, "")
+    low = pc.utf8_lower(dirty)
+    stripped = pc.replace_substring_regex(low, pattern=r"[^a-z0-9\s]", replacement="")
+    collapsed = pc.replace_substring_regex(stripped, pattern=r"\s+", replacement=" ")
+    trimmed = pc.replace_substring_regex(collapsed, pattern=r"^ | $", replacement="")
+    return dirty, trimmed
+
+
 def docs_normalize(sf_dir: str):
     """Deterministic text normalization — the cleaning pass upstream of
     tokenization/dedup: lowercase → strip non-alphanumerics → collapse
@@ -2166,22 +2194,7 @@ def docs_normalize(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def norm(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        t = batch["text"]
-        body = pc.if_else(pa.array(d % 7 == 3), pc.utf8_upper(t), t)
-        prefix = pa.array(
-            np.where(d % 4 == 0, "  Hello, WORLD!! ", np.where(d % 3 == 1, "\t(Re: §4) ", "")),
-            type=pa.string(),
-        )
-        suffix = pa.array(
-            np.where(d % 5 == 2, " ***End.  ", np.where(d % 3 == 0, "  -- footer --", "")),
-            type=pa.string(),
-        )
-        dirty = pc.binary_join_element_wise(prefix, body, suffix, "")
-        low = pc.utf8_lower(dirty)
-        stripped = pc.replace_substring_regex(low, pattern=r"[^a-z0-9\s]", replacement="")
-        collapsed = pc.replace_substring_regex(stripped, pattern=r"\s+", replacement=" ")
-        trimmed = pc.replace_substring_regex(collapsed, pattern=r"^ | $", replacement="")
+        dirty, trimmed = normalize_overlay_arrays(batch)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

@@ -2211,6 +2211,16 @@ def emb_filtered_knn(sf_dir: str, k: int = 5, n_queries: int = 10):
             order = np.lexsort((ids, -vals))[:_k]
             for i in order:
                 out.append((int(qid), int(qlab), int(ids[i]), int(vals[i])))
+        if not out:
+            # typed empty frame: a block sharing no label with any query
+            # (skewed labels / trailing block) must not emit a null-typed
+            # Arrow block that breaks schema unification downstream
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int64),
+                 "label": pd.Series(dtype=np.int64),
+                 "vec_id": pd.Series(dtype=np.int64),
+                 "sim_ppm": pd.Series(dtype=np.int64)}
+            )
         return pd.DataFrame(out, columns=["query_id", "label", "vec_id", "sim_ppm"])
 
     partial = ds.map_batches(score, batch_format="pandas")

@@ -1666,29 +1666,14 @@ BM25_QUERIES = ("merge", "window", "customer", "vector")
 BM25_TOPK = 10
 
 
-def docs_bm25(sf_dir: str, queries: tuple = BM25_QUERIES, k: int = BM25_TOPK):
-    """BM25 ranked retrieval for a fixed query-term set — the retrieval
-    step after the TF-IDF statistics: per (query, doc) score with the
-    classic saturation/length normalization at k1 = 6/5, b = 3/4, then
-    exact top-k per query (score DESC, doc_id ASC).
-
-    All-integer contract: with T = corpus token count, N = docs, dl =
-    doc length, the k1/b fractions clear to
-
-        score_ppm = idf_ppm · 44 · tf · T  //  (20·tf·T + 6·T + 18·dl·N)
-
-    and idf is the LOG-FREE probabilistic variant ``(N − df)·10^6 // df``
-    (a runtime ln() of an arbitrary ratio cannot be shared bit-exactly
-    with DuckDB; the monotone log-free idf is the documented stand-in —
-    same ranking family, exact in both engines via HUGEINT/Python ints).
-
-    Scale shape: DF for the query terms only (per-batch partials over a
-    BROADCAST-small term set → one KB rollup), T and N from the same
-    pass; then a map-side score per (query, doc) hit and a per-query
-    top-k fold — the corpus shuffles nothing but its per-query hits."""
+def _bm25_over(ds, queries: tuple, k: int):
+    """THE BM25 dataflow (one copy — ``docs_bm25`` runs it over the raw
+    corpus, ``docs_retrieval_pipeline`` over the normalized+filtered
+    corpus): query-term DF/N/T stats via per-batch partials + KB rollup,
+    broadcast log-free integer idf, map-side scores with per-block top-k
+    prune, per-query fold."""
     from .common import bucketed_group_agg
 
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
     qset = list(queries)
 
     def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1752,15 +1737,6 @@ def docs_bm25(sf_dir: str, queries: tuple = BM25_QUERIES, k: int = BM25_TOPK):
             )
         return pd.concat(frames, ignore_index=True)
 
-    def topk_fold(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["q", "score_ppm", "doc_id"],
-                              ascending=[True, False, True], kind="mergesort")
-        out = g.groupby("q", sort=False).head(k).copy()
-        out["rank"] = out.groupby("q", sort=False).cumcount().astype(np.int64) + 1
-        return out.drop(columns=["__b"])
-
-    scored = ds.map_batches(score_partial, batch_format="pandas")
-
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["__b"] = (
@@ -1768,21 +1744,54 @@ def docs_bm25(sf_dir: str, queries: tuple = BM25_QUERIES, k: int = BM25_TOPK):
         ).astype(np.int64)
         return batch
 
+    def topk_fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["q", "score_ppm", "doc_id"],
+                              ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("q", sort=False).head(k).copy()
+        out["rank"] = out.groupby("q", sort=False).cumcount().astype(np.int64) + 1
+        return out.drop(columns=["__b"])
+
     return (
-        scored.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(score_partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
         .groupby("__b")
         .map_groups(topk_fold, batch_format="pandas")
         .sort(["q", "rank"])
     )
 
 
-def _bm25_sql() -> str:
+def docs_bm25(sf_dir: str, queries: tuple = BM25_QUERIES, k: int = BM25_TOPK):
+    """BM25 ranked retrieval for a fixed query-term set — the retrieval
+    step after the TF-IDF statistics: per (query, doc) score with the
+    classic saturation/length normalization at k1 = 6/5, b = 3/4, then
+    exact top-k per query (score DESC, doc_id ASC).
+
+    All-integer contract: with T = corpus token count, N = docs, dl =
+    doc length, the k1/b fractions clear to
+
+        score_ppm = idf_ppm · 44 · tf · T  //  (20·tf·T + 6·T + 18·dl·N)
+
+    and idf is the LOG-FREE probabilistic variant ``(N − df)·10^6 // df``
+    (a runtime ln() of an arbitrary ratio cannot be shared bit-exactly
+    with DuckDB; the monotone log-free idf is the documented stand-in —
+    same ranking family, exact in both engines via HUGEINT/Python ints).
+
+    The dataflow lives in :func:`_bm25_over` (one copy, shared with the
+    composed retrieval pipeline)."""
+    return _bm25_over(_docs(sf_dir, columns=["doc_id", "text"]), queries, k)
+
+
+def _bm25_sql(source_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """BM25 twin over any (doc_id, text) source CTE — ``docs_bm25`` uses
+    the raw table, the retrieval pipeline passes the normalized+filtered
+    CTE, so both twins share ONE formula body."""
     qvals = ", ".join(f"('{q}')" for q in BM25_QUERIES)
     return f"""
-WITH d AS (
+WITH src AS ({source_sql}),
+d AS (
     SELECT doc_id, string_split(text, ' ') AS toks,
            len(string_split(text, ' ')) AS dl
-    FROM documents
+    FROM src
 ),
 tot AS (SELECT CAST(SUM(dl) AS HUGEINT) AS t, CAST(COUNT(*) AS HUGEINT) AS n FROM d),
 q(q) AS (VALUES {qvals}),
@@ -1865,130 +1874,34 @@ def docs_retrieval_pipeline(sf_dir: str, queries: tuple = BM25_QUERIES,
                             k: int = BM25_TOPK,
                             min_tokens: int = RETRIEVAL_MIN_TOKENS):
     """Retrieval-index build COMPOSED as one streaming DAG — the search
-    counterpart of ``docs_curation_pipeline``: normalize (the RE2 chain
-    over the dirty overlay, ``ops/curate.docs_normalize`` kernels) →
-    length-filter the CLEANED text (short docs dropped before any
-    statistics) → BM25 stats and top-k retrieval over the surviving
-    corpus. Composition is the point: the filter changes N, T and every
-    df, so the twin must thread the same intermediate corpus through the
-    same integer formula — assembled from the SAME SQL fragments the
-    standalone ops pin.
+    counterpart of ``docs_curation_pipeline``: normalize (the SHARED
+    ``ops/curate.normalize_overlay_arrays`` kernel — one copy, the same
+    function ``docs_normalize`` runs) → length-filter the CLEANED text
+    (short docs dropped before any statistics) → the SHARED
+    :func:`_bm25_over` dataflow over the surviving corpus. Composition
+    is the point: the filter changes N, T and every df, so the twin
+    threads the same intermediate corpus through the same integer
+    formula — assembled from the SAME SQL fragments the standalone ops
+    pin.
 
     Scale shape: normalization and filtering are map-only and happen
     BEFORE the stats pass (pruned corpus pays the two BM25 passes);
-    everything else is the ``docs_bm25`` shape (KB stats rollup,
-    broadcast idf, per-block top-k prune, per-query fold)."""
+    everything else is the ``docs_bm25`` shape."""
     import pyarrow as pa
     import pyarrow.compute as pc
-
-    from .common import bucketed_group_agg
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def norm_filter(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        t = batch["text"]
-        body = pc.if_else(pa.array(d % 7 == 3), pc.utf8_upper(t), t)
-        prefix = pa.array(
-            np.where(d % 4 == 0, "  Hello, WORLD!! ",
-                     np.where(d % 3 == 1, "\t(Re: §4) ", "")),
-            type=pa.string(),
-        )
-        suffix = pa.array(
-            np.where(d % 5 == 2, " ***End.  ",
-                     np.where(d % 3 == 0, "  -- footer --", "")),
-            type=pa.string(),
-        )
-        dirty = pc.binary_join_element_wise(prefix, body, suffix, "")
-        low = pc.utf8_lower(dirty)
-        stripped = pc.replace_substring_regex(low, pattern=r"[^a-z0-9\s]", replacement="")
-        collapsed = pc.replace_substring_regex(stripped, pattern=r"\s+", replacement=" ")
-        trimmed = pc.replace_substring_regex(collapsed, pattern=r"^ | $", replacement="")
+        from .curate import normalize_overlay_arrays
+
+        _dirty, trimmed = normalize_overlay_arrays(batch)
         out = pa.table({"doc_id": batch["doc_id"], "text": trimmed})
         n_tok = pc.add(pc.count_substring(trimmed, " "), 1)
         return out.filter(pc.greater_equal(n_tok, min_tokens))
 
     clean = ds.map_batches(norm_filter, batch_format="pyarrow").materialize()
-
-    qset = list(queries)
-
-    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        dl = toks.str.len().to_numpy(np.int64)
-        rows = {"q": [], "df": [], "n": [], "t": []}
-        for q in qset:
-            has = np.fromiter((q in t for t in toks), dtype=bool, count=len(toks))
-            rows["q"].append(q)
-            rows["df"].append(np.int64(has.sum()))
-            rows["n"].append(np.int64(len(batch)))
-            rows["t"].append(np.int64(dl.sum()))
-        return pd.DataFrame(rows)
-
-    st = (
-        bucketed_group_agg(
-            clean.map_batches(stats_partial, batch_format="pandas"),
-            ["q"], {"df": "sum", "n": "sum", "t": "sum"},
-        )
-        .to_pandas()
-        .set_index("q")
-    )
-    n_docs = int(st["n"].iloc[0])
-    t_total = int(st["t"].iloc[0])
-    dfs = {q: int(st.loc[q, "df"]) for q in qset}
-    idf_ppm = {q: (n_docs - dfs[q]) * 1_000_000 // max(dfs[q], 1) for q in qset}
-
-    def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        dl = toks.str.len().to_numpy(np.int64)
-        did = batch["doc_id"].to_numpy(np.int64)
-        frames = []
-        for q in qset:
-            tf = np.fromiter((t.count(q) for t in toks), dtype=np.int64, count=len(toks))
-            hit = tf > 0
-            if not hit.any():
-                continue
-            tfx, dlx, dx = tf[hit], dl[hit], did[hit]
-            score = np.fromiter(
-                (
-                    idf_ppm[q] * 44 * int(f) * t_total
-                    // (20 * int(f) * t_total + 6 * t_total + 18 * int(l) * n_docs)
-                    for f, l in zip(tfx, dlx)
-                ),
-                dtype=np.int64, count=len(tfx),
-            )
-            f = pd.DataFrame({"q": q, "doc_id": dx, "tf": tfx, "score_ppm": score})
-            frames.append(
-                f.sort_values(["score_ppm", "doc_id"], ascending=[False, True],
-                              kind="mergesort").head(k)
-            )
-        if not frames:
-            return pd.DataFrame(
-                {"q": pd.Series(dtype=object), "doc_id": pd.Series(dtype=np.int64),
-                 "tf": pd.Series(dtype=np.int64), "score_ppm": pd.Series(dtype=np.int64)}
-            )
-        return pd.concat(frames, ignore_index=True)
-
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["__b"] = (
-            pd.util.hash_pandas_object(batch["q"], index=False).to_numpy() % 16
-        ).astype(np.int64)
-        return batch
-
-    def topk_fold(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["q", "score_ppm", "doc_id"],
-                              ascending=[True, False, True], kind="mergesort")
-        out = g.groupby("q", sort=False).head(k).copy()
-        out["rank"] = out.groupby("q", sort=False).cumcount().astype(np.int64) + 1
-        return out.drop(columns=["__b"])
-
-    return (
-        clean.map_batches(score_partial, batch_format="pandas")
-        .map_batches(add_bucket, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(topk_fold, batch_format="pandas")
-        .sort(["q", "rank"])
-    )
+    return _bm25_over(clean, queries, k)
 
 
 def _retrieval_pipeline_sql() -> str:
@@ -1997,44 +1910,9 @@ def _retrieval_pipeline_sql() -> str:
     # cycle and the constant resolves through module __getattr__ below
     from .curate import DOCS_NORMALIZE_SQL
 
-    qvals = ", ".join(f"('{q}')" for q in BM25_QUERIES)
-    return f"""
-WITH clean AS (
-    SELECT doc_id, norm_text AS text FROM ({DOCS_NORMALIZE_SQL.rstrip()})
-    WHERE len(string_split(norm_text, ' ')) >= {RETRIEVAL_MIN_TOKENS}
-),
-d AS (
-    SELECT doc_id, string_split(text, ' ') AS toks,
-           len(string_split(text, ' ')) AS dl
-    FROM clean
-),
-tot AS (SELECT CAST(SUM(dl) AS HUGEINT) AS t, CAST(COUNT(*) AS HUGEINT) AS n FROM d),
-q(q) AS (VALUES {qvals}),
-hits AS (
-    SELECT q.q, d.doc_id, d.dl,
-           CAST(len(list_filter(d.toks, x -> x = q.q)) AS HUGEINT) AS tf
-    FROM d, q
-),
-stats AS (
-    SELECT q, CAST(COUNT(*) FILTER (WHERE tf > 0) AS HUGEINT) AS df FROM hits GROUP BY q
-),
-scored AS (
-    SELECT h.q, h.doc_id, CAST(h.tf AS BIGINT) AS tf,
-           CAST(((tot.n - s.df) * 1000000 // GREATEST(s.df, 1)) * 44 * h.tf * tot.t
-                // (20 * h.tf * tot.t + 6 * tot.t + 18 * h.dl * tot.n) AS BIGINT)
-               AS score_ppm
-    FROM hits h JOIN stats s USING (q), tot
-    WHERE h.tf > 0
-),
-ranked AS (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY score_ppm DESC, doc_id)
-           AS rank
-    FROM scored
-)
-SELECT q, doc_id, tf, score_ppm, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= {BM25_TOPK}
-ORDER BY q, rank
-"""
+    source = f"""SELECT doc_id, norm_text AS text FROM ({DOCS_NORMALIZE_SQL.rstrip()})
+    WHERE len(string_split(norm_text, ' ')) >= {RETRIEVAL_MIN_TOKENS}"""
+    return _bm25_sql(source)
 
 
 def __getattr__(name: str):

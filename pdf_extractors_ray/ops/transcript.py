@@ -763,8 +763,10 @@ def transcript_prompt_response(path: str, n_parts: int | None = None):
     transcript op shares) carrying (conv, turn, role, len) — lengths,
     not text; in-bucket vectorized lexsort + shifted-role mask; the
     emitted partial is ONE row per (bucket, tool family). Moments fold
-    in int64 (len ≤ 8 KB per turn → Σu·a < 2^63 below ~10^11 pairs; the
-    per-family driver fold re-sums in Python ints past that)."""
+    in int64 throughout (len ≤ 8 KB per turn → Σu·a stays inside 2^63
+    below ~10^11 pairs — beyond that, shard the corpus and merge the
+    per-shard moment rows in Python ints; the combine itself has no
+    wider-than-int64 path)."""
     from ..sources.transcripts import read_transcripts
     from ..stages.fold import _default_n_parts
     from ..state.lineage import append_part_id
