@@ -8,9 +8,11 @@ here (or in the library) calls ``ray.init``/``ray.shutdown``.
   per-household kinship resolution; returns the persons Dataset.
 - ``queries()`` — one callable per implemented operator (SURVEY.md §2 and
   the training-data ops); each takes ``sf_dir``.
-- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (matching column names); ordered stateful folds are rows-only here and
-  verified by tests/test_engine_vs_oracle.py instead.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query (matching
+  column names). The extraction-family slots record order-sensitive
+  transcript ops (path-embedded twins built in ``oracle_sql()``) while
+  running their family pipelines as forced in-query gates; the folds are
+  additionally verified by tests/test_engine_vs_oracle.py.
 """
 
 from __future__ import annotations

@@ -647,29 +647,23 @@ def _custbal_antijoin_query(sf_dir: str):
 
 
 def _invoice_query(sf_dir: str):
-    """Invoice fold — runs BOTH the plain grouped fold and the salted
-    hot-conversation variant (M27 precedence + cross-window LOCF) and
-    raises unless they emit identical rows. Forced gate:
-    ``transcript_hygiene`` — the order-sensitive per-conversation role
-    digest (md5 over role initials in turn order) hash-checked against a
+    """Invoice fold slot. Forced gates (each raises on divergence so the
+    driver records a hard error): plain grouped fold vs the salted
+    hot-conversation variant (M27 precedence + cross-window LOCF) checked
+    byte-equal; ``transcript_prompt_response`` and
+    ``transcript_extract_rate`` (the PRODUCTION RE2 invoice bank's
+    per-(family, day) success telemetry) hash-checked against their
+    DuckDB twins in-query. RECORDED result: ``transcript_hygiene`` — the
+    order-sensitive per-conversation role digest (md5 over role initials
+    in turn order), which the driver hash-checks directly against its
     DuckDB ``string_agg(... ORDER BY turn_idx)`` twin over the SAME
-    Parquet files, pinning the shuffle-then-restore ordering invariant
-    the north rule requires in the driver record itself. Forced gate:
-    ``transcript_extract_rate`` — per-(family, day) extraction-success
-    telemetry of the PRODUCTION RE2 invoice bank over the raw turns,
-    hash-checked against a regexp_extract twin (the bank discriminates
-    the invoice family perfectly on this corpus)."""
+    Parquet files (``oracle_sql()['extract_invoice']``), pinning the
+    shuffle-then-restore ordering invariant the north rule requires in
+    the driver record itself."""
     from ..ops import transcript as _tr
     from ..stages.salted import extract_invoice_salted
 
     path = transcripts_path_for_sf(sf_dir)
-    _assert_sql_twin(
-        "transcript_hygiene",
-        _tr.transcript_hygiene(path),
-        _tr.transcript_hygiene_sql(path),
-        sf_dir,
-        tables=(),
-    )
     _assert_sql_twin(
         "transcript_prompt_response",
         _tr.transcript_prompt_response(path),
@@ -686,53 +680,43 @@ def _invoice_query(sf_dir: str):
     )
     plain = extract.extract_invoice(path)
     salted = extract_invoice_salted(path)
-    # return the compared frame — the caller would otherwise execute the
-    # lazy plain pipeline a second time
-    return _assert_variants_equal("extract_invoice", plain, "extract_invoice_salted", salted)
+    _assert_variants_equal("extract_invoice", plain, "extract_invoice_salted", salted)
+    return _tr.transcript_hygiene(path)
 
 
 def _catalog_query(sf_dir: str):
-    """Catalog state-machine fold — plain vs salted variants checked
-    equal. Forced gate: ``transcript_conv_dedup`` — conversation-level
-    exact dedup via the order-sensitive full-text 128-bit digest
-    (restore → digest → grouped-MIN representative → cogroup join),
-    hash-checked against its DuckDB ordered-``string_agg`` twin over the
-    same Parquet files."""
+    """Catalog state-machine fold slot. Forced gate (raises): plain vs
+    salted variants checked byte-equal. RECORDED result:
+    ``transcript_conv_dedup`` — conversation-level exact dedup via the
+    order-sensitive full-text 128-bit digest (restore → digest →
+    grouped-MIN representative → cogroup join), which the driver
+    hash-checks directly against its DuckDB ordered-``string_agg`` twin
+    over the same Parquet files (``oracle_sql()['extract_catalog']``)."""
     from ..ops import transcript as _tr
     from ..stages.salted_catalog import extract_catalog_salted
 
     path = transcripts_path_for_sf(sf_dir)
-    _assert_sql_twin(
-        "transcript_conv_dedup",
-        _tr.transcript_conv_dedup(path),
-        _tr.transcript_conv_dedup_sql(path),
-        sf_dir,
-        tables=(),
-    )
     plain = extract.extract_catalog(path)
     salted = extract_catalog_salted(path)
-    return _assert_variants_equal("extract_catalog", plain, "extract_catalog_salted", salted)
+    _assert_variants_equal("extract_catalog", plain, "extract_catalog_salted", salted)
+    return _tr.transcript_conv_dedup(path)
 
 
 def _layout_query(sf_dir: str):
-    """Layout binning — grouped fold vs header-broadcast variants checked
-    equal (ST4's two scale regimes). Forced gate:
-    ``transcript_context_tails`` — the last-K-turn rendered context
-    assembly (ordered tail slice per conversation), hash-checked against
-    its DuckDB windowed ``string_agg`` twin over the same Parquet."""
+    """Layout binning slot. Forced gate (raises): grouped fold vs
+    header-broadcast variants checked byte-equal (ST4's two scale
+    regimes). RECORDED result: ``transcript_context_tails`` — the
+    last-K-turn rendered context assembly (ordered tail slice per
+    conversation), which the driver hash-checks directly against its
+    DuckDB windowed ``string_agg`` twin over the same Parquet
+    (``oracle_sql()['extract_layout']``)."""
     from ..ops import transcript as _tr
 
     path = transcripts_path_for_sf(sf_dir)
-    _assert_sql_twin(
-        "transcript_context_tails",
-        _tr.transcript_context_tails(path),
-        _tr.transcript_context_tails_sql(path),
-        sf_dir,
-        tables=(),
-    )
     grouped = extract.extract_layout(path)
     broadcast = extract.extract_layout_broadcast(path)
-    return _assert_variants_equal("extract_layout", grouped, "extract_layout_broadcast", broadcast)
+    _assert_variants_equal("extract_layout", grouped, "extract_layout_broadcast", broadcast)
+    return _tr.transcript_context_tails(path)
 
 
 def _census_persons_query(sf_dir: str):
@@ -762,10 +746,12 @@ def _table_grid_query(sf_dir: str):
     ``transcript_tool_latency`` — exact p50/p95 turn-gap telemetry per
     (tool family, role) via the grouped histogram-narrowing quantile
     kernel, hash-checked against a LAG + windowed-rank DuckDB twin over
-    the same Parquet. Forced gate: ``transcript_turn_pack`` — the
+    the same Parquet. Both family pipelines must run clean and produce
+    rows (forced gates). RECORDED result: ``transcript_turn_pack`` — the
     conversation-ordered context-packing windows (exclusive token cumsum,
     an order-sensitive functional that re-pins the stable-turn-ordering
-    restore), hash-checked against a window-SQL twin."""
+    restore), which the driver hash-checks directly against its
+    window-SQL twin (``oracle_sql()['extract_table_grid']``)."""
     from ..ops import transcript as _tr
 
     path = transcripts_path_for_sf(sf_dir)
@@ -776,33 +762,30 @@ def _table_grid_query(sf_dir: str):
         sf_dir,
         tables=(),
     )
-    _assert_sql_twin(
-        "transcript_turn_pack",
-        _tr.transcript_turn_pack(path),
-        _tr.transcript_turn_pack_sql(path),
-        sf_dir,
-        tables=(),
-    )
     grid = extract.EXTRACTORS["grid"](path)
     if grid.count() == 0:
         raise RuntimeError("extract_grid produced no rows")
-    return extract.EXTRACTORS["table"](path)
+    table = extract.EXTRACTORS["table"](path)
+    if table.count() == 0:
+        raise RuntimeError("extract_table produced no rows")
+    return _tr.transcript_turn_pack(path)
 
 
 def _partitioned_metrics_query(sf_dir: str):
     """Headline production path at this sf: single-pass all-family
-    checkpointed extraction; returns the per-partition lineage metrics.
+    checkpointed extraction.
 
-    Forced in-query invariants (this slot has no SQL twin — the fold
-    outputs are pinned elsewhere; these pin the EXCHANGE itself):
+    Forced in-query invariants (raise into the driver record; they pin
+    the EXCHANGE itself — the fold outputs are pinned elsewhere):
     turn-count conservation (sum of per-partition n_turns == the corpus
     row count from parquet METADATA, an independent source), exact
     partition cover (part_ids are 0..n_parts-1 once each), and resume
     stability (a second run must resume every partition and reproduce
-    every content_hash byte-for-byte). Additional forced gate with a
-    REAL SQL twin in this otherwise rows-only slot:
+    every content_hash byte-for-byte). RECORDED result:
     ``transcript_role_transitions`` — the ordered Markov transition
-    matrix, hash-checked against a LAG twin over the same Parquet."""
+    matrix, which the driver hash-checks directly against a LAG twin
+    over the same Parquet
+    (``oracle_sql()['extract_all_partitioned_metrics']``)."""
     import glob as _glob
 
     import pyarrow.parquet as _pq
@@ -811,13 +794,6 @@ def _partitioned_metrics_query(sf_dir: str):
     from ..state.lineage import partitioned_extract_all_tasks
 
     path = transcripts_path_for_sf(sf_dir)
-    _assert_sql_twin(
-        "transcript_role_transitions",
-        _tr.transcript_role_transitions(path),
-        _tr.transcript_role_transitions_sql(path),
-        sf_dir,
-        tables=(),
-    )
     out_root = path.rstrip("/") + "_extracted"
     first = partitioned_extract_all_tasks(path, out_root, n_parts=32)
 
@@ -844,7 +820,7 @@ def _partitioned_metrics_query(sf_dir: str):
     b = second.sort_values("part_id")["content_hash"].tolist()
     if a != b:
         raise RuntimeError("resume instability: content hashes differ between runs")
-    return first
+    return _tr.transcript_role_transitions(path)
 
 
 def _box_query(family: str, surrogate_fn=None):
@@ -1422,9 +1398,12 @@ REGISTRY: dict[str, tuple] = {
         surrogate.EXTRACT_KERNEL_TABLE_DETECT_SQL,
     ),
     "extract_grid_detected": (_grid_box_query, surrogate.EXTRACT_KERNEL_GRID_DETECT_SQL),
+    # transcript extraction family slots: each runs its family pipeline(s)
+    # as forced gates (variant byte-equality / non-empty / lineage
+    # invariants, all raising) and RECORDS an order-sensitive transcript
+    # op whose DuckDB twin ``oracle_sql()`` builds over the same Parquet
+    # files (path-dependent, so added there rather than here)
     "extract_all_partitioned_metrics": (_partitioned_metrics_query, None),
-    # transcript extraction families (rows-only; variant-merged queries
-    # run plain AND salted/broadcast paths and require byte-equality)
     "extract_catalog": (_catalog_query, None),
     "extract_invoice": (_invoice_query, None),
     "extract_layout": (_layout_query, None),
@@ -1449,4 +1428,25 @@ def queries() -> dict:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    """Static registry SQL plus the path-dependent transcript twins.
+
+    The driver compares queries and oracles at sf0.01; the transcript
+    corpus is OUR deterministic synthetic input cached under /tmp
+    (FIXTURES.md §4), so its twins must embed the corpus path. Building
+    them here (rather than in REGISTRY) lets the path resolve — and the
+    corpus synthesize if missing — at call time. ``PDFX_ORACLE_SF_DIR``
+    overrides the scale directory for local robustness probes
+    (tools/check_queries.py sets it to its sf_dir)."""
+    import os as _os
+
+    from ..ops import transcript as _tr
+
+    out = {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    sf_dir = _os.environ.get("PDFX_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = transcripts_path_for_sf(sf_dir)
+    out["extract_invoice"] = _tr.transcript_hygiene_sql(path)
+    out["extract_catalog"] = _tr.transcript_conv_dedup_sql(path)
+    out["extract_layout"] = _tr.transcript_context_tails_sql(path)
+    out["extract_table_grid"] = _tr.transcript_turn_pack_sql(path)
+    out["extract_all_partitioned_metrics"] = _tr.transcript_role_transitions_sql(path)
+    return out

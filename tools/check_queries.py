@@ -46,6 +46,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # path-dependent oracles (transcript twins) must target the same scale
+    os.environ["PDFX_ORACLE_SF_DIR"] = sf_dir
 
     import ray
 
