@@ -889,15 +889,17 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
       single cogroup join (neighbor labels offered downstream) + a
       bucketed min — labels are monotonically non-increasing, and
       ``sum(label)`` is the convergence certificate;
-    - rounds needed = cluster diameter; the banded emitter's star cap
-      keeps near-dup components shallow, so this converges in a handful
-      of rounds (``max_rounds`` is a safety bound).
+    - each round combines neighbor offers with POINTER JUMPING (nodes
+      also receive their label's label via one labels⋈labels cogroup),
+      so rounds needed = O(log component-diameter) — a 64-deep chain
+      converges in ≤8 rounds, and ``max_rounds`` is an unreachable
+      safety bound rather than a practical limit.
 
     Output: ``(doc_id, cluster, cluster_size)`` — cluster = min doc_id of
     the component; singletons keep themselves. Verified against a
     union-find reference over the same edges (tests).
     """
-    from .common import bucketed_group_agg, cogroup_join
+    from .common import _default_buckets, bucketed_group_agg, cogroup_join
 
     # ``edges`` lets a caller that already computed a pair set (e.g. the
     # chained pairs+clusters driver query, or an exact-Jaccard edge table)
@@ -972,9 +974,19 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
                 {"node": np.concatenate([src, dst]), "label": np.concatenate([src, src])}
             )
 
-        labels = bucketed_group_agg(
-            bi.map_batches(seed, batch_format="pandas"), ["node"], {"label": "min"}
-        ).materialize()
+        # block-count discipline: union adds blocks and the bucketed
+        # combine does not coalesce them, so without the repartition the
+        # per-round block count DOUBLES (2^rounds blocks — measured 95 s
+        # for round 8 of a planted chain at toy scale). Coalescing to the
+        # bucket count each round keeps rounds O(1)-cost.
+        nb = _default_buckets()
+        labels = (
+            bucketed_group_agg(
+                bi.map_batches(seed, batch_format="pandas"), ["node"], {"label": "min"}
+            )
+            .repartition(nb)
+            .materialize()
+        )
         prev_sum = labels.sum("label")
         converged = False
         for _ in range(max_rounds):
@@ -984,7 +996,26 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
                 ),
                 batch_format="pandas",
             )
-            labels = bucketed_group_agg(labels.union(offers), ["node"], {"label": "min"}).materialize()
+            # pointer jumping: each node also receives its LABEL's label
+            # (one labels⋈labels cogroup — every label value is itself an
+            # endpoint node, since labels start as endpoint ids and only
+            # min-combine), halving pointer paths each round so a
+            # chain-shaped component converges in O(log diameter) rounds
+            # instead of O(diameter) — the max_rounds raise is
+            # unreachable below ~2^32-deep chains.
+            jumps = cogroup_join(labels, labels, "label", "node", ["node"], ["label"]).map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b["node"].astype(np.int64), "label": b["label"].astype(np.int64)}
+                ),
+                batch_format="pandas",
+            )
+            labels = (
+                bucketed_group_agg(
+                    labels.union(offers).union(jumps), ["node"], {"label": "min"}
+                )
+                .repartition(nb)
+                .materialize()
+            )
             cur_sum = labels.sum("label")
             if cur_sum == prev_sum:
                 converged = True

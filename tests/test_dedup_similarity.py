@@ -149,6 +149,43 @@ def test_dup_clusters_connected_components(ray_session, tmp_path):
     )
 
 
+def test_dup_clusters_deep_chain_pointer_jumping(ray_session, tmp_path):
+    """A planted 64-deep chain component must converge through the
+    DISTRIBUTED propagation loop in ≤8 rounds: pointer jumping halves
+    label paths each round (O(log diameter)), where plain min-label
+    propagation would need 64 rounds and hit the max_rounds raise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    import pdf_extractors_ray.ops.dedup as dmod
+
+    n = 65  # docs 0..64 in one path: (0-1), (1-2), ..., (63-64)
+    df = pd.DataFrame({"doc_id": range(n + 5), "text": ["t"] * (n + 5)})
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    chain = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "a": np.arange(n - 1, dtype=np.int64),
+                "b": np.arange(1, n, dtype=np.int64),
+            }
+        )
+    )
+
+    old = dmod._SMALL_EDGE_BYTES
+    dmod._SMALL_EDGE_BYTES = -1
+    try:
+        out = dedup.dup_clusters(str(tmp_path), edges=chain, max_rounds=8).to_pandas()
+    finally:
+        dmod._SMALL_EDGE_BYTES = old
+
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    assert all(got[i] == 0 for i in range(n))          # one component, min root
+    assert all(got[i] == i for i in range(n, n + 5))   # non-endpoints stay singletons
+    sizes = dict(zip(out["doc_id"], out["cluster_size"]))
+    assert sizes[0] == n and sizes[n] == 1
+
+
 def test_knn_self_consistency(ray_session):
     out = similarity.knn_bruteforce("/root/testdata/sf0.001", k=5, n_queries=5).to_pandas()
     assert set(out["query_id"]) == set(range(5))
