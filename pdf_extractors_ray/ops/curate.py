@@ -542,9 +542,10 @@ def docs_pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN):
 
     The integer cost table (doc_id, n_tokens, bucket) is materialized so
     the partial-sum pass and the fold don't re-read + re-tokenize the
-    text column twice; at 100 TB it is 24 bytes/doc — orders of magnitude
-    below the text it summarizes, and the object store spills it if
-    needed. Partitioning assumption: one doc_id-range bucket fits a
+    text column twice; at 100 TB it is 24 bytes/doc — 0.024% of the text
+    it summarizes (residency arithmetic: DESIGN_SCALE.md "Round-4:
+    narrow-table residency"; ~94 GB/node on 256 nodes, spillable).
+    Partitioning assumption: one doc_id-range bucket fits a
     worker's heap (buckets count scales with cluster CPUs; re-derive R
     from bytes when docs-per-bucket outgrows memory)."""
     import ray
@@ -1021,8 +1022,11 @@ def docs_global_shuffle(sf_dir: str, shard_size: int = SHUFFLE_SHARD):
         k = _md5_hash15(d, SHUFFLE_SALT)
         return pd.DataFrame({"doc_id": d, "skey": k, "bucket": k // span})
 
+    # NO materialize: the key table derives from doc_id alone (no text
+    # read), so recomputing the md5 on the fold pass costs two cheap
+    # integer-only scans instead of pinning an O(n-doc) narrow table
+    # (~24 TB of object-store residency at 10^12 docs) between passes
     key_ds = _docs(sf_dir, columns=["doc_id"]).map_batches(keyed, batch_format="pandas")
-    key_ds = key_ds.materialize()  # 24 B/doc; read once for counts + fold
 
     totals = (
         grouped_sums(key_ds, ["bucket"], [], count_alias="n")
@@ -1128,7 +1132,11 @@ def docs_quality_rank(
     key_ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         keyed, batch_format="pandas"
     )
-    key_ds = key_ds.materialize()  # 16 B/doc; read ≤3 times (hist + hot + fold)
+    # 16 B/doc pin, read ≤3 times (hist + hot + fold); kept because the
+    # score derives from TEXT — recompute would re-scan the corpus per
+    # pass. Residency budget at 10^12 docs: DESIGN_SCALE.md "Round-4:
+    # narrow-table residency" (63 GB/node on 256 nodes, spillable).
+    key_ds = key_ds.materialize()
 
     hist = (
         grouped_sums(key_ds, ["q"], [], count_alias="n")
