@@ -1082,8 +1082,12 @@ changes AS (
     UNION ALL SELECT k + 2000000000000, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'ghost', 1, 'D' FROM base WHERE k % 17 = 2
 ),
 win AS (
+    -- src DESC tie-break mirrors the Python path's contract that
+    -- duplicate (k, version) pairs are an upstream error: with unique
+    -- versions it is a no-op, and if duplicates ever appeared the twin
+    -- would resolve them deterministically instead of by scan order
     SELECT * FROM changes
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) = 1
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC, src DESC) = 1
 )
 SELECT k AS o_orderkey, c AS o_custkey, cents AS price_cents, src, version
 FROM win WHERE op = 'U'
@@ -1846,8 +1850,11 @@ def q4_priority_semi(sf_dir: str, returnflag: str = "R"):
     ``how="semi"`` mode. The corpus-sized probe reduces FIRST: lineitem
     prunes to the returned rows at the READ (row-group filter pushdown)
     and dedups orderkeys per batch map-side, so the semi probe's
-    exchange moves ~one row per qualifying order, not one per lineitem;
-    the rollup is priority-cardinality."""
+    exchange moves APPROXIMATELY one row per qualifying order (an
+    order's returned rows that span batches each survive their own
+    batch's dedup — harmless for the semi join, which ignores
+    multiplicity, and bounded by the order's batch-span); the rollup is
+    priority-cardinality."""
     import pyarrow.dataset as pds
 
     from .common import bucketed_group_agg, cogroup_join

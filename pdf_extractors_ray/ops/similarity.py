@@ -824,8 +824,17 @@ def emb_kmeans(sf_dir: str, k: int = KMEANS_K, max_iters: int = KMEANS_MAX_ITERS
                 out.append(row)
             return pd.DataFrame(out)
 
-        p = emb.map_batches(part, batch_format="pandas").to_pandas()
-        return p.groupby("cluster", sort=True).sum()
+        # one bucketed combine BEFORE the driver: the per-batch partials
+        # (≤k rows each) merge distributed, so the driver fold sees ≤k
+        # rows per round instead of k·n_blocks (~10^8 tiny rows at 10^6
+        # blocks × k=8 × 10 rounds)
+        from .common import bucketed_group_agg
+
+        agg_cols = {"n": "sum", "inertia": "sum", **{f"s{j}": "sum" for j in range(d)}}
+        p = bucketed_group_agg(
+            emb.map_batches(part, batch_format="pandas"), ["cluster"], agg_cols
+        ).to_pandas()
+        return p.set_index("cluster").sort_index()
 
     inertia_prev = None
     n_total = None
@@ -2191,16 +2200,20 @@ def emb_filtered_knn(sf_dir: str, k: int = 5, n_queries: int = 10):
     ds = _emb(sf_dir, columns=["vec_id", "embedding", "label"])
     qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
     q = _matrix(qdf)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     queries_ref = ray.put(
-        (qdf["vec_id"].to_numpy(), qdf["label"].to_numpy(np.int64), qn)
+        (qdf["vec_id"].to_numpy(), qdf["label"].to_numpy(np.int64), q,
+         np.linalg.norm(q, axis=1))
     )
 
     def score(batch: pd.DataFrame, *, _ref=queries_ref, _k=k) -> pd.DataFrame:
-        qids, qlabs, qmat = ray.get(_ref)
+        qids, qlabs, qmat, qnorm = ray.get(_ref)
         c = _matrix(batch)
-        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
-        sims = cn @ qmat.T
+        # dot-then-divide, the same operation order as DuckDB
+        # list_cosine_similarity (dot(a,b) / (||a||·||b||)), so the
+        # float64 result agrees with the twin beyond shared-rounding
+        # luck; the residual assumption is only the dot's accumulation
+        # order, shared with every float64 matmul in this family
+        sims = (c @ qmat.T) / (np.linalg.norm(c, axis=1)[:, None] * qnorm[None, :])
         sim_ppm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
         cids = batch["vec_id"].to_numpy()
         clabs = batch["label"].to_numpy(np.int64)
