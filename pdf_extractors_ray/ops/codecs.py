@@ -1,20 +1,24 @@
-"""Pure stdlib+numpy media codecs: binary P6 PPM images, 16-bit PCM WAV.
+"""Pure stdlib+numpy media codecs: P6 PPM and PNG images, 16-bit PCM WAV.
 
 This container ships no external media libraries (no PIL/opencv/ffmpeg),
-but these two formats are fully decodable with numpy and the standard
-library — so the decode, resize, and frame-sample kernels over them are
-REAL (round-trip-tested), not stubs. Heavier codecs (JPEG/MP3/H.264)
-remain injectable per-actor handles via ``DecodeStub``'s
-``codec_factory`` (see ``ops/multimodal.py``).
+but these formats are fully decodable with numpy and the standard
+library (PNG: zlib inflate + per-filter unfiltering incl. Paeth) — so
+the decode, resize, and frame-sample kernels over them are REAL
+(round-trip-tested), not stubs. Heavier codecs (JPEG/MP3/H.264) remain
+injectable per-actor handles via ``DecodeStub``'s ``codec_factory``
+(see ``ops/multimodal.py``). Reference analog for the image chain: the
+playground CV pipeline (``playground/try_cv.py:37-98``).
 
 Everything here is deterministic: the synthetic corpus generators seed
-numpy's RandomState with ``doc_id``, and both encoders are byte-stable.
+numpy's RandomState with ``doc_id``, and all encoders are byte-stable.
 """
 
 from __future__ import annotations
 
 import io
+import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -65,6 +69,167 @@ def resize_nearest(arr: np.ndarray, max_side: int) -> np.ndarray:
     rows = np.minimum((np.arange(out_h) * (h / out_h)).astype(np.int64), h - 1)
     cols = np.minimum((np.arange(out_w) * (w / out_w)).astype(np.int64), w - 1)
     return np.ascontiguousarray(arr[rows[:, None], cols[None, :]])
+
+
+# ---------------------------------------------------------------------------
+# PNG (ISO/IEC 15948): 8-bit gray / RGB / RGBA, non-interlaced.
+# Decode = chunk walk (CRC-checked) -> zlib inflate -> per-row unfilter.
+# Sub/Up are vectorized outright; Sub additionally collapses to a mod-256
+# cumsum over pixels. Average/Paeth carry an intra-row sequential
+# dependence, resolved pixel-at-a-time with the channel vector as the
+# unit (w steps of bpp-wide numpy ops, no per-byte Python).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type -> channels (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor over int16 channel vectors (a=left, b=up, c=up-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w) or (h, w, {1,3,4}) uint8 -> PNG bytes.
+
+    ``filter_type`` (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) is applied
+    to EVERY row — filtering forward is fully vectorized for all five
+    types (the predictors read raw, not reconstructed, data) — so tests
+    can round-trip each unfilter path."""
+    if arr.dtype != np.uint8:
+        raise ValueError(f"expected uint8, got {arr.dtype}")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    if filter_type not in range(5):
+        raise ValueError(f"bad filter type {filter_type}")
+
+    raw = arr.astype(np.int16)
+    left = np.zeros_like(raw)
+    left[:, 1:] = raw[:, :-1]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, 1:] = raw[:-1, :-1]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - (left + up) // 2
+    else:
+        filt = raw - _paeth(left, up, upleft)
+    body = np.empty((h, 1 + w * ch), dtype=np.uint8)
+    body[:, 0] = filter_type
+    body[:, 1:] = (filt % 256).astype(np.uint8).reshape(h, w * ch)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, ch) uint8 (gray decodes to ch=1)."""
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = len(_PNG_MAGIC), [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_method, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or comp or filt_method or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color} interlace={interlace}); "
+            "8-bit gray/RGB/RGBA non-interlaced only"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    body = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(body) != h * (1 + stride):
+        raise ValueError("PNG body length mismatch")
+    body = body.reshape(h, 1 + stride)
+    ftypes = body[:, 0]
+    rows = body[:, 1:].astype(np.int16)  # int16: filter math needs signed headroom
+    out = np.empty((h, w, ch), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        f, row = int(ftypes[y]), rows[y]
+        if f == 0:
+            rec = row
+        elif f == 1:
+            # recon[x] = filt[x] + recon[x-bpp]: a prefix sum over pixels
+            rec = np.cumsum(row.reshape(w, ch), axis=0, dtype=np.int64).reshape(stride)
+        elif f == 2:
+            rec = row + prior
+        elif f in (3, 4):
+            rec = np.empty(stride, dtype=np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            pr = prior.reshape(w, ch)
+            rw = row.reshape(w, ch)
+            rc = rec.reshape(w, ch)
+            upleft = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                if f == 3:
+                    pred = (left + pr[x]) // 2
+                else:
+                    pred = _paeth(left, pr[x], upleft)
+                rc[x] = (rw[x] + pred) % 256
+                left = rc[x].astype(np.int16)
+                upleft = pr[x]
+        else:
+            raise ValueError(f"bad PNG filter type {f} in row {y}")
+        rec = (rec % 256).astype(np.uint8)
+        out[y] = rec.reshape(w, ch)
+        prior = rec.astype(np.int16)
+    return out
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff-and-decode: P6 PPM or PNG -> (h, w, 3) uint8 RGB.
+
+    The production image stages (thumbnail, dHash, OCR raster) call this
+    so a corpus can mix container formats per payload; gray broadcasts
+    to RGB and RGBA drops alpha so downstream kernels see one layout."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(_PNG_MAGIC):
+        arr = decode_png(payload)
+        if arr.shape[2] == 1:
+            return np.ascontiguousarray(np.repeat(arr, 3, axis=2))
+        if arr.shape[2] == 4:
+            return np.ascontiguousarray(arr[:, :, :3])
+        return arr
+    raise ValueError("unrecognized image payload (expected P6 PPM or PNG)")
 
 
 # ---------------------------------------------------------------------------
@@ -127,12 +292,13 @@ def synth_audio(doc_id: int) -> tuple[np.ndarray, int]:
 class StdlibCodec:
     """Injectable REAL codec handle for ``DecodeStub`` (the same
     ``codec_factory`` contract a GPU/ffmpeg handle would satisfy):
-    decodes P6 images to true dimensions + pixel stats, WAV audio to true
-    duration + RMS. Construction is per actor, decode per payload."""
+    decodes P6/PNG images (sniffed) to true dimensions + pixel stats,
+    WAV audio to true duration + RMS. Construction is per actor, decode
+    per payload."""
 
     def decode(self, payload: bytes, kind: str) -> dict:
         if kind == "image":
-            arr = decode_ppm(payload)
+            arr = decode_image(payload)
             return {
                 "width": int(arr.shape[1]),
                 "height": int(arr.shape[0]),

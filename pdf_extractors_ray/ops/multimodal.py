@@ -123,12 +123,12 @@ class ResizeStub:
     """Actor-pool resize stage for image payloads.
 
     ``real=True`` (the production default in the pipelines below) does the
-    ACTUAL pixel work: decode the P6 payload, nearest-neighbor resample so
+    ACTUAL pixel work: sniff-decode the P6/PNG payload, nearest-neighbor resample so
     max(h, w) <= max_side (``codecs.resize_nearest``), and hash the
     resampled bytes. Re-decoding from the payload here is deliberate —
     shipping decoded RGB between stages through the object store costs
-    ~4x the payload bytes, while a P6 re-decode is a header parse plus a
-    buffer view. ``real=False`` keeps the digest-fake geometry-only path.
+    ~4x the payload bytes, while a P6/PNG re-decode is cheap relative to
+    shipping raw RGB. ``real=False`` keeps the digest-fake geometry-only path.
     """
 
     def __init__(self, max_side: int = 128, real: bool = False):
@@ -140,7 +140,7 @@ class ResizeStub:
         if self.real:
             out_w, out_h, shas = [], [], []
             for payload in g["payload"]:
-                thumb = codecs.resize_nearest(codecs.decode_ppm(payload), self.max_side)
+                thumb = codecs.resize_nearest(codecs.decode_image(payload), self.max_side)
                 out_h.append(thumb.shape[0])
                 out_w.append(thumb.shape[1])
                 shas.append(hashlib.md5(thumb.tobytes()).hexdigest()[:16])
@@ -367,8 +367,8 @@ def media_neardup_dataset(sf_dir: str):
     16-id block, even residues {0,4,6,8,10} share one exact image
     (seeded by the block id), residue 2 renders the same image with 3
     jittered pixels (a true near-dup), residues {12,14} stay unique.
-    Payloads are REAL binary P6 — the dHash stage decodes them with the
-    production codec."""
+    Payloads are REAL binary P6 or PNG (sniffed per payload) — the
+    dHash stage decodes them with the production codec."""
     import ray.data as rd
 
     from ..runtime import read_parquet_sized, tune_data_context
@@ -395,7 +395,14 @@ def media_neardup_dataset(sf_dir: str):
                 arr[gy, gx] = 255 - arr[gy, gx]
             else:
                 arr = codecs.synth_image(d)
-            payloads.append(codecs.encode_ppm(arr))
+            # container mix: every 4th id ships PNG (cycling through
+            # all five row filters), the rest binary P6 — decoded
+            # pixels are identical either way, so duplicate groups
+            # span formats and the dHash stage must sniff-decode
+            if d % 4 == 0:
+                payloads.append(codecs.encode_png(arr, filter_type=(d // 4) % 5))
+            else:
+                payloads.append(codecs.encode_ppm(arr))
             keep.append(d)
         return pa.table(
             {
@@ -435,7 +442,7 @@ def media_image_neardup(sf_dir: str, max_hamming: int = 3):
 
 
 def image_payload_hash(payload: bytes) -> int:
-    return dhash64(codecs.decode_ppm(payload))
+    return dhash64(codecs.decode_image(payload))
 
 
 def audio_payload_hash(payload: bytes) -> int:

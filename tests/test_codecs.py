@@ -25,6 +25,65 @@ def test_ppm_rejects_non_p6():
         codecs.decode_ppm(b"nonsense")
 
 
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(ftype):
+    """Each PNG row filter (None/Sub/Up/Average/Paeth) must round-trip
+    bit-exactly through the stdlib zlib + numpy unfilter path."""
+    rng = np.random.RandomState(100 + ftype)
+    arr = rng.randint(0, 256, size=(19, 31, 3), dtype=np.uint8)
+    out = codecs.decode_png(codecs.encode_png(arr, filter_type=ftype))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+def test_png_gray_and_rgba_roundtrip():
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(12, 9), dtype=np.uint8)
+    g = codecs.decode_png(codecs.encode_png(gray, filter_type=4))
+    assert g.shape == (12, 9, 1) and np.array_equal(g[:, :, 0], gray)
+    rgba = rng.randint(0, 256, size=(8, 13, 4), dtype=np.uint8)
+    r = codecs.decode_png(codecs.encode_png(rgba, filter_type=3))
+    assert np.array_equal(r, rgba)
+
+
+def test_png_smooth_image_compresses_and_roundtrips():
+    # a gradient (the case row filters exist for): Paeth output must both
+    # round-trip and beat the unfiltered encoding's size
+    y, x = np.mgrid[0:64, 0:64]
+    arr = np.stack([(y * 2).astype(np.uint8), (x * 2).astype(np.uint8),
+                    ((x + y)).astype(np.uint8)], axis=2)
+    flat = codecs.encode_png(arr, filter_type=0)
+    paeth = codecs.encode_png(arr, filter_type=4)
+    assert np.array_equal(codecs.decode_png(paeth), arr)
+    assert len(paeth) < len(flat)
+
+
+def test_png_rejects_corruption_and_unsupported():
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = bytearray(codecs.encode_png(arr))
+    payload[40] ^= 0xFF  # flip a byte inside IDAT -> CRC must catch it
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(payload))
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"not a png")
+    with pytest.raises(ValueError):
+        codecs.encode_png(np.zeros((2, 2, 2), dtype=np.uint8))
+
+
+def test_decode_image_sniffs_and_canonicalizes():
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(10, 11, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_image(codecs.encode_ppm(arr)), arr)
+    assert np.array_equal(codecs.decode_image(codecs.encode_png(arr, 2)), arr)
+    gray = rng.randint(0, 256, size=(5, 6), dtype=np.uint8)
+    g3 = codecs.decode_image(codecs.encode_png(gray))
+    assert g3.shape == (5, 6, 3) and np.array_equal(g3[:, :, 0], gray)
+    rgba = rng.randint(0, 256, size=(5, 6, 4), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_image(codecs.encode_png(rgba, 1)), rgba[:, :, :3])
+    with pytest.raises(ValueError):
+        codecs.decode_image(b"??\x00")
+
+
 def test_wav_roundtrip_exact():
     rng = np.random.RandomState(12)
     pcm = rng.randint(-30000, 30000, size=1234).astype(np.int16)
