@@ -32,6 +32,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..oracle import catalog as _catalog
@@ -253,19 +254,32 @@ def fold_partition(part: pa.Table, families: dict | None = None, derive_census: 
     per run). Yields ``(family, arrow_table, n_turns, n_convs)``.
     """
     families = families or FOLDS
-    tool = np.asarray(part["tool"].to_pandas(), dtype=object)
-    conv = np.asarray(part["conv_id"].to_pandas(), dtype=object)
+
+    def sorted_codes(col: "pa.ChunkedArray"):
+        """Integer codes ranked by sorted distinct VALUE + the sorted
+        uniques — ``pd.factorize(sort=True)`` semantics without ever
+        materializing a per-ROW Python-object column (r3 #8 DRAM diet:
+        only the ~n_convs DISTINCT strings become Python objects; the
+        per-row side stays int32 Arrow indices end-to-end). Value-sorted
+        codes matter: recomputed partitions must be byte-identical
+        regardless of block arrival order."""
+        enc = pc.dictionary_encode(col.combine_chunks())
+        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        perm = np.argsort(uniq, kind="stable")
+        rank = np.empty(len(perm), dtype=np.int64)
+        rank[perm] = np.arange(len(perm))
+        return rank[idx], uniq[perm]
+
     tidx = part["turn_idx"].to_numpy(zero_copy_only=False)
     texts = np.asarray(part["text"].to_pandas(), dtype=object)
     if pd.isna(texts).any():
         texts = np.where(pd.isna(texts), "", texts)  # null text ≡ empty line
-    # sort=True: code order must come from the VALUES, not block arrival
-    # order, or recomputed partitions would not be byte-identical
-    conv_codes = pd.factorize(conv, sort=True)[0]
-    tool_codes, tool_uniq = pd.factorize(tool, sort=True)
+    conv_codes, conv_uniq = sorted_codes(part["conv_id"])
+    tool_codes, tool_uniq = sorted_codes(part["tool"])
     order = np.lexsort((tidx, conv_codes, tool_codes))
     tc, cc = tool_codes[order], conv_codes[order]
-    ti, tx, cv = tidx[order], texts[order], conv[order]
+    ti, tx = tidx[order], texts[order]
     change = np.flatnonzero((np.diff(tc) != 0) | (np.diff(cc) != 0)) + 1
     bounds = np.concatenate(([0], change, [len(tc)]))
 
@@ -278,7 +292,7 @@ def fold_partition(part: pa.Table, families: dict | None = None, derive_census: 
             continue
         fold_fn = families[fam][0]
         conv_rows = fold_fn(list(tx[lo:hi]), [int(x) for x in ti[lo:hi]])
-        cid = cv[lo]
+        cid = conv_uniq[cc[lo]]
         for r in conv_rows:
             r["conv_id"] = cid
         rows_by_family.setdefault(fam, []).extend(conv_rows)
