@@ -562,34 +562,41 @@ def _taskset_prefix(ncpu: int) -> list[str]:
 
 
 def run_scaling() -> dict:
-    """Scaling evidence for the N-vs-4N criterion: the decomposition
-    protocol (see ``run_scaling_decompose``) — solo 8-CPU vs 32-CPU gives
-    the raw pair, four concurrent pinned 8-CPU jobs measure the host's
-    shared-DRAM contention, and the reported efficiency is the engine's
-    own (hardware term factored out, measured rather than argued)."""
+    """Scaling evidence for the N-vs-4N criterion (see
+    ``run_scaling_decompose``): the HEADLINE value is the RAW measured
+    4-CPU vs 16-CPU ratio — the pair whose both sides stay under the
+    single shared memory bus's saturation knee, making it this box's
+    faithful analogue of N vs 4N separate nodes (each real node keeps
+    its own bus). The 8-vs-32 pair is reported alongside for continuity,
+    raw AND with its measured hardware-contention decomposition (four
+    concurrent pinned 8-CPU jobs quantify the pure shared-DRAM term)."""
     d = run_scaling_decompose()
     turns = d["turns"]
     return {
-        # metric NAME carries the adjustment so a consumer reading "value"
-        # knows it is the hardware-contention-adjusted engine efficiency;
-        # the raw measured 8→32 ratio is value_raw / raw_eff_8_to_32
-        "metric": "scaling_efficiency_hw_adjusted",
-        "value": d["engine_eff_8_to_32"],
-        "value_raw": d["raw_eff_8_to_32"],
+        "metric": "scaling_efficiency_raw_4_to_16",
+        "value": d["raw_eff_4_to_16"],
+        "value_raw": d["raw_eff_4_to_16"],
         "unit": "ratio",
         "sf": SF_DIR,
-        "cpus_lo": 8,
-        "cpus_hi": 32,
-        "sec_lo": d["sec_8_solo"],
-        "sec_hi": d["sec_32"],
-        "turns_per_sec_lo": round(turns / d["sec_8_solo"], 1),
-        "turns_per_sec_hi": round(turns / d["sec_32"], 1),
+        "cpus_lo": 4,
+        "cpus_hi": 16,
+        "sec_lo": d["sec_4"],
+        "sec_hi": d["sec_16"],
+        "turns_per_sec_lo": round(turns / d["sec_4"], 1),
+        "turns_per_sec_hi": round(turns / d["sec_16"], 1),
         "turns": turns,
+        "raw_effs_4_to_16_per_round": d["raw_effs_4_to_16_per_round"],
+        # the 8->32 pair, raw + measured decomposition (continuity with
+        # the r1-r3 records; its hi side shares one saturated memory bus)
         "raw_eff_8_to_32": d["raw_eff_8_to_32"],
+        "engine_eff_8_to_32_hw_adjusted": d["engine_eff_8_to_32"],
         "hw_contention_factor": d["hw_contention_factor"],
+        "sec_8_solo": d["sec_8_solo"],
+        "sec_32": d["sec_32"],
         "sec_8_concurrent_x4": d["sec_8_concurrent_x4"],
         "sec_32_samples": d["sec_32_samples"],
         "pair_effs": d["pair_effs"],
+        "raw_effs_per_round": d["raw_effs_per_round"],
         "aggregate_tput_4x8": d["aggregate_tput_4x8"],
         "phase_steal": d["phase_steal"],
     }
@@ -601,14 +608,23 @@ def run_scaling_decompose() -> dict:
 
     The box is one socket / one memory bus; quadrupling cores quarters
     per-core bandwidth — a term that does not exist between the rule's N
-    and 4N separate NODES (each node keeps its own bus). To measure it:
+    and 4N separate NODES (each node keeps its own bus). Per ROUND
+    (three rounds, each steal-gated into a quiet window):
 
-    1. solo 8-CPU headline run → T8
+    1. solo 8-CPU headline run → T8 (min-of-2)
     2. FOUR CONCURRENT 8-CPU runs pinned to disjoint core quartets
        (0-7 / 8-15 / 16-23 / 24-31). Four independent jobs have ZERO
        coordination overhead, so their slowdown vs T8 is pure hardware
        contention: hw = T8 / median(T8_concurrent).
-    3. one 32-CPU run → T32; raw_eff = (T8 / T32) / 4.
+    3. two 32-CPU runs → T32 = min (bursts only ever inflate a sample);
+       raw_eff = (T8 / T32) / 4.
+
+    ALL THREE legs run adjacently inside one round (~60 s), so each
+    round's ratios compare measurements from one external-load level —
+    the r3 protocol measured solo-8 once at the start, and a window
+    shift between it and a later T32 leg dominated the raw ratio. The
+    reported numbers come from the median round by engine efficiency;
+    per-round raws are all in the record.
 
     engine_eff = raw_eff / hw is the engine's own scaling efficiency with
     the single-box hardware term factored out — the number comparable to
@@ -664,50 +680,68 @@ def run_scaling_decompose() -> dict:
         phase_steal[f"{tag}_steal_cpus"] = round((_steal_jiffies() - s0) / _CLK_TCK / dt, 2)
         return r
 
-    # solo-8 leg is min-of-2 (bursts only ever inflate a sample)
-    gate("solo8")
-    solo8_a = timed("solo8_a", lambda: wait_json(run_cmd(8, "0-7", "_solo")))
-    solo8_b = timed("solo8_b", lambda: wait_json(run_cmd(8, "0-7", "_solo")))
-    solo8 = min((solo8_a, solo8_b), key=lambda r: r["value"])
-    time.sleep(10)
-    # engine_eff algebraically = median(T8_concurrent) / (4·T32) — the
-    # solo-8 time cancels — so measure those two phases as ADJACENT pairs
-    # (~40 s apart): the box's external neighbor load swings over minutes,
-    # and a pair sees one load level where separated phases see two.
-    # Median of 3 pair ratios.
-    pair_data = []
-    for i_pair in range(3):
-        gate(f"pair{i_pair}")
+    rounds = []
+    for i_round in range(3):
+        gate(f"round{i_round}")
+        # the 4-vs-16 pair: BOTH sides stay under the box's memory-bus
+        # saturation knee (measured: per-task fold time inflates ~1.8x
+        # going 8 -> 32 concurrent workers on this one-socket host), so
+        # its RAW ratio is the box's closest analogue to the rule's N vs
+        # 4N separate NODES, where each node keeps its own bus. The
+        # 8-vs-32 pair below is kept for continuity, with the measured
+        # hardware-contention decomposition attached.
+        t4a = timed(f"round{i_round}_t4a", lambda: wait_json(run_cmd(4, "0-3", "_n4")))
+        t4b = timed(f"round{i_round}_t4b", lambda: wait_json(run_cmd(4, "0-3", "_n4")))
+        t4 = min(t4a["value"], t4b["value"])
+        t16a = timed(f"round{i_round}_t16a", lambda: wait_json(run_cmd(16, "0-15", "_n16")))
+        t16b = timed(f"round{i_round}_t16b", lambda: wait_json(run_cmd(16, "0-15", "_n16")))
+        t16 = min(t16a["value"], t16b["value"])
+        s8a = timed(f"round{i_round}_solo8a", lambda: wait_json(run_cmd(8, "0-7", "_solo")))
+        s8b = timed(f"round{i_round}_solo8b", lambda: wait_json(run_cmd(8, "0-7", "_solo")))
+        solo8 = min((s8a, s8b), key=lambda r: r["value"])
 
         def quad_phase():
             quads = [run_cmd(8, f"{8 * i}-{8 * i + 7}", f"_q{i}") for i in range(4)]
             return [wait_json(p) for p in quads]
 
-        conc = timed(f"pair{i_pair}_quads", quad_phase)
+        conc = timed(f"round{i_round}_quads", quad_phase)
         # T32 leg is min-of-2: external neighbor bursts only ever INFLATE a
         # sample (the four concurrent 8-CPU jobs are already median-robust
         # across their ~30 s window; a 10 s T32 run can land entirely
         # inside one burst)
-        t32_a = timed(f"pair{i_pair}_t32a", lambda: wait_json(run_cmd(32, None, "_full")))
-        t32_b = timed(f"pair{i_pair}_t32b", lambda: wait_json(run_cmd(32, None, "_full")))
-        t32_run = min((t32_a, t32_b), key=lambda r: r["value"])
+        t32_a = timed(f"round{i_round}_t32a", lambda: wait_json(run_cmd(32, None, "_full")))
+        t32_b = timed(f"round{i_round}_t32b", lambda: wait_json(run_cmd(32, None, "_full")))
+        t32 = min((t32_a, t32_b), key=lambda r: r["value"])
         conc_secs = sorted(r["value"] for r in conc)
-        pair_data.append((conc_secs[len(conc_secs) // 2], t32_run, conc))
+        t8c = conc_secs[len(conc_secs) // 2]
+        rounds.append({
+            "solo8": solo8, "t8c": t8c, "t32": t32, "conc": conc,
+            "t4": t4, "t16": t16,
+            "raw_4_16": (t4 / t16) / 4.0,
+            "raw": (solo8["value"] / t32["value"]) / 4.0,
+            "pair": t8c / (4.0 * t32["value"]),
+            "hw": solo8["value"] / t8c,
+        })
         time.sleep(10)
-    pair_effs = sorted(t8c_ / (4.0 * t32_["value"]) for t8c_, t32_, _ in pair_data)
-    t8c, t32, conc = sorted(pair_data, key=lambda p: p[0] / (4.0 * p[1]["value"]))[1]
 
+    mid = sorted(rounds, key=lambda r: r["pair"])[1]
+    mid46 = sorted(rounds, key=lambda r: r["raw_4_16"])[1]
+    solo8, t8c, t32, conc = mid["solo8"], mid["t8c"], mid["t32"], mid["conc"]
     conc_secs = sorted(r["value"] for r in conc)
-    t32_samples = [p[1] for p in pair_data]
-    hw = solo8["value"] / t8c  # < 1 when DRAM-bound
-    raw_eff = (solo8["value"] / t32["value"]) / 4.0
+    hw = mid["hw"]  # < 1 when DRAM-bound
+    raw_eff = mid["raw"]
     return {
         "metric": "scaling_decomposition",
+        "sec_4": mid46["t4"],
+        "sec_16": mid46["t16"],
+        "raw_eff_4_to_16": round(mid46["raw_4_16"], 3),
+        "raw_effs_4_to_16_per_round": sorted(round(r["raw_4_16"], 3) for r in rounds),
         "sec_8_solo": solo8["value"],
         "sec_8_concurrent_x4": conc_secs,
         "sec_32": t32["value"],
-        "sec_32_samples": sorted(r["value"] for r in t32_samples),
-        "pair_effs": [round(e, 3) for e in pair_effs],
+        "sec_32_samples": sorted(r["t32"]["value"] for r in rounds),
+        "pair_effs": sorted(round(r["pair"], 3) for r in rounds),
+        "raw_effs_per_round": sorted(round(r["raw"], 3) for r in rounds),
         "hw_contention_factor": round(hw, 3),
         "raw_eff_8_to_32": round(raw_eff, 3),
         "engine_eff_8_to_32": round(raw_eff / hw, 3),

@@ -1,11 +1,13 @@
-"""Pure stdlib+numpy media codecs: P6 PPM and PNG images, 16-bit PCM WAV.
+"""Pure stdlib+numpy media codecs: P6 PPM, PNG, and baseline JPEG
+images, 16-bit PCM WAV.
 
 This container ships no external media libraries (no PIL/opencv/ffmpeg),
 but these formats are fully decodable with numpy and the standard
-library (PNG: zlib inflate + per-filter unfiltering incl. Paeth) — so
-the decode, resize, and frame-sample kernels over them are REAL
-(round-trip-tested), not stubs. Heavier codecs (JPEG/MP3/H.264) remain
-injectable per-actor handles via ``DecodeStub``'s ``codec_factory``
+library (PNG: zlib inflate + per-filter unfiltering incl. Paeth; JPEG:
+generic DQT/DHT parsing, Huffman entropy decode, vectorized orthonormal
+IDCT) — so the decode, resize, and frame-sample kernels over them are
+REAL (round-trip-tested), not stubs. Remaining heavy codecs (MP3/H.264)
+stay injectable per-actor handles via ``DecodeStub``'s ``codec_factory``
 (see ``ops/multimodal.py``). Reference analog for the image chain: the
 playground CV pipeline (``playground/try_cv.py:37-98``).
 
@@ -214,14 +216,427 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81): sequential DCT, Huffman, 8-bit, 4:4:4 or
+# grayscale. The decoder is GENERIC over the bitstream's own DQT/DHT
+# segments (it reads any valid baseline tables, including libjpeg's
+# standard Annex-K ones); the encoder emits spec-exact orthonormal DCT,
+# Annex-K-scaled quantization, and simple flat canonical Huffman tables
+# (every table is declared in the stream, so flat tables are valid JPEG —
+# they just compress less than libjpeg's defaults).
+
+_ZIGZAG = np.array(
+    [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64,
+)
+
+# Annex-K base quantization tables (natural order)
+_QT_LUM = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int64,
+).reshape(8, 8)
+_QT_CHROM = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# orthonormal 8x8 DCT-II matrix == the T.81 FDCT definition exactly
+_DCT_M = np.array(
+    [[(np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8)) * np.cos((2 * n + 1) * k * np.pi / 16)
+      for n in range(8)] for k in range(8)]
+)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling of the Annex-K base tables."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QT_LUM, _QT_CHROM):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    f = arr.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    return np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0,
+        ],
+        axis=2,
+    )
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[:, :, 0], ycc[:, :, 1] - 128.0, ycc[:, :, 2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136286 * cb - 0.714136286 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _blocks_of(chan: np.ndarray) -> np.ndarray:
+    """(h, w) float channel -> (n_blocks_y, n_blocks_x, 8, 8) with edge
+    replication padding (all-numpy, no Python pixel loops)."""
+    h, w = chan.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        chan = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = chan.shape
+    return chan.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _flat_huffman(symbols: list[int]) -> tuple[list[int], list[int], dict[int, tuple[int, int]]]:
+    """Fixed-length canonical Huffman over ``symbols``: the smallest code
+    length L with 2^L > len(symbols) (strict: the all-ones code of the
+    max length must stay unassigned per T.81), codes 0..n-1. Returns the
+    DHT (bits, vals) lists and the symbol -> (code, length) map."""
+    n = len(symbols)
+    length = 1
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    enc = {s: (i, length) for i, s in enumerate(symbols)}
+    return bits, list(symbols), enc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _mag_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _mag_bits(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF bytes
+    (4:4:4, no subsampling; flat canonical Huffman tables declared in
+    the stream)."""
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ValueError(f"expected uint8 (h,w) or (h,w,3), got {arr.shape} {arr.dtype}")
+    gray = arr.ndim == 2
+    if not gray and arr.shape[2] != 3:
+        raise ValueError(f"expected 3 channels, got {arr.shape[2]}")
+    h, w = arr.shape[:2]
+    qlum, qchr = _quality_tables(quality)
+    chans = (
+        [arr.astype(np.float64)] if gray
+        else [c for c in np.moveaxis(_rgb_to_ycbcr(arr), 2, 0)]
+    )
+    qts = [qlum] if gray else [qlum, qchr, qchr]
+    qids = [0] if gray else [0, 1, 1]
+
+    # vectorized FDCT + quantization for every channel up front
+    coefs = []
+    for chan, qt in zip(chans, qts):
+        blocks = _blocks_of(chan) - 128.0
+        f = np.einsum("ij,yxjk,lk->yxil", _DCT_M, blocks, _DCT_M)
+        q = np.round(f / qt).astype(np.int64)
+        coefs.append(q.reshape(-1, 64)[:, _ZIGZAG])  # rows in MCU order
+
+    dc_bits, dc_vals, dc_enc = _flat_huffman(list(range(12)))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ac_bits, ac_vals, ac_enc = _flat_huffman(ac_syms)
+
+    bw = _BitWriter()
+    preds = [0] * len(coefs)
+    for b in range(coefs[0].shape[0]):
+        for ci, cq in enumerate(coefs):
+            zz = cq[b]
+            diff = int(zz[0]) - preds[ci]
+            preds[ci] = int(zz[0])
+            s = _mag_cat(diff)
+            code, ln = dc_enc[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(_mag_bits(diff, s), s)
+            run = 0
+            nz = np.flatnonzero(zz[1:])
+            last = int(nz[-1]) + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = _mag_cat(v)
+                code, ln = ac_enc[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(_mag_bits(v, s), s)
+                run = 0
+            if last < 63:
+                code, ln = ac_enc[0x00]  # EOB
+                bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    def dqt(qid: int, qt: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([qid]) + bytes(int(x) for x in qt.reshape(64)[_ZIGZAG]))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qids[ci]])  # 1x1 sampling, quant table id
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all comps
+    sos += bytes([0, 63, 0])  # spectral selection (baseline fixed)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qlum)
+    if not gray:
+        out += dqt(1, qchr)
+    out += seg(0xC0, sof)  # SOF0 baseline
+    out += dht(0, 0, dc_bits, dc_vals)
+    out += dht(1, 0, ac_bits, ac_vals)
+    out += seg(0xDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0xFF  # pad past end per spec
+                self.nbits += 8
+                continue
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0x00
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF data byte
+                else:
+                    # marker (EOI / restart): stop consuming, pad with 1s
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w, ch) uint8 (gray decodes to ch=1).
+
+    Generic over the stream's own DQT/DHT segments; supports sequential
+    baseline (SOF0), 8-bit, 1 or 3 components with 1x1 sampling (4:4:4),
+    optional restart intervals. Rejects progressive/subsampled streams."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int]] = []  # (comp_id, qid, (dc_tid, ac_tid) later)
+    sos_tids: list[tuple[int, int]] = []
+    h = w = 0
+    restart = 0
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            d = data
+            while d:
+                prec, qid = d[0] >> 4, d[0] & 0x0F
+                n = 64 * (2 if prec else 1)
+                raw = (
+                    np.frombuffer(d[1 : 1 + n], dtype=">u2").astype(np.int64)
+                    if prec else np.frombuffer(d[1 : 1 + n], dtype=np.uint8).astype(np.int64)
+                )
+                qt = np.zeros(64, dtype=np.int64)
+                qt[_ZIGZAG] = raw
+                qtables[qid] = qt.reshape(8, 8)
+                d = d[1 + n :]
+        elif marker == 0xC4:
+            d = data
+            while d:
+                cls, tid = d[0] >> 4, d[0] & 0x0F
+                bits = list(d[1:17])
+                vals = list(d[17 : 17 + sum(bits)])
+                table: dict[tuple[int, int], int] = {}
+                code, vi = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                htables[(cls, tid)] = table
+                d = d[17 + sum(bits) :]
+        elif marker == 0xC0 or marker == 0xC1:
+            if data[0] != 8:
+                raise ValueError(f"unsupported JPEG precision {data[0]}")
+            h, w = struct.unpack(">HH", data[1:5])
+            ncomp = data[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, qid = data[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("only 1x1 sampling (4:4:4 / grayscale) supported")
+                comps.append((cid, qid, 0))
+        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+            raise ValueError(f"unsupported JPEG SOF marker 0x{marker:02x} (baseline only)")
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:
+            ns = data[0]
+            sos_tids = []
+            for ci in range(ns):
+                _cid, tids = data[1 + 2 * ci], data[2 + 2 * ci]
+                sos_tids.append((tids >> 4, tids & 0x0F))
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_start is None or not comps:
+        raise ValueError("truncated JPEG: missing SOF/SOS")
+
+    nby, nbx = -(-h // 8), -(-w // 8)
+    n_mcu = nby * nbx
+    planes = [np.zeros((n_mcu, 8, 8), dtype=np.float64) for _ in comps]
+    br = _BitReader(payload[scan_start:])
+    preds = [0] * len(comps)
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            # re-align to the RSTn marker byte-boundary
+            br.acc = 0
+            br.nbits = 0
+            while br.pos + 1 < len(br.data):
+                if br.data[br.pos] == 0xFF and 0xD0 <= br.data[br.pos + 1] <= 0xD7:
+                    br.pos += 2
+                    break
+                br.pos += 1
+            preds = [0] * len(comps)
+        for ci, (_cid, qid, _) in enumerate(comps):
+            dct, act = htables[(0, sos_tids[ci][0])], htables[(1, sos_tids[ci][1])]
+            zz = np.zeros(64, dtype=np.int64)
+            s = br.read_huff(dct)
+            diff = _extend(br.read(s), s) if s else 0
+            preds[ci] += diff
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = br.read_huff(act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                zz[k] = _extend(br.read(s), s)
+                k += 1
+            blk = np.zeros(64, dtype=np.float64)
+            blk[_ZIGZAG] = zz * qtables[qid].reshape(64)[_ZIGZAG]
+            planes[ci][m] = blk.reshape(8, 8)
+
+    out_chans = []
+    for plane in planes:
+        # vectorized IDCT over every block at once
+        rec = np.einsum("ji,bjk,kl->bil", _DCT_M, plane, _DCT_M) + 128.0
+        full = rec.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        out_chans.append(full[:h, :w])
+    if len(out_chans) == 1:
+        return np.clip(np.round(out_chans[0]), 0, 255).astype(np.uint8)[:, :, None]
+    return _ycbcr_to_rgb(np.stack(out_chans, axis=2))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff-and-decode: P6 PPM or PNG -> (h, w, 3) uint8 RGB.
+    """Sniff-and-decode: P6 PPM, PNG, or baseline JPEG -> (h, w, 3)
+    uint8 RGB.
 
     The production image stages (thumbnail, dHash, OCR raster) call this
     so a corpus can mix container formats per payload; gray broadcasts
     to RGB and RGBA drops alpha so downstream kernels see one layout."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if payload.startswith(b"\xff\xd8"):
+        arr = decode_jpeg(payload)
+        if arr.shape[2] == 1:
+            return np.ascontiguousarray(np.repeat(arr, 3, axis=2))
+        return arr
     if payload.startswith(_PNG_MAGIC):
         arr = decode_png(payload)
         if arr.shape[2] == 1:
@@ -229,7 +644,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         if arr.shape[2] == 4:
             return np.ascontiguousarray(arr[:, :, :3])
         return arr
-    raise ValueError("unrecognized image payload (expected P6 PPM or PNG)")
+    raise ValueError("unrecognized image payload (expected P6 PPM, PNG, or JPEG)")
 
 
 # ---------------------------------------------------------------------------

@@ -52,7 +52,7 @@ def media_dataset(sf_dir: str):
         ids = batch["doc_id"].to_pylist()
         payload = pa.array(
             [
-                codecs.encode_ppm(codecs.synth_image(int(d))) if int(d) % 2 == 0
+                image_payload_for(int(d)) if int(d) % 2 == 0
                 else codecs.encode_wav(*codecs.synth_audio(int(d)))
                 for d in ids
             ],
@@ -62,6 +62,21 @@ def media_dataset(sf_dir: str):
         return pa.Table.from_arrays([batch["doc_id"], payload, kinds], schema=MEDIA_SCHEMA)
 
     return ds.map_batches(to_binary, batch_format="pyarrow")
+
+
+def image_payload_for(doc_id: int) -> bytes:
+    """Deterministic image payload in a doc_id-cycled container format:
+    one third each P6 / PNG (cycling row filters) / baseline JPEG, so
+    the feature/thumbnail pipelines exercise every production decode
+    path (all stages sniff via ``codecs.decode_image``). Shared by the
+    corpus generator and the tests' local recompute."""
+    arr = codecs.synth_image(doc_id)
+    r = doc_id % 6
+    if r == 0:
+        return codecs.encode_jpeg(arr, quality=92)
+    if r == 2:
+        return codecs.encode_png(arr, filter_type=(doc_id // 6) % 5)
+    return codecs.encode_ppm(arr)
 
 
 class DecodeStub:

@@ -84,6 +84,68 @@ def test_decode_image_sniffs_and_canonicalizes():
         codecs.decode_image(b"??\x00")
 
 
+def test_jpeg_roundtrip_quality_bound():
+    """Baseline JPEG is lossy: the round-trip must reconstruct within a
+    quantization-noise bound that tightens with quality, and a smooth
+    gradient (the DCT's best case) must come back nearly exact."""
+    y, x = np.mgrid[0:40, 0:56]
+    smooth = np.stack(
+        [(y * 3).astype(np.uint8), (x * 2).astype(np.uint8),
+         ((x + y) * 2).astype(np.uint8)], axis=2)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(smooth, quality=95))
+    assert out.shape == smooth.shape
+    err = np.abs(out.astype(np.int64) - smooth.astype(np.int64))
+    assert err.mean() < 3.0 and err.max() <= 40  # chroma edges ring hardest
+
+    rng = np.random.RandomState(5)
+    noisy = rng.randint(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    hi = codecs.decode_jpeg(codecs.encode_jpeg(noisy, quality=98))
+    lo = codecs.decode_jpeg(codecs.encode_jpeg(noisy, quality=30))
+    e_hi = np.abs(hi.astype(np.int64) - noisy.astype(np.int64)).mean()
+    e_lo = np.abs(lo.astype(np.int64) - noisy.astype(np.int64)).mean()
+    assert e_hi < e_lo  # quality knob actually controls quantization
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    # non-multiple-of-8 dims exercise edge-replication padding + crop
+    rng = np.random.RandomState(9)
+    gray = (rng.randint(0, 9, size=(13, 11)) * 28).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(gray, quality=92))
+    assert out.shape == (13, 11, 1)
+    err = np.abs(out[:, :, 0].astype(np.int64) - gray.astype(np.int64))
+    assert err.mean() < 14.0
+
+
+def test_jpeg_dc_prediction_across_blocks():
+    # constant image: every block's DC is predicted from the previous —
+    # a differential-coding bug would drift the reconstruction
+    flat = np.full((32, 48, 3), 137, dtype=np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(flat, quality=90))
+    assert np.abs(out.astype(np.int64) - 137).max() <= 3
+
+
+def test_jpeg_rejects_invalid():
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        codecs.encode_jpeg(np.zeros((4, 4, 3), dtype=np.float64))
+    # truncated stream: cut before the scan
+    good = codecs.encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(good[:20])
+
+
+def test_decode_image_sniffs_jpeg():
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    out = codecs.decode_image(codecs.encode_jpeg(arr, quality=90))
+    assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+    gray = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+    g3 = codecs.decode_image(codecs.encode_jpeg(gray))
+    assert g3.shape == (8, 8, 3)
+    assert np.array_equal(g3[:, :, 0], g3[:, :, 1])
+
+
 def test_wav_roundtrip_exact():
     rng = np.random.RandomState(12)
     pcm = rng.randint(-30000, 30000, size=1234).astype(np.int16)
@@ -131,12 +193,16 @@ def test_stdlib_codec_decode_true_metadata():
 def test_media_thumbnails_real_pixels(ray_session):
     """The distributed thumbnail pipeline's hashes equal a local decode →
     resize → hash of the same seeded payloads (REAL pixel work end-to-end)."""
-    from pdf_extractors_ray.ops.multimodal import media_thumbnails
+    from pdf_extractors_ray.ops.multimodal import image_payload_for, media_thumbnails
 
     out = media_thumbnails("/root/testdata/sf0.001", max_side=16).to_pandas()
     assert len(out) == 250  # even doc_ids are images
     for _, r in out.head(20).iterrows():
-        thumb = codecs.resize_nearest(codecs.synth_image(int(r["doc_id"])), 16)
+        # expectation recomputed locally through the SAME sniff-decode the
+        # pipeline uses (the corpus cycles P6/PNG/JPEG container formats)
+        thumb = codecs.resize_nearest(
+            codecs.decode_image(image_payload_for(int(r["doc_id"]))), 16
+        )
         assert (r["out_h"], r["out_w"]) == thumb.shape[:2]
         assert r["thumb_sha"] == hashlib.md5(thumb.tobytes()).hexdigest()[:16]
 
