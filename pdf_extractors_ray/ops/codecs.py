@@ -346,10 +346,14 @@ def _mag_bits(v: int, s: int) -> int:
     return v if v >= 0 else v + (1 << s) - 1
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                restart_interval: int = 0) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF bytes
     (4:4:4, no subsampling; flat canonical Huffman tables declared in
-    the stream)."""
+    the stream). ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that many MCUs (byte-aligned, DC prediction reset) —
+    the error-resilience feature real encoders use, here mostly so the
+    decoder's resync path is round-trip-tested."""
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError(f"expected uint8 (h,w) or (h,w,3), got {arr.shape} {arr.dtype}")
     gray = arr.ndim == 2
@@ -377,8 +381,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     ac_bits, ac_vals, ac_enc = _flat_huffman(ac_syms)
 
     bw = _BitWriter()
+    scan_parts: list[bytes] = []
     preds = [0] * len(coefs)
+    rst_n = 0
     for b in range(coefs[0].shape[0]):
+        if restart_interval and b and b % restart_interval == 0:
+            scan_parts.append(bw.flush())
+            scan_parts.append(bytes([0xFF, 0xD0 + (rst_n % 8)]))
+            rst_n += 1
+            bw = _BitWriter()
+            preds = [0] * len(coefs)
         for ci, cq in enumerate(coefs):
             zz = cq[b]
             diff = int(zz[0]) - preds[ci]
@@ -408,7 +420,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
             if last < 63:
                 code, ln = ac_enc[0x00]  # EOB
                 bw.write(code, ln)
-    scan = bw.flush()
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
 
     def seg(marker: int, data: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
@@ -435,6 +448,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     out += seg(0xC0, sof)  # SOF0 baseline
     out += dht(0, 0, dc_bits, dc_vals)
     out += dht(1, 0, ac_bits, ac_vals)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, sos)
     out += scan
     out += b"\xff\xd9"  # EOI
@@ -442,32 +457,60 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
 
 
 class _BitReader:
+    """Entropy-coded-segment bit reader.
+
+    The scan is UNSTUFFED ONCE up front (0xFF00 -> 0xFF; restart
+    markers recorded as segment boundaries; the first non-RST marker
+    ends the segment), so the per-symbol fill path never inspects
+    bytes — it gulps 32 bits at a time via int.from_bytes."""
+
     def __init__(self, data: bytes):
-        self.data = data
+        clean = bytearray()
+        self.rst_offsets: list[int] = []  # unstuffed byte offset of each RSTn
+        i, n = 0, len(data)
+        while i < n:
+            b = data[i]
+            if b == 0xFF:
+                nxt = data[i + 1] if i + 1 < n else 0xD9
+                if nxt == 0x00:
+                    clean.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    self.rst_offsets.append(len(clean))
+                    i += 2
+                    continue
+                break  # EOI / next header marker: end of entropy data
+            clean.append(b)
+            i += 1
+        clean += b"\xff" * 8  # 1-pad past end per spec
+        self.data = bytes(clean)
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
     def _fill(self) -> None:
-        while self.nbits <= 24:
-            if self.pos >= len(self.data):
-                self.acc = (self.acc << 8) | 0xFF  # pad past end per spec
-                self.nbits += 8
-                continue
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0x00
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed 0xFF data byte
-                else:
-                    # marker (EOI / restart): stop consuming, pad with 1s
-                    self.pos -= 1
-                    self.acc = (self.acc << 8) | 0xFF
-                    self.nbits += 8
-                    continue
-            self.acc = (self.acc << 8) | byte
-            self.nbits += 8
+        if self.nbits <= 24:
+            self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 32) | int.from_bytes(
+                self.data[self.pos : self.pos + 4].ljust(4, b"\xff"), "big"
+            )
+            self.pos += 4
+            self.nbits += 32
+
+    def resync_restart(self) -> None:
+        """Jump to the next recorded restart boundary at or past the
+        consumed position (restart markers are byte-aligned per spec;
+        the sub-byte pad bits before the marker count as consumed)."""
+        consumed = (self.pos * 8 - self.nbits + 7) // 8
+        for off in self.rst_offsets:
+            if off >= consumed:
+                self.pos = off
+                self.acc = 0
+                self.nbits = 0
+                return
+        self.pos = len(self.data)
+        self.acc = 0
+        self.nbits = 0
 
     def read(self, n: int) -> int:
         if n == 0:
@@ -477,14 +520,17 @@ class _BitReader:
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         return v
 
-    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+    def read_huff(self, table: tuple[np.ndarray, np.ndarray]) -> int:
+        # single 16-bit-lookahead LUT step instead of bit-by-bit walking:
+        # peek the next 16 bits, one array index gives (symbol, length)
+        self._fill()
+        peek = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        lut_sym, lut_len = table
+        ln = lut_len[peek]
+        if ln == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.nbits -= int(ln)
+        return int(lut_sym[peek])
 
 
 def _extend(v: int, s: int) -> int:
@@ -501,7 +547,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     comps: list[tuple[int, int, int]] = []  # (comp_id, qid, (dc_tid, ac_tid) later)
     sos_tids: list[tuple[int, int]] = []
     h = w = 0
@@ -534,15 +580,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cls, tid = d[0] >> 4, d[0] & 0x0F
                 bits = list(d[1:17])
                 vals = list(d[17 : 17 + sum(bits)])
-                table: dict[tuple[int, int], int] = {}
+                # 16-bit-lookahead LUT: every 16-bit word whose prefix is a
+                # code maps to (symbol, code length); length 0 = invalid
+                lut_sym = np.zeros(1 << 16, dtype=np.int16)
+                lut_len = np.zeros(1 << 16, dtype=np.int8)
                 code, vi = 0, 0
                 for length in range(1, 17):
                     for _ in range(bits[length - 1]):
-                        table[(length, code)] = vals[vi]
+                        start = code << (16 - length)
+                        span = 1 << (16 - length)
+                        lut_sym[start : start + span] = vals[vi]
+                        lut_len[start : start + span] = length
                         code += 1
                         vi += 1
                     code <<= 1
-                htables[(cls, tid)] = table
+                htables[(cls, tid)] = (lut_sym, lut_len)
                 d = d[17 + sum(bits) :]
         elif marker == 0xC0 or marker == 0xC1:
             if data[0] != 8:
@@ -578,14 +630,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     preds = [0] * len(comps)
     for m in range(n_mcu):
         if restart and m and m % restart == 0:
-            # re-align to the RSTn marker byte-boundary
-            br.acc = 0
-            br.nbits = 0
-            while br.pos + 1 < len(br.data):
-                if br.data[br.pos] == 0xFF and 0xD0 <= br.data[br.pos + 1] <= 0xD7:
-                    br.pos += 2
-                    break
-                br.pos += 1
+            br.resync_restart()
             preds = [0] * len(comps)
         for ci, (_cid, qid, _) in enumerate(comps):
             dct, act = htables[(0, sos_tids[ci][0])], htables[(1, sos_tids[ci][1])]

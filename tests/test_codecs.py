@@ -124,6 +124,21 @@ def test_jpeg_dc_prediction_across_blocks():
     assert np.abs(out.astype(np.int64) - 137).max() <= 3
 
 
+def test_jpeg_restart_interval_roundtrip():
+    """RSTn markers every 4 MCUs: the decoder must resync at each
+    byte-aligned boundary and reset DC prediction — the result must
+    match the no-restart encoding of the same image."""
+    rng = np.random.RandomState(21)
+    arr = rng.randint(0, 256, size=(24, 80, 3), dtype=np.uint8)  # 30 MCUs
+    plain = codecs.decode_jpeg(codecs.encode_jpeg(arr, quality=90))
+    rst = codecs.decode_jpeg(codecs.encode_jpeg(arr, quality=90, restart_interval=4))
+    assert np.array_equal(plain, rst)
+    gray = rng.randint(0, 256, size=(17, 33), dtype=np.uint8)
+    g_plain = codecs.decode_jpeg(codecs.encode_jpeg(gray, quality=90))
+    g_rst = codecs.decode_jpeg(codecs.encode_jpeg(gray, quality=90, restart_interval=3))
+    assert np.array_equal(g_plain, g_rst)
+
+
 def test_jpeg_rejects_invalid():
     with pytest.raises(ValueError):
         codecs.decode_jpeg(b"not a jpeg")
