@@ -60,6 +60,16 @@ def _emb(sf_dir: str, columns=None):
     )
 
 
+def _emb_block_estimate(sf_dir: str) -> int:
+    """Cheap block-count estimate for the embeddings read (file bytes /
+    the 256 KiB floor ``_emb`` reads at) — used to decide whether a
+    distributed pre-combine is worth its barrier cost."""
+    try:
+        return os.path.getsize(os.path.join(sf_dir, "embeddings.parquet")) // (256 << 10)
+    except OSError:
+        return 0
+
+
 def _matrix(batch: pd.DataFrame) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
 
@@ -824,17 +834,21 @@ def emb_kmeans(sf_dir: str, k: int = KMEANS_K, max_iters: int = KMEANS_MAX_ITERS
                 out.append(row)
             return pd.DataFrame(out)
 
-        # one bucketed combine BEFORE the driver: the per-batch partials
-        # (≤k rows each) merge distributed, so the driver fold sees ≤k
-        # rows per round instead of k·n_blocks (~10^8 tiny rows at 10^6
-        # blocks × k=8 × 10 rounds)
-        from .common import bucketed_group_agg
+        # the driver fold handles k·n_blocks partial rows per round; at
+        # large block counts (10^6 blocks × k=8 × 10 rounds ≈ 10^8 tiny
+        # rows) one distributed bucketed combine caps what the driver
+        # sees at ≤k rows. The combine is a sort barrier (~0.3 s/round
+        # of fixed cost), so it switches on only when the block-count
+        # estimate says the driver-side rows would actually be large —
+        # at bench scale the direct driver fold is strictly faster.
+        partial = emb.map_batches(part, batch_format="pandas")
+        if _emb_block_estimate(sf_dir) > 4096:
+            from .common import bucketed_group_agg
 
-        agg_cols = {"n": "sum", "inertia": "sum", **{f"s{j}": "sum" for j in range(d)}}
-        p = bucketed_group_agg(
-            emb.map_batches(part, batch_format="pandas"), ["cluster"], agg_cols
-        ).to_pandas()
-        return p.set_index("cluster").sort_index()
+            agg_cols = {"n": "sum", "inertia": "sum", **{f"s{j}": "sum" for j in range(d)}}
+            partial = bucketed_group_agg(partial, ["cluster"], agg_cols)
+        p = partial.to_pandas()
+        return p.groupby("cluster", sort=True).sum()
 
     inertia_prev = None
     n_total = None
