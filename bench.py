@@ -116,6 +116,8 @@ OP_QUERIES = [
     "emb_ivf_recall",
     "orders_cdc_merge",
     "docs_feature_hash",
+    "docs_probe_gram",
+    "docs_linear_probe",
     "orders_zonemap_scan",
     "docs_shard_assign",
     "docs_label_prop",
@@ -177,6 +179,8 @@ def _op_extra():
         "docs_pack_sequences": _cu.docs_pack_sequences,
         "emb_semantic_dedup": _sm.emb_semantic_dedup,
         "docs_tfidf": _tx.docs_tfidf,
+        "docs_probe_gram": _tx.docs_probe_gram,
+        "docs_linear_probe": _tx.docs_linear_probe,
         "docs_reservoir_sample": _cu.docs_reservoir_sample,
         "docs_curation_pipeline": _cu.docs_curation_pipeline,
         "docs_dup_span_stats": _cu.docs_dup_span_stats,

@@ -1915,6 +1915,192 @@ def _retrieval_pipeline_sql() -> str:
     return _bm25_sql(source)
 
 
+# ---------------------------------------------------------------------------
+# Supervised linear probe: the model-based quality-filter shape (train a
+# linear scorer on hashed text features, score the whole corpus with it)
+
+
+PROBE_RIDGE = 1000  # λ on the feature weights (bias unpenalized)
+
+
+def _probe_z(batch: pd.DataFrame, n_dims: int, salt: str) -> np.ndarray:
+    """Dense augmented design block Z (n × (D+2)) int64: columns
+    [signed hashed features | bias=1 | label y = stop-ratio ppm]."""
+    batch = batch.reset_index(drop=True)
+    z = np.zeros((len(batch), n_dims + 2), dtype=np.int64)
+    toks = batch["text"].str.split(" ")
+    reps = toks.str.len().to_numpy(np.int64)
+    if reps.sum():
+        rows = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()])
+        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+        hv = _md5_hash15_str(uniq, salt)[inv]
+        sign = np.where((hv // n_dims) % 2 == 0, 1, -1).astype(np.int64)
+        np.add.at(z, (rows, hv % n_dims), sign)
+    z[:, n_dims] = 1
+    z[:, n_dims + 1] = stop_ratio_ppm_kernel(batch["text"])
+    return z
+
+
+def docs_probe_gram(sf_dir: str, n_dims: int = FEAT_DIMS, salt: str = ""):
+    """Integer sufficient statistics for the supervised linear probe —
+    the augmented second-moment matrix G = Σ_docs z zᵀ over
+    z = [x, 1, y], where x is the signed hashing-trick feature vector
+    (the ``docs_feature_hash`` construct) and y the stopword-ratio
+    quality label in ppm. The upper triangle, emitted as (i, j, val)
+    rows, carries everything a ridge regression with intercept needs:
+    XᵀX, Σx (j=D), Xᵀy (j=D+1), n_docs (D,D), Σy (D,D+1), Σy²
+    (D+1,D+1).
+
+    Scale shape: map-ONLY — one dense int64 ZᵀZ matmul per batch
+    (exact), ~(D+2)²/2 ≈ 2.2k partial rows per batch into a bucketed
+    combine; nothing corpus-sized shuffles, and the model fit downstream
+    touches only this KB-sized table. Entries that sum to zero are
+    filtered AFTER the global combine (matching the twin's HAVING).
+    Overflow budget: the y² cell grows ~1e12/doc — int64-safe through
+    ~10^6 docs; past that the label channel needs a wider accumulator
+    or a per-mille label scale (documented, not silently wrapped).
+    """
+    from .common import bucketed_group_agg
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    iu, ju = np.triu_indices(n_dims + 2)
+
+    def gram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        z = _probe_z(batch, n_dims, salt)
+        g = z.T @ z
+        return pd.DataFrame(
+            {"i": iu.astype(np.int64), "j": ju.astype(np.int64), "val": g[iu, ju]}
+        )
+
+    agg = bucketed_group_agg(
+        ds.map_batches(gram_partial, batch_format="pandas"), ["i", "j"], {"val": "sum"}
+    )
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["val"] != 0]
+        return batch.astype({"i": np.int64, "j": np.int64, "val": np.int64})
+
+    return agg.map_batches(fin, batch_format="pandas").sort(["i", "j"])
+
+
+def _probe_gram_sql(n_dims: int) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t
+),
+x AS (
+    SELECT doc_id, CAST(hv % {n_dims} AS BIGINT) AS ch,
+           CAST(SUM(CASE WHEN (hv // {n_dims}) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+    FROM h GROUP BY doc_id, hv % {n_dims}
+    HAVING SUM(CASE WHEN (hv // {n_dims}) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+),
+z AS (
+    SELECT * FROM x
+    UNION ALL SELECT doc_id, CAST({n_dims} AS BIGINT), CAST(1 AS BIGINT) FROM documents
+    UNION ALL SELECT doc_id, CAST({n_dims + 1} AS BIGINT),
+        CAST(FLOOR(
+            len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to')))::DOUBLE
+            / GREATEST(len(string_split(text, ' ')), 1) * 1000000 + 0.5) AS BIGINT)
+    FROM documents
+)
+SELECT a.ch AS i, c.ch AS j, CAST(SUM(a.v * c.v) AS BIGINT) AS val
+FROM z a JOIN z c ON a.doc_id = c.doc_id AND a.ch <= c.ch
+GROUP BY a.ch, c.ch
+HAVING SUM(a.v * c.v) <> 0
+ORDER BY i, j
+"""
+
+
+DOCS_PROBE_GRAM_SQL = _probe_gram_sql(FEAT_DIMS)
+
+
+def docs_linear_probe(sf_dir: str, n_dims: int = FEAT_DIMS, salt: str = "",
+                      ridge: int = PROBE_RIDGE):
+    """Model-based quality filtering end-to-end: fit a ridge linear
+    scorer y ≈ x·w + b on the hashed-feature sufficient statistics
+    (``docs_probe_gram``, one streaming pass), broadcast the weights,
+    and SCORE the whole corpus in a second map-only pass — the
+    train-a-classifier-then-filter shape (fasttext-style quality
+    models) with the classifier replaced by its linear core so the fit
+    is deterministic and auditable.
+
+    Forced invariant (raises): the ridge objective guarantees training
+    SSE(model) ≤ SSE(best constant predictor); a violation means the
+    solve or the scoring pass is broken. Output: per-source
+    (n_docs, mae_ppm, r2_ppm) — the per-slice audit a curation run
+    reads before trusting the scorer. No SQL twin for the float solve
+    itself; the INPUT statistics are twin-checked (DOCS_PROBE_GRAM_SQL)
+    and the fit is pinned against a local numpy reference in tests."""
+    import ray
+
+    from .common import bucketed_group_agg
+
+    g = docs_probe_gram(sf_dir, n_dims=n_dims, salt=salt).to_pandas()
+    d1 = n_dims + 2
+    G = np.zeros((d1, d1), dtype=np.float64)
+    G[g["i"], g["j"]] = g["val"]
+    G[g["j"], g["i"]] = g["val"]
+    A = G[: n_dims + 1, : n_dims + 1].copy()  # [X | 1]ᵀ[X | 1]
+    b = G[: n_dims + 1, n_dims + 1].copy()  # [X | 1]ᵀ y
+    reg = np.eye(n_dims + 1) * float(ridge)
+    reg[n_dims, n_dims] = 0.0  # intercept unpenalized
+    w = np.linalg.solve(A + reg, b)
+    n_docs_total = G[n_dims, n_dims]
+    y_mean = G[n_dims, n_dims + 1] / max(n_docs_total, 1.0)
+    w_ref = ray.put((w[:n_dims], float(w[n_dims]), float(y_mean)))
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "text"])
+
+    def score_partial(batch: pd.DataFrame, _ref=w_ref) -> pd.DataFrame:
+        wf, wb, ym = ray.get(_ref)
+        z = _probe_z(batch, n_dims, salt)
+        y = z[:, n_dims + 1].astype(np.float64)
+        pred = z[:, :n_dims].astype(np.float64) @ wf + wb
+        err = y - pred
+        out = pd.DataFrame(
+            {
+                "source": batch["source"].astype(object).to_numpy(),
+                "n_docs": np.int64(1),
+                "sse_model": err * err,
+                "sse_const": (y - ym) ** 2,
+                "abs_err": np.abs(err),
+            }
+        )
+        return out.groupby("source", as_index=False, sort=False).sum()
+
+    agg = bucketed_group_agg(
+        ds.map_batches(score_partial, batch_format="pandas"),
+        ["source"],
+        {"n_docs": "sum", "sse_model": "sum", "sse_const": "sum", "abs_err": "sum"},
+    ).to_pandas()
+    sse_m, sse_c = float(agg["sse_model"].sum()), float(agg["sse_const"].sum())
+    if sse_m > sse_c * (1 + 1e-9) + 1.0:
+        raise RuntimeError(
+            f"linear probe did not beat the constant predictor on its own "
+            f"training data: SSE {sse_m} > {sse_c} — solve or scoring broken"
+        )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(object),
+            "n_docs": agg["n_docs"].astype(np.int64),
+            "mae_ppm": np.floor(
+                agg["abs_err"].to_numpy() / np.maximum(agg["n_docs"].to_numpy(), 1) + 0.5
+            ).astype(np.int64),
+            "r2_ppm": np.floor(
+                (1.0 - agg["sse_model"].to_numpy() / np.maximum(agg["sse_const"].to_numpy(), 1e-12))
+                * 1e6 + 0.5
+            ).astype(np.int64),
+        }
+    ).sort_values("source").reset_index(drop=True)
+    import ray.data as _rd
+
+    return _rd.from_pandas(out)
+
+
 def __getattr__(name: str):
     if name == "DOCS_RETRIEVAL_SQL":
         return _retrieval_pipeline_sql()

@@ -166,3 +166,78 @@ def test_retrieval_pipeline_matches_duckdb_twin(ray_session, sf):
     plain = tx.docs_bm25(sf).to_pandas()
     m = plain.merge(eng, on=["q", "rank"], suffixes=("_p", "_r"))
     assert (m["doc_id_p"] != m["doc_id_r"]).any()
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+def test_probe_gram_matches_duckdb_twin(ray_session, sf):
+    eng = tx.docs_probe_gram(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ora = con.execute(tx.DOCS_PROBE_GRAM_SQL).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora[eng.columns].reset_index(drop=True),
+        check_dtype=True,
+    )
+
+
+def test_probe_gram_equals_dense_numpy(ray_session, tmp_path):
+    """The distributed int64 Gram partials must equal Z.T @ Z computed
+    directly on the materialized dense design matrix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    vocab = ["the", "a", "of", "merge", "sort", "hash", "scan", "join"]
+    texts = [" ".join(rng.choice(vocab, rng.randint(3, 20))) for _ in range(37)]
+    df = pd.DataFrame({"doc_id": range(37), "text": texts,
+                       "source": ["s"] * 37, "n_chars": [len(t) for t in texts]})
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    z = tx._probe_z(df, tx.FEAT_DIMS, "")
+    want = z.T @ z
+    got = tx.docs_probe_gram(str(tmp_path)).to_pandas()
+    dense = np.zeros_like(want)
+    dense[got["i"], got["j"]] = got["val"]
+    iu, ju = np.triu_indices(tx.FEAT_DIMS + 2)
+    assert np.array_equal(dense[iu, ju], want[iu, ju])
+
+
+def test_linear_probe_matches_numpy_ridge(ray_session, tmp_path):
+    """End-to-end: the distributed fit+score must reproduce a local
+    numpy ridge solve on the same materialized features, and must beat
+    the constant predictor on training data (the in-op raise)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(11)
+    vocab = ["the", "a", "and", "of", "to", "merge", "sort", "hash", "scan",
+             "join", "tree", "disk"]
+    texts = [" ".join(rng.choice(vocab, rng.randint(4, 30))) for _ in range(80)]
+    srcs = [("web" if i % 2 else "book") for i in range(80)]
+    df = pd.DataFrame({"doc_id": range(80), "text": texts, "source": srcs,
+                       "n_chars": [len(t) for t in texts]})
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    out = tx.docs_linear_probe(str(tmp_path)).to_pandas()
+    assert sorted(out["source"]) == ["book", "web"]
+    assert int(out["n_docs"].sum()) == 80
+
+    # local reference: same augmented design, same ridge
+    z = tx._probe_z(df, tx.FEAT_DIMS, "")
+    X = np.column_stack([z[:, : tx.FEAT_DIMS], np.ones(len(df))]).astype(np.float64)
+    y = z[:, tx.FEAT_DIMS + 1].astype(np.float64)
+    reg = np.eye(tx.FEAT_DIMS + 1) * float(tx.PROBE_RIDGE)
+    reg[-1, -1] = 0.0
+    w = np.linalg.solve(X.T @ X + reg, X.T @ y)
+    pred = X @ w
+    for src in ("book", "web"):
+        m = np.asarray(srcs) == src
+        sse_m = float(((y - pred)[m] ** 2).sum())
+        sse_c = float(((y - y.mean())[m] ** 2).sum())
+        want_r2 = int(np.floor((1.0 - sse_m / max(sse_c, 1e-12)) * 1e6 + 0.5))
+        got_r2 = int(out.set_index("source").loc[src, "r2_ppm"])
+        assert abs(got_r2 - want_r2) <= 1  # float-summation order tolerance
+    assert float(((y - pred) ** 2).sum()) <= float(((y - y.mean()) ** 2).sum()) + 1.0
