@@ -661,11 +661,14 @@ def run_scaling_decompose() -> dict:
                     return
             time.sleep(15)
 
-    # steal-gating (VERDICT r3 #4): every phase waits for a quiet window
-    # the way the headline sampler does — hypervisor steal below half a
-    # CPU AND the memory bus recovered to ≥70% of the best bandwidth seen
-    # this run — and records the steal rate + bus GB/s it actually ran
-    # under, so a raw ratio < 0.8 is attributable IN the record.
+    # steal-gating (VERDICT r3 #4): every ROUND opens with a quiet-window
+    # wait the way the headline sampler does — hypervisor steal below
+    # half a CPU AND the memory bus recovered to ≥70% of the best
+    # bandwidth seen this run. The legs inside a round run back-to-back
+    # (adjacency is the point: one external-load level per round) and
+    # are NOT individually re-gated; instead each leg RECORDS the steal
+    # rate it actually ran under, so a mid-round burst — and any raw
+    # ratio < 0.8 it causes — is attributable in the record.
     best_bus = _dram_probe()
     phase_steal: dict[str, float] = {}
 

@@ -156,7 +156,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        crc_raw = payload[pos + 8 + length : pos + 12 + length]
+        if len(data) < length or len(crc_raw) < 4:
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        (crc,) = struct.unpack(">I", crc_raw)
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
@@ -330,6 +333,11 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
+        # truncate the accumulator to the undrained bits — without this
+        # it grows by every bit ever written and big-int shifting makes
+        # the encoder quadratic in scan length (measured 13.1 s vs
+        # 0.31 s on a 256x256 encode)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -556,6 +564,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break

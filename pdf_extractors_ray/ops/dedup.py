@@ -783,7 +783,7 @@ def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
     corpus (hot shingles) should use the banded MinHash/SimHash path,
     which star-caps hot buckets. This op is the exact oracle-grade
     path, same as its SQL twin."""
-    from .common import bucketed_group_agg
+    from .common import _default_buckets, bucketed_group_agg
 
     ds = _docs(sf_dir, columns=["doc_id", "source", "text"])
 
@@ -808,7 +808,10 @@ def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
             }
         )
 
-    nb = 64
+    # bucket count scales with the cluster (floor 64 keeps per-group
+    # pandas frames small even on tiny test clusters): each map_groups
+    # call holds ~1/nb of the exploded shingle table in one heap
+    nb = max(64, _default_buckets())
 
     def bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()

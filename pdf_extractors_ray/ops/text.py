@@ -1596,6 +1596,26 @@ ORDER BY doc_id
 FEAT_DIMS = 64
 
 
+def _hashed_slot_rows(texts: pd.Series, n_dims: int, salt: str):
+    """THE signed hashing-trick kernel (one copy — ``docs_feature_hash``
+    and the linear probe's design matrix both consume it): explode
+    whitespace tokens, md5-hash per UNIQUE token (the repo's shared
+    60-bit construct), and return the aligned (row_idx, slot, sign)
+    arrays. Empty input returns three empty arrays."""
+    texts = texts.reset_index(drop=True)
+    toks = texts.str.split(" ")
+    reps = toks.str.len().to_numpy()
+    rows = np.repeat(np.arange(len(texts), dtype=np.int64), reps)
+    if len(rows) == 0:
+        e = np.array([], np.int64)
+        return e, e, e
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()])
+    uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+    hv = _md5_hash15_str(uniq, salt)[inv]
+    sign = np.where((hv // n_dims) % 2 == 0, 1, -1).astype(np.int64)
+    return rows, hv % n_dims, sign
+
+
 def docs_feature_hash(sf_dir: str, n_dims: int = FEAT_DIMS, salt: str = ""):
     """Hashing-trick featurizer (Weinberger et al. 2009, the
     Vowpal-Wabbit / Johnson-Lindenstrauss construction): each token maps
@@ -1618,22 +1638,18 @@ def docs_feature_hash(sf_dir: str, n_dims: int = FEAT_DIMS, salt: str = ""):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def feat(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        reps = toks.str.len().to_numpy()
-        doc_rep = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), reps)
-        if len(doc_rep) == 0:
+        batch = batch.reset_index(drop=True)
+        rows, slots, signs = _hashed_slot_rows(batch["text"], n_dims, salt)
+        if len(rows) == 0:
             return pd.DataFrame(
                 {"doc_id": np.array([], np.int64), "slot": np.array([], np.int64),
                  "feat_val": np.array([], np.int64)}
             )
-        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()])
-        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
-        hv = _md5_hash15_str(uniq, salt)[inv]
         df = pd.DataFrame(
             {
-                "doc_id": doc_rep,
-                "slot": hv % n_dims,
-                "sign": np.where((hv // n_dims) % 2 == 0, 1, -1).astype(np.int64),
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[rows],
+                "slot": slots,
+                "sign": signs,
             }
         )
         out = df.groupby(["doc_id", "slot"], sort=False)["sign"].sum().reset_index()
@@ -1928,15 +1944,9 @@ def _probe_z(batch: pd.DataFrame, n_dims: int, salt: str) -> np.ndarray:
     [signed hashed features | bias=1 | label y = stop-ratio ppm]."""
     batch = batch.reset_index(drop=True)
     z = np.zeros((len(batch), n_dims + 2), dtype=np.int64)
-    toks = batch["text"].str.split(" ")
-    reps = toks.str.len().to_numpy(np.int64)
-    if reps.sum():
-        rows = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
-        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()])
-        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
-        hv = _md5_hash15_str(uniq, salt)[inv]
-        sign = np.where((hv // n_dims) % 2 == 0, 1, -1).astype(np.int64)
-        np.add.at(z, (rows, hv % n_dims), sign)
+    rows, slots, signs = _hashed_slot_rows(batch["text"], n_dims, salt)
+    if len(rows):
+        np.add.at(z, (rows, slots), signs)
     z[:, n_dims] = 1
     z[:, n_dims + 1] = stop_ratio_ppm_kernel(batch["text"])
     return z
@@ -2019,7 +2029,7 @@ DOCS_PROBE_GRAM_SQL = _probe_gram_sql(FEAT_DIMS)
 
 
 def docs_linear_probe(sf_dir: str, n_dims: int = FEAT_DIMS, salt: str = "",
-                      ridge: int = PROBE_RIDGE):
+                      ridge: int = PROBE_RIDGE, gram: pd.DataFrame | None = None):
     """Model-based quality filtering end-to-end: fit a ridge linear
     scorer y ≈ x·w + b on the hashed-feature sufficient statistics
     (``docs_probe_gram``, one streaming pass), broadcast the weights,
@@ -2039,7 +2049,9 @@ def docs_linear_probe(sf_dir: str, n_dims: int = FEAT_DIMS, salt: str = "",
 
     from .common import bucketed_group_agg
 
-    g = docs_probe_gram(sf_dir, n_dims=n_dims, salt=salt).to_pandas()
+    # ``gram``: a caller that already ran (and twin-checked) the Gram
+    # pass hands it in instead of paying a second full corpus scan
+    g = gram if gram is not None else docs_probe_gram(sf_dir, n_dims=n_dims, salt=salt).to_pandas()
     d1 = n_dims + 2
     G = np.zeros((d1, d1), dtype=np.float64)
     G[g["i"], g["j"]] = g["val"]

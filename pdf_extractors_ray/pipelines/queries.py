@@ -338,13 +338,14 @@ def _quality_repetition_tfidf_query(sf_dir: str):
     _assert_sql_twin(
         "docs_feature_hash", tx.docs_feature_hash(sf_dir), tx.DOCS_FEATURE_HASH_SQL, sf_dir
     )
-    _assert_sql_twin(
+    gram = _assert_sql_twin(
         "docs_probe_gram", tx.docs_probe_gram(sf_dir), tx.DOCS_PROBE_GRAM_SQL, sf_dir
     )
-    # supervised linear probe end-to-end (fit on the twin-checked Gram
-    # stats, score distributed); raises unless the fitted scorer beats
-    # the constant predictor on its own training data
-    if tx.docs_linear_probe(sf_dir).count() == 0:
+    # supervised linear probe end-to-end: fit on the twin-checked Gram
+    # stats just verified (no second corpus scan), score distributed;
+    # raises unless the fitted scorer beats the constant predictor on
+    # its own training data
+    if tx.docs_linear_probe(sf_dir, gram=gram).count() == 0:
         raise RuntimeError("docs_linear_probe produced no rows")
     _assert_sql_twin("docs_bm25", tx.docs_bm25(sf_dir), tx.DOCS_BM25_SQL, sf_dir)
     _assert_sql_twin(

@@ -265,11 +265,14 @@ def fold_partition(part: pa.Table, families: dict | None = None, derive_census: 
         regardless of block arrival order."""
         enc = pc.dictionary_encode(col.combine_chunks())
         uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # nulls -> code -1 (pd.factorize's convention); without the
+        # fill_null the float-NaN indices would astype to a garbage
+        # int64 and index rank out of range
+        idx = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
         perm = np.argsort(uniq, kind="stable")
         rank = np.empty(len(perm), dtype=np.int64)
         rank[perm] = np.arange(len(perm))
-        return rank[idx], uniq[perm]
+        return np.where(idx >= 0, rank[idx], np.int64(-1)), uniq[perm]
 
     tidx = part["turn_idx"].to_numpy(zero_copy_only=False)
     texts = np.asarray(part["text"].to_pandas(), dtype=object)
@@ -292,7 +295,7 @@ def fold_partition(part: pa.Table, families: dict | None = None, derive_census: 
             continue
         fold_fn = families[fam][0]
         conv_rows = fold_fn(list(tx[lo:hi]), [int(x) for x in ti[lo:hi]])
-        cid = conv_uniq[cc[lo]]
+        cid = conv_uniq[cc[lo]] if cc[lo] >= 0 else None  # -1 = null conv_id
         for r in conv_rows:
             r["conv_id"] = cid
         rows_by_family.setdefault(fam, []).extend(conv_rows)
