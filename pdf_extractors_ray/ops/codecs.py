@@ -591,6 +591,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cls, tid = d[0] >> 4, d[0] & 0x0F
                 bits = list(d[1:17])
                 vals = list(d[17 : 17 + sum(bits)])
+                if len(bits) < 16 or len(vals) < sum(bits):
+                    raise ValueError("truncated JPEG DHT segment")
                 # 16-bit-lookahead LUT: every 16-bit word whose prefix is a
                 # code maps to (symbol, code length); length 0 = invalid
                 lut_sym = np.zeros(1 << 16, dtype=np.int16)
@@ -633,6 +635,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + ln
     if scan_start is None or not comps:
         raise ValueError("truncated JPEG: missing SOF/SOS")
+    if len(sos_tids) != len(comps):
+        raise ValueError("JPEG SOS component count does not match SOF")
+    for ci, (_cid, qid, _) in enumerate(comps):
+        if qid not in qtables:
+            raise ValueError(f"JPEG references undeclared quant table {qid}")
+        if (0, sos_tids[ci][0]) not in htables or (1, sos_tids[ci][1]) not in htables:
+            raise ValueError("JPEG references undeclared Huffman table")
 
     nby, nbx = -(-h // 8), -(-w // 8)
     n_mcu = nby * nbx

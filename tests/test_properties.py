@@ -254,3 +254,65 @@ def test_cogroup_join_semi_full_properties(ray_session):
         got_pairs = canon(full, ["a", "b"])
         want_full["a"] = want_full["a"]
         assert got_pairs == canon(want_full, ["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# codec fuzz: PNG must round-trip EXACTLY for any shape/filter/channel
+# combination; JPEG must round-trip within a quantization bound and its
+# decoder must reject arbitrary corruption with ValueError, never hang
+# or return garbage silently
+
+
+@given(
+    st.integers(1, 24), st.integers(1, 24),
+    st.sampled_from([1, 3, 4]), st.integers(0, 4), st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_fuzz(h, w, ch, ftype, seed):
+    from pdf_extractors_ray.ops import codecs
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    out = codecs.decode_png(codecs.encode_png(arr, filter_type=ftype))
+    assert np.array_equal(out, arr)
+
+
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 2**31 - 1),
+       st.integers(30, 100))
+@settings(max_examples=30, deadline=None)
+def test_jpeg_roundtrip_bounded_fuzz(bh, bw, seed, quality):
+    from pdf_extractors_ray.ops import codecs
+
+    rng = np.random.RandomState(seed)
+    # block-aligned smooth-ish content: quantization error is bounded by
+    # the scaled table's coarsest cell; random noise at low quality can
+    # exceed a fixed bound, so fuzz on gradients + mild noise
+    h, w = bh * 8, bw * 8
+    y, x = np.mgrid[0:h, 0:w]
+    base = ((y * 3 + x * 2) % 256).astype(np.int64)
+    arr = np.clip(base[:, :, None] + rng.randint(-8, 9, size=(h, w, 3)), 0, 255).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(arr, quality=quality))
+    assert out.shape == arr.shape
+    err = np.abs(out.astype(np.int64) - arr.astype(np.int64))
+    assert err.mean() < 40.0  # sanity envelope even at quality=30
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(2, 200), st.integers(0, 255))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_corruption_never_hangs(seed, pos, val):
+    from pdf_extractors_ray.ops import codecs
+
+    rng = np.random.RandomState(seed % 97)
+    arr = rng.randint(0, 256, size=(8, 16, 3), dtype=np.uint8)
+    payload = bytearray(codecs.encode_jpeg(arr, quality=85))
+    payload[pos % len(payload)] = val
+    try:
+        out = codecs.decode_jpeg(bytes(payload))
+        # a surviving decode must still be a well-formed image
+        assert out.dtype == np.uint8 and out.ndim == 3
+    except (ValueError, struct.error, zlib.error):
+        pass  # rejection is the expected outcome for most corruptions
+
+
+import struct  # noqa: E402  (used by the corruption fuzz above)
+import zlib  # noqa: E402
