@@ -61,6 +61,7 @@ OP_QUERIES = [
     "docs_reservoir_sample",
     "docs_curation_pipeline",
     "docs_dup_span_stats",
+    "docs_dup_span_remove",
     "docs_global_shuffle",
     "events_bloom_semijoin",
     "docs_inverted_index",
@@ -184,6 +185,7 @@ def _op_extra():
         "docs_reservoir_sample": _cu.docs_reservoir_sample,
         "docs_curation_pipeline": _cu.docs_curation_pipeline,
         "docs_dup_span_stats": _cu.docs_dup_span_stats,
+        "docs_dup_span_remove": _cu.docs_dup_span_remove,
         "docs_global_shuffle": _cu.docs_global_shuffle,
         "events_bloom_semijoin": _ev.events_bloom_semijoin,
         "docs_inverted_index": _tx.docs_inverted_index,

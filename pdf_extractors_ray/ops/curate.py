@@ -854,6 +854,36 @@ DOCS_CURATION_SQL = _curation_sql()
 SPAN_K = 8
 
 
+def _span_gram_rows(k: int, nb: int):
+    """THE k-token sliding-window gram explode (one copy — the span
+    STATS op and the span REMOVAL op both shuffle exactly these rows):
+    (doc_id, pos, gram, __b) with ``pos`` 0-based and the bucket keyed
+    on the gram string."""
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        doc_out, pos_out, gram_out = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_numpy(np.int64), batch["text"]):
+            t = text.split(" ")
+            n = len(t) - k + 1
+            if n <= 0:
+                continue
+            gram_out.extend(" ".join(t[p : p + k]) for p in range(n))
+            doc_out.extend([doc_id] * n)
+            pos_out.extend(range(n))
+        out = pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_out, dtype=np.int64),
+                "pos": np.asarray(pos_out, dtype=np.int64),
+                "gram": pd.Series(gram_out, dtype=object),
+            }
+        )
+        out["__b"] = (pd.util.hash_array(out["gram"].to_numpy(object)) % nb).astype(np.int64)
+        return out
+
+    return gram_rows
+
+
 def docs_dup_span_stats(sf_dir: str, k: int = SPAN_K):
     """Per-document duplicated-span statistics — the signal behind
     Lee-et-al. ExactSubstr dedup, at k-token-window granularity instead
@@ -876,27 +906,7 @@ def docs_dup_span_stats(sf_dir: str, k: int = SPAN_K):
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     nb = _default_buckets()
-
-    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.reset_index(drop=True)
-        doc_out, pos_out, gram_out = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_numpy(np.int64), batch["text"]):
-            t = text.split(" ")
-            n = len(t) - k + 1
-            if n <= 0:
-                continue
-            gram_out.extend(" ".join(t[p : p + k]) for p in range(n))
-            doc_out.extend([doc_id] * n)
-            pos_out.extend(range(n))
-        out = pd.DataFrame(
-            {
-                "doc_id": np.asarray(doc_out, dtype=np.int64),
-                "pos": np.asarray(pos_out, dtype=np.int64),
-                "gram": pd.Series(gram_out, dtype=object),
-            }
-        )
-        out["__b"] = (pd.util.hash_array(out["gram"].to_numpy(object)) % nb).astype(np.int64)
-        return out
+    gram_rows = _span_gram_rows(k, nb)
 
     def mark_dups(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["gram", "doc_id", "pos"], kind="mergesort")
@@ -971,6 +981,138 @@ SELECT d.doc_id,
        COALESCE(a.n_dup, 0) AS n_dup,
        CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0
             ELSE a.n_dup * 1000000 // a.n_grams END AS dup_ppm
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def docs_dup_span_remove(sf_dir: str, k: int = SPAN_K):
+    """ExactSubstr REMOVAL (Lee et al. 2022, the step after the stats):
+    rewrite each document with every duplicated k-token span EXCISED —
+    a token is dropped iff it is covered by at least one k-window whose
+    gram occurs elsewhere in the corpus earlier in (doc_id, pos) order
+    (first occurrence kept, the removable copies cut). Emits per doc:
+    original token count, removed-token count, and the cleaned text.
+
+    Scale shape: the SAME single gram-keyed exchange as
+    ``docs_dup_span_stats`` (shared ``_span_gram_rows``), but the bucket
+    fold emits packed duplicated-window START positions per (bucket,
+    doc) — ","-terminated integer runs whose bucketed string-concat
+    combine is order-insensitive after the parse+unique — so the second
+    exchange carries one narrow row per affected doc, not one per
+    duplicated occurrence. The text column moves ONCE, through the
+    doc_id-bucketed left cogroup; the rewrite is a vectorized
+    delta-cumsum cover mask per doc. Assumption shared with the stats
+    op: grams shuffle as strings for oracle-exact equality; fingerprint
+    them at 100 TB."""
+    from .common import _default_buckets, bucketed_group_agg, cogroup_join
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    nb = _default_buckets()
+    gram_rows = _span_gram_rows(k, nb)
+
+    def mark_cut_starts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["gram", "doc_id", "pos"], kind="mergesort")
+        dup = g.duplicated("gram", keep="first")  # every non-first occurrence
+        d = g.loc[dup, ["doc_id", "pos"]]
+        if not len(d):
+            return pd.DataFrame(
+                {"doc_id": np.array([], np.int64), "cuts": pd.Series([], dtype=object)}
+            )
+        per = d.groupby("doc_id", sort=False)["pos"].agg(
+            lambda s: "".join(f"{int(p)}," for p in s)
+        )
+        return pd.DataFrame(
+            {"doc_id": per.index.to_numpy(np.int64), "cuts": per.to_numpy(object)}
+        )
+
+    cuts = (
+        ds.map_batches(gram_rows, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(mark_cut_starts, batch_format="pandas")
+    )
+    # ","-terminated runs concat safely under the string-sum combine in
+    # any order; the rewrite parses + uniques, so the result is
+    # deterministic regardless of bucket arrival order
+    packed = bucketed_group_agg(cuts, ["doc_id"], {"cuts": "sum"})
+
+    joined = cogroup_join(
+        ds, packed, "doc_id", "doc_id", ["doc_id", "text"], ["cuts"], how="left"
+    )
+
+    def rewrite(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, n_toks, n_rem, texts = [], [], [], []
+        for doc_id, text, cuts_s in zip(batch["doc_id"], batch["text"], batch["cuts"]):
+            toks = text.split(" ")
+            n = len(toks)
+            if isinstance(cuts_s, str) and cuts_s:
+                starts = np.unique(
+                    np.fromiter((int(x) for x in cuts_s.split(",") if x), dtype=np.int64)
+                )
+                # cover mask via delta-cumsum: +1 at each window start,
+                # -1 past its end; covered where the running sum > 0
+                delta = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, np.minimum(starts + k, n), -1)
+                covered = np.cumsum(delta[:n]) > 0
+                kept = [t for t, c in zip(toks, covered) if not c]
+                removed = int(covered.sum())
+            else:
+                kept, removed = toks, 0
+            doc_ids.append(int(doc_id))
+            n_toks.append(n)
+            n_rem.append(removed)
+            texts.append(" ".join(kept))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, np.int64),
+                "n_tokens": np.asarray(n_toks, np.int64),
+                "n_removed": np.asarray(n_rem, np.int64),
+                "clean_text": pd.Series(texts, dtype=object),
+            }
+        )
+
+    return joined.map_batches(rewrite, batch_format="pandas").sort("doc_id")
+
+
+DOCS_DUP_SPAN_REMOVE_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (
+    SELECT doc_id, t,
+           unnest(range(1, greatest(len(t) - {SPAN_K - 1}, 0) + 1)) AS pos
+    FROM toks
+),
+w AS (
+    SELECT doc_id, pos, array_to_string(t[pos:pos + {SPAN_K - 1}], ' ') AS gram
+    FROM idx
+),
+r AS (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM w
+),
+cover AS (
+    SELECT DISTINCT r.doc_id, r.pos + o.off AS ti
+    FROM r CROSS JOIN (SELECT unnest(range(0, {SPAN_K})) AS off) o
+    WHERE r.rn > 1
+),
+tok_idx AS (
+    SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ti FROM toks
+),
+kept AS (
+    SELECT ki.doc_id, ki.tok, ki.ti
+    FROM tok_idx ki LEFT JOIN cover c ON c.doc_id = ki.doc_id AND c.ti = ki.ti
+    WHERE c.ti IS NULL
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(tok, ' ' ORDER BY ti) AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """

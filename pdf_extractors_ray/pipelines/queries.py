@@ -256,12 +256,15 @@ def _exact_line_span_dedup_query(sf_dir: str):
     line-level dedup AND document-level exact dedup in one driver slot.
     Forced gates: ``docs_exact_dedup`` (md5 → min doc_id per hash),
     ``docs_line_dedup`` (first-occurrence-wins line dedup with document
-    reassembly) and ``docs_dup_span_stats`` (the ExactSubstr signal at
-    k-token-window granularity) stay fully hash-checked via in-query twin
-    gates. RECORDED result: ``docs_cross_source_overlap`` — the
-    which-feeds-share-content contamination matrix (distinct shared
-    fingerprints per source pair), one fp-bucketed exchange, pinned to a
-    self-join DuckDB twin."""
+    reassembly), ``docs_dup_span_stats`` (the ExactSubstr signal at
+    k-token-window granularity) and ``docs_dup_span_remove`` (the
+    ExactSubstr REWRITE — duplicated spans excised, first occurrence
+    kept, per-token cover mask, document reassembled) stay fully
+    hash-checked via in-query twin gates. RECORDED result:
+    ``docs_cross_source_overlap`` — the which-feeds-share-content
+    contamination matrix (distinct shared fingerprints per source
+    pair), one fp-bucketed exchange, pinned to a self-join DuckDB
+    twin."""
     _assert_sql_twin("docs_exact_dedup", dedup.exact_dedup(sf_dir), dedup.EXACT_DEDUP_SQL, sf_dir)
     _assert_sql_twin(
         "docs_line_dedup", curate.docs_line_dedup(sf_dir), curate.DOCS_LINE_DEDUP_SQL, sf_dir
@@ -270,6 +273,12 @@ def _exact_line_span_dedup_query(sf_dir: str):
         "docs_dup_span_stats",
         curate.docs_dup_span_stats(sf_dir),
         curate.DOCS_DUP_SPAN_SQL,
+        sf_dir,
+    )
+    _assert_sql_twin(
+        "docs_dup_span_remove",
+        curate.docs_dup_span_remove(sf_dir),
+        curate.DOCS_DUP_SPAN_REMOVE_SQL,
         sf_dir,
     )
     return curate.docs_cross_source_overlap(sf_dir)

@@ -1519,3 +1519,73 @@ def test_langid_eval_consistent_with_predictions(ray_session):
     )
     got = tx.docs_langid_eval(sf).to_pandas()
     pd.testing.assert_frame_equal(got, want.astype({"n_docs": np.int64}))
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr span REMOVAL (the rewrite step after the stats)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_dup_span_remove_matches_duckdb_twin(ray_session, sf):
+    got = curate.docs_dup_span_remove(sf).to_pandas().reset_index(drop=True)
+    want = _oracle(sf, curate.DOCS_DUP_SPAN_REMOVE_SQL)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
+    assert (got["n_removed"] > 0).any()  # the corpus genuinely repeats spans
+
+
+def test_dup_span_remove_matches_bruteforce(ray_session):
+    """Sequential reference: duplicated windows (non-first by doc_id,
+    pos) cover their k tokens; a doc's clean text keeps exactly the
+    uncovered tokens in order."""
+    sf = SFS[0]
+    docs = _docs_df(sf).sort_values("doc_id")
+    k = curate.SPAN_K
+    seen = set()
+    want = {}
+    for r in docs.itertuples():
+        t = r.text.split(" ")
+        n = max(len(t) - k + 1, 0)
+        covered = np.zeros(len(t), dtype=bool)
+        for p in range(n):
+            g = " ".join(t[p : p + k])
+            if g in seen:
+                covered[p : p + k] = True
+            else:
+                seen.add(g)
+        want[r.doc_id] = (
+            len(t), int(covered.sum()),
+            " ".join(tok for tok, c in zip(t, covered) if not c),
+        )
+    got = curate.docs_dup_span_remove(sf).to_pandas()
+    for row in got.itertuples():
+        assert (row.n_tokens, row.n_removed, row.clean_text) == want[row.doc_id], row.doc_id
+
+
+def test_dup_span_remove_composes_with_stats(ray_session, tmp_path):
+    """A planted full-copy doc must come out (almost) empty while the
+    first occurrence survives untouched, and re-running the stats on the
+    REWRITTEN corpus must find no duplicated spans left."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    texts = [base, base, "short unique doc"]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(3, dtype=np.int64), "text": texts,
+         "source": ["s"] * 3, "n_chars": [len(t) for t in texts]}
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    out = curate.docs_dup_span_remove(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "clean_text"] == base and out.loc[0, "n_removed"] == 0
+    assert out.loc[1, "clean_text"] == "" and out.loc[1, "n_removed"] == 30
+    assert out.loc[2, "clean_text"] == "short unique doc"
+
+    # idempotence: stats over the rewritten corpus report zero dup spans
+    clean = out.reset_index().rename(columns={"clean_text": "text"})[["doc_id", "text"]]
+    clean["source"] = "s"
+    clean["n_chars"] = clean["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(clean), str(tmp_path / "documents.parquet"))
+    stats = curate.docs_dup_span_stats(str(tmp_path)).to_pandas()
+    assert int(stats["n_dup"].sum()) == 0
