@@ -91,6 +91,7 @@ OP_QUERIES = [
     "emb_zorder",
     "events_mad_anomaly",
     "transcript_conv_dedup",
+    "transcript_conv_neardup",
     "docs_source_percentile",
     "emb_ann_recall",
     "events_hll_by_type",
@@ -219,6 +220,7 @@ def _op_extra():
         "emb_zorder": _sm.emb_zorder,
         "events_mad_anomaly": _ev.events_mad_anomaly,
         "transcript_conv_dedup": _transcript_conv_dedup_sf,
+        "transcript_conv_neardup": _transcript_conv_neardup_sf,
         "docs_source_percentile": _cu.docs_source_percentile,
         "emb_ann_recall": _sm.emb_ann_recall,
         "events_hll_by_type": _ev.events_hll_by_type,
@@ -327,6 +329,13 @@ def _transcript_conv_dedup_sf(sf_dir: str):
     from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
 
     return transcript_conv_dedup(transcripts_path_for_sf(sf_dir))
+
+
+def _transcript_conv_neardup_sf(sf_dir: str):
+    from pdf_extractors_ray.ops.transcript import transcript_conv_neardup
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    return transcript_conv_neardup(transcripts_path_for_sf(sf_dir))
 
 
 def _transcript_context_tails_sf(sf_dir: str):

@@ -286,6 +286,122 @@ ORDER BY d.conv_id
 """
 
 
+def transcript_conv_neardup(path: str, n_parts: int | None = None,
+                            max_hamming: int = 3):
+    """Conversation-level NEAR-duplicate pairs over the transcript table
+    — the transcript arm of the SimHash dedup family: agent re-rolls and
+    retried conversations differ by a few turns of wording, not
+    byte-identically, so ``transcript_conv_dedup``'s exact digest misses
+    them. Each conversation's turns RESTORE (part_id co-location, the
+    fold exchange, in-group sort by (conv_id, turn_idx) — the north
+    rule's ordering invariant made load-bearing: swapping two turns
+    changes the signature) and concatenate to one text; the shared
+    banded tail (``dedup.banded_hash_pairs``: 4×16-bit pigeonhole
+    bands, star cap, chunked XOR+popcount verification) emits
+    (a, b, hamming) keyed by the numeric conv ordinal.
+
+    Scale shape: after the fold exchange only conversation-cardinality
+    signature rows move (the text leaves the fold as a 64-bit hash);
+    conversations with zero tokens are excluded on both engines (an
+    all-zero signature would pair every empty conv with every other).
+    Pinned bit-exactly to ``transcript_conv_neardup_sql``."""
+    from ..sources.transcripts import read_transcripts
+    from ..stages.fold import _default_n_parts
+    from ..state.lineage import append_part_id
+    from .dedup import banded_hash_pairs, simhash_rows
+
+    n_parts = n_parts or _default_n_parts()
+    ds = read_transcripts(path, columns=["conv_id", "turn_idx", "text"])
+    ds = ds.map_batches(
+        lambda b: append_part_id(b, n_parts), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def conv_sig(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        ids, texts = [], []
+        for cid, sub in g.groupby("conv_id", sort=False):
+            text = " ".join(t if isinstance(t, str) else "" for t in sub["text"])
+            if not text.split():
+                continue  # empty conversations carry no signature
+            ids.append(int(str(cid)[5:]))  # "conv-%06d" -> ordinal
+            texts.append(text)
+        cache: dict = {}
+        df = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                           "text": pd.Series(texts, dtype=object)})
+        out = simhash_rows(df, cache)
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        for b in range(4):
+            out[f"band{b}"] = out[f"band{b}"].astype(np.int64)
+        return out
+
+    sigs = ds.groupby("part_id").map_groups(conv_sig, batch_format="pandas")
+    return banded_hash_pairs(sigs, max_hamming=max_hamming)
+
+
+def transcript_conv_neardup_sql(path: str, max_hamming: int = 3) -> str:
+    """Bit-exact DuckDB replay: ordered per-conversation concat, the
+    md5-LE64 token-hash SimHash construction (``dedup._MD5_LE64``), 4×16
+    band pigeonhole candidates, exact XOR-popcount Hamming."""
+    from .dedup import _MD5_LE64
+
+    return f"""
+WITH conv AS (
+    SELECT CAST(substr(conv_id, 6) AS BIGINT) AS doc_id,
+           string_agg(COALESCE(text, ''), ' ' ORDER BY turn_idx) AS text
+    FROM read_parquet('{path}/*.parquet')
+    GROUP BY conv_id
+),
+otok AS (
+    -- tokenization contract: Python str.split() treats any UNICODE
+    -- whitespace as a separator; RE2's \\s is ASCII-only, so the twin
+    -- adds NBSP (the one non-ASCII whitespace the invoice family's
+    -- payloads carry) to the class
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '[\\s\\x{{00A0}}]+'), x -> x <> '')) AS t
+    FROM conv
+),
+tokh AS (
+    SELECT doc_id, {_MD5_LE64.format(m='m')} AS h
+    FROM (SELECT doc_id, md5(t) AS m FROM otok)
+),
+bits AS (
+    SELECT doc_id, b.j AS bit,
+           SUM(CASE WHEN (h >> CAST(b.j AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+    FROM tokh, UNNEST(generate_series(0, 63)) AS b(j)
+    GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, bit // 16 AS band,
+           CAST(SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(bit % 16 AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS bval
+    FROM bits GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y
+      ON y.band = x.band AND y.bval = x.bval AND x.doc_id < y.doc_id
+),
+full4 AS (
+    SELECT doc_id,
+           MAX(CASE WHEN band = 0 THEN bval END) AS b0,
+           MAX(CASE WHEN band = 1 THEN bval END) AS b1,
+           MAX(CASE WHEN band = 2 THEN bval END) AS b2,
+           MAX(CASE WHEN band = 3 THEN bval END) AS b3
+    FROM bands GROUP BY 1
+)
+SELECT c.a AS a, c.b AS b,
+       CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+          + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3))
+          AS BIGINT) AS hamming
+FROM cand c
+JOIN full4 fa ON fa.doc_id = c.a
+JOIN full4 fb ON fb.doc_id = c.b
+WHERE bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+    + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) <= {max_hamming}
+ORDER BY a, b
+"""
+
+
 # ---------------------------------------------------------------------------
 # context-tail assembly (last-K turns rendered per conversation)
 

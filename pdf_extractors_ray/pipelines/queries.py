@@ -703,13 +703,17 @@ def _invoice_query(sf_dir: str):
 
 
 def _catalog_query(sf_dir: str):
-    """Catalog state-machine fold slot. Forced gate (raises): plain vs
-    salted variants checked byte-equal. RECORDED result:
-    ``transcript_conv_dedup`` — conversation-level exact dedup via the
-    order-sensitive full-text 128-bit digest (restore → digest →
-    grouped-MIN representative → cogroup join), which the driver
-    hash-checks directly against its DuckDB ordered-``string_agg`` twin
-    over the same Parquet files (``oracle_sql()['extract_catalog']``)."""
+    """Catalog state-machine fold slot. Forced gates (raise): plain vs
+    salted variants checked byte-equal, and ``transcript_conv_neardup``
+    — conversation-level NEAR-dup pairs (ordered per-conv concat →
+    SimHash → banded LSH tail, the re-rolled-conversation detector) —
+    hash-checked in-query against its bit-exact DuckDB replay.
+    RECORDED result: ``transcript_conv_dedup`` — conversation-level
+    exact dedup via the order-sensitive full-text 128-bit digest
+    (restore → digest → grouped-MIN representative → cogroup join),
+    which the driver hash-checks directly against its DuckDB
+    ordered-``string_agg`` twin over the same Parquet files
+    (``oracle_sql()['extract_catalog']``)."""
     from ..ops import transcript as _tr
     from ..stages.salted_catalog import extract_catalog_salted
 
@@ -717,6 +721,13 @@ def _catalog_query(sf_dir: str):
     plain = extract.extract_catalog(path)
     salted = extract_catalog_salted(path)
     _assert_variants_equal("extract_catalog", plain, "extract_catalog_salted", salted)
+    _assert_sql_twin(
+        "transcript_conv_neardup",
+        _tr.transcript_conv_neardup(path),
+        _tr.transcript_conv_neardup_sql(path),
+        sf_dir,
+        tables=(),
+    )
     return _tr.transcript_conv_dedup(path)
 
 

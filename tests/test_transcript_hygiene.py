@@ -416,3 +416,63 @@ def test_prompt_response_order_sensitivity(ray_session, tmp_path):
     assert int(r["n_pairs"]) == 2
     assert int(r["sum_u"]) == 15 and int(r["sum_a"]) == 11
     assert int(r["sum_ua"]) == 5 * 7 + 10 * 4
+
+
+def test_conv_neardup_matches_duckdb_twin(ray_session):
+    """Conversation-level SimHash near-dup pairs replay bit-exactly in
+    DuckDB (ordered concat, md5-LE64 token hashes, banded pigeonhole,
+    XOR-popcount Hamming), at two scales."""
+    import duckdb
+
+    from pdf_extractors_ray.ops import transcript as tr
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = transcripts_path_for_sf(sf)
+        eng = tr.transcript_conv_neardup(path).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        ora = con.execute(tr.transcript_conv_neardup_sql(path)).fetchdf()
+        con.close()
+        pd.testing.assert_frame_equal(
+            eng, ora[eng.columns].reset_index(drop=True), check_dtype=True
+        )
+        assert len(eng) > 0  # template-built convs genuinely near-duplicate
+
+
+def test_conv_neardup_order_sensitivity(ray_session, tmp_path):
+    """Swapping two turns must CHANGE a conversation's signature stream:
+    a conv identical to another except for turn order stays a near-dup
+    (same token multiset -> same SimHash, hamming 0) while an edited
+    token drifts the distance — pinning what the order-sensitive concat
+    does and does not discriminate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import transcript as tr
+
+    rows = []
+    base_turns = [f"tok{i} tok{i+1} filler words here" for i in range(6)]
+    for conv, turns in (
+        ("conv-000000", base_turns),
+        ("conv-000001", list(reversed(base_turns))),     # same multiset
+        ("conv-000002", base_turns[:-1] + ["tok5 tok6 filler words CHANGED"]),
+        ("conv-000003", ["entirely different content about other topics"] * 6),
+    ):
+        for i, t in enumerate(turns):
+            rows.append((conv, i, "user", t, "census", 1_767_225_600_000_000 + i))
+    tbl = pa.table(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": [r[2] for r in rows],
+            "text": [r[3] for r in rows],
+            "tool": [r[4] for r in rows],
+            "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "part-0.parquet"))
+    out = tr.transcript_conv_neardup(str(tmp_path)).to_pandas()
+    pairs = {(int(a), int(b)): int(h) for a, b, h in zip(out.a, out.b, out.hamming)}
+    assert pairs.get((0, 1)) == 0          # token multiset identical
+    assert 0 < pairs.get((0, 2), 99) <= 3  # one edited turn: near, not exact
+    assert (0, 3) not in pairs             # different content: no pair
