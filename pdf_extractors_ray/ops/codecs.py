@@ -577,6 +577,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             while d:
                 prec, qid = d[0] >> 4, d[0] & 0x0F
                 n = 64 * (2 if prec else 1)
+                if len(d) < 1 + n:
+                    raise ValueError("truncated JPEG DQT segment")
                 raw = (
                     np.frombuffer(d[1 : 1 + n], dtype=">u2").astype(np.int64)
                     if prec else np.frombuffer(d[1 : 1 + n], dtype=np.uint8).astype(np.int64)
@@ -588,6 +590,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:
             d = data
             while d:
+                if len(d) < 17:
+                    raise ValueError("truncated JPEG DHT segment")
                 cls, tid = d[0] >> 4, d[0] & 0x0F
                 bits = list(d[1:17])
                 vals = list(d[17 : 17 + sum(bits)])
@@ -600,6 +604,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 code, vi = 0, 0
                 for length in range(1, 17):
                     for _ in range(bits[length - 1]):
+                        if code >= (1 << length):
+                            # overflowing the prefix space would make the
+                            # numpy slice assignments below silent no-ops
+                            # and the table garbage — reject instead
+                            raise ValueError("invalid JPEG DHT: code counts overflow")
                         start = code << (16 - length)
                         span = 1 << (16 - length)
                         lut_sym[start : start + span] = vals[vi]
@@ -610,6 +619,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables[(cls, tid)] = (lut_sym, lut_len)
                 d = d[17 + sum(bits) :]
         elif marker == 0xC0 or marker == 0xC1:
+            if len(data) < 6 or len(data) < 6 + 3 * data[5]:
+                raise ValueError("truncated JPEG SOF segment")
             if data[0] != 8:
                 raise ValueError(f"unsupported JPEG precision {data[0]}")
             h, w = struct.unpack(">HH", data[1:5])
@@ -623,8 +634,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
             raise ValueError(f"unsupported JPEG SOF marker 0x{marker:02x} (baseline only)")
         elif marker == 0xDD:
+            if len(data) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             (restart,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:
+            if len(data) < 1 or len(data) < 1 + 2 * data[0]:
+                raise ValueError("truncated JPEG SOS segment")
             ns = data[0]
             sos_tids = []
             for ci in range(ns):

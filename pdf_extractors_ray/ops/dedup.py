@@ -1657,9 +1657,17 @@ ORDER BY a, b
 # bit), 4 x 16-bit band buckets, pigeonhole candidates, exact Hamming via
 # per-band XOR popcounts. The engine's cross-band pair dedup (bucketed min
 # over an invariant hamming) collapses to DISTINCT here.
-DOCS_SIMHASH_SQL = f"""
-WITH {_OVERLAY_CTE.strip()},
-tokh AS (
+def simhash_tail_sql(max_hamming: int = 3) -> str:
+    """THE SimHash replay tail (one copy — ``DOCS_SIMHASH_SQL`` and the
+    transcript conversation-near-dup twin both append it to their own
+    ``otok`` token-source CTE): md5-LE64 token hashes WITH multiplicity,
+    per-bit sign accumulation (acc > 0 sets the bit), 4×16-bit band
+    packing, pigeonhole candidates, exact per-band XOR-popcount Hamming.
+    Twin-equality assumption shared with the engine's banded tail: no
+    (band, value) bucket exceeds the ``_MAX_BUCKET`` star cap (the SQL
+    does all pairs in-bucket; a capped engine bucket verifies members
+    only against the bucket minimum)."""
+    return f"""tokh AS (
     SELECT doc_id, {_MD5_LE64.format(m='m')} AS h
     FROM (SELECT doc_id, md5(t) AS m FROM otok)
 ),
@@ -1696,8 +1704,13 @@ FROM cand c
 JOIN full4 fa ON fa.doc_id = c.a
 JOIN full4 fb ON fb.doc_id = c.b
 WHERE bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
-    + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) <= 3
-ORDER BY a, b
+    + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) <= {max_hamming}
+ORDER BY a, b"""
+
+
+DOCS_SIMHASH_SQL = f"""
+WITH {_OVERLAY_CTE.strip()},
+{simhash_tail_sql()}
 """
 
 

@@ -304,7 +304,9 @@ def transcript_conv_neardup(path: str, n_parts: int | None = None,
     signature rows move (the text leaves the fold as a 64-bit hash);
     conversations with zero tokens are excluded on both engines (an
     all-zero signature would pair every empty conv with every other).
-    Pinned bit-exactly to ``transcript_conv_neardup_sql``."""
+    Pinned to ``transcript_conv_neardup_sql`` (bit-exact below the
+    shared ``_MAX_BUCKET`` star cap — see the twin's docstring for the
+    two documented equality assumptions)."""
     from ..sources.transcripts import read_transcripts
     from ..stages.fold import _default_n_parts
     from ..state.lineage import append_part_id
@@ -339,11 +341,24 @@ def transcript_conv_neardup(path: str, n_parts: int | None = None,
 
 
 def transcript_conv_neardup_sql(path: str, max_hamming: int = 3) -> str:
-    """Bit-exact DuckDB replay: ordered per-conversation concat, the
-    md5-LE64 token-hash SimHash construction (``dedup._MD5_LE64``), 4×16
-    band pigeonhole candidates, exact XOR-popcount Hamming."""
-    from .dedup import _MD5_LE64
+    """DuckDB replay: ordered per-conversation concat feeding the SHARED
+    SimHash tail (``dedup.simhash_tail_sql`` — md5-LE64 token hashes,
+    band pigeonhole, XOR-popcount Hamming; one copy with the docs twin).
 
+    Twin-equality assumptions, both documented here because the gate is
+    forced: (1) the star cap — below ``dedup._MAX_BUCKET`` conversations
+    per (band, value) bucket the engine's capped tail equals this
+    all-pairs SQL (same contract as DOCS_MINHASH/SIMHASH); (2) the
+    tokenizer — Python ``str.split()`` separates on ANY Unicode
+    whitespace, so the RE2 class below enumerates Python's full
+    whitespace set explicitly (RE2's ``\s`` alone is ASCII-only and
+    misses NBSP — which the invoice family's payloads carry — as well
+    as \x0b, \x1c-\x1f, \x85 and the U+2000 block)."""
+    from .dedup import simhash_tail_sql
+
+    # Python str.split() whitespace, enumerated for RE2
+    ws = (r"\t\n\x{000B}\x{000C}\r\x{001C}-\x{001F} \x{0085}\x{00A0}"
+          r"\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}")
     return f"""
 WITH conv AS (
     SELECT CAST(substr(conv_id, 6) AS BIGINT) AS doc_id,
@@ -352,53 +367,11 @@ WITH conv AS (
     GROUP BY conv_id
 ),
 otok AS (
-    -- tokenization contract: Python str.split() treats any UNICODE
-    -- whitespace as a separator; RE2's \\s is ASCII-only, so the twin
-    -- adds NBSP (the one non-ASCII whitespace the invoice family's
-    -- payloads carry) to the class
     SELECT doc_id,
-           unnest(list_filter(string_split_regex(text, '[\\s\\x{{00A0}}]+'), x -> x <> '')) AS t
+           unnest(list_filter(string_split_regex(text, '[{ws}]+'), x -> x <> '')) AS t
     FROM conv
 ),
-tokh AS (
-    SELECT doc_id, {_MD5_LE64.format(m='m')} AS h
-    FROM (SELECT doc_id, md5(t) AS m FROM otok)
-),
-bits AS (
-    SELECT doc_id, b.j AS bit,
-           SUM(CASE WHEN (h >> CAST(b.j AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
-    FROM tokh, UNNEST(generate_series(0, 63)) AS b(j)
-    GROUP BY 1, 2
-),
-bands AS (
-    SELECT doc_id, bit // 16 AS band,
-           CAST(SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(bit % 16 AS INTEGER))
-                         ELSE 0 END) AS BIGINT) AS bval
-    FROM bits GROUP BY 1, 2
-),
-cand AS (
-    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-    FROM bands x JOIN bands y
-      ON y.band = x.band AND y.bval = x.bval AND x.doc_id < y.doc_id
-),
-full4 AS (
-    SELECT doc_id,
-           MAX(CASE WHEN band = 0 THEN bval END) AS b0,
-           MAX(CASE WHEN band = 1 THEN bval END) AS b1,
-           MAX(CASE WHEN band = 2 THEN bval END) AS b2,
-           MAX(CASE WHEN band = 3 THEN bval END) AS b3
-    FROM bands GROUP BY 1
-)
-SELECT c.a AS a, c.b AS b,
-       CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
-          + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3))
-          AS BIGINT) AS hamming
-FROM cand c
-JOIN full4 fa ON fa.doc_id = c.a
-JOIN full4 fb ON fb.doc_id = c.b
-WHERE bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
-    + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) <= {max_hamming}
-ORDER BY a, b
+{simhash_tail_sql(max_hamming)}
 """
 
 

@@ -310,9 +310,5 @@ def test_jpeg_corruption_never_hangs(seed, pos, val):
         out = codecs.decode_jpeg(bytes(payload))
         # a surviving decode must still be a well-formed image
         assert out.dtype == np.uint8 and out.ndim == 3
-    except (ValueError, struct.error, zlib.error):
-        pass  # rejection is the expected outcome for most corruptions
-
-
-import struct  # noqa: E402  (used by the corruption fuzz above)
-import zlib  # noqa: E402
+    except ValueError:
+        pass  # rejection via the module's error contract — nothing else
