@@ -589,8 +589,14 @@ def run_scaling() -> dict:
     turns = d["turns"]
     return {
         "metric": "scaling_efficiency_raw_4_to_16",
+        # schema v2 (r4+): "value" = RAW 4->16 ratio. r1-r3 records used
+        # "value" = hw-adjusted 8->32 engine efficiency; that number is
+        # still emitted below under its own explicit key so cross-round
+        # readers never conflate the two definitions.
+        "schema_version": 2,
         "value": d["raw_eff_4_to_16"],
         "value_raw": d["raw_eff_4_to_16"],
+        "value_r1r3_semantics_8_to_32_hw_adjusted": d["engine_eff_8_to_32"],
         "unit": "ratio",
         "sf": SF_DIR,
         "cpus_lo": 4,

@@ -567,9 +567,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
         while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
             pos += 1
+        if pos + 2 > len(payload):  # stream ends inside a fill-byte run
+            raise ValueError("truncated JPEG: fill bytes run off the end")
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
+        # Standalone (length-less) markers legal between segments: TEM and
+        # stray RSTn (T.81 B.1.1.3) — skip the 2 marker bytes, no length word
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):  # fill-byte skip consumed the length word
+            raise ValueError("truncated JPEG segment header")
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         data = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:

@@ -1937,6 +1937,9 @@ def _retrieval_pipeline_sql() -> str:
 
 
 PROBE_RIDGE = 1000  # λ on the feature weights (bias unpenalized)
+# Largest corpus (docs) for which the Σy² Gram cell (≤ n_docs · 1e12,
+# y in ppm so y² ≤ 1e12) provably fits in int64 (9.22e18) with margin.
+PROBE_INT64_SAFE_DOCS = 8_000_000
 
 
 def _probe_z(batch: pd.DataFrame, n_dims: int, salt: str) -> np.ndarray:
@@ -1967,9 +1970,12 @@ def docs_probe_gram(sf_dir: str, n_dims: int = FEAT_DIMS, salt: str = ""):
     combine; nothing corpus-sized shuffles, and the model fit downstream
     touches only this KB-sized table. Entries that sum to zero are
     filtered AFTER the global combine (matching the twin's HAVING).
-    Overflow budget: the y² cell grows ~1e12/doc — int64-safe through
-    ~10^6 docs; past that the label channel needs a wider accumulator
-    or a per-mille label scale (documented, not silently wrapped).
+    Overflow budget: the y² cell grows ~1e12/doc, wrapping int64 past
+    ~9.2e6 docs. The guard is the (D,D) = n_docs cell — it grows by
+    1/doc so it stays exact far beyond any corpus size — checked
+    against ``PROBE_INT64_SAFE_DOCS`` after the global combine; a
+    corpus past the budget raises loudly (use a per-mille label scale
+    or a wider accumulator) instead of fitting on wrapped statistics.
     """
     from .common import bucketed_group_agg
 
@@ -1988,6 +1994,17 @@ def docs_probe_gram(sf_dir: str, n_dims: int = FEAT_DIMS, salt: str = ""):
     )
 
     def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        # Loud overflow gate: the n_docs cell (D,D) grows by exactly 1 per
+        # doc, so it is trustworthy even when the Σy² cell (D+1,D+1) has
+        # wrapped; past the budget Σy² (≤ n_docs·1e12) MAY have exceeded
+        # int64 — refuse to emit wrapped statistics.
+        nd = batch[(batch["i"] == n_dims) & (batch["j"] == n_dims)]
+        if len(nd) and int(nd["val"].max()) > PROBE_INT64_SAFE_DOCS:
+            raise OverflowError(
+                f"docs_probe_gram: corpus has {int(nd['val'].max())} docs > "
+                f"int64-safe budget {PROBE_INT64_SAFE_DOCS} for the y² Gram "
+                "cell (~1e12/doc); rescale the label channel before fitting"
+            )
         batch = batch[batch["val"] != 0]
         return batch.astype({"i": np.int64, "j": np.int64, "val": np.int64})
 
@@ -2060,8 +2077,13 @@ def docs_linear_probe(sf_dir: str, n_dims: int = FEAT_DIMS, salt: str = "",
     b = G[: n_dims + 1, n_dims + 1].copy()  # [X | 1]ᵀ y
     reg = np.eye(n_dims + 1) * float(ridge)
     reg[n_dims, n_dims] = 0.0  # intercept unpenalized
-    w = np.linalg.solve(A + reg, b)
     n_docs_total = G[n_dims, n_dims]
+    if n_docs_total > PROBE_INT64_SAFE_DOCS:  # covers caller-supplied grams too
+        raise OverflowError(
+            f"docs_linear_probe: {int(n_docs_total)} docs > int64-safe budget "
+            f"{PROBE_INT64_SAFE_DOCS}; the y² statistic may have wrapped"
+        )
+    w = np.linalg.solve(A + reg, b)
     y_mean = G[n_dims, n_dims + 1] / max(n_docs_total, 1.0)
     w_ref = ray.put((w[:n_dims], float(w[n_dims]), float(y_mean)))
 

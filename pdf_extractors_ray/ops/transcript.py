@@ -298,7 +298,10 @@ def transcript_conv_neardup(path: str, n_parts: int | None = None,
     changes the signature) and concatenate to one text; the shared
     banded tail (``dedup.banded_hash_pairs``: 4×16-bit pigeonhole
     bands, star cap, chunked XOR+popcount verification) emits
-    (a, b, hamming) keyed by the numeric conv ordinal.
+    (a, b, hamming) keyed by a 60-bit md5 prefix of the conv_id string
+    — format-agnostic (any conv_id scheme works; no ``conv-%06d``
+    assumption), the ``_md5_hash15`` construct the split/mixture family
+    shares with its DuckDB twins.
 
     Scale shape: after the fold exchange only conversation-cardinality
     signature rows move (the text leaves the fold as a 64-bit hash);
@@ -319,13 +322,17 @@ def transcript_conv_neardup(path: str, n_parts: int | None = None,
     )
 
     def conv_sig(group: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
         g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
         ids, texts = [], []
         for cid, sub in g.groupby("conv_id", sort=False):
             text = " ".join(t if isinstance(t, str) else "" for t in sub["text"])
             if not text.split():
                 continue  # empty conversations carry no signature
-            ids.append(int(str(cid)[5:]))  # "conv-%06d" -> ordinal
+            # 60-bit md5 prefix of the conv_id string: works for ANY id
+            # scheme (twin: ('0x' || substr(md5(conv_id), 1, 15))::BIGINT)
+            ids.append(int(hashlib.md5(str(cid).encode()).hexdigest()[:15], 16))
             texts.append(text)
         cache: dict = {}
         df = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
@@ -361,7 +368,7 @@ def transcript_conv_neardup_sql(path: str, max_hamming: int = 3) -> str:
           r"\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}")
     return f"""
 WITH conv AS (
-    SELECT CAST(substr(conv_id, 6) AS BIGINT) AS doc_id,
+    SELECT ('0x' || substr(md5(conv_id), 1, 15))::BIGINT AS doc_id,
            string_agg(COALESCE(text, ''), ' ' ORDER BY turn_idx) AS text
     FROM read_parquet('{path}/*.parquet')
     GROUP BY conv_id

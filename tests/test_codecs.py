@@ -148,6 +148,27 @@ def test_jpeg_rejects_invalid():
     good = codecs.encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
     with pytest.raises(ValueError):
         codecs.decode_jpeg(good[:20])
+    # stream ending in a run of 0xFF fill bytes must raise ValueError
+    # (not struct.error): the fill-byte skip used to outrun the length guard
+    for tail in (b"\xff", b"\xff\xff", b"\xff\xff\xff", b"\xff\xff\xff\xff\xff"):
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(b"\xff\xd8" + tail)
+
+
+def test_jpeg_standalone_markers_in_header_walk():
+    """TEM (0x01) and stray RSTn are length-less — the header walk must
+    skip them instead of misreading the following bytes as a length."""
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+    good = codecs.encode_jpeg(arr)
+    base = codecs.decode_jpeg(good)
+    for mk in (b"\xff\x01", b"\xff\xd0", b"\xff\xd7"):
+        patched = good[:2] + mk + good[2:]
+        out = codecs.decode_jpeg(patched)
+        assert np.array_equal(out, base)
+    # fill bytes before a standalone marker, then the real stream
+    patched = good[:2] + b"\xff\xff\xff\x01" + good[2:]
+    assert np.array_equal(codecs.decode_jpeg(patched), base)
 
 
 def test_decode_image_sniffs_jpeg():

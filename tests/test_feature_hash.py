@@ -241,3 +241,23 @@ def test_linear_probe_matches_numpy_ridge(ray_session, tmp_path):
         got_r2 = int(out.set_index("source").loc[src, "r2_ppm"])
         assert abs(got_r2 - want_r2) <= 1  # float-summation order tolerance
     assert float(((y - pred) ** 2).sum()) <= float(((y - y.mean()) ** 2).sum()) + 1.0
+
+
+def test_probe_overflow_guard_raises_loudly(ray_session):
+    """Past the int64-safe doc budget the y² Gram cell may have wrapped;
+    the fit must refuse a caller-supplied gram whose exact n_docs cell
+    exceeds the budget instead of solving on corrupted statistics."""
+    import pytest
+
+    d = tx.FEAT_DIMS
+    gram = pd.DataFrame(
+        {
+            "i": np.array([d, d, d + 1], dtype=np.int64),
+            "j": np.array([d, d + 1, d + 1], dtype=np.int64),
+            "val": np.array(
+                [tx.PROBE_INT64_SAFE_DOCS + 1, 1, 1], dtype=np.int64
+            ),
+        }
+    )
+    with pytest.raises(OverflowError, match="int64-safe budget"):
+        tx.docs_linear_probe("/root/testdata/sf0.001", gram=gram)

@@ -450,13 +450,22 @@ def test_conv_neardup_order_sensitivity(ray_session, tmp_path):
 
     from pdf_extractors_ray.ops import transcript as tr
 
+    import hashlib
+
     rows = []
     base_turns = [f"tok{i} tok{i+1} filler words here" for i in range(6)]
+    # deliberately NOT conv-%06d shaped: the pair key is a hash of the id
+    # string, so arbitrary conv_id schemes must work
+    names = ["sess/alpha", "run:2026-08-20T00", "xyz-000001", "c"]
+    hid = {
+        i: int(hashlib.md5(n.encode()).hexdigest()[:15], 16)
+        for i, n in enumerate(names)
+    }
     for conv, turns in (
-        ("conv-000000", base_turns),
-        ("conv-000001", list(reversed(base_turns))),     # same multiset
-        ("conv-000002", base_turns[:-1] + ["tok5 tok6 filler words CHANGED"]),
-        ("conv-000003", ["entirely different content about other topics"] * 6),
+        (names[0], base_turns),
+        (names[1], list(reversed(base_turns))),          # same multiset
+        (names[2], base_turns[:-1] + ["tok5 tok6 filler words CHANGED"]),
+        (names[3], ["entirely different content about other topics"] * 6),
     ):
         for i, t in enumerate(turns):
             rows.append((conv, i, "user", t, "census", 1_767_225_600_000_000 + i))
@@ -473,6 +482,21 @@ def test_conv_neardup_order_sensitivity(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "part-0.parquet"))
     out = tr.transcript_conv_neardup(str(tmp_path)).to_pandas()
     pairs = {(int(a), int(b)): int(h) for a, b, h in zip(out.a, out.b, out.hamming)}
-    assert pairs.get((0, 1)) == 0          # token multiset identical
-    assert 0 < pairs.get((0, 2), 99) <= 3  # one edited turn: near, not exact
-    assert (0, 3) not in pairs             # different content: no pair
+
+    def pair(i, j):
+        x, y = hid[i], hid[j]
+        return pairs.get((min(x, y), max(x, y)))
+
+    assert pair(0, 1) == 0                 # token multiset identical
+    assert pair(0, 2) is not None and 0 < pair(0, 2) <= 3  # near, not exact
+    assert pair(0, 3) is None              # different content: no pair
+    # the hashed key must also replay in the SQL twin on these ids
+    import duckdb
+
+    con = duckdb.connect()
+    ora = con.execute(tr.transcript_conv_neardup_sql(str(tmp_path))).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), ora[out.columns].reset_index(drop=True),
+        check_dtype=True,
+    )
