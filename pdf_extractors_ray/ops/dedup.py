@@ -762,7 +762,18 @@ def banded_hash_pairs(ds, max_hamming: int = 3, max_bucket: int = _MAX_BUCKET):
     return bucketed_group_agg(pairs, ["a", "b"], {"hamming": "min"}).sort(["a", "b"])
 
 
-def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
+# Exact-path hot-shingle guard: a (source, shingle) posting list longer
+# than this is dropped from the intersection (in-bucket work is
+# Σ posting_len² — one viral boilerplate shingle otherwise makes a single
+# bucket task quadratic in corpus size). Never silent: each source that
+# lost shingles emits an audit row (source, a=-1, b=-1,
+# jaccard_ppm=n_dropped_shingles), and the SQL twin applies the identical
+# cap, so a fired cap stays hash-checked rather than diverging.
+NGRAM_DF_CAP = 512
+
+
+def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3,
+                         df_cap: int = NGRAM_DF_CAP):
     """Exact all-pairs n-gram Jaccard within each ``source`` group via a
     distributed shingle INVERTED INDEX (the NGRAM_JACCARD_SQL plan,
     distributed — r4: replaces a per-source Python set-intersection loop
@@ -778,11 +789,19 @@ def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
     order as the reference (|A∩B| / (|A|+|B|−|A∩B|), then
     ``floor(j·1e6 + 0.5)``).
 
-    Skew assumption: in-bucket work is Σ posting_len² over the bucket's
-    shingles — exact all-pairs is inherently that; a boilerplate-heavy
-    corpus (hot shingles) should use the banded MinHash/SimHash path,
-    which star-caps hot buckets. This op is the exact oracle-grade
-    path, same as its SQL twin."""
+    Skew guard (r5): in-bucket work is Σ posting_len² over the bucket's
+    shingles — exact all-pairs is inherently that, so a (source, shingle)
+    posting list longer than ``df_cap`` is DROPPED from the intersection
+    (the df-threshold analogue of what MinHash band hashing achieves
+    probabilistically; a shingle shared by >cap docs carries no
+    discriminating signal anyway). The drop is never silent: every
+    source that lost shingles emits one audit row
+    ``(source, a=-1, b=-1, jaccard_ppm=n_dropped_shingles)``, the SQL
+    twin applies the identical cap + audit row, and denominators keep
+    the FULL per-doc shingle counts, so capped Jaccard is a documented
+    lower bound of true Jaccard on both engines. At gate/bench scale
+    (max df 3-6) the default cap never fires and output is bit-identical
+    to the uncapped plan; consumers wanting raw edges filter ``a >= 0``."""
     from .common import _default_buckets, bucketed_group_agg
 
     ds = _docs(sf_dir, columns=["doc_id", "source", "text"])
@@ -831,17 +850,44 @@ def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
 
     def pair_partials(group: pd.DataFrame) -> pd.DataFrame:
         # every posting list for a (source, shingle) key is whole in this
-        # bucket, so each pair's contribution from these shingles is final
+        # bucket, so each pair's contribution from these shingles is final.
+        # Hot-shingle cap BEFORE the quadratic self-merge: posting lists
+        # with df > df_cap drop, each dropped (source, shingle) key is
+        # counted into one audit partial per source (a = b = -1).
+        df = group.groupby(["source", "s"], sort=False)["doc_id"].transform("size")
+        hot = df.to_numpy() > df_cap
+        audit = None
+        if hot.any():
+            dropped = (
+                group.loc[hot, ["source", "s"]]
+                .drop_duplicates()
+                .groupby("source", sort=False)
+                .size()
+                .reset_index(name="cnt")
+            )
+            audit = pd.DataFrame(
+                {
+                    "source": dropped["source"].astype(object),
+                    "a": np.int64(-1),
+                    "b": np.int64(-1),
+                    "cnt": dropped["cnt"].astype(np.int64),
+                    "na": np.int64(0),
+                    "nb_": np.int64(0),
+                }
+            )
+            group = group[~hot]
         m = group.merge(group, on=["source", "s"], suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         if not len(m):
-            return pd.DataFrame(_PART_COLS)
+            return audit if audit is not None else pd.DataFrame(_PART_COLS)
         part = m.groupby(["source", "doc_id_a", "doc_id_b"], as_index=False, sort=False).agg(
             cnt=("s", "size"), na=("n_a", "first"), nb_=("n_b", "first")
         )
         part = part.rename(columns={"doc_id_a": "a", "doc_id_b": "b"})
         for c in ("a", "b", "cnt", "na", "nb_"):
             part[c] = part[c].astype(np.int64)
+        if audit is not None:
+            part = pd.concat([part, audit], ignore_index=True)
         return part
 
     partials = (
@@ -856,15 +902,19 @@ def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         cnt = batch["cnt"].to_numpy(np.int64)
+        a = batch["a"].to_numpy(np.int64)
         union = batch["na"].to_numpy(np.int64) + batch["nb_"].to_numpy(np.int64) - cnt
         j = np.where(union > 0, cnt / np.maximum(union, 1), 0.0)
-        keep = j >= threshold
+        sentinel = a == -1  # audit rows: jaccard_ppm carries n_dropped
+        keep = (j >= threshold) | sentinel
+        ppm = np.floor(j * 1e6 + 0.5).astype(np.int64)
+        ppm[sentinel] = cnt[sentinel]
         return pd.DataFrame(
             {
                 "source": batch["source"].to_numpy(dtype=object)[keep],
-                "a": batch["a"].to_numpy(np.int64)[keep],
+                "a": a[keep],
                 "b": batch["b"].to_numpy(np.int64)[keep],
-                "jaccard_ppm": np.floor(j[keep] * 1e6 + 0.5).astype(np.int64),
+                "jaccard_ppm": ppm[keep],
             }
         )
 
@@ -874,8 +924,11 @@ def ngram_jaccard_groups(sf_dir: str, threshold: float = 0.3):
 # DuckDB twin of ngram_jaccard_groups: the same word-3-gram shingle sets
 # (incl. the <3-token whole-text shingle), exact |A∩B| via a shingle
 # self-join within source, Jaccard threshold and ppm rounding mirrored in
-# the Python fold's operation order ((i/union)*1e6 + 0.5 floored).
-NGRAM_JACCARD_SQL = r"""
+# the Python fold's operation order ((i/union)*1e6 + 0.5 floored), and the
+# IDENTICAL hot-shingle df cap + per-source audit rows (a = b = -1,
+# jaccard_ppm = dropped-shingle count; denominators stay uncapped).
+def ngram_jaccard_sql(threshold: float = 0.3, df_cap: int = NGRAM_DF_CAP) -> str:
+    return rf"""
 WITH docs_t AS (
     SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
     FROM documents
@@ -888,22 +941,37 @@ sh AS (
         END)) AS s
     FROM docs_t
 ),
+sdf AS (SELECT source, s, COUNT(*) AS df FROM sh GROUP BY source, s),
 counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+kept AS (
+    SELECT sh.doc_id, sh.source, sh.s
+    FROM sh JOIN sdf ON sdf.source = sh.source AND sdf.s = sh.s
+    WHERE sdf.df <= {df_cap}
+),
 inter AS (
     SELECT x.source AS source, x.doc_id AS a, y.doc_id AS b, COUNT(*) AS cnt
-    FROM sh x JOIN sh y
+    FROM kept x JOIN kept y
       ON x.source = y.source AND x.s = y.s AND x.doc_id < y.doc_id
     GROUP BY x.source, x.doc_id, y.doc_id
 )
-SELECT it.source, it.a, it.b,
-       CAST(floor((CAST(it.cnt AS DOUBLE) / (ca.n + cb.n - it.cnt)) * 1e6 + 0.5)
-            AS BIGINT) AS jaccard_ppm
-FROM inter it
-JOIN counts ca ON ca.doc_id = it.a
-JOIN counts cb ON cb.doc_id = it.b
-WHERE CAST(it.cnt AS DOUBLE) / (ca.n + cb.n - it.cnt) >= 0.3
-ORDER BY it.source, it.a, it.b
+SELECT * FROM (
+    SELECT it.source, it.a, it.b,
+           CAST(floor((CAST(it.cnt AS DOUBLE) / (ca.n + cb.n - it.cnt)) * 1e6 + 0.5)
+                AS BIGINT) AS jaccard_ppm
+    FROM inter it
+    JOIN counts ca ON ca.doc_id = it.a
+    JOIN counts cb ON cb.doc_id = it.b
+    WHERE CAST(it.cnt AS DOUBLE) / (ca.n + cb.n - it.cnt) >= {threshold}
+    UNION ALL
+    SELECT source, CAST(-1 AS BIGINT) AS a, CAST(-1 AS BIGINT) AS b,
+           CAST(COUNT(*) AS BIGINT) AS jaccard_ppm
+    FROM sdf WHERE df > {df_cap} GROUP BY source
+)
+ORDER BY source, a, b
 """
+
+
+NGRAM_JACCARD_SQL = ngram_jaccard_sql()
 
 
 # DuckDB twin of ``dup_clusters(edges=ngram_jaccard_groups(...))``: the

@@ -1166,7 +1166,14 @@ def _hash_neardup_query(sf_dir: str):
     if set(sim_raw.schema().names) != {"a", "b", "hamming"}:
         raise RuntimeError(f"simhash_pairs schema: {sim_raw.schema().names}")
     sim_raw.count()
-    exact = dedup.ngram_jaccard_groups(sf_dir).select_columns(["a", "b"])
+    # a >= 0 drops the df-cap audit rows (a = b = -1), which are counts,
+    # not edges; at this scale the cap never fires, but the filter keeps
+    # the edge-feed contract explicit
+    exact = (
+        dedup.ngram_jaccard_groups(sf_dir)
+        .filter(expr="a >= 0")
+        .select_columns(["a", "b"])
+    )
     labels = dedup.dup_clusters(sf_dir, edges=exact).materialize()
     _assert_sql_twin(
         "docs_dedup_pipeline",

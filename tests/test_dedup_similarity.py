@@ -1569,3 +1569,62 @@ def test_filtered_knn_prefilter_not_postfilter(ray_session):
         lab = labels[int(qid)]
         expected = min(5, int(sizes[lab]) - 1)
         assert n == expected, (qid, n, expected)
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingles(ray_session, tmp_path):
+    """Planted boilerplate: one shingle shared by EVERY doc used to put
+    the full posting list into a single bucket task (O(n²) in-bucket).
+    With df_cap it is dropped from the intersection, the genuinely
+    similar pair survives via its rare shingles, and the drop is LOUD:
+    one audit row (source, -1, -1, n_dropped) — replayed bit-exactly by
+    the capped SQL twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractors_ray.ops import dedup as dd
+
+    boiler = "subscribe to our newsletter today"
+    texts = [f"{boiler} unique{i} filler{i} content{i}" for i in range(40)]
+    # docs 100/101: near-identical beyond the boilerplate
+    texts.append(f"{boiler} shared alpha beta gamma delta epsilon")
+    texts.append(f"{boiler} shared alpha beta gamma delta zeta")
+    ids = list(range(40)) + [100, 101]
+    df = pd.DataFrame({"doc_id": np.asarray(ids, np.int64), "text": texts,
+                       "lang": "en", "source": "web",
+                       "n_chars": [len(t) for t in texts]})
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    cap = 8
+    eng = dd.ngram_jaccard_groups(str(tmp_path), threshold=0.2, df_cap=cap).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    ora = con.sql(dd.ngram_jaccard_sql(threshold=0.2, df_cap=cap)).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora[eng.columns].reset_index(drop=True),
+        check_dtype=False,
+    )
+    audit = eng[eng["a"] == -1]
+    assert len(audit) == 1  # one source lost shingles, exactly one audit row
+    # the 5-word boilerplate run yields 3 within-run word-3-gram shingles
+    # ("subscribe to our", "to our newsletter", "our newsletter today"),
+    # each with df=42 > cap; shingles straddling into the per-doc tail
+    # stay unique and survive
+    assert int(audit["jaccard_ppm"].iloc[0]) == 3
+    # the similar pair still surfaces on its rare shingles
+    assert ((eng["a"] == 100) & (eng["b"] == 101)).any()
+    # and no in-bucket posting list longer than the cap fed the self-merge:
+    # pairs supported ONLY by hot shingles are gone
+    low = eng[(eng["a"] >= 0) & (eng["a"] < 40)]
+    assert len(low) == 0
+
+
+def test_ngram_jaccard_default_cap_never_fires_at_gate_scale(ray_session):
+    """At the driver-gate corpus the default NGRAM_DF_CAP must not fire:
+    output carries no audit rows and equals the capped twin (which is
+    the registry oracle)."""
+    from pdf_extractors_ray.ops import dedup as dd
+
+    eng = dd.ngram_jaccard_groups("/root/testdata/sf0.001").to_pandas()
+    assert (eng["a"] >= 0).all()
