@@ -418,7 +418,14 @@ def partitioned_extract_all_tasks(path: str, out_root: str, n_parts: int | None 
     shards = [list(files[i::n_shards]) for i in range(n_shards)]
 
     shard_map = ray.remote(_shard_map).options(num_returns=n_parts)
-    fold_task = ray.remote(_fold_and_write)
+    # retry_exceptions: a fold that dies with a Python exception (transient
+    # FS error, allocator failure) retries like worker death does — safe
+    # because the fold is idempotent by construction: family files are
+    # deterministic bytes landed via atomic os.replace, the sidecar is
+    # written LAST, and metrics come only from the one successful return,
+    # so a retry can neither double-write nor double-count (pinned by
+    # tests/test_fault_tolerance.py::test_fold_task_poison_retries_exactly)
+    fold_task = ray.remote(_fold_and_write).options(retry_exceptions=True, max_retries=4)
 
     slice_refs = [shard_map.remote(shard, n_parts, frozenset(done)) for shard in shards]
     if n_parts == 1:  # num_returns=1 returns a bare ref

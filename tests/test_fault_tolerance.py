@@ -98,3 +98,92 @@ def test_shuffle_output_stable_under_crash(ray_session, tmp_path):
         agg.astype({"n_tokens": np.int64, "n_docs": np.int64}), want,
         check_dtype=True,
     )
+
+
+def test_shard_map_crash_mid_exchange(ray_session, small_corpus_dir, tmp_path, monkeypatch):
+    """Kill a SHARD-MAP task mid-exchange (worker death, not an
+    exception): Ray lineage re-executes the map, every downstream fold
+    still sees exactly one copy of each slice, and the partition outputs
+    are byte-identical to the crash-free run with no double-counted
+    sidecar metrics — the failure mode at the level where 10^12-turn
+    exchanges actually break."""
+    from pdf_extractors_ray.state import lineage
+
+    clean_out = str(tmp_path / "clean")
+    m_clean = lineage.partitioned_extract_all_tasks(small_corpus_dir, clean_out, n_parts=8)
+
+    marker = str(tmp_path / "shard_died")
+    real = lineage._shard_map
+
+    def flaky_shard_map(files, n_parts, done):
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+            os._exit(1)  # SIGKILL-class death mid-exchange
+        return real(files, n_parts, done)
+
+    monkeypatch.setattr(lineage, "_shard_map", flaky_shard_map)
+    out = str(tmp_path / "inj_shard")
+    m = lineage.partitioned_extract_all_tasks(small_corpus_dir, out, n_parts=8)
+    assert os.path.exists(marker)  # the crash really fired
+
+    assert dict(zip(m["part_id"], m["content_hash"])) == dict(
+        zip(m_clean["part_id"], m_clean["content_hash"])
+    )
+    # exactly one sidecar per partition, turn conservation intact
+    entries = lineage.read_lineage(out)
+    parts = [e["part_id"] for e in entries]
+    assert len(parts) == len(set(parts))
+    assert sum(e["n_turns"] for e in entries) == int(m_clean["n_turns"].sum())
+
+
+def test_fold_task_poison_retries_exactly(ray_session, small_corpus_dir, tmp_path, monkeypatch):
+    """Poison ONE fold task: first invocation leaves a stale partial
+    temp file in the family dir and raises; the retry (retry_exceptions
+    on the fold task) must produce byte-identical output, exactly one
+    sidecar per partition, and metrics counted once."""
+    from pdf_extractors_ray.state import lineage
+
+    clean_out = str(tmp_path / "clean2")
+    m_clean = lineage.partitioned_extract_all_tasks(small_corpus_dir, clean_out, n_parts=8)
+    victim = int(sorted(m_clean["part_id"])[2])
+
+    marker = str(tmp_path / "fold_poisoned")
+    real = lineage._fold_and_write
+
+    def poisoned_fold(out_root, part_id, *slices):
+        if part_id == victim and not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+            # simulate dying mid-write: stale partial temp left behind
+            fam_dir = os.path.join(out_root, "census")
+            os.makedirs(fam_dir, exist_ok=True)
+            with open(os.path.join(fam_dir, f"part-{part_id:05d}.parquet.tmp999"), "wb") as f:
+                f.write(b"garbage partial write")
+            raise RuntimeError("injected transient fold failure")
+        return real(out_root, part_id, *slices)
+
+    monkeypatch.setattr(lineage, "_fold_and_write", poisoned_fold)
+    out = str(tmp_path / "inj_fold")
+    m = lineage.partitioned_extract_all_tasks(small_corpus_dir, out, n_parts=8)
+    assert os.path.exists(marker)
+
+    # one metrics row per partition — the poisoned task's failed attempt
+    # contributed nothing
+    assert len(m) == len(set(m["part_id"]))
+    assert dict(zip(m["part_id"], m["content_hash"])) == dict(
+        zip(m_clean["part_id"], m_clean["content_hash"])
+    )
+    entries = lineage.read_lineage(out)
+    parts = [e["part_id"] for e in entries]
+    assert len(parts) == len(set(parts))
+    assert sum(e["n_turns"] for e in entries) == int(m_clean["n_turns"].sum())
+    # the stale partial temp never became an output file
+    import glob as _glob
+
+    outs = _glob.glob(os.path.join(out, "census", "part-*.parquet"))
+    assert all(not p.endswith(".tmp999") for p in outs)
+    # and reading the family back ignores it
+    got = lineage.read_output(os.path.join(out, "census")).to_pandas()
+    want = lineage.read_output(os.path.join(clean_out, "census")).to_pandas()
+    assert len(got) == len(want)
