@@ -129,8 +129,9 @@ def ocr_page(img: np.ndarray) -> dict:
 class GlyphOcr:
     """Actor-pool OCR stage (ST7): the template bank is per-actor state,
     bound once in ``__init__`` — the same lifecycle a tesseract/model
-    handle would have. Input batches carry P6 payloads; output adds the
-    recovered ``text`` plus the detected scan defects."""
+    handle would have. Input batches carry image payloads in any sniffable
+    container (P6 / PNG / baseline JPEG — ``codecs.decode_image``); output
+    adds the recovered ``text`` plus the detected scan defects."""
 
     def __init__(self):
         self.templates = _TEMPLATES  # bound per actor, like a loaded model
@@ -142,7 +143,7 @@ class GlyphOcr:
 
         out = []
         for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-            r = ocr_page(codecs.decode_ppm(payload))
+            r = ocr_page(codecs.decode_image(payload))
             out.append(
                 {
                     "doc_id": int(doc_id),

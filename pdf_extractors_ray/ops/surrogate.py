@@ -2110,11 +2110,24 @@ def extract_kernel_ocr_invoice(sf_dir: str):
             payloads.append(codecs.encode_ppm(page))
         return pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
 
-    ocr = (
-        ds.map_batches(rasterize, batch_format="pandas", batch_size=128)
-        .map_batches(glyphs.GlyphOcr, batch_format="pandas", batch_size=128,
-                     concurrency=(1, 4))
-    )
+    pages = ds.map_batches(rasterize, batch_format="pandas", batch_size=128)
+    return ocr_invoice_chain(pages)
+
+
+def ocr_invoice_chain(pages):
+    """The shared OCR→extraction tail: page payloads (any sniffable
+    image container) → GlyphOcr actor pool → the PRODUCTION invoice
+    bank → projected field columns, sorted by doc_id. Used by the
+    rasterize-in-pipeline kernel above and the binary-file ingest demo
+    (``sources/pages.py`` → ``extract_kernel_ocr_invoice_files``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.invoice_extract import FIELD_PREFIX, InvoiceFieldExtractor
+    from . import glyphs
+
+    ocr = pages.map_batches(glyphs.GlyphOcr, batch_format="pandas", batch_size=128,
+                            concurrency=(1, 4))
     extracted = ocr.map_batches(InvoiceFieldExtractor(), batch_format="pyarrow")
 
     def project(batch: pa.Table) -> pa.Table:
@@ -2127,6 +2140,17 @@ def extract_kernel_ocr_invoice(sf_dir: str):
         return pa.table(cols)
 
     return extracted.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
+def extract_kernel_ocr_invoice_files(page_dir: str):
+    """S9 from BYTES: ``read_binary_files`` over a directory of rendered
+    page-image FILES (written by ``sources.pages.write_invoice_page_files``)
+    → the identical OCR→invoice chain. Byte-equal to
+    ``extract_kernel_ocr_invoice`` on the same doc_ids (forced in the
+    media driver slot and pinned in tests/test_glyphs.py)."""
+    from ..sources.pages import read_page_files
+
+    return ocr_invoice_chain(read_page_files(page_dir))
 
 
 def _ocr_invoice_sql() -> str:

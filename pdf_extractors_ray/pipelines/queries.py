@@ -931,7 +931,30 @@ def _media_ocr_query(sf_dir: str):
             raise RuntimeError(f"{name}: {len(got)} pairs != brute force {len(want)}")
         if not any(h == 0 for _, _, h in got):
             raise RuntimeError(f"{name}: planted exact dups not recovered")
-    return surrogate.extract_kernel_ocr_invoice(sf_dir)
+    # forced gate: S9 from BYTES — a directory of real page-image FILES
+    # (PNG + P6) ingested via read_binary_files must reproduce the
+    # in-pipeline rasterizer's OCR->invoice output byte-for-byte
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.pages import write_invoice_page_files
+
+    result = surrogate.extract_kernel_ocr_invoice(sf_dir)
+    page_dir = os.path.join(
+        tempfile.gettempdir(), "pdfx_pages",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    gate_ids = list(range(48))
+    write_invoice_page_files(page_dir, gate_ids)
+    from_files = surrogate.extract_kernel_ocr_invoice_files(page_dir).to_pandas()
+    in_pipe = result.to_pandas()
+    in_pipe = in_pipe[in_pipe["doc_id"] < len(gate_ids)].reset_index(drop=True)
+    if not from_files.reset_index(drop=True).equals(in_pipe):
+        raise RuntimeError(
+            "binary-file OCR ingest diverged from the in-pipeline rasterizer"
+        )
+    return result
 
 
 def _ann_methods_query(sf_dir: str):

@@ -88,3 +88,50 @@ def test_ocr_invoice_kernel_reads_defective_scans(ray_session):
         text = _render_ocr_invoice_py(int(r["doc_id"]))
         assert r["inv_no"] == pat.search(text).group(1)
         assert r["total_amount"] != ""
+
+
+def test_ocr_binary_ingest_end_to_end(ray_session, tmp_path):
+    """S9 from BYTES: a directory of rendered page-image FILES (PNG + P6
+    mix) ingested with read_binary_files must flow through the identical
+    GlyphOcr -> invoice-bank chain and reproduce the in-pipeline
+    rasterizer's output byte-for-byte on the same doc_ids (reference
+    analog: nordic-invoice.py opens the PDF file, rasterizes pages, then
+    extracts fields)."""
+    import pandas as pd
+
+    from pdf_extractors_ray.ops import surrogate
+    from pdf_extractors_ray.sources.pages import write_invoice_page_files
+
+    page_dir = str(tmp_path / "pages")
+    ids = list(range(30))
+    write_invoice_page_files(page_dir, ids)
+    # idempotent: second call rewrites nothing (mtime-stable)
+    import os
+
+    before = {f: os.stat(os.path.join(page_dir, f)).st_mtime_ns
+              for f in os.listdir(page_dir)}
+    write_invoice_page_files(page_dir, ids)
+    after = {f: os.stat(os.path.join(page_dir, f)).st_mtime_ns
+             for f in os.listdir(page_dir)}
+    assert before == after
+
+    got = surrogate.extract_kernel_ocr_invoice_files(page_dir).to_pandas()
+    want = surrogate.extract_kernel_ocr_invoice("/root/testdata/sf0.001").to_pandas()
+    want = want[want["doc_id"] < 30].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    # the scan defects were really present and really detected
+    assert set(got["rotation_k"]) == {0, 1, 2, 3}
+    assert got["inverted"].any() and (~got["inverted"]).any()
+
+
+def test_read_page_files_rejects_unknown_names(ray_session, tmp_path):
+    from pdf_extractors_ray.sources.pages import read_page_files
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "notapage.bin").write_bytes(b"xx")
+    import pytest as _pytest
+    import ray
+
+    with _pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        read_page_files(str(d)).materialize()
