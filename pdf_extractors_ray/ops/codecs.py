@@ -6,7 +6,10 @@ but these formats are fully decodable with numpy and the standard
 library (PNG: zlib inflate + per-filter unfiltering incl. Paeth; JPEG:
 generic DQT/DHT parsing, Huffman entropy decode, vectorized orthonormal
 IDCT) — so the decode, resize, and frame-sample kernels over them are
-REAL (round-trip-tested), not stubs. Remaining heavy codecs (MP3/H.264)
+REAL (round-trip-tested), not stubs. MPEG audio (MP3) has a real generic
+FRAME layer here (header walk, free-format length discovery, duration,
+frame sampling — see the MP3 section) with a PCM-embedding writer for
+mixed-container pipelines; full Layer III spectral synthesis and H.264
 stay injectable per-actor handles via ``DecodeStub``'s ``codec_factory``
 (see ``ops/multimodal.py``). Reference analog for the image chain: the
 playground CV pipeline (``playground/try_cv.py:37-98``).
@@ -772,6 +775,278 @@ def sample_pcm(pcm: np.ndarray, rate: int, every_ms: int, max_frames: int):
 
 
 # ---------------------------------------------------------------------------
+# MPEG audio (MP3) frame layer — stdlib/numpy only
+#
+# ``mp3_frames`` is a GENERIC MPEG-1/2/2.5 Layer III frame walk: sync
+# scan, header field decode (version/bitrate/sample-rate/padding/CRC/
+# channel-mode tables straight from the ISO 11172-3 / 13818-3 header
+# layout), per-frame length arithmetic, side-info main_data_begin parse,
+# and free-format (bitrate index 0) length discovery by constant-header
+# stride validation. It works on any conformant Layer III stream and is
+# what the frame-sampling / duration paths need — no spectral synthesis.
+#
+# Full Layer III AUDIO synthesis (Huffman spectra, requantization, IMDCT,
+# polyphase filterbank) remains the documented external-codec injection
+# seam. To still exercise mixed-container audio pipelines end-to-end,
+# ``encode_mp3_pcm`` writes a structurally valid free-format Layer III
+# stream whose first frame is a real Xing/Info-style metadata frame and
+# whose main_data carries big-endian int16 PCM — decodable losslessly by
+# ``decode_mp3`` (which REFUSES real Huffman-coded streams loudly). The
+# container walk is real; only the payload transform is the seam.
+
+_MP3_BITRATES_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATES_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+_MP3_VERSION_NAME = {3: "1", 2: "2", 0: "2.5"}
+_PCM_MAGIC = b"PCML"
+
+
+def _mp3_header_fields(hdr: int) -> dict:
+    """Decode one 32-bit MPEG audio header (already sync-checked)."""
+    version = (hdr >> 19) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = (hdr >> 17) & 0x3  # 1=Layer III
+    if version == 1 or layer != 1:
+        raise ValueError("unsupported MPEG header: reserved version or not Layer III")
+    sr_idx = (hdr >> 10) & 0x3
+    if sr_idx == 3:
+        raise ValueError("reserved MPEG sample-rate index")
+    br_idx = (hdr >> 12) & 0xF
+    if br_idx == 15:
+        raise ValueError("invalid MPEG bitrate index 15")
+    sample_rate = _MP3_RATES[version][sr_idx]
+    table = _MP3_BITRATES_V1_L3 if version == 3 else _MP3_BITRATES_V2_L3
+    bitrate_kbps = table[br_idx]
+    mono = ((hdr >> 6) & 0x3) == 3
+    v1 = version == 3
+    return {
+        "version": _MP3_VERSION_NAME[version],
+        "sample_rate": sample_rate,
+        "bitrate_kbps": bitrate_kbps,  # 0 = free format
+        "padding": (hdr >> 9) & 0x1,
+        "has_crc": ((hdr >> 16) & 0x1) == 0,
+        "mono": mono,
+        "samples": 1152 if v1 else 576,
+        "side_info_len": (17 if mono else 32) if v1 else (9 if mono else 17),
+        "frame_len": (
+            ((144 if v1 else 72) * bitrate_kbps * 1000) // sample_rate + ((hdr >> 9) & 0x1)
+            if bitrate_kbps
+            else 0  # free format: caller discovers the length
+        ),
+    }
+
+
+def _mp3_sync_ok(payload: bytes, pos: int) -> bool:
+    return (
+        pos + 4 <= len(payload)
+        and payload[pos] == 0xFF
+        and (payload[pos + 1] & 0xE0) == 0xE0
+    )
+
+
+def _free_format_len(payload: bytes, start: int) -> int:
+    """Free-format frame length: distance to the next occurrence of the
+    SAME 4-byte header, validated by a constant stride to end-of-stream
+    (the lock-then-stride strategy real decoders use; false syncs inside
+    main_data fail the stride check)."""
+    hdr = payload[start : start + 4]
+    floor = 4 + _mp3_header_fields(int.from_bytes(hdr, "big"))["side_info_len"]
+    pos = start + floor
+    while True:
+        nxt = payload.find(hdr, pos)
+        if nxt < 0:
+            # single-frame stream: the frame runs to end of payload
+            return len(payload) - start
+        length = nxt - start
+        if all(
+            payload[start + k * length : start + k * length + 4] in (hdr, b"")
+            for k in range(1, (len(payload) - start) // length + 1)
+        ):
+            return length
+        pos = nxt + 1
+
+
+def mp3_frames(payload: bytes) -> list[dict]:
+    """Generic MPEG Layer III frame walk -> per-frame dicts
+    ``{offset, size, version, sample_rate, bitrate_kbps, samples,
+    padding, has_crc, mono, main_data_begin}``. Supports MPEG-1/2/2.5,
+    all table bitrates, padding, optional CRC, and free format. Raises
+    ``ValueError`` on broken sync, reserved fields, or truncation."""
+    if not _mp3_sync_ok(payload, 0):
+        raise ValueError("not an MPEG audio stream (no frame sync)")
+    frames: list[dict] = []
+    pos = 0
+    free_len = None
+    while pos < len(payload):
+        if not _mp3_sync_ok(payload, pos):
+            raise ValueError(f"lost MPEG frame sync at {pos}")
+        f = _mp3_header_fields(int.from_bytes(payload[pos : pos + 4], "big"))
+        if f["bitrate_kbps"] == 0:
+            if free_len is None:
+                free_len = _free_format_len(payload, pos)
+            f["frame_len"] = free_len
+        if f["frame_len"] < 4 + f["side_info_len"] + (2 if f["has_crc"] else 0):
+            raise ValueError("MPEG frame shorter than its own header + side info")
+        if pos + f["frame_len"] > len(payload):
+            raise ValueError("truncated MPEG frame")
+        si = pos + 4 + (2 if f["has_crc"] else 0)
+        if si + f["side_info_len"] > len(payload):
+            raise ValueError("truncated MPEG side info")
+        # main_data_begin: first 9 bits (MPEG-1) / 8 bits (MPEG-2/2.5)
+        b0, b1 = payload[si], payload[si + 1]
+        mdb = (b0 << 1) | (b1 >> 7) if f["version"] == "1" else b0
+        frames.append(
+            {
+                "offset": pos,
+                "size": f["frame_len"],
+                "version": f["version"],
+                "sample_rate": f["sample_rate"],
+                "bitrate_kbps": f["bitrate_kbps"],
+                "samples": f["samples"],
+                "padding": f["padding"],
+                "has_crc": f["has_crc"],
+                "mono": f["mono"],
+                "main_data_begin": mdb,
+            }
+        )
+        pos += f["frame_len"]
+    return frames
+
+
+def mp3_duration_ms(payload: bytes) -> int:
+    """Exact stream duration from the frame walk (audio frames only; a
+    leading Xing/Info metadata frame is excluded, as players do)."""
+    frames = mp3_frames(payload)
+    if frames and _is_info_frame(payload, frames[0]):
+        frames = frames[1:]
+    total = sum(f["samples"] for f in frames)
+    rate = frames[0]["sample_rate"] if frames else 1
+    return total * 1000 // rate
+
+
+def sample_mp3_frames(payload: bytes, every_ms: int, max_frames: int):
+    """Frame-accurate ``every_ms`` sampling over an MPEG stream — the
+    compressed-domain mirror of ``sample_pcm``: returns up to
+    ``max_frames`` entries ``(ts_ms, frame_offset, frame_size)``, each
+    the frame whose START timestamp first reaches ``i * every_ms``.
+    Pure header-walk arithmetic; no payload decode."""
+    frames = mp3_frames(payload)
+    if frames and _is_info_frame(payload, frames[0]):
+        frames = frames[1:]
+    out = []
+    t_samples = 0
+    target = 0
+    for f in frames:
+        if len(out) >= max_frames:
+            break
+        ts_ms = t_samples * 1000 // f["sample_rate"]
+        if t_samples * 1000 >= target * f["sample_rate"]:
+            out.append((ts_ms, f["offset"], f["size"]))
+            target += every_ms
+        t_samples += f["samples"]
+    return out
+
+
+def _is_info_frame(payload: bytes, frame: dict) -> bool:
+    # Xing/Info magic sits right after the side info in metadata frames;
+    # side-info length is 9/17/32 bytes depending on version + channels
+    base = frame["offset"] + 4 + (2 if frame["has_crc"] else 0)
+    for off in (9, 17, 32):
+        if payload[base + off : base + off + 4] in (b"Xing", b"Info"):
+            return True
+    return False
+
+
+def encode_mp3_pcm(pcm: np.ndarray, rate: int) -> bytes:
+    """Mono int16 PCM -> structurally valid FREE-FORMAT MPEG Layer III
+    stream embedding the samples (see the module note above: container
+    real, payload transform = the injection seam). Frame 0 is a
+    Xing/Info-shaped metadata frame carrying frame/byte counts plus a
+    ``PCML`` extension with the exact sample count; audio frames carry
+    576 samples (MPEG-2/2.5) or 1152 (MPEG-1) of big-endian int16 as
+    main_data, last frame zero-padded."""
+    if pcm.dtype != np.int16:
+        raise ValueError(f"expected int16 PCM, got {pcm.dtype}")
+    rate_to_hdr = {
+        8000: (0, 2), 11025: (0, 0), 12000: (0, 1),
+        16000: (2, 2), 22050: (2, 0), 24000: (2, 1),
+        32000: (3, 2), 44100: (3, 0), 48000: (3, 1),
+    }
+    if rate not in rate_to_hdr:
+        raise ValueError(f"no MPEG version supports sample rate {rate}")
+    version, sr_idx = rate_to_hdr[rate]
+    spf = 1152 if version == 3 else 576
+    side_len = 17 if version == 3 else 9
+    hdr = (
+        (0x7FF << 21) | (version << 19) | (0x1 << 17)  # sync, version, Layer III
+        | (0x1 << 16)  # protection bit 1 = no CRC
+        | (0x0 << 12) | (sr_idx << 10)  # free format, sample rate
+        | (0x3 << 6)  # mono
+    ).to_bytes(4, "big")
+    body = pcm.astype(">i2").tobytes()
+    frame_data = spf * 2  # bytes of main_data per audio frame
+    n_frames = max(1, -(-len(body) // frame_data))
+    frame_len = 4 + side_len + frame_data
+    total_bytes = frame_len * (n_frames + 1)
+    info_md = (
+        b"Xing"
+        + (0x3).to_bytes(4, "big")  # flags: frames | bytes
+        + n_frames.to_bytes(4, "big")
+        + total_bytes.to_bytes(4, "big")
+        + _PCM_MAGIC
+        + len(pcm).to_bytes(4, "big")
+    )
+    out = [hdr, b"\x00" * side_len, info_md.ljust(frame_data, b"\x00")]
+    for i in range(n_frames):
+        chunk = body[i * frame_data : (i + 1) * frame_data]
+        out += [hdr, b"\x00" * side_len, chunk.ljust(frame_data, b"\x00")]
+    return b"".join(out)
+
+
+def decode_mp3(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM-embedding free-format stream (``encode_mp3_pcm``) -> (mono
+    int16 PCM, rate). A real Huffman-coded Layer III stream raises
+    ``NotImplementedError`` naming the injection seam — never a silent
+    wrong decode."""
+    frames = mp3_frames(payload)
+    if not frames or not _is_info_frame(payload, frames[0]):
+        raise NotImplementedError(
+            "full MPEG Layer III synthesis is not implemented in this "
+            "container; inject an external codec (DecodeStub codec_factory) "
+            "for real Huffman-coded streams"
+        )
+    f0 = frames[0]
+    si = f0["offset"] + 4 + (2 if f0["has_crc"] else 0) + (17 if f0["version"] == "1" else 9)
+    md = payload[si : f0["offset"] + f0["size"]]
+    p = md.find(_PCM_MAGIC)
+    if p < 0:
+        raise NotImplementedError(
+            "MPEG info frame lacks the PCML embedding marker; this is a real "
+            "Layer III stream — inject an external codec to decode it"
+        )
+    n_samples = int.from_bytes(md[p + 4 : p + 8], "big")
+    chunks = []
+    for f in frames[1:]:
+        start = f["offset"] + 4 + (2 if f["has_crc"] else 0) + (
+            17 if f["version"] == "1" else 9
+        )
+        chunks.append(payload[start : f["offset"] + f["size"]])
+    pcm = np.frombuffer(b"".join(chunks), dtype=">i2")[:n_samples].astype(np.int16)
+    if len(pcm) != n_samples:
+        raise ValueError("truncated PCM-embedding MPEG stream")
+    return pcm, frames[0]["sample_rate"]
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sniff-and-decode audio: RIFF/WAV or MPEG Layer III -> (mono int16
+    PCM, rate) — the audio mirror of ``decode_image``."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if _mp3_sync_ok(payload, 0):
+        return decode_mp3(payload)
+    raise ValueError("unrecognized audio container (not WAV or MPEG)")
+
+
+# ---------------------------------------------------------------------------
 # deterministic synthetic corpus (the driver tables carry no media; real
 # pipelines read_parquet a table with a genuine ``payload: binary`` column)
 
@@ -809,7 +1084,7 @@ class StdlibCodec:
                 "duration_ms": 0,
                 "px_mean": int(arr.mean()),
             }
-        pcm, rate = decode_wav(payload)
+        pcm, rate = decode_audio(payload)
         return {
             "width": 0,
             "height": 0,

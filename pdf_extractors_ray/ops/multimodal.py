@@ -1,15 +1,16 @@
 """Multimodal columns: decode / resize / frame-sample over opaque binary.
 
-The payload column carries REAL media bytes — binary P6 PPM images and
-16-bit PCM WAV audio, the formats decodable with numpy + the stdlib alone
+The payload column carries REAL media bytes — P6 PPM / PNG / baseline
+JPEG images, 16-bit PCM WAV audio, and free-format MPEG Layer III
+containers, all decodable with numpy + the stdlib alone
 (``ops/codecs.py``) — and the production pipelines below run REAL kernels
 over them: true dimensions/duration/pixel stats at decode, nearest-neighbor
 pixel resampling for thumbnails, fixed-stride PCM slicing for frame
-samples. Heavier codecs (JPEG/MP3/H.264, absent from this container) stay
-behind the same per-actor injection seam: ``DecodeStub(real=True,
-codec_factory=...)`` constructs the handle once per actor; with no factory
-it raises. ``real=False`` keeps a deterministic digest-fake decode for
-plumbing tests.
+samples. Full Layer III spectral synthesis and H.264 stay behind the
+per-actor injection seam: ``DecodeStub(real=True, codec_factory=...)``
+constructs the handle once per actor; with no factory it raises.
+``real=False`` keeps a deterministic digest-fake decode for plumbing
+tests.
 
 The synthetic payloads are seeded by ``doc_id`` (the driver tables carry
 no media); a production pipeline would ``read_parquet`` a table with a
@@ -204,7 +205,7 @@ class FrameSampleStub:
             g = batch[batch["media_type"] == "audio"]
             doc_ids, frame_idx, ts_list, shas = [], [], [], []
             for doc_id, payload in zip(g["doc_id"], g["payload"]):
-                pcm, rate = codecs.decode_wav(payload)
+                pcm, rate = codecs.decode_audio(payload)
                 for i, (ts, seg) in enumerate(
                     codecs.sample_pcm(pcm, rate, self.every_ms, self.max_frames)
                 ):
@@ -523,7 +524,8 @@ def image_payload_hash(payload: bytes) -> int:
 
 
 def audio_payload_hash(payload: bytes) -> int:
-    return audio_fingerprint64(codecs.decode_wav(payload)[0])
+    # sniff-decode: the corpus mixes WAV and PCM-embedding MPEG containers
+    return audio_fingerprint64(codecs.decode_audio(payload)[0])
 
 
 def _banded_sig_rows(hash_fn):
@@ -608,7 +610,12 @@ def media_audio_neardup_dataset(sf_dir: str):
     {1,5,7,9,11} share one exact clip (seeded by block id + 1), residue
     3 renders the same clip with ONE fingerprint window doubled (flips
     at most 2 adjacent gradient bits — inside the Hamming-3 pigeonhole),
-    residues {13,15} stay unique. Payloads are REAL WAV bytes."""
+    residues {13,15} stay unique. Container mix: residues {7, 13} ship
+    as free-format MPEG Layer III (``codecs.encode_mp3_pcm`` — real
+    frame structure, PCM-embedding payload), the rest as WAV; decoded
+    PCM is identical either way, so duplicate groups span containers
+    and the fingerprint stage must sniff-decode (the audio mirror of
+    the image corpus's PNG/P6 mix)."""
     import ray.data as rd
 
     from ..runtime import read_parquet_sized, tune_data_context
@@ -633,7 +640,10 @@ def media_audio_neardup_dataset(sf_dir: str):
                 pcm[lo:hi] = np.clip(pcm[lo:hi].astype(np.int64) * 2, -32768, 32767)
             else:
                 pcm, rate = codecs.synth_audio(d)
-            payloads.append(codecs.encode_wav(pcm, rate))
+            if r in (7, 13):
+                payloads.append(codecs.encode_mp3_pcm(pcm, rate))
+            else:
+                payloads.append(codecs.encode_wav(pcm, rate))
             keep.append(d)
         return pa.table(
             {

@@ -384,3 +384,110 @@ def test_audio_fingerprint_overflow_guard():
     long_clip = np.full(7_000_000, 32767, dtype=np.int16)
     with pytest.raises(ValueError, match="overflow"):
         audio_fingerprint64(long_clip)
+
+
+def test_mp3_frame_walk_standard_bitrates():
+    """Frame-boundary round trip over a standard bitrate-indexed MPEG-1
+    Layer III stream with varying bitrate indices and padding bits: the
+    generic walk must recover every offset/size exactly."""
+    def std_frame(version, br_idx, sr_idx, padding):
+        hdr = ((0x7FF << 21) | (version << 19) | (0x1 << 17) | (0x1 << 16)
+               | (br_idx << 12) | (sr_idx << 10) | (padding << 9) | (0x3 << 6))
+        f = codecs._mp3_header_fields(hdr)
+        return hdr.to_bytes(4, "big") + b"\x00" * (f["frame_len"] - 4), f["frame_len"]
+
+    stream, offs, pos = b"", [], 0
+    for br, pad in [(1, 0), (5, 1), (9, 0), (14, 1), (3, 0), (11, 1)]:
+        fb, ln = std_frame(3, br, 0, pad)  # MPEG-1, 44100 Hz
+        offs.append((pos, ln))
+        stream += fb
+        pos += ln
+    fr = codecs.mp3_frames(stream)
+    assert [(f["offset"], f["size"]) for f in fr] == offs
+    assert all(f["samples"] == 1152 and f["sample_rate"] == 44100 for f in fr)
+    assert all(f["version"] == "1" and f["mono"] for f in fr)
+    # MPEG-2.5 frames: 576 samples, 8 kHz legal
+    fb, ln = std_frame(0, 5, 2, 0)
+    fr25 = codecs.mp3_frames(fb)
+    assert fr25[0]["samples"] == 576 and fr25[0]["sample_rate"] == 8000
+
+
+def test_mp3_pcm_roundtrip_exact():
+    """encode_mp3_pcm -> decode_mp3 reproduces the PCM exactly at every
+    legal rate family; the stream parses as constant-length free-format
+    frames with a leading Xing/Info metadata frame."""
+    rng = np.random.RandomState(5)
+    for rate in (8000, 16000, 44100):
+        pcm = rng.randint(-32000, 32000, size=3001).astype(np.int16)
+        mp3 = codecs.encode_mp3_pcm(pcm, rate)
+        out, r = codecs.decode_mp3(mp3)
+        assert r == rate and np.array_equal(out, pcm)
+        fr = codecs.mp3_frames(mp3)
+        assert all(f["size"] == fr[0]["size"] for f in fr)
+        assert all(f["bitrate_kbps"] == 0 for f in fr)  # free format
+        assert codecs._is_info_frame(mp3, fr[0])
+        assert all(f["main_data_begin"] == 0 for f in fr)
+    # decode_audio sniffs both containers to identical PCM
+    pcm, rate = codecs.synth_audio(17)
+    a1, _ = codecs.decode_audio(codecs.encode_wav(pcm, rate))
+    a2, _ = codecs.decode_audio(codecs.encode_mp3_pcm(pcm, rate))
+    assert np.array_equal(a1, a2)
+
+
+def test_mp3_duration_and_frame_sampling():
+    pcm, rate = codecs.synth_audio(42)  # 8 kHz
+    mp3 = codecs.encode_mp3_pcm(pcm, rate)
+    n_audio = len(codecs.mp3_frames(mp3)) - 1  # minus the info frame
+    assert codecs.mp3_duration_ms(mp3) == n_audio * 576 * 1000 // rate
+    s = codecs.sample_mp3_frames(mp3, every_ms=100, max_frames=8)
+    # one frame = 72 ms at 8 kHz: each sampled frame is the FIRST whose
+    # start reaches the 100 ms grid -> timestamps 0, 144, 216, 360, ...
+    assert [ts for ts, _, _ in s][:4] == [0, 144, 216, 360]
+    sizes = {sz for _, _, sz in s}
+    assert sizes == {codecs.mp3_frames(mp3)[0]["size"]}
+
+
+def test_mp3_rejects_invalid():
+    with pytest.raises(ValueError):
+        codecs.mp3_frames(b"not audio")
+    with pytest.raises(ValueError):
+        codecs.mp3_frames(b"")
+    pcm, rate = codecs.synth_audio(9)
+    mp3 = codecs.encode_mp3_pcm(pcm, rate)
+    with pytest.raises(ValueError):
+        codecs.mp3_frames(mp3[:-7])  # truncated final frame
+    # a real Huffman-coded stream (no PCML embedding) refuses loudly
+    hdr = ((0x7FF << 21) | (3 << 19) | (0x1 << 17) | (0x1 << 16)
+           | (5 << 12) | (0 << 10) | (0x3 << 6))
+    f = codecs._mp3_header_fields(hdr)
+    real = hdr.to_bytes(4, "big") + b"\x00" * (f["frame_len"] - 4)
+    with pytest.raises(NotImplementedError):
+        codecs.decode_mp3(real)
+    with pytest.raises(ValueError):
+        codecs.encode_mp3_pcm(np.zeros(10, np.int16), 7999)
+
+
+def test_audio_neardup_mixed_wav_mp3_corpus(ray_session):
+    """The audio near-dup gate over the MIXED WAV/MP3 corpus: planted
+    duplicate groups span containers (residues 7/13 ship as MPEG), so a
+    cross-container exact pair at Hamming 0 proves the fingerprint stage
+    sniff-decodes; distributed output still equals brute force."""
+    from pdf_extractors_ray.ops import multimodal as mm
+
+    sf = "/root/testdata/sf0.001"
+    corpus = mm.media_audio_neardup_dataset(sf).to_pandas()
+    by_id = dict(zip(corpus["doc_id"].astype(int), corpus["payload"]))
+    mp3_ids = {d for d, p in by_id.items() if bytes(p)[:1] == b"\xff"}
+    wav_ids = {d for d, p in by_id.items() if bytes(p)[:4] == b"RIFF"}
+    assert mp3_ids and wav_ids
+    assert mp3_ids == {d for d in by_id if d % 16 in (7, 13)}
+
+    pairs = mm.media_audio_neardup(sf).to_pandas()
+    got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int),
+                  pairs["hamming"].astype(int)))
+    want = mm.neardup_bruteforce_pairs(corpus, mm.audio_payload_hash)
+    assert got == want
+    # at least one exact pair crosses the container boundary
+    cross = [(a, b) for a, b, h in got if h == 0
+             and ((a in mp3_ids) != (b in mp3_ids))]
+    assert cross

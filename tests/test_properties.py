@@ -312,3 +312,23 @@ def test_jpeg_corruption_never_hangs(seed, pos, val):
         assert out.dtype == np.uint8 and out.ndim == 3
     except ValueError:
         pass  # rejection via the module's error contract — nothing else
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(0, 4000), st.integers(0, 255))
+@settings(max_examples=60, deadline=None)
+def test_mp3_corruption_never_hangs(seed, pos, val):
+    """Single-byte corruption anywhere in a PCM-embedding MPEG stream:
+    the frame walk / decode must terminate with ValueError /
+    NotImplementedError (the module contract) or survive with a
+    well-formed result — never hang, never raise anything else."""
+    from pdf_extractors_ray.ops import codecs
+
+    pcm, rate = codecs.synth_audio(seed % 97)
+    payload = bytearray(codecs.encode_mp3_pcm(pcm, rate))
+    payload[pos % len(payload)] = val
+    try:
+        out, r = codecs.decode_mp3(bytes(payload))
+        assert out.dtype == np.int16 and r in (8000, 11025, 12000, 16000,
+                                               22050, 24000, 32000, 44100, 48000)
+    except (ValueError, NotImplementedError):
+        pass
