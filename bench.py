@@ -30,11 +30,18 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# bench transcript corpus size (conversations); compute-dominated by design
-_DEFAULT_BENCH_CONVS = {"sf0.001": 2000, "sf0.01": 12000, "sf0.1": 120000}
+# bench transcript corpus size (conversations); compute-dominated by design.
+# pdfx_sf1 is the 10x scale-up built by tools/make_scaled_sf.py (r5) — its
+# transcript corpus is 1.2M convs (~57M turns), the sf1 evidence point.
+_DEFAULT_BENCH_CONVS = {
+    "sf0.001": 2000, "sf0.01": 12000, "sf0.1": 120000, "pdfx_sf1": 1200000,
+}
 BENCH_CONVS = int(
     os.environ.get("GRAFT_BENCH_CONVS", "0")
 ) or _DEFAULT_BENCH_CONVS.get(os.path.basename(os.path.normpath(SF_DIR)), 120000)
+# optional comma-separated subset of OP_QUERIES (sf1 runs time the top-10
+# most expensive ops rather than all ~109)
+_OPS_FILTER = [s for s in os.environ.get("GRAFT_BENCH_OPS", "").split(",") if s]
 
 OP_QUERIES = [
     "q1_pricing_summary",
@@ -489,12 +496,19 @@ def run_bench() -> dict:
     # Scaling mode keeps one sample (its protocol repeats whole phases).
     headline_only = bool(os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"))
     n_samples = int(os.environ.get("GRAFT_BENCH_SAMPLES", "1" if headline_only else "3"))
-    op_queries = [] if headline_only else OP_QUERIES
+    op_queries = [] if headline_only else (_OPS_FILTER or OP_QUERIES)
     samples: dict[str, list[float]] = {"extract_all_partitioned": [], **{q: [] for q in op_queries}}
     steal_cpus: list[float] = []  # avg stolen CPUs during each headline sample
     dram_gbps: list[float] = []  # copy bandwidth right before each sample
     out_base = f"/tmp/pdfx_bench_out_{NUM_CPUS}{os.environ.get('GRAFT_BENCH_OUT_SUFFIX', '')}"
     rows = {}
+
+    # partition count holds PER-FOLD WORK constant across corpus scales
+    # (~90k turns/fold ≈ the 64-part sf0.1 shape): measured at sf1 (58M
+    # turns), 640 parts beat a pinned 64 by 13% (35.0 vs 40.1 s) — the
+    # load-balance knee, matching DESIGN_SCALE's seconds-per-fold-task
+    # sizing rule rather than a fixed test-scale count.
+    n_parts = max(64, round(n_turns / 90_000))
 
     def headline_sample(tag) -> None:
         # headline: ALL families in one read + one part_id shuffle; each
@@ -508,7 +522,7 @@ def run_bench() -> dict:
         dram_gbps.append(_dram_probe())
         s0 = _steal_jiffies()
         t0 = time.time()
-        metrics = partitioned_extract_all_tasks(path, out_root, n_parts=64)
+        metrics = partitioned_extract_all_tasks(path, out_root, n_parts=n_parts)
         dt = time.time() - t0
         samples["extract_all_partitioned"].append(round(dt, 3))
         steal_cpus.append(round((_steal_jiffies() - s0) / _CLK_TCK / dt, 2))
@@ -556,6 +570,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "turns": n_turns,
+        "n_parts": n_parts,
         "turns_per_sec": round(n_turns / headline, 1),
         "output_rows": rows,
     }

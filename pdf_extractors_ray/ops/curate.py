@@ -860,26 +860,28 @@ def _span_gram_rows(k: int, nb: int):
     (doc_id, pos, gram, __b) with ``pos`` 0-based and the bucket keyed
     on the gram string."""
 
-    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.reset_index(drop=True)
+    import pyarrow as pa
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
         doc_out, pos_out, gram_out = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_numpy(np.int64), batch["text"]):
+        for doc_id, text in zip(batch["doc_id"].to_numpy(),
+                                batch["text"].to_pylist()):
             t = text.split(" ")
             n = len(t) - k + 1
             if n <= 0:
                 continue
             gram_out.extend(" ".join(t[p : p + k]) for p in range(n))
-            doc_out.extend([doc_id] * n)
+            doc_out.extend([int(doc_id)] * n)
             pos_out.extend(range(n))
-        out = pd.DataFrame(
+        bucket = pd.util.hash_array(np.asarray(gram_out, dtype=object)) % nb
+        return pa.table(
             {
-                "doc_id": np.asarray(doc_out, dtype=np.int64),
-                "pos": np.asarray(pos_out, dtype=np.int64),
-                "gram": pd.Series(gram_out, dtype=object),
+                "doc_id": pa.array(doc_out, pa.int64()),
+                "pos": pa.array(pos_out, pa.int64()),
+                "gram": pa.array(gram_out, pa.string()),
+                "__b": pa.array(bucket.astype(np.int64)),
             }
         )
-        out["__b"] = (pd.util.hash_array(out["gram"].to_numpy(object)) % nb).astype(np.int64)
-        return out
 
     return gram_rows
 
@@ -923,7 +925,7 @@ def docs_dup_span_stats(sf_dir: str, k: int = SPAN_K):
         )
 
     dups = (
-        ds.map_batches(gram_rows, batch_format="pandas")
+        ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(mark_dups, batch_format="pandas")
     )
@@ -1027,7 +1029,7 @@ def docs_dup_span_remove(sf_dir: str, k: int = SPAN_K):
         )
 
     cuts = (
-        ds.map_batches(gram_rows, batch_format="pandas")
+        ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(mark_cut_starts, batch_format="pandas")
     )

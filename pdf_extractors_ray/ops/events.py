@@ -1164,6 +1164,32 @@ FROM est
 MAD_SIGMA_X = 6  # flag when |cnt - median| > MAD_SIGMA_X · max(MAD, 1)
 
 
+def _hourly_type_counts(ds):
+    """Hourly (hour, event_type) count rollup — the shared corpus-scale
+    partial-emitter behind the MAD and CUSUM detectors. Zero-copy Arrow
+    (r5 sweep): floor_temporal keeps timestamp[us] (the driver-hash
+    dtype), event_type rides through unconverted; measured ~10% faster
+    than the pandas dt.floor emitter at sf0.1."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    return cast_us(
+        grouped_sums(ds.map_batches(derive, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["hour", "event_type"], ["n"]),
+        ["hour"],
+    )
+
+
 def events_mad_anomaly(sf_dir: str):
     """Per-event-type robust anomaly detection over hourly volumes:
     median + median-absolute-deviation in exact integer arithmetic, flag
@@ -1185,21 +1211,7 @@ def events_mad_anomaly(sf_dir: str):
     from .relational import exact_grouped_quantile_int
 
     ds = _events(sf_dir, columns=["ts", "event_type"])
-
-    def derive(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "hour": batch["ts"].dt.floor("h").astype("datetime64[us]"),
-                "event_type": batch["event_type"],
-                "n": np.int64(1),
-            }
-        )
-
-    hourly = cast_us(
-        grouped_sums(ds.map_batches(derive, batch_format="pandas"),
-                     ["hour", "event_type"], ["n"]),
-        ["hour"],
-    ).materialize()  # rollup-sized; read by two quantile passes + the flag pass
+    hourly = _hourly_type_counts(ds).materialize()  # rollup-sized; read by two quantile passes + the flag pass
 
     # bounded type set → stable integer group ids (sorted for determinism)
     types = sorted(
@@ -1403,21 +1415,7 @@ def events_cusum(sf_dir: str):
     from .relational import exact_grouped_quantile_int
 
     ds = _events(sf_dir, columns=["ts", "event_type"])
-
-    def derive(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "hour": batch["ts"].dt.floor("h").astype("datetime64[us]"),
-                "event_type": batch["event_type"],
-                "n": np.int64(1),
-            }
-        )
-
-    hourly = cast_us(
-        grouped_sums(ds.map_batches(derive, batch_format="pandas"),
-                     ["hour", "event_type"], ["n"]),
-        ["hour"],
-    ).materialize()
+    hourly = _hourly_type_counts(ds).materialize()
 
     types = sorted(
         hourly.map_batches(
@@ -1707,12 +1705,22 @@ def events_join_cardinality(sf_dir: str):
     true products are int64-safe per key and summed in Python."""
     from .common import bucketed_group_agg, cogroup_join
 
+    import pyarrow as pa
+
+    def count_rows(col):
+        # zero-copy Arrow partial-emitter (r5 sweep): the key column rides
+        # through unconverted; only the ones column is allocated
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"k": b[col].cast(pa.int64()),
+                 "n": pa.array(np.ones(b.num_rows, np.int64))}
+            )
+
+        return fn
+
     ev_counts = bucketed_group_agg(
-        _events(sf_dir, columns=["user_id"])
-        .map_batches(
-            lambda b: pd.DataFrame({"k": b["user_id"].to_numpy(np.int64),
-                                    "n": np.int64(1)}),
-            batch_format="pandas",
+        _events(sf_dir, columns=["user_id"]).map_batches(
+            count_rows("user_id"), batch_format="pyarrow", zero_copy_batch=True
         ),
         ["k"],
         {"n": "sum"},
@@ -1723,9 +1731,7 @@ def events_join_cardinality(sf_dir: str):
         read_parquet_sized(os.path.join(sf_dir, "orders.parquet"),
                            columns=["o_custkey"])
         .map_batches(
-            lambda b: pd.DataFrame({"k": b["o_custkey"].to_numpy(np.int64),
-                                    "n": np.int64(1)}),
-            batch_format="pandas",
+            count_rows("o_custkey"), batch_format="pyarrow", zero_copy_batch=True
         ),
         ["k"],
         {"n": "sum"},

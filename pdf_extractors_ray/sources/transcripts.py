@@ -688,7 +688,11 @@ def synthesize_transcripts(
 
 
 # conv counts per driver scale-factor directory: sized so sf0.01 ≈ 60k turns
-_SF_CONVS = {"sf0.001": 120, "sf0.01": 1200, "sf0.1": 12000}
+_SF_CONVS = {
+    "sf0.001": 120, "sf0.01": 1200, "sf0.1": 12000,
+    # the 10x scale-up dir built by tools/make_scaled_sf.py (r5 sf1 bench)
+    "pdfx_sf1": 120000,
+}
 
 
 def transcripts_path_for_sf(sf_dir: str, cache_root: str = "/tmp/pdfx_transcripts") -> str:
