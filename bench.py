@@ -719,8 +719,12 @@ def run_scaling_decompose() -> dict:
         phase_steal[f"{tag}_steal_cpus"] = round((_steal_jiffies() - s0) / _CLK_TCK / dt, 2)
         return r
 
+    # default 3 rounds (median-robust); GRAFT_SCALING_ROUNDS=1 is for the
+    # long-corpus (sf1) evidence run where each leg is ~10x longer and a
+    # single steal-gated round already carries per-leg steal/bus columns
+    n_rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     rounds = []
-    for i_round in range(3):
+    for i_round in range(n_rounds):
         gate(f"round{i_round}")
         # the 4-vs-16 pair: BOTH sides stay under the box's memory-bus
         # saturation knee (measured: per-task fold time inflates ~1.8x
@@ -763,8 +767,8 @@ def run_scaling_decompose() -> dict:
         })
         time.sleep(10)
 
-    mid = sorted(rounds, key=lambda r: r["pair"])[1]
-    mid46 = sorted(rounds, key=lambda r: r["raw_4_16"])[1]
+    mid = sorted(rounds, key=lambda r: r["pair"])[len(rounds) // 2]
+    mid46 = sorted(rounds, key=lambda r: r["raw_4_16"])[len(rounds) // 2]
     solo8, t8c, t32, conc = mid["solo8"], mid["t8c"], mid["t32"], mid["conc"]
     conc_secs = sorted(r["value"] for r in conc)
     hw = mid["hw"]  # < 1 when DRAM-bound
