@@ -567,11 +567,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
-        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+        # (The loop guard keeps pos+2 <= len on exit, so payload[pos+1] is
+        # always readable here; only the length-word guard below can fire.)
         while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
             pos += 1
-        if pos + 2 > len(payload):  # stream ends inside a fill-byte run
-            raise ValueError("truncated JPEG: fill bytes run off the end")
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
@@ -843,26 +843,55 @@ def _mp3_sync_ok(payload: bytes, pos: int) -> bool:
     )
 
 
-def _free_format_len(payload: bytes, start: int) -> int:
-    """Free-format frame length: distance to the next occurrence of the
-    SAME 4-byte header, validated by a constant stride to end-of-stream
-    (the lock-then-stride strategy real decoders use; false syncs inside
-    main_data fail the stride check)."""
-    hdr = payload[start : start + 4]
-    floor = 4 + _mp3_header_fields(int.from_bytes(hdr, "big"))["side_info_len"]
-    pos = start + floor
+def _mask_pad(b: bytes) -> bytes:
+    """The 4 header bytes with the padding bit (bit 9 = byte 2 bit 1)
+    cleared — free-format frames share every header field EXCEPT padding
+    (ISO 11172-3 permits per-frame padding even at bitrate index 0)."""
+    return bytes((b[0], b[1], b[2] & 0xFD, b[3]))
+
+
+def _free_format_base(payload: bytes, start: int) -> int:
+    """Free-format BASE frame length (without the padding byte): lock on
+    the next padding-masked occurrence of the first frame's header, then
+    validate by walking the WHOLE stream with per-frame lengths
+    ``base + padding_bit`` — the lock-then-stride strategy real decoders
+    use, generalized so alternating-padding streams (how 44.1 kHz keeps
+    exact rate) frame correctly instead of silently striding two frames.
+    False syncs inside main_data fail the full-stream walk."""
+    hdr0 = payload[start : start + 4]
+    f0 = _mp3_header_fields(int.from_bytes(hdr0, "big"))
+    floor = 4 + f0["side_info_len"] + (2 if f0["has_crc"] else 0)
+    target = _mask_pad(hdr0)
+    variant_a = target  # padding = 0
+    variant_b = bytes((target[0], target[1], target[2] | 0x02, target[3]))
+
+    def walk_ok(base: int) -> bool:
+        pos = start
+        while pos < len(payload):
+            h = payload[pos : pos + 4]
+            if len(h) < 4:
+                # framing is right but the stream is cut mid-frame: accept
+                # the base — mp3_frames' own walk then raises 'truncated
+                # MPEG frame' loudly instead of re-framing around the cut
+                return True
+            if _mask_pad(h) != target:
+                return False
+            pos += base + ((h[2] >> 1) & 1)
+        return True  # pos == len: complete; pos > len: truncated final frame
+
+    pad0 = f0["padding"]
+    p = start + floor
     while True:
-        nxt = payload.find(hdr, pos)
-        if nxt < 0:
+        cands = [i for i in (payload.find(variant_a, p), payload.find(variant_b, p))
+                 if i >= 0]
+        if not cands:
             # single-frame stream: the frame runs to end of payload
-            return len(payload) - start
-        length = nxt - start
-        if all(
-            payload[start + k * length : start + k * length + 4] in (hdr, b"")
-            for k in range(1, (len(payload) - start) // length + 1)
-        ):
-            return length
-        pos = nxt + 1
+            return len(payload) - start - pad0
+        nxt = min(cands)
+        base = nxt - start - pad0
+        if base >= floor and walk_ok(base):
+            return base
+        p = nxt + 1
 
 
 def mp3_frames(payload: bytes) -> list[dict]:
@@ -875,15 +904,15 @@ def mp3_frames(payload: bytes) -> list[dict]:
         raise ValueError("not an MPEG audio stream (no frame sync)")
     frames: list[dict] = []
     pos = 0
-    free_len = None
+    free_base = None
     while pos < len(payload):
         if not _mp3_sync_ok(payload, pos):
             raise ValueError(f"lost MPEG frame sync at {pos}")
         f = _mp3_header_fields(int.from_bytes(payload[pos : pos + 4], "big"))
         if f["bitrate_kbps"] == 0:
-            if free_len is None:
-                free_len = _free_format_len(payload, pos)
-            f["frame_len"] = free_len
+            if free_base is None:
+                free_base = _free_format_base(payload, pos)
+            f["frame_len"] = free_base + f["padding"]
         if f["frame_len"] < 4 + f["side_info_len"] + (2 if f["has_crc"] else 0):
             raise ValueError("MPEG frame shorter than its own header + side info")
         if pos + f["frame_len"] > len(payload):
@@ -947,13 +976,15 @@ def sample_mp3_frames(payload: bytes, every_ms: int, max_frames: int):
 
 
 def _is_info_frame(payload: bytes, frame: dict) -> bool:
-    # Xing/Info magic sits right after the side info in metadata frames;
-    # side-info length is 9/17/32 bytes depending on version + channels
-    base = frame["offset"] + 4 + (2 if frame["has_crc"] else 0)
-    for off in (9, 17, 32):
-        if payload[base + off : base + off + 4] in (b"Xing", b"Info"):
-            return True
-    return False
+    # Xing/Info magic sits right after the side info in metadata frames.
+    # Probe ONLY the frame's own side-info offset (9/17/32 by version +
+    # channel mode) — probing all three would let audio main_data that
+    # happens to contain 'Xing' at a wrong offset silently misclassify
+    # a real first frame as metadata.
+    v1 = frame["version"] == "1"
+    off = (17 if frame["mono"] else 32) if v1 else (9 if frame["mono"] else 17)
+    base = frame["offset"] + 4 + (2 if frame["has_crc"] else 0) + off
+    return payload[base : base + 4] in (b"Xing", b"Info")
 
 
 def encode_mp3_pcm(pcm: np.ndarray, rate: int) -> bytes:

@@ -995,9 +995,15 @@ sh AS (
     FROM docs_t
 ),
 counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sdf AS (SELECT source, s, COUNT(*) AS df FROM sh GROUP BY source, s),
+kept AS (
+    SELECT sh.doc_id, sh.source, sh.s
+    FROM sh JOIN sdf ON sdf.source = sh.source AND sdf.s = sh.s
+    WHERE sdf.df <= {NGRAM_DF_CAP}
+),
 inter AS (
     SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS cnt
-    FROM sh x JOIN sh y
+    FROM kept x JOIN kept y
       ON x.source = y.source AND x.s = y.s AND x.doc_id < y.doc_id
     GROUP BY x.doc_id, y.doc_id
 ),
@@ -1024,6 +1030,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, cluster,
 FROM labels
 ORDER BY doc_id
 """
+# plain r-string (recursive CTE braces); bind the shared cap value here so
+# the cluster twin and ngram_jaccard_sql can never drift apart
+DUP_CLUSTERS_SQL = DUP_CLUSTERS_SQL.replace("{NGRAM_DF_CAP}", str(NGRAM_DF_CAP))
 
 
 def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
@@ -1957,7 +1966,11 @@ def docs_dedup_pipeline(sf_dir: str, labels=None):
     from .common import cogroup_join, grouped_sums
 
     if labels is None:
-        exact = ngram_jaccard_groups(sf_dir).select_columns(["a", "b"])
+        exact = (
+            ngram_jaccard_groups(sf_dir)
+            .filter(expr="a >= 0")  # drop df-cap audit rows; counts, not edges
+            .select_columns(["a", "b"])
+        )
         labels = dup_clusters(sf_dir, edges=exact)
 
     docs = _docs(sf_dir, columns=["doc_id", "source", "text"])
@@ -2041,7 +2054,11 @@ def docs_dedup_keep_longest(sf_dir: str, labels=None):
     from .common import grouped_sums, cogroup_join
 
     if labels is None:
-        exact = ngram_jaccard_groups(sf_dir).select_columns(["a", "b"])
+        exact = (
+            ngram_jaccard_groups(sf_dir)
+            .filter(expr="a >= 0")  # drop df-cap audit rows; counts, not edges
+            .select_columns(["a", "b"])
+        )
         labels = dup_clusters(sf_dir, edges=exact)
 
     docs = _docs(sf_dir, columns=["doc_id", "source", "text"])

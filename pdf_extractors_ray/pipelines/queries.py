@@ -938,12 +938,16 @@ def _media_ocr_query(sf_dir: str):
     import os
     import tempfile
 
-    from ..sources.pages import write_invoice_page_files
+    from ..sources.pages import PAGES_RECIPE_VERSION, write_invoice_page_files
 
-    result = surrogate.extract_kernel_ocr_invoice(sf_dir)
+    # materialize ONCE: the gate comparison below would otherwise consume
+    # the lazy dataset (full-corpus OCR actor-pool pass) and the driver's
+    # hash of the returned handle would re-execute the whole chain
+    result = surrogate.extract_kernel_ocr_invoice(sf_dir).materialize()
     page_dir = os.path.join(
         tempfile.gettempdir(), "pdfx_pages",
-        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+        + f"-v{PAGES_RECIPE_VERSION}",
     )
     gate_ids = list(range(48))
     write_invoice_page_files(page_dir, gate_ids)

@@ -24,6 +24,15 @@ import re
 import pandas as pd
 
 _PAGE_RE = re.compile(r"page-(\d+)\.(?:ppm|png)$")
+# writer in-flight temp suffix: .tmp<pid>; readers skip these, the writer
+# sweeps stale ones (a killed writer must not poison a shared cache dir)
+_TMP_RE = re.compile(r"\.tmp\d+$")
+
+# Bump when the rendered page CONTENT changes (glyph font, render_page
+# defect model, or the invoice text recipe): cache directories embed this
+# version, so stale pages from an older recipe can never be reused —
+# write_invoice_page_files skips files that already exist.
+PAGES_RECIPE_VERSION = 1
 
 
 def write_invoice_page_files(out_dir: str, doc_ids) -> str:
@@ -37,6 +46,12 @@ def write_invoice_page_files(out_dir: str, doc_ids) -> str:
     from ..ops.surrogate import _render_ocr_invoice_py
 
     os.makedirs(out_dir, exist_ok=True)
+    for stale in os.listdir(out_dir):
+        if _TMP_RE.search(stale):  # a killed writer's in-flight temp
+            try:
+                os.remove(os.path.join(out_dir, stale))
+            except OSError:
+                pass  # another writer swept it first
     for i in doc_ids:
         i = int(i)
         ext = "png" if i % 3 == 0 else "ppm"
@@ -68,16 +83,21 @@ def read_page_files(page_dir: str):
     ds = rd.read_binary_files(page_dir, include_paths=True)
 
     def parse(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = []
-        for p in batch["path"]:
+        ids, keep = [], []
+        for j, p in enumerate(batch["path"]):
             m = _PAGE_RE.search(str(p))
             if m is None:
+                # a concurrent writer's in-flight temp is expected and
+                # skipped; anything ELSE in the directory is a real error
+                if _TMP_RE.search(str(p)):
+                    continue
                 raise ValueError(f"unrecognized page file name: {p}")
             ids.append(int(m.group(1)))
+            keep.append(j)
         return pd.DataFrame(
             {
                 "doc_id": np.asarray(ids, np.int64),
-                "payload": batch["bytes"].to_numpy(dtype=object),
+                "payload": batch["bytes"].to_numpy(dtype=object)[keep],
             }
         )
 

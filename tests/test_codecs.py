@@ -491,3 +491,48 @@ def test_audio_neardup_mixed_wav_mp3_corpus(ray_session):
     cross = [(a, b) for a, b, h in got if h == 0
              and ((a in mp3_ids) != (b in mp3_ids))]
     assert cross
+
+
+def test_mp3_free_format_alternating_padding():
+    """Free-format streams may toggle the padding bit per frame (ISO
+    11172-3; how 44.1 kHz keeps exact rate). The walk must frame each
+    length as base + that frame's own padding bit — a same-header-only
+    lock would silently stride two frames and halve the duration."""
+    version, sr_idx, side = 0, 2, 9  # MPEG-2.5 mono, 8 kHz
+
+    def hdr(pad):
+        return ((0x7FF << 21) | (version << 19) | (0x1 << 17) | (0x1 << 16)
+                | (0x0 << 12) | (sr_idx << 10) | (pad << 9) | (0x3 << 6)
+                ).to_bytes(4, "big")
+
+    base = 4 + side + 200
+    stream, offs, pos = b"", [], 0
+    for i in range(7):
+        pad = i % 2
+        offs.append((pos, base + pad))
+        stream += hdr(pad) + b"\x07" * (base + pad - 4)
+        pos += base + pad
+    fr = codecs.mp3_frames(stream)
+    assert [(f["offset"], f["size"]) for f in fr] == offs
+    assert [f["padding"] for f in fr] == [0, 1, 0, 1, 0, 1, 0]
+    assert codecs.mp3_duration_ms(stream) == 7 * 576 * 1000 // 8000
+
+
+def test_mp3_info_frame_offset_is_exact():
+    """_is_info_frame must probe ONLY the frame's own side-info offset:
+    'Xing' bytes at a WRONG offset inside audio main_data must not
+    reclassify a real first frame as metadata."""
+    pcm, rate = codecs.synth_audio(3)
+    mp3 = bytearray(codecs.encode_mp3_pcm(pcm, rate))
+    frames = codecs.mp3_frames(bytes(mp3))
+    audio0 = frames[1]
+    # plant 'Xing' at the MPEG-1 side-info offset (17) inside the
+    # MPEG-2.5 audio frame's main_data — a wrong-layout offset
+    p = audio0["offset"] + 4 + 17
+    mp3[p:p + 4] = b"Xing"
+    fr2 = codecs.mp3_frames(bytes(mp3))
+    assert codecs._is_info_frame(bytes(mp3), fr2[0])       # real info frame
+    assert not codecs._is_info_frame(bytes(mp3), fr2[1])   # still audio
+    assert codecs.mp3_duration_ms(bytes(mp3)) == codecs.mp3_duration_ms(
+        codecs.encode_mp3_pcm(pcm, rate)
+    )

@@ -1618,6 +1618,27 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingles(ray_session, tmp_path):
     # pairs supported ONLY by hot shingles are gone
     low = eng[(eng["a"] >= 0) & (eng["a"] < 40)]
     assert len(low) == 0
+    # cluster level: the engine feeds CAPPED, audit-filtered edges into
+    # dup_clusters; DUP_CLUSTERS_SQL must apply the IDENTICAL cap (with
+    # the module default NGRAM_DF_CAP, which this corpus cannot trip —
+    # boilerplate df=42 < 512 — so here both sides keep the hot shingles
+    # and still agree; the cap plumbing equality at cap=8 is pinned above)
+    edges = (
+        dd.ngram_jaccard_groups(str(tmp_path))
+        .filter(expr="a >= 0")
+        .select_columns(["a", "b"])
+    )
+    lab = (
+        dd.dup_clusters(str(tmp_path), edges=edges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    lab_ora = con.sql(dd.DUP_CLUSTERS_SQL).df()
+    con.close()
+    pd.testing.assert_frame_equal(lab, lab_ora[lab.columns], check_dtype=False)
 
 
 def test_ngram_jaccard_default_cap_never_fires_at_gate_scale(ray_session):

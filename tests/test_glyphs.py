@@ -135,3 +135,24 @@ def test_read_page_files_rejects_unknown_names(ray_session, tmp_path):
 
     with _pytest.raises((ValueError, ray.exceptions.RayTaskError)):
         read_page_files(str(d)).materialize()
+
+
+def test_page_cache_tolerates_and_sweeps_stale_temps(ray_session, tmp_path):
+    """A writer killed mid-write leaves page-*.tmp<pid> behind; readers
+    must skip it (not poison the cache with a hard raise) and the next
+    writer sweeps it."""
+    import os
+
+    from pdf_extractors_ray.sources.pages import (
+        read_page_files, write_invoice_page_files,
+    )
+
+    d = str(tmp_path / "pages")
+    write_invoice_page_files(d, range(6))
+    stale = os.path.join(d, "page-00000099.ppm.tmp12345")
+    with open(stale, "wb") as f:
+        f.write(b"partial garbage")
+    got = read_page_files(d).to_pandas()
+    assert sorted(got["doc_id"]) == list(range(6))  # temp skipped, not read
+    write_invoice_page_files(d, range(6))
+    assert not os.path.exists(stale)  # swept by the next writer
