@@ -99,6 +99,7 @@ OP_QUERIES = [
     "events_mad_anomaly",
     "transcript_conv_dedup",
     "transcript_conv_neardup",
+    "transcript_conv_clusters",
     "docs_source_percentile",
     "emb_ann_recall",
     "events_hll_by_type",
@@ -282,6 +283,7 @@ def _op_extra():
         "orders_duplicate_payments": _rl.orders_duplicate_payments,
         "docs_retrieval_pipeline": _tx.docs_retrieval_pipeline,
         "transcript_prompt_response": _transcript_prompt_response_sf,
+        "transcript_conv_clusters": _transcript_conv_clusters_sf,
     }
 
 
@@ -301,6 +303,13 @@ def _profile_orders(sf_dir: str):
     from pdf_extractors_ray.ops.profile import table_profile
 
     return table_profile(sf_dir, "orders")
+
+
+def _transcript_conv_clusters_sf(sf_dir: str):
+    from pdf_extractors_ray.ops.transcript import transcript_conv_clusters
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    return transcript_conv_clusters(transcripts_path_for_sf(sf_dir))
 
 
 def _transcript_prompt_response_sf(sf_dir: str):

@@ -1036,7 +1036,7 @@ DUP_CLUSTERS_SQL = DUP_CLUSTERS_SQL.replace("{NGRAM_DF_CAP}", str(NGRAM_DF_CAP))
 
 
 def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
-                 edges=None):
+                 edges=None, universe=None):
     """Near-duplicate CLUSTERS: distributed connected components over the
     SimHash near-dup edge set — the "cluster → keep one representative"
     primitive a dedup pipeline actually consumes (pair lists are an
@@ -1105,7 +1105,7 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
             bi.repartition(1)
             .map_batches(components_sized, batch_format="pandas")
         )
-        docs = _docs(sf_dir, columns=["doc_id"])
+        docs = universe if universe is not None else _docs(sf_dir, columns=["doc_id"])
 
         def init_singleton(batch: pd.DataFrame) -> pd.DataFrame:
             ids = batch["doc_id"].to_numpy(dtype=np.int64)
@@ -1198,8 +1198,10 @@ def dup_clusters(sf_dir: str, max_hamming: int = 3, max_rounds: int = 32,
         )
 
     # merge singletons back: every doc contributes (doc_id, doc_id); the
-    # bucketed min keeps the propagated label for endpoint nodes
-    docs = _docs(sf_dir, columns=["doc_id"])
+    # bucketed min keeps the propagated label for endpoint nodes.
+    # ``universe`` overrides the node set (e.g. conversation keys for the
+    # transcript arm) — any Dataset with a doc_id column.
+    docs = universe if universe is not None else _docs(sf_dir, columns=["doc_id"])
 
     def init_all(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy(dtype=np.int64)

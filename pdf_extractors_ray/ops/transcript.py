@@ -298,10 +298,11 @@ def transcript_conv_neardup(path: str, n_parts: int | None = None,
     changes the signature) and concatenate to one text; the shared
     banded tail (``dedup.banded_hash_pairs``: 4×16-bit pigeonhole
     bands, star cap, chunked XOR+popcount verification) emits
-    (a, b, hamming) keyed by a 60-bit md5 prefix of the conv_id string
+    (a, b, hamming) keyed by a 52-bit md5 prefix of the conv_id string
     — format-agnostic (any conv_id scheme works; no ``conv-%06d``
-    assumption), the ``_md5_hash15`` construct the split/mixture family
-    shares with its DuckDB twins.
+    assumption), 52 bits so the key survives float64 promotion in the
+    sparse-safe cogroup exchange downstream (cluster resolution); see
+    ``conv_sig`` for the full budget note.
 
     Scale shape: after the fold exchange only conversation-cardinality
     signature rows move (the text leaves the fold as a 64-bit hash);
@@ -330,9 +331,17 @@ def transcript_conv_neardup(path: str, n_parts: int | None = None,
             text = " ".join(t if isinstance(t, str) else "" for t in sub["text"])
             if not text.split():
                 continue  # empty conversations carry no signature
-            # 60-bit md5 prefix of the conv_id string: works for ANY id
-            # scheme (twin: ('0x' || substr(md5(conv_id), 1, 15))::BIGINT)
-            ids.append(int(hashlib.md5(str(cid).encode()).hexdigest()[:15], 16))
+            # 52-bit md5 prefix of the conv_id string: works for ANY id
+            # scheme (twin: ('0x' || substr(md5(conv_id), 1, 13))::BIGINT).
+            # 52 bits — not 60 — on purpose: cluster resolution downstream
+            # rides the sparse-safe cogroup exchange, whose null-interleaved
+            # merges promote int64 through float64 (exact only to 2^53);
+            # a 60-bit key silently splits into real+rounded node pairs
+            # (found as a 1.7x node inflation at sf1). Birthday budget:
+            # ~1.6e-4 collision odds at 1.2M convs; at the 10^12 design
+            # point conversation identity uses the 128-bit STRING digest path
+            # (transcript_conv_dedup) — documented, not silent.
+            ids.append(int(hashlib.md5(str(cid).encode()).hexdigest()[:13], 16))
             texts.append(text)
         cache: dict = {}
         df = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
@@ -345,6 +354,78 @@ def transcript_conv_neardup(path: str, n_parts: int | None = None,
 
     sigs = ds.groupby("part_id").map_groups(conv_sig, batch_format="pandas")
     return banded_hash_pairs(sigs, max_hamming=max_hamming)
+
+
+def transcript_conv_clusters(path: str, max_hamming: int = 3,
+                             max_rounds: int = 32):
+    """Conversation-level near-duplicate CLUSTERS — the scale-correct
+    deliverable of the conv near-dup family. Measured at the sf1 corpus
+    (1.2M convs): the PAIR list grows ~96x at 10x convs (972k → 93.6M
+    pairs; duplicate-group size grows with corpus, so pairwise output is
+    inherently quadratic in group size), while clusters stay linear —
+    one row per conversation. Edges come from
+    ``transcript_conv_neardup`` (banded SimHash verification); the
+    universe is EVERY conversation (hashed 52-bit float-exact conv
+    key — see ``conv_sig``), so empty
+    and unique conversations appear as singletons; components resolve
+    with the shared pointer-jumping min-label propagation
+    (``dedup.dup_clusters(universe=...)``).
+
+    Output: (doc_id = conv key, cluster = min member key,
+    cluster_size), sorted by doc_id. Pinned to
+    ``transcript_conv_clusters_sql`` (recursive-CTE transitive closure
+    over the bit-exact pair twin)."""
+    from ..sources.transcripts import read_transcripts
+    from .dedup import dup_clusters
+
+    edges = transcript_conv_neardup(path, max_hamming=max_hamming)
+
+    def conv_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["conv_id"].drop_duplicates()
+        ids = [int(hashlib.md5(str(c).encode()).hexdigest()[:13], 16) for c in u]
+        return pd.DataFrame({"doc_id": np.asarray(ids, np.int64)})
+
+    # cross-batch duplicate keys are fine: dup_clusters' singleton merge
+    # is a bucketed (node -> min label) aggregate, which dedupes nodes
+    universe = read_transcripts(path, columns=["conv_id"]).map_batches(
+        conv_keys, batch_format="pandas"
+    )
+    return dup_clusters(path, edges=edges, universe=universe,
+                        max_rounds=max_rounds)
+
+
+def transcript_conv_clusters_sql(path: str, max_hamming: int = 3) -> str:
+    """DuckDB replay: the bit-exact pair twin wrapped in a
+    recursive-CTE transitive closure (same shape as DUP_CLUSTERS_SQL),
+    universe = every distinct hashed conv key. Closure size is bounded
+    by sum(component^2) — gate-scale only; the engine path is the
+    production shape."""
+    pairs = transcript_conv_neardup_sql(path, max_hamming=max_hamming)
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT a, b FROM ({pairs.rstrip()}) t
+),
+univ AS (
+    SELECT DISTINCT ('0x' || substr(md5(conv_id), 1, 13))::BIGINT AS doc_id
+    FROM read_parquet('{path}/*.parquet')
+),
+bidir AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+    SELECT u, v FROM bidir
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN bidir e ON r.v = e.u WHERE e.v <> r.u
+),
+labels AS (
+    SELECT d.doc_id AS doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT) AS cluster
+    FROM univ d LEFT JOIN reach r ON r.u = d.doc_id
+    GROUP BY d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, cluster,
+       CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+FROM labels
+ORDER BY doc_id
+"""
 
 
 def transcript_conv_neardup_sql(path: str, max_hamming: int = 3) -> str:
@@ -368,7 +449,7 @@ def transcript_conv_neardup_sql(path: str, max_hamming: int = 3) -> str:
           r"\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}")
     return f"""
 WITH conv AS (
-    SELECT ('0x' || substr(md5(conv_id), 1, 15))::BIGINT AS doc_id,
+    SELECT ('0x' || substr(md5(conv_id), 1, 13))::BIGINT AS doc_id,
            string_agg(COALESCE(text, ''), ' ' ORDER BY turn_idx) AS text
     FROM read_parquet('{path}/*.parquet')
     GROUP BY conv_id

@@ -767,6 +767,21 @@ def _census_persons_query(sf_dir: str):
     return surrogate.extract_kernel_persons_fold(sf_dir)
 
 
+def _conv_clusters_query(sf_dir: str):
+    """Conversation-level near-dup CLUSTERS — the linear-output
+    deliverable of the conv near-dup family (the pair list is quadratic
+    in duplicate-group size: measured 972k → 93.6M pairs at 10× convs on
+    the sf1 corpus, while clusters stay one row per conversation).
+    Hashed conv keys; edges from the bit-exact banded SimHash pair op;
+    pointer-jumping components with every conversation (incl. empty
+    ones) as a singleton-capable node. SQL twin: recursive-CTE closure
+    over the pair twin (path-embedded via ``oracle_sql()``)."""
+    from ..ops import transcript as _tr
+
+    path = transcripts_path_for_sf(sf_dir)
+    return _tr.transcript_conv_clusters(path)
+
+
 def _table_grid_query(sf_dir: str):
     """KNR table fold AND Mancini grid cleanup over the real transcript
     corpus in one driver slot (both folds are SQL-pinned at pipeline level
@@ -1451,6 +1466,7 @@ REGISTRY: dict[str, tuple] = {
     # returned result = rendered-box surrogate, SQL-hash-checked) —
     # placed directly after the SQL block so a budget-limited driver
     # records them before the heavy dedup suite
+    "transcript_conv_clusters": (_conv_clusters_query, None),
     "extract_census_persons": (_census_persons_query, surrogate.EXTRACT_KERNEL_PERSONS_FOLD_SQL),
     "extract_layout_detected": (
         _box_query("layout_detected", surrogate.extract_kernel_layout_detect),
@@ -1512,4 +1528,5 @@ def oracle_sql() -> dict[str, str]:
     out["extract_layout"] = _tr.transcript_context_tails_sql(path)
     out["extract_table_grid"] = _tr.transcript_turn_pack_sql(path)
     out["extract_all_partitioned_metrics"] = _tr.transcript_role_transitions_sql(path)
+    out["transcript_conv_clusters"] = _tr.transcript_conv_clusters_sql(path)
     return out

@@ -458,7 +458,7 @@ def test_conv_neardup_order_sensitivity(ray_session, tmp_path):
     # string, so arbitrary conv_id schemes must work
     names = ["sess/alpha", "run:2026-08-20T00", "xyz-000001", "c"]
     hid = {
-        i: int(hashlib.md5(n.encode()).hexdigest()[:15], 16)
+        i: int(hashlib.md5(n.encode()).hexdigest()[:13], 16)
         for i, n in enumerate(names)
     }
     for conv, turns in (
@@ -500,3 +500,65 @@ def test_conv_neardup_order_sensitivity(ray_session, tmp_path):
         out.reset_index(drop=True), ora[out.columns].reset_index(drop=True),
         check_dtype=True,
     )
+
+
+def test_conv_clusters_matches_duckdb_twin(ray_session):
+    """Conversation-level near-dup CLUSTERS (the linear-output
+    deliverable; the pair list measured 96x growth at 10x convs on the
+    sf1 corpus) replay exactly in DuckDB: recursive-CTE closure over the
+    bit-exact pair twin, universe = every conversation."""
+    import duckdb
+
+    from pdf_extractors_ray.ops import transcript as tr
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = transcripts_path_for_sf(sf)
+        eng = tr.transcript_conv_clusters(path).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        ora = con.execute(tr.transcript_conv_clusters_sql(path)).fetchdf()
+        con.close()
+        pd.testing.assert_frame_equal(
+            eng, ora[eng.columns].reset_index(drop=True), check_dtype=False
+        )
+        # one row per conversation (the linear contract), real clusters
+        import pyarrow.parquet as pq
+        import glob as _glob
+
+        n_convs = len(
+            {c for f in _glob.glob(path + "/*.parquet")
+             for c in pq.read_table(f, columns=["conv_id"])["conv_id"].to_pylist()}
+        )
+        assert len(eng) == n_convs
+        assert (eng["cluster_size"] > 1).any()
+        # label invariant: cluster = min member key of its component
+        by = eng.groupby("cluster")["doc_id"].min()
+        assert (by.index.to_numpy() == by.to_numpy()).all()
+
+
+def test_conv_clusters_iterative_path_float_safety(ray_session, monkeypatch):
+    """Force the big-edge ITERATIVE component path (the small-edge
+    driver batch is the default at test scale) and require twin
+    equality. Regression: 60-bit conv keys silently split into
+    real+rounded node pairs inside the sparse-safe cogroup exchange
+    (int64 -> float64 promotion is exact only to 2^53) — found as a
+    1.7x node inflation at sf1; conv keys are 52-bit for exactly this
+    reason."""
+    import duckdb
+
+    from pdf_extractors_ray.ops import dedup
+    from pdf_extractors_ray.ops import transcript as tr
+    from pdf_extractors_ray.sources.transcripts import transcripts_path_for_sf
+
+    monkeypatch.setattr(dedup, "_SMALL_EDGE_BYTES", 0)
+    path = transcripts_path_for_sf("/root/testdata/sf0.001")
+    eng = tr.transcript_conv_clusters(path).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    ora = con.execute(tr.transcript_conv_clusters_sql(path)).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(
+        eng, ora[eng.columns].reset_index(drop=True), check_dtype=False
+    )
+    # every key must be float64-exact (the invariant the 52-bit width buys)
+    assert (eng["doc_id"] < (1 << 53)).all()
+    assert eng["doc_id"].nunique() == len(eng)
