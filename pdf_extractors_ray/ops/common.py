@@ -97,6 +97,39 @@ def broadcast(obj):
     return ray.put(obj)
 
 
+# Largest magnitude an int64 survives a round trip through float64 (the
+# dtype CARRIED columns take in the bucket frame below, because the other
+# side's rows fill them with nulls). 2^53 exactly is representable; use it
+# as an inclusive bound.
+_FLOAT64_EXACT_MAX = 1 << 53
+
+
+def _require_float64_exact(name: str, col) -> None:
+    """Loud guard for the cogroup exchange's one silent corruption mode:
+    CARRIED integer columns (``__l_*`` / ``__r_*``) are null-interleaved
+    in the per-bucket pandas frame and therefore promote to float64,
+    which is exact only to ±2^53 — a 60-bit hash key silently splits
+    into real+rounded variants (found as a 1.7x node inflation in the
+    conv-clusters iterative path at sf1). Join KEYS are never null and
+    stay int64, so only carried columns are checked."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not pa.types.is_integer(col.type):
+        return
+    mm = pc.min_max(col)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None:
+        return
+    if hi > _FLOAT64_EXACT_MAX or lo < -_FLOAT64_EXACT_MAX:
+        raise ValueError(
+            f"cogroup_join: carried column {name!r} holds integers beyond "
+            f"float64-exact range (|v| > 2^53: min={lo} max={hi}); they "
+            "would silently round in the null-interleaved bucket frame — "
+            "rekey to <= 52 bits or carry the value as a string"
+        )
+
+
 def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
                  left_cols: list[str], right_cols: list[str],
                  dedup_left: list[str] | None = None,
@@ -174,8 +207,12 @@ def cogroup_join(left_ds, right_ds, left_on: str, right_on: str,
                 "__side": pa.array(np.full(n, side, dtype=np.int64)),
             }
             for c in left_cols:
+                if side == 0:
+                    _require_float64_exact(c, batch[c])
                 cols[f"__l_{c}"] = batch[c] if side == 0 else pa.nulls(n)
             for c in right_cols:
+                if side == 1:
+                    _require_float64_exact(c, batch[c])
                 cols[f"__r_{c}"] = batch[c] if side == 1 else pa.nulls(n)
             return pa.table(cols)
 

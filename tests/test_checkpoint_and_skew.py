@@ -143,3 +143,31 @@ def test_salted_catalog_small_windows(ray_session, small_corpus_dir):
     plain = extract.extract_catalog(small_corpus_dir).to_pandas()
     salted = extract_catalog_salted(small_corpus_dir, hot_threshold=8, window=7).to_pandas()
     pd.testing.assert_frame_equal(canonical(plain), canonical(salted), check_dtype=False)
+
+
+def test_cogroup_join_rejects_float64_inexact_carried_ints(ray_session):
+    """The cogroup exchange's carried columns null-interleave into
+    float64 (exact only to 2^53); values past that must raise loudly
+    instead of silently rounding (the conv-clusters node-inflation bug
+    class). Keys themselves are never null and stay int64-exact."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from pdf_extractors_ray.ops.common import cogroup_join
+
+    big = (1 << 60) + 1
+    left = rd.from_pandas(pd.DataFrame({"k": np.array([1, 2], np.int64),
+                                        "v": np.array([big, 5], np.int64)}))
+    right = rd.from_pandas(pd.DataFrame({"k": np.array([1, 2], np.int64),
+                                         "w": np.array([7, 8], np.int64)}))
+    with pytest.raises(Exception, match="float64-exact"):
+        cogroup_join(left, right, "k", "k", ["v"], ["w"]).materialize()
+    # big values as KEYS are fine (keys never null-interleave)
+    lk = rd.from_pandas(pd.DataFrame({"k": np.array([big, big + 2], np.int64),
+                                      "v": np.array([1, 2], np.int64)}))
+    rk = rd.from_pandas(pd.DataFrame({"k": np.array([big, big + 2], np.int64),
+                                      "w": np.array([3, 4], np.int64)}))
+    out = cogroup_join(lk, rk, "k", "k", ["v"], ["w"]).to_pandas()
+    assert sorted(zip(out["v"], out["w"])) == [(1, 3), (2, 4)]
